@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline [EXT]
+  * (SURVEY.md §2.6): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: signatures (minhash, simhash, shingle arrays) are
+  * computed with higher-order array functions in a single pass over each
+  * row — no explode, no shuffle, no UDF. The only shuffles are (a) the
+  * LSH band-bucket groupBy, which carries one (band, bucket, doc_id)
+  * triple per band per doc — 16 small rows per document, not the document
+  * text — and (b) the candidate-pair self-join, which joins on bucket
+  * keys whose cardinality grows with corpus size, keeping partitions
+  * balanced. Pair verification only ever touches candidate pairs, never
+  * the n² cross product. This is the standard web-scale near-dup
+  * pipeline shape (MMDS ch.3): at 100 TB the heavy text column is
+  * dropped right after signature computation. */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands // 4 → catches J >= ~0.5
+
+  /** Word 3-shingles of a text column (dynamic-length, so SQL `substring`
+    * via expr — functions.substring only takes static offsets). */
+  def shingles3(textCol: String): Column = expr(
+    s"""transform(
+          sequence(1, greatest(size(split($textCol, '\\\\s+')) - 2, 1)),
+          i -> concat_ws(' ',
+            element_at(split($textCol, '\\\\s+'), i),
+            try_element_at(split($textCol, '\\\\s+'), i + 1),
+            try_element_at(split($textCol, '\\\\s+'), i + 2)))""")
+
+  /** 64-hash MinHash signature: sig[j] = min over shingles of
+    * xxhash64(shingle, j). One array expression, no explode. */
+  def minhashSig(shingleCol: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+
+  /** LSH band keys: hash of each 4-slice of the signature. */
+  def bandKeys(sigCol: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => hash(slice(sigCol, b * RowsPerBand + lit(1), RowsPerBand), b))
+
+  /** doc_id + minhash signature + band keys for a document table. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles3("text").as("sh"))
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      .select(col("doc_id"), col("sig"), bandKeys(col("sig")).as("bands"))
+
+  /** Candidate near-dup pairs via LSH banding, verified by signature
+    * agreement (estimated Jaccard = fraction of equal minhashes). */
+  def minhashPairs(docs: DataFrame, minEstJaccard: Double): DataFrame = {
+    val sigs = minhashSignatures(docs).cache()
+    val buckets = sigs
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    val cands = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / NumHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** 64-bit SimHash over the token stream (bit i set iff the sum of
+    * ±1 votes from xxhash64(token) bit i is positive). Written as a SQL
+    * expression because the lambda-bound bit index feeds getbit/shiftleft,
+    * whose Scala-API forms only accept static positions. */
+  def simhash(tokensSql: String): Column = expr(
+    s"""aggregate(
+          zip_with(
+            transform(sequence(0, 63), i ->
+              aggregate($tokensSql, 0,
+                (acc, w) -> acc + CASE WHEN getbit(xxhash64(w), i) = 1
+                                       THEN 1 ELSE -1 END)),
+            sequence(0, 63),
+            (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
+          0L, (acc, x) -> acc | x)""")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-aggregate on the full text. At scale group on
+    // xxhash64(text) first, verify within groups; here text is the key.
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("text"))
+          .as("text_len"))),
+
+    // MinHash + LSH near-dup pairs (est. Jaccard >= 0.5). The fixtures
+    // contain planted near-dups at J ≈ 0.98 — all are caught.
+    "dedup_minhash_lsh" -> ((s, d) =>
+      minhashPairs(Tables.documents(s, d), 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          (col("est_jaccard") >= 0.9).as("high_confidence"))),
+
+    // SimHash per document + banded 16-bit keys for hamming bucketing
+    // (pigeonhole: any pair at hamming distance <= 3 shares a band key)
+    "dedup_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          simhash("split(text, '\\\\s+')").as("simhash"))
+        .select(col("doc_id"), col("simhash"),
+          expr("""transform(sequence(0, 3),
+                    b -> shiftright(simhash, b * 16) & 65535L)""")
+            .as("hamming_bands"))),
+
+    // Exact n-gram (character 5-gram) Jaccard inside blocking groups —
+    // the verify step of a dedup pipeline, DuckDB-checkable end to end.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val grams = expr(
+        """array_distinct(transform(
+             sequence(1, greatest(length(text) - 4, 1)),
+             i -> substring(text, i, 5)))""")
+      val blocked = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / lit(100)).cast("int").as("len_bucket"),
+          grams.as("grams"))
+      blocked.as("l").join(blocked.as("r"),
+          col("l.lang") === col("r.lang") &&
+            col("l.len_bucket") === col("r.len_bucket") &&
+            col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          size(array_intersect(col("l.grams"), col("r.grams"))).as("inter_size"),
+          (size(col("l.grams")) + size(col("r.grams"))
+            - size(array_intersect(col("l.grams"), col("r.grams"))))
+            .as("union_size"))
+        .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
+          (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
+        .filter(col("jaccard") > lit(0.5))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(LENGTH(text) AS INTEGER) AS text_len
+         FROM documents GROUP BY text""",
+    // dedup_minhash_lsh / dedup_simhash: xxhash64-based signatures have
+    // no DuckDB equivalent → driver records the rows-only check; exact
+    // recall against true Jaccard is asserted in DedupSpec instead.
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+             CAST(FLOOR(n_chars / 100) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+               i -> substr(text, CAST(i AS INTEGER), 5))) AS grams
+           FROM documents),
+         p AS (
+           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             CAST(LEN(list_intersect(l.grams, r.grams)) AS INTEGER) AS inter_size,
+             CAST(LEN(l.grams) + LEN(r.grams)
+               - LEN(list_intersect(l.grams, r.grams)) AS INTEGER) AS union_size
+           FROM g l JOIN g r
+             ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+            AND l.doc_id < r.doc_id)
+         SELECT doc_a, doc_b, inter_size, union_size,
+           CAST(inter_size AS DOUBLE) / union_size AS jaccard
+         FROM p
+         WHERE CAST(inter_size AS DOUBLE) / union_size > 0.5"""
+  )
+}

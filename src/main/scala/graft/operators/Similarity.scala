@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over embedding columns [EXT] (SURVEY.md §2.6).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus, so the corpus is scanned exactly once with no
+  * shuffle of the embedding column; per-query ranking is a window over
+  * the query key (k heap rows per query survive the rank filter).
+  * At 100 TB the corpus side stays partition-parallel and the only data
+  * movement is the broadcast of the query vectors.
+  *
+  * Scale path: sign-random-projection LSH — a deterministic 8-bit
+  * hyperplane signature buckets the corpus (one pass, no shuffle), then
+  * candidate retrieval joins query signatures to corpus buckets and
+  * reranks only within buckets (~1/256 of the corpus per probe). The
+  * hyperplanes are pseudo-random from xxhash64(plane, dim), so signatures
+  * are reproducible across runs and clusters with zero driver state. */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Dot product of two float-array columns in double precision via a
+    * strict left fold (deterministic summation order). Embeddings in the
+    * fixtures are L2-normalized, so dot == cosine. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity (does not assume normalized inputs). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * plane `p`, dimension `i`. */
+  private def planeComponent(p: Column, i: Column): Column =
+    (pmod(xxhash64(lit("srp"), p, i), lit(2000001L)) - lit(1000000L))
+      .cast("double") / lit(1000000.0)
+
+  /** 8-bit sign-random-projection signature of an embedding column. */
+  def srpSignature(emb: Column, bits: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p =>
+        when(aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i)),
+          lit(0.0), (acc, v) => acc + v) > 0.0, shiftleft_(lit(1), p))
+          .otherwise(lit(0))),
+      lit(0), (acc, x) => acc.bitwiseOR(x))
+
+  // functions.shiftleft only accepts a static Int position; SQL-level
+  // shiftleft takes expressions. Small shim keeping the lambda readable.
+  private def shiftleft_(v: Column, bits: Column): Column =
+    call_function("shiftleft", v, bits)
+
+  /** Brute-force top-k neighbors for each query vector. */
+  def bruteForceTopK(corpus: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
+    val q = queriesDf.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("q_emb"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 for 8 query vectors (ids 0..7)
+    "sim_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+    }),
+
+    // LSH-bucketed ANN: signature histogram + within-bucket top-3 for the
+    // same query set, reranked by exact cosine. Output: query, neighbor,
+    // rank within the probed bucket.
+    "sim_lsh_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          srpSignature(col("embedding")).as("sig"))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("sig").as("q_sig"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      emb.join(broadcast(q),
+          col("sig") === col("q_sig") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+    }),
+
+    // Corpus-wide signature histogram — the bucketing balance check an
+    // ANN index build would run (detects skewed hyperplanes).
+    "sim_lsh_bucket_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(srpSignature(col("embedding")).as("sig"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_vectors")))
+  )
+
+  // sim_cosine_topk is oracle-checked end to end: DuckDB recomputes the
+  // same strict left-fold dot product via list_reduce, so the doubles are
+  // bit-identical, ranks agree, and the hash matches. The LSH variants
+  // depend on xxhash64 (no DuckDB equivalent) → rows-only check + recall
+  // assertions in SimilaritySpec.
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(q.q_emb[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5"""
+  )
+}

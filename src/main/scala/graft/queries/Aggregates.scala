@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Aggregation surface — absent from the reference (SURVEY.md §2.6), built
+  * as first-class extensions. All plans are hash aggregates with map-side
+  * partial aggregation (Spark plans partial_sum/partial_count before the
+  * exchange), so the shuffle carries one row per (group × partition), not
+  * per input row — the shape that survives a 100 TB scan.
+  *
+  * Float determinism: double addition is not associative, so a
+  * shuffle-order-dependent SUM(double) can't hash-match any oracle. Every
+  * monetary sum here casts to an exact DECIMAL first (sums become
+  * order-independent), then casts the final scalar back to DOUBLE — one
+  * deterministic rounding at the end instead of millions along the way. */
+object Aggregates {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a 2-decimal monetary double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 pricing summary — the canonical partial-agg benchmark.
+    "q1_agg_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <=
+          lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 10).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // Global aggregates: count / distinct / min / max / integer sum
+    "agg_global_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        sum(col("l_orderkey")).as("key_sum"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))),
+
+    // GROUP BY + HAVING
+    "agg_groupby_having" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("total_bal"),
+          min(col("c_custkey")).as("first_key"))
+        .filter(col("n") > lit(10))),
+
+    // DISTINCT projection
+    "agg_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()),
+
+    // ROLLUP / CUBE grouping sets
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))),
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Join + aggregate: revenue per nation (multi-join star query).
+    // nation/region are broadcast (tiny dims); only customer⋈orders⋈lineitem
+    // shuffle on their keys.
+    "agg_join_revenue_per_nation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,10))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,10))) AS DOUBLE) AS sum_charge,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "agg_global_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+         MIN(l_shipdate) AS first_ship,
+         MAX(l_shipdate) AS last_ship
+         FROM lineitem""",
+    "agg_groupby_having" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+         MIN(c_custkey) AS first_key
+         FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 10""",
+    "agg_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "agg_join_revenue_per_nation" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name"""
+  )
+}

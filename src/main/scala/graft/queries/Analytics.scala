@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Sorts, top-k, window functions, set operations — absent from the
+  * reference (SURVEY.md §2.6), built Spark-first.
+  *
+  * Scale notes: global ORDER BY + LIMIT k plans as TakeOrderedAndProject
+  * (per-partition top-k heaps, only k rows per partition reach the
+  * driver-side merge — no global sort materialization). Window functions
+  * shuffle once on the partition key and sort within partitions;
+  * partition keys (custkey, mktsegment) are high-cardinality or tiny-
+  * domain-but-balanced, so no single-partition windows anywhere. Every
+  * ordering carries a unique tiebreak column so results are deterministic
+  * under any partitioning. */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Global top-k: TakeOrderedAndProject, deterministic via key tiebreak
+    "sort_topk_global" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // Multi-column sort with mixed direction (bounded output via filter)
+    "sort_multi_key" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_size") >= lit(48))
+        .orderBy(col("p_size").desc, col("p_retailprice").asc,
+          col("p_partkey").asc)
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))),
+
+    // Ranking window: top-3 customers per market segment
+    "window_rank_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= lit(3))
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          col("rn"))
+    }),
+
+    // Running (cumulative) sum per customer — DECIMAL inside the frame so
+    // the prefix sums are exact and order-independent of the plan.
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_spend"))
+    }),
+
+    // lag/lead analytics per customer
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (row_number().over(w)).as("order_seq"))
+    }),
+
+    // ntile + percent_rank (distribution analytics)
+    "window_ntile_dist" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      // single ordered window over customer (small dim) — acceptable here;
+      // for fact-scale data partition first (see window_running_sum).
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        rank().over(w).as("bal_rank"))
+    }),
+
+    // Set operations (all distinct-semantics, matching SQL UNION/
+    // INTERSECT/EXCEPT). Shuffle on the full row — unavoidable for
+    // distinct set semantics.
+    "set_union" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === lit("BUILDING"))
+        .select(col("c_custkey").as("custkey"))
+        .union(Tables.orders(s, d)
+          .filter(col("o_totalprice") > lit(400000.0))
+          .select(col("o_custkey").as("custkey")))
+        .distinct()),
+    "set_intersect" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === lit("BUILDING"))
+        .select(col("c_custkey").as("custkey"))
+        .intersect(Tables.orders(s, d)
+          .select(col("o_custkey").as("custkey")))),
+    "set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))),
+
+    // Semi/anti joins — the scalable EXISTS / NOT EXISTS
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_totalprice") > lit(450000.0)),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sort_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "sort_multi_key" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part
+         WHERE p_size >= 48
+         ORDER BY p_size DESC, p_retailprice ASC, p_partkey ASC""",
+    "window_rank_topk_per_group" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
+           FROM customer) t
+         WHERE rn <= 3""",
+    "window_running_sum" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+         FROM orders""",
+    "window_lag_lead" ->
+      """SELECT o_orderkey, o_custkey,
+         LAG(o_totalprice, 1) OVER w AS prev_price,
+         LEAD(o_totalprice, 1) OVER w AS next_price,
+         CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "window_ntile_dist" ->
+      """SELECT c_custkey, c_acctbal,
+         CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+         CAST(RANK() OVER w AS INTEGER) AS bal_rank
+         FROM customer
+         WINDOW w AS (ORDER BY c_acctbal, c_custkey)""",
+    "set_union" ->
+      """SELECT c_custkey AS custkey FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0""",
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+         WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders""",
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+  )
+}

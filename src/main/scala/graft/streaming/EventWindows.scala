@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Event-stream windowing [EXT] (SURVEY.md §2.6) over the `events` table.
+  *
+  * The same `window()` / `session_window()` aggregations run identically
+  * over a batch DataFrame and a Structured Streaming `readStream` source —
+  * Spark plans both from one logical declaration. The driver's oracle
+  * checks the batch plan; `StreamingSpec` runs the genuinely incremental
+  * path (readStream over the same parquet + watermark + memory sink) and
+  * asserts it converges to the batch answer, which is exactly the
+  * correctness contract Structured Streaming guarantees.
+  *
+  * Scale: tumbling/sliding windows group by (window, key) — partial
+  * aggregation applies, state is bounded by watermark retention, and
+  * nothing here ever sorts the stream globally. */
+object EventWindows {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum for the 2-decimal `value` column. */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Tumbling 10-minute windows per event type (batch form). */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding 30-minute windows every 10 minutes, global rates. */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"), col("n_events"),
+        col("n_users"))
+
+  /** Session windows with a 30-minute inactivity gap, per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** The streaming form of `tumbling` — identical logical plan over an
+    * unbounded source, with late data bounded by a 1-hour watermark. */
+  def tumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = Tables.events(spark, sfDir).schema
+    spark.readStream.schema(schema)
+      .parquet(s"$sfDir/events.parquet")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling_window" -> ((s, d) => tumbling(Tables.events(s, d))),
+    "stream_sliding_window" -> ((s, d) => sliding(Tables.events(s, d))),
+    "stream_session_window" -> ((s, d) => sessions(Tables.events(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // Sliding windows assign each event to 3 overlapping 30-min windows:
+    // replicate via a 3-offset unnest in SQL.
+    "stream_sliding_window" ->
+      """WITH assigned AS (
+           SELECT time_bucket(INTERVAL '10 minutes', ts)
+                    - k * INTERVAL '10 minutes' AS w_start,
+                  user_id
+           FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) offs)
+         SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM assigned GROUP BY w_start""",
+    // Gaps-and-islands reconstruction of 30-minute-gap sessions.
+    "stream_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         numbered AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM numbered GROUP BY user_id, session_id"""
+  )
+}
