@@ -9,7 +9,7 @@ import graft.sources.Tables
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the operator inventory: reference-parity operators
-  * (SURVEY.md §2, ids S*/P*/F*/E*/J*) from [[graft.queries.Parity]], plus
+  * (SURVEY.md §2, ids S-, P-, F-, E-, J-) from [[graft.queries.Parity]], plus
   * the [EXT] surface (aggregates, analytics, scalar functions, dedup,
   * similarity, text analysis, event windows, multimodal). Every oracle-
   * expressible query has matching DuckDB SQL in `oracleSql` with
@@ -25,7 +25,7 @@ object SparkEntry {
       .filter(
         S.and(
           S.and(
-            S.gt(S.add(col("p_retailprice"), lit(5.0)), lit(950.0)),
+            S.gt(S.add(col("p_retailprice"), lit(5.0)), lit(910.0)),
             S.gt(col("p_size"), lit(3))),
           S.not(S.eq(col("p_brand"), lit("Brand#13")))))
       .select(col("p_partkey"), col("p_name"))

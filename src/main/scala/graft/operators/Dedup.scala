@@ -45,7 +45,7 @@ object Dedup {
   /** LSH band keys: hash of each 4-slice of the signature. */
   def bandKeys(sigCol: Column): Column =
     transform(sequence(lit(0), lit(Bands - 1)),
-      b => hash(slice(sigCol, b * RowsPerBand + lit(1), RowsPerBand), b))
+      b => hash(slice(sigCol, b * RowsPerBand + lit(1), lit(RowsPerBand)), b))
 
   /** doc_id + minhash signature + band keys for a document table. */
   def minhashSignatures(docs: DataFrame): DataFrame =

@@ -7,7 +7,7 @@ import graft.core.{MiniFrame, RefSemantics => S}
 import graft.sources.Tables
 
 /** Reference-parity queries — one driver-checkable query per operator in
-  * SURVEY.md §2 (S*/P*/F*/E*/J* ids), each paired with equivalent DuckDB
+  * SURVEY.md §2 (S-, P-, F-, E-, J- ids), each paired with equivalent DuckDB
   * SQL in `oracles`. All plans are pure built-in Column compositions: the
   * full expression algebra stays inside WholeStageCodegen and filters/
   * projections reach the Parquet scan (PushedFilters / ReadSchema). */

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet loaders for the driver fixtures (TESTDATA.md). The reference
   * has no file I/O at all (SURVEY.md §2.1) — the Parquet scan with
@@ -19,7 +20,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's Parquet reader
+    * rejects outright. Read the raw int64 nanos (legacy conf) and truncate
+    * to Spark's native microsecond timestamps; oracles truncate the same
+    * way via CAST(ts AS TIMESTAMP) in DuckDB. `div` keeps the arithmetic
+    * integral — a double intermediate would round off-by-one-microsecond. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

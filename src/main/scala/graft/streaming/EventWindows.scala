@@ -51,9 +51,16 @@ object EventWindows {
   /** The streaming form of `tumbling` — identical logical plan over an
     * unbounded source, with late data bounded by a 1-hour watermark. */
   def tumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = Tables.events(spark, sfDir).schema
+    // Raw on-disk schema (ts as int64 nanos, via nanosAsLong) — the
+    // micros conversion happens inside the streaming plan.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // FileStreamSource needs a directory; pathGlobFilter narrows the scan
+    // to the events table within the fixture dir.
     spark.readStream.schema(schema)
-      .parquet(s"$sfDir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -71,7 +78,8 @@ object EventWindows {
 
   val oracles: Map[String, String] = Map(
     "stream_tumbling_window" ->
-      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, event_type,
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+           AS w_start, event_type,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2""",
@@ -79,7 +87,7 @@ object EventWindows {
     // replicate via a 3-offset unnest in SQL.
     "stream_sliding_window" ->
       """WITH assigned AS (
-           SELECT time_bucket(INTERVAL '10 minutes', ts)
+           SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
                     - k * INTERVAL '10 minutes' AS w_start,
                   user_id
            FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) offs)
@@ -89,7 +97,7 @@ object EventWindows {
     // Gaps-and-islands reconstruction of 30-minute-gap sessions.
     "stream_session_window" ->
       """WITH marked AS (
-           SELECT user_id, ts, value,
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                     >= INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

