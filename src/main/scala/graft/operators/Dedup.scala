@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Par.fanout
 import graft.sources.Tables
 
 /** Deduplication operators for a training-data pipeline [EXT]
@@ -26,21 +27,36 @@ object Dedup {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands // 4 → catches J >= ~0.5
 
-  /** Word 3-shingles of a text column (dynamic-length, so SQL `substring`
-    * via expr — functions.substring only takes static offsets). */
-  def shingles3(textCol: String): Column = expr(
-    s"""transform(
-          sequence(1, greatest(size(split($textCol, '\\\\s+')) - 2, 1)),
-          i -> concat_ws(' ',
-            element_at(split($textCol, '\\\\s+'), i),
-            try_element_at(split($textCol, '\\\\s+'), i + 1),
-            try_element_at(split($textCol, '\\\\s+'), i + 2)))""")
+  /** Whitespace tokens of a text column. Kept as its own projection step
+    * so downstream shingling references a materialized array attribute —
+    * inlining `split` into a lambda body would re-tokenize the document
+    * once per lambda element (quadratic per doc; this exact shape was 58%
+    * of round-1 bench time). */
+  def tokens(textCol: Column): Column = split(textCol, "\\s+")
 
-  /** 64-hash MinHash signature: sig[j] = min over shingles of
-    * xxhash64(shingle, j). One array expression, no explode. */
-  def minhashSig(shingleCol: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+  /** Word 3-shingles from a token-array column. `toks` is referenced four
+    * times, so CollapseProject keeps the split in its own projection. */
+  def shinglesFromTokens(toks: Column): Column =
+    transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+      i => concat_ws(" ", element_at(toks, i),
+        call_function("try_element_at", toks, i + 1),
+        call_function("try_element_at", toks, i + 2)))
+
+  /** Each distinct shingle hashed ONCE to a 64-bit long — the only place
+    * full strings are hashed. */
+  def shingleHashes(shingleCol: Column): Column =
+    array_distinct(transform(shingleCol, s => xxhash64(s)))
+
+  /** 64-hash MinHash signature from pre-hashed shingles, in a single
+    * fold over the shingle array: sig[j] = min over h of xxhash64(h, j).
+    * The 64 hash functions only ever rehash an 8-byte long — total cost
+    * O(64·n_shingles) cheap hashes instead of O(64·n) string hashes. */
+  def minhashSig(hashCol: Column): Column =
+    aggregate(
+      hashCol,
+      array_repeat(lit(Long.MaxValue), NumHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(NumHashes - 1)),
+        (m, j) => least(m, xxhash64(h, j))))
 
   /** LSH band keys: hash of each 4-slice of the signature. */
   def bandKeys(sigCol: Column): Column =
@@ -49,8 +65,10 @@ object Dedup {
 
   /** doc_id + minhash signature + band keys for a document table. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles3("text").as("sh"))
-      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+    fanout(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
+      .select(col("doc_id"), minhashSig(shingleHashes(col("sh"))).as("sig"))
       .select(col("doc_id"), col("sig"), bandKeys(col("sig")).as("bands"))
 
   /** Candidate near-dup pairs via LSH banding, verified by signature
@@ -77,20 +95,28 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash over the token stream (bit i set iff the sum of
-    * ±1 votes from xxhash64(token) bit i is positive). Written as a SQL
-    * expression because the lambda-bound bit index feeds getbit/shiftleft,
-    * whose Scala-API forms only accept static positions. */
-  def simhash(tokensSql: String): Column = expr(
-    s"""aggregate(
-          zip_with(
-            transform(sequence(0, 63), i ->
-              aggregate($tokensSql, 0,
-                (acc, w) -> acc + CASE WHEN getbit(xxhash64(w), i) = 1
-                                       THEN 1 ELSE -1 END)),
-            sequence(0, 63),
-            (v, i) -> CASE WHEN v > 0 THEN shiftleft(1L, i) ELSE 0L END),
-          0L, (acc, x) -> acc | x)""")
+  /** 64-bit SimHash from pre-hashed tokens (bit i set iff the sum of ±1
+    * votes from token-hash bit i is positive). Single fold over the hash
+    * array carrying a 64-wide vote accumulator — each token is hashed
+    * once, upstream, instead of 64 times inside the bit loop. */
+  def simhashFromHashes(hashCol: Column): Column = {
+    val votes = aggregate(
+      hashCol,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (v, i) => v + when(call_function("getbit", h, i) === 1, 1)
+          .otherwise(-1)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Token hashes for simhash: every token hashed once (dups kept —
+    * simhash weights repeated tokens by construction). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, w => xxhash64(w))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-aggregate on the full text. At scale group on
@@ -113,9 +139,10 @@ object Dedup {
     // SimHash per document + banded 16-bit keys for hamming bucketing
     // (pigeonhole: any pair at hamming distance <= 3 shares a band key)
     "dedup_simhash" -> ((s, d) =>
-      Tables.documents(s, d)
+      fanout(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          simhash("split(text, '\\\\s+')").as("simhash"))
+          simhashFromHashes(tokenHashes(col("toks"))).as("simhash"))
         .select(col("doc_id"), col("simhash"),
           expr("""transform(sequence(0, 3),
                     b -> shiftright(simhash, b * 16) & 65535L)""")
@@ -128,19 +155,43 @@ object Dedup {
         """array_distinct(transform(
              sequence(1, greatest(length(text) - 4, 1)),
              i -> substring(text, i, 5)))""")
-      val blocked = Tables.documents(s, d)
+      // Two-phase shape (candidate generation → verification), same as a
+      // cluster-scale run: phase 1 joins only (id, block key, gram count)
+      // — no gram payloads — so the optimizer can't hoist the expensive
+      // set-intersection into that join's condition (measured 8× blowup
+      // when the Jaccard predicate lands first in a one-join plan).
+      // Phase 2 attaches gram-hash arrays to surviving pairs and
+      // intersects longs, not strings (set cardinalities preserved;
+      // 64-bit collisions within a ~1k-gram pair: P ≈ 3e-14).
+      // Size prefilter is lossless: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|),
+      // so J > 0.5 forces the gram counts within 2× of each other.
+      val sigs = fanout(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars")))
         .select(col("doc_id"), col("lang"),
           floor(col("n_chars") / lit(100)).cast("int").as("len_bucket"),
-          grams.as("grams"))
-      blocked.as("l").join(blocked.as("r"),
+          transform(grams, gm => xxhash64(gm)).as("grams"))
+        .select(col("doc_id"), col("lang"), col("len_bucket"), col("grams"),
+          size(col("grams")).as("sz"))
+      val ids = sigs.select(col("doc_id"), col("lang"), col("len_bucket"),
+        col("sz"))
+      val cands = ids.as("l").join(ids.as("r"),
           col("l.lang") === col("r.lang") &&
             col("l.len_bucket") === col("r.len_bucket") &&
-            col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          size(array_intersect(col("l.grams"), col("r.grams"))).as("inter_size"),
-          (size(col("l.grams")) + size(col("r.grams"))
-            - size(array_intersect(col("l.grams"), col("r.grams"))))
-            .as("union_size"))
+            col("l.doc_id") < col("r.doc_id") &&
+            col("l.sz") <= col("r.sz") * 2 &&
+            col("r.sz") <= col("l.sz") * 2)
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      val g = sigs.select(col("doc_id"), col("grams"), col("sz"))
+      cands
+        .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+          col("sz").as("lsz")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+          col("sz").as("rsz")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ga"), col("gb"))).as("inter_size"),
+          col("lsz"), col("rsz"))
+        .select(col("doc_a"), col("doc_b"), col("inter_size"),
+          (col("lsz") + col("rsz") - col("inter_size")).as("union_size"))
         .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
           (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
         .filter(col("jaccard") > lit(0.5))

@@ -67,7 +67,8 @@ object Multimodal {
   def extractFeatures(withBytes: DataFrame): DataFrame = {
     val spark = withBytes.sparkSession
     import spark.implicits._
-    withBytes.select(col("doc_id"), col("media_type"), col("payload"))
+    graft.core.Par.fanout(
+      withBytes.select(col("doc_id"), col("media_type"), col("payload")))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init of the (stub) decoder happens here

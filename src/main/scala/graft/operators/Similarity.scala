@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Par.fanout
 import graft.sources.Tables
 
 /** Similarity search over embedding columns [EXT] (SURVEY.md §2.6).
@@ -73,7 +74,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for 8 query vectors (ids 0..7)
     "sim_cosine_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = fanout(Tables.embeddings(s, d))
       bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
     }),
@@ -82,7 +83,7 @@ object Similarity {
     // same query set, reranked by exact cosine. Output: query, neighbor,
     // rank within the probed bucket.
     "sim_lsh_ann" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           srpSignature(col("embedding")).as("sig"))
       val q = emb.filter(col("vec_id") < 8)
@@ -102,7 +103,7 @@ object Similarity {
     // Corpus-wide signature histogram — the bucketing balance check an
     // ANN index build would run (detects skewed hyperplanes).
     "sim_lsh_bucket_stats" -> ((s, d) =>
-      Tables.embeddings(s, d)
+      fanout(Tables.embeddings(s, d))
         .select(srpSignature(col("embedding")).as("sig"))
         .groupBy(col("sig"))
         .agg(count(lit(1)).as("n_vectors")))

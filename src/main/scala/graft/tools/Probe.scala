@@ -2,19 +2,39 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc driver-contract probe: prints entry() row count and plans for
-  * spot-checking — the same call shape the driver's smoke test uses. */
+/** Ad-hoc driver-contract probe.
+  *
+  *   runMain graft.tools.Probe                 → entry() smoke (rows>0)
+  *   runMain graft.tools.Probe <query> <sfDir> → time + count one query
+  *   runMain graft.tools.Probe explain <query> <sfDir> → formatted plan
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.entry(spark)
-    println(s"ENTRY_ROWS=${df.count()}")
-    df.show(5, truncate = false)
+    args.toList match {
+      case Nil =>
+        val df = graft.SparkEntry.entry(spark)
+        println(s"ENTRY_ROWS=${df.count()}")
+        df.show(5, truncate = false)
+      case "explain" :: q :: dir :: Nil =>
+        graft.SparkEntry.queries(q)(spark, dir).explain("formatted")
+      case "dump" :: q :: dir :: out :: Nil =>
+        graft.SparkEntry.queries(q)(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(out)
+      case q :: dir :: Nil =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"QUERY=$q ROWS=$n SECONDS=$dt%.2f")
+      case other =>
+        sys.error(s"usage: Probe [explain] [query sfDir]; got $other")
+    }
     spark.stop()
   }
 }

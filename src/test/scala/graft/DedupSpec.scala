@@ -12,8 +12,9 @@ class DedupSpec extends SparkSpec {
   test("minhash estimate tracks exact shingle Jaccard on planted dups") {
     val docs = Tables.documents(spark, sf0001)
     // exact word-3-shingle Jaccard for all pairs sharing a planted dup
-    val sh = docs.select(col("doc_id"),
-      array_distinct(Dedup.shingles3("text")).as("sh"))
+    val sh = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(Dedup.shinglesFromTokens(col("toks"))).as("sh"))
     val exact = sh.as("l").join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
@@ -42,8 +43,9 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: near-identical docs land within hamming distance 3") {
     val docs = Tables.documents(spark, sf0001)
-    val sims = docs.select(col("doc_id"),
-      Dedup.simhash("split(text, '\\\\s+')").as("sh"))
+    val sims = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Dedup.simhashFromHashes(Dedup.tokenHashes(col("toks"))).as("sh"))
     // pairs that exact-text-duplicate each other must have simhash
     // distance small enough to share a 16-bit band
     val dupPairs = docs.as("l").join(docs.as("r"),
