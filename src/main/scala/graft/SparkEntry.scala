@@ -39,6 +39,7 @@ object SparkEntry {
       graft.functions.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
+      graft.operators.Temporal.queries ++
       graft.streaming.EventWindows.queries ++
       graft.operators.Multimodal.queries
 
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.functions.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
       graft.operators.Similarity.oracles ++
+      graft.operators.Temporal.oracles ++
       graft.streaming.EventWindows.oracles ++
       graft.operators.Multimodal.oracles
 }

@@ -92,10 +92,36 @@ object Multimodal {
     // the checksum math has no SQL oracle, determinism is asserted in
     // MultimodalSpec).
     "multimodal_decode_features" -> ((s, d) =>
-      extractFeatures(withPayload(graft.sources.Tables.documents(s, d))))
+      extractFeatures(withPayload(graft.sources.Tables.documents(s, d)))),
+
+    // Frame sampling for video payloads: every 10th frame index as an
+    // in-row array (`sequence` — no explode, no shuffle), plus the
+    // scalar summary the oracle checks. A real pipeline feeds the
+    // sampled indices to the decoder stub above.
+    "multimodal_frame_sample" -> ((s, d) => {
+      val vids = graft.sources.Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(3)) === lit(2)) // media_type: video
+        .select(col("doc_id"),
+          greatest(floor(col("n_chars") / lit(10)), lit(1)).cast("long")
+            .as("n_frames"))
+      vids.select(col("doc_id"), col("n_frames"),
+        sequence(lit(0L), col("n_frames") - 1, lit(10L)).as("frames"))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("frames")).as("n_sampled"),
+          element_at(col("frames"), -1).as("last_sampled"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id,
+             GREATEST(CAST(FLOOR(n_chars / 10) AS BIGINT), 1) AS n_frames
+           FROM documents WHERE doc_id % 3 = 2)
+         SELECT doc_id, n_frames,
+           CAST(FLOOR((n_frames - 1) / 10) + 1 AS INTEGER) AS n_sampled,
+           CAST(n_frames - 1 - ((n_frames - 1) % 10) AS BIGINT) AS last_sampled
+         FROM v""",
     "multimodal_binary_meta" ->
       """SELECT doc_id,
          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'

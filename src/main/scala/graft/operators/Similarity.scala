@@ -106,7 +106,61 @@ object Similarity {
       fanout(Tables.embeddings(s, d))
         .select(srpSignature(col("embedding")).as("sig"))
         .groupBy(col("sig"))
-        .agg(count(lit(1)).as("n_vectors")))
+        .agg(count(lit(1)).as("n_vectors"))),
+
+    // IVF (inverted-file) ANN: a deterministic coarse quantizer (the
+    // first 16 corpus vectors as centroids), every vector assigned to
+    // its nearest centroid (one broadcast join — the corpus never
+    // shuffles its embeddings), queries probe only their own cell and
+    // rerank by exact dot product. The 1/n_cells probe fraction is the
+    // classic IVF scan saving; fully DuckDB-expressible (pure fp math),
+    // so this ANN variant is oracle-checked end to end.
+    "sim_ivf_ann" -> ((s, d) => {
+      val emb = fanout(Tables.embeddings(s, d))
+      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("cent_id"))
+      val assigned = emb.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          dot(col("embedding"), col("c_emb")).as("c_sim"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val q = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cent_id").as("q_cent"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      assigned.join(broadcast(q),
+          col("cent_id") === col("q_cent") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+    }),
+
+    // Embedding-cosine near-dup pairs: block on the sign pattern of the
+    // first 4 dimensions (near-identical vectors share it unless a
+    // blocked dim sits at zero), verify by exact dot within blocks.
+    // Pure fp math → oracle-checked, unlike the xxhash64 SRP variant.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      def signBlock(e: Column): Column =
+        (when(element_at(e, 1) > 0.0f, 8).otherwise(0) +
+          when(element_at(e, 2) > 0.0f, 4).otherwise(0) +
+          when(element_at(e, 3) > 0.0f, 2).otherwise(0) +
+          when(element_at(e, 4) > 0.0f, 1).otherwise(0))
+      val emb = fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          signBlock(col("embedding")).as("blk"))
+      emb.as("l").join(emb.as("r"),
+          col("l.blk") === col("r.blk") &&
+            col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+          dot(col("l.embedding"), col("r.embedding")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.9)
+    })
   )
 
   // sim_cosine_topk is oracle-checked end to end: DuckDB recomputes the
@@ -132,6 +186,63 @@ object Similarity {
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
            FROM scored)
-         SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5"""
+         SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5""",
+    // Both engines compute the dot product as the identical strict left
+    // fold, so assignment / ranking / thresholds agree bit-for-bit.
+    "sim_ivf_ann" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+                        FROM embeddings WHERE vec_id < 16),
+         ascore AS (
+           SELECT e.vec_id, e.embedding, c.cent_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(c.c_emb[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS c_sim
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (
+           SELECT vec_id, embedding, cent_id FROM (
+             SELECT vec_id, embedding, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY c_sim DESC, cent_id) AS arn
+             FROM ascore) t WHERE arn = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      cent_id AS q_cent
+               FROM assigned WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, a.vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(a.embedding) + 1),
+                   i -> CAST(q.q_emb[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS sim
+           FROM assigned a JOIN q
+             ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3""",
+    "dedup_embedding_cosine" ->
+      """WITH b AS (
+           SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0.0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[2] > 0.0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[3] > 0.0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4] > 0.0 THEN 1 ELSE 0 END) AS blk
+           FROM embeddings),
+         scored AS (
+           SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(l.embedding) + 1),
+                   i -> CAST(l.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(r.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS cos_sim
+           FROM b l JOIN b r ON l.blk = r.blk AND l.vec_id < r.vec_id)
+         SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.9"""
   )
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Temporal join operators [EXT]: as-of join and first-event dedup.
+  *
+  * Spark has no native ASOF JOIN. The classic scalable formulation is
+  * union-tag + prefix window: tag both streams, union them, and carry the
+  * most recent right-side row forward with a running window over
+  * (key, time). One shuffle on the key, one within-partition sort —
+  * linear in input size, versus the range-join formulation whose
+  * intermediate explodes with events-per-key². This is exactly how
+  * merge-join ASOF engines (kdb, QuestDB, DuckDB) sequence it. */
+object Temporal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** For each left event, the latest right event with the same key and
+    * `rts <= lts` (ties: right row wins, i.e. "at or before"). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, rightVals: Seq[String]): DataFrame = {
+    val lTag = left.withColumn("__is_r", lit(0))
+      .withColumns(rightVals.map(v => s"__r_$v" -> lit(null)).toMap)
+    val rTag = right.select(
+      (col(key) +: col(rts).as(lts) +: lit(1).as("__is_r") +:
+        rightVals.map(v => col(v).as(s"__r_$v"))): _*)
+    val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
+    // right rows sort before left rows at equal ts → "at or before"
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(lts), col("__is_r").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(
+      unioned.withColumn("__r_ts",
+        max(when(col("__is_r") === 1, col(lts))).over(w))) {
+      case (df, v) => df.withColumn(s"__c_$v",
+        last(when(col("__is_r") === 1, col(s"__r_$v")), ignoreNulls = true)
+          .over(w))
+    }
+    carried.filter(col("__is_r") === 0)
+      .select((left.columns.map(col) :+ col("__r_ts").as("asof_ts")) ++
+        rightVals.map(v => col(s"__c_$v").as(s"asof_$v")): _*)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // As-of join: each click paired with the user's most recent purchase
+    // at or before it (nulls when no prior purchase).
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("purchase_ts"),
+          col("asof_value").as("purchase_value"))
+    }),
+
+    // First event per (user, type) + how many duplicates a stateful
+    // dedup would drop. Batch twin of Stateful.dedupStream — hash
+    // aggregate, one shuffle, no window sort needed.
+    "dedup_first_event" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("first_ts"),
+          min_by(col("event_id"), col("ts")).as("first_event_id"),
+          (count(lit(1)) - 1).as("n_dropped")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "dedup_first_event" ->
+      """SELECT user_id, event_type,
+         MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+         ARG_MIN(event_id, ts) AS first_event_id,
+         CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+         FROM events GROUP BY user_id, event_type"""
+  )
+}

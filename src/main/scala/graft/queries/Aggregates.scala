@@ -78,6 +78,18 @@ object Aggregates {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))),
 
+    // Sketch aggregates: HLL++ distinct count + KLL-style quantiles —
+    // the constant-memory, mergeable shapes a 100 TB profile pass uses
+    // (exact distinct/percentile would shuffle every value). Rows-only
+    // driver check; AggregatesSketchSpec asserts error bounds vs exact.
+    "agg_approx_sketches" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("p95_price"))),
+
     // Join + aggregate: revenue per nation (multi-join star query).
     // nation/region are broadcast (tiny dims); only customer⋈orders⋈lineitem
     // shuffle on their keys.

@@ -27,6 +27,20 @@ object Probe {
       case "dump" :: q :: dir :: out :: Nil =>
         graft.SparkEntry.queries(q)(spark, dir)
           .coalesce(1).write.mode("overwrite").parquet(out)
+      case "oracles" :: out :: Nil =>
+        def esc(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+          graft.SparkEntry.oracleSql
+            .map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+            .mkString("{", ",", "}"))
       case q :: dir :: Nil =>
         val t0 = System.nanoTime()
         val n = graft.SparkEntry.queries(q)(spark, dir).count()

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+import graft.sources.Tables
+import graft.streaming.Stateful
+
+/** As-of join laws + stateful streaming dedup vs its batch twin. */
+class TemporalSpec extends SparkSpec {
+
+  test("asof join: paired purchase is at-or-before and the latest such") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val joined = Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+      Seq("value"))
+    // no asof_ts may exceed the click ts
+    assert(joined.filter(col("asof_ts") > col("ts")).count() == 0)
+    // spot-check maximality: recompute via a per-click scan for 20 clicks
+    val sample = joined.limit(20).collect()
+    val p = purchases.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    sample.foreach { r =>
+      val user = r.getAs[Long]("user_id")
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      val best = p.filter(x => x._1 == user && !x._2.after(ts))
+        .sortBy(_._2.getTime).lastOption
+      assert(r.getAs[java.sql.Timestamp]("asof_ts") == best.map(_._2).orNull)
+      assert(Option(r.getAs[java.lang.Double]("asof_value"))
+        .map(_.doubleValue()) == best.map(_._3))
+    }
+    // every click appears exactly once (left semantics, no multiplication)
+    assert(joined.count() == clicks.count())
+  }
+
+  test("flatMapGroupsWithState dedup stream equals the batch first-event") {
+    val q = Stateful.dedupStream(spark, sf0001).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("dedup_test")
+      .select("user_id", "event_type", "first_event_id", "first_ts")
+      .collect().map(_.toSeq).toSet
+    val batch = Temporal.queries("dedup_first_event")(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        col("first_event_id"), col("first_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+}
