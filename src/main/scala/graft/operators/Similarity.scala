@@ -25,12 +25,15 @@ import graft.sources.Tables
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Dot product of two float-array columns in double precision via a
-    * strict left fold (deterministic summation order). Embeddings in the
-    * fixtures are L2-normalized, so dot == cosine. */
+  /** Dot product of two float-array columns in double precision —
+    * the custom codegen'd [[graft.functions.DotProduct]] expression
+    * (registered as `graft_dot` by GraftExtensions; one fused loop, no
+    * intermediate array). Same strict left-fold accumulation order as
+    * the composed `aggregate(zip_with(...))` form and the DuckDB
+    * `list_reduce` oracles, so doubles are bit-identical. Embeddings in
+    * the fixtures are L2-normalized, so dot == cosine. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   /** Cosine similarity (does not assume normalized inputs). */
   def cosine(a: Column, b: Column): Column =
@@ -145,6 +148,10 @@ object Similarity {
     // first 4 dimensions (near-identical vectors share it unless a
     // blocked dim sits at zero), verify by exact dot within blocks.
     // Pure fp math → oracle-checked, unlike the xxhash64 SRP variant.
+    // Threshold 0.35: the synthetic embeddings carry no planted
+    // near-identical pairs (corpus max cosine ≈ 0.51), so a production
+    // 0.9+ cut would select nothing — the lower cut keeps the operator
+    // result non-vacuous while exercising the identical plan shape.
     "dedup_embedding_cosine" -> ((s, d) => {
       def signBlock(e: Column): Column =
         (when(element_at(e, 1) > 0.0f, 8).otherwise(0) +
@@ -159,7 +166,7 @@ object Similarity {
             col("l.vec_id") < col("r.vec_id"))
         .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
           dot(col("l.embedding"), col("r.embedding")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.9)
+        .filter(col("cos_sim") >= 0.35)
     })
   )
 
@@ -243,6 +250,6 @@ object Similarity {
                         * CAST(r.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
                (acc, v) -> acc + v) AS cos_sim
            FROM b l JOIN b r ON l.blk = r.blk AND l.vec_id < r.vec_id)
-         SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.9"""
+         SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35"""
   )
 }

@@ -73,6 +73,17 @@ object ScalarFunctions {
         array_min(col("embedding")).as("min_val"),
         slice(col("embedding"), 1, 4).as("head4"))),
 
+    "map_functions" -> ((s, d) =>
+      Tables.nation(s, d).select(
+        col("n_nationkey"),
+        map_from_arrays(array(lit("region"), lit("nation")),
+          array(col("n_regionkey").cast("string"), col("n_name"))).as("m"))
+      .select(col("n_nationkey"),
+        size(col("m")).as("m_size"),
+        element_at(col("m"), "region").as("region_str"),
+        element_at(col("m"), "nation").as("nation_str"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"))),
+
     // Higher-order array functions (the 100 TB-friendly way to compute
     // over embeddings without ever exploding rows).
     "array_higher_order" -> ((s, d) =>
@@ -134,6 +145,15 @@ object ScalarFunctions {
          LIST_AGGREGATE(embedding, 'min') AS min_val,
          embedding[1:4] AS head4
          FROM embeddings""",
+    // The oracle reproduces the extracted VALUES directly — it doesn't
+    // need DuckDB's map type, since only scalars leave the query.
+    "map_functions" ->
+      """SELECT n_nationkey,
+         CAST(2 AS INTEGER) AS m_size,
+         CAST(n_regionkey AS VARCHAR) AS region_str,
+         n_name AS nation_str,
+         'region,nation' AS keys_csv
+         FROM nation""",
     "array_higher_order" ->
       """SELECT vec_id,
          LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),

@@ -10,12 +10,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.functions.GraftExtensions
+      .builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.toList match {
       case Nil =>
