@@ -33,6 +33,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ [EXT]). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Parity.queries ++
+      graft.queries.SqlInterface.queries ++
       graft.queries.Aggregates.queries ++
       graft.queries.Analytics.queries ++
       graft.queries.ScalarFunctions.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Parity.oracles ++
+      graft.queries.SqlInterface.oracles ++
       graft.queries.Aggregates.oracles ++
       graft.queries.Analytics.oracles ++
       graft.queries.ScalarFunctions.oracles ++

@@ -59,6 +59,24 @@ object Temporal {
           col("asof_value").as("purchase_value"))
     }),
 
+    // Same as-of semantics through the NATIVE custom-operator stack
+    // (graft.plans: AsofJoinPlan → AsofJoinStrategy → AsofJoinExec, a
+    // co-partitioned two-pointer merge). Checked against the identical
+    // DuckDB ASOF oracle as the window formulation above.
+    "join_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value"))
+      graft.plans.AsofJoin.native(s, clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("purchase_ts"),
+          col("asof_v0").as("purchase_value"))
+    }),
+
     // First event per (user, type) + how many duplicates a stateful
     // dedup would drop. Batch twin of Stateful.dedupStream — hash
     // aggregate, one shuffle, no window sort needed.
@@ -72,6 +90,17 @@ object Temporal {
 
   val oracles: Map[String, String] = Map(
     "join_asof" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "join_asof_native" ->
       """WITH clicks AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'click'),

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The SQL entry point: the same engine driven through `spark.sql` over
+  * registered views — a user of this library can run plain ANSI SQL and
+  * get the identical Catalyst plans the DataFrame API produces.
+  *
+  * Skew handling: `join_skew_salted` demonstrates the salting pattern —
+  * the build side is replicated S ways, the probe side scatters each row
+  * to one of S salt buckets, so one hot key spreads over S reducers
+  * instead of stalling a single one. Results are identical to the
+  * unsalted join (the oracle proves it). */
+object SqlInterface {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Salts = 8
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q3 (shipping priority) through spark.sql over temp views.
+    "sql_tpch_q3" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20""")
+    }),
+
+    // Salted skew join — textbook pattern: the build side is replicated
+    // once per salt value; the probe side scatters each row to a salt
+    // bucket derived from a NON-key column, so all lineitems of one hot
+    // orderkey spread across `Salts` reducers instead of stalling one.
+    // Join on (key, salt) then aggregate — answer identical to the plain
+    // join, which the oracle proves. (AQE skew-join does this adaptively
+    // in Spark 4; the explicit form is for pre-committed partitionings.)
+    "join_skew_salted" -> ((s, d) => {
+      val salts = s.range(Salts).select(col("id").cast("int").as("o_salt"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .crossJoin(broadcast(salts))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("l_salt", pmod(col("l_linenumber"), lit(Salts)).cast("int"))
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_salt") === col("o_salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sql_tpch_q3" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
+         o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey
+         LIMIT 20""",
+    "join_skew_salted" ->
+      """SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority"""
+  )
+}

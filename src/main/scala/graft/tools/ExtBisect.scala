@@ -23,6 +23,23 @@ object ExtBisect {
       println(f"$tag$i ext=$withExt ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     trivial("warm")
+    if (args.headOption.contains("asofprobe")) {
+      val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      try graft.plans.AsofJoin.native(spark, clicks, purch,
+        "no_such_col", "p_user", "ts", "p_ts", Seq("value"))
+      catch { case e: Exception => println("BADCOL: " + e.getMessage) }
+      // string key: documented Long-only contract — observe the failure mode
+      try graft.plans.AsofJoin.native(spark,
+          ev.select(col("event_type"), col("ts")),
+          purch.select(col("p_user").cast("string").as("p_user"), col("p_ts"), col("value")),
+          "event_type", "p_user", "ts", "p_ts", Seq("value")).count()
+      catch { case e: Throwable => println("STRKEY: " + e.getClass.getSimpleName) }
+      spark.stop(); sys.exit(0)
+    }
     if (withExt) {
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         .createOrReplaceTempView("emb")

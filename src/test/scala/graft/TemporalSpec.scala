@@ -35,6 +35,15 @@ class TemporalSpec extends SparkSpec {
     assert(joined.count() == clicks.count())
   }
 
+  test("native AsofJoinExec equals the union+window formulation") {
+    val window = Temporal.queries("join_asof")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val native = Temporal.queries("join_asof_native")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
   test("flatMapGroupsWithState dedup stream equals the batch first-event") {
     val q = Stateful.dedupStream(spark, sf0001).writeStream
       .format("memory").queryName("dedup_test").outputMode("append").start()
