@@ -158,16 +158,26 @@ object AsofJoin {
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"Column not found: $name"))
+    def typed(plan: LogicalPlan, name: String,
+        dt: org.apache.spark.sql.types.DataType, role: String): Attribute = {
+      val a = attr(plan, name)
+      if (a.dataType != dt) throw new IllegalArgumentException(
+        s"asof $role column '$name' must be $dt, got ${a.dataType}")
+      a
+    }
     val rv = rightVals.map(attr(rPlan, _))
     val asofAttrs: Seq[Attribute] =
       AttributeReference("asof_ts", TimestampType, nullable = true)() +:
         rv.zipWithIndex.map { case (v, i) =>
           AttributeReference(s"asof_v$i", v.dataType, nullable = true)()
         }
+    import org.apache.spark.sql.types.LongType
     GraftPlanShim.ofRows(spark, AsofJoinPlan(
       lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, lts), attr(rPlan, rts),
+      typed(lPlan, leftKey, LongType, "key"),
+      typed(rPlan, rightKey, LongType, "key"),
+      typed(lPlan, lts, TimestampType, "time"),
+      typed(rPlan, rts, TimestampType, "time"),
       rv, asofAttrs))
   }
 }

@@ -1,0 +1,44 @@
+package graft.tools
+
+/** Plan-quality audit over the whole query inventory: for each query,
+  * inspect the optimized/physical plan for the scale signals the
+  * engine is designed around — filter pushdown reaching scans, column
+  * pruning, broadcast vs shuffle join selection, single-partition
+  * windows. Prints one line per query + a summary of violations. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = graft.functions.GraftExtensions
+      .builder("local[8]", "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var flagged = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val phys = df.queryExecution.executedPlan.toString
+        val scans = "Scan parquet".r.findAllIn(phys).length
+        val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(phys).length
+        val bhj = "BroadcastHashJoin".r.findAllIn(phys).length
+        val smj = "SortMergeJoin".r.findAllIn(phys).length
+        val bnl = "BroadcastNestedLoopJoin\\b".r.findAllIn(phys).length
+        val cartesian = "CartesianProduct".r.findAllIn(phys).length
+        val wholeCodegen = "WholeStageCodegen".r.findAllIn(phys).length
+        val flags = Seq(
+          if (cartesian > 0) Some("CARTESIAN") else None,
+          // full-width scan: ReadSchema listing every column of lineitem
+          if (phys.contains("ReadSchema: struct<l_orderkey") &&
+            phys.contains("l_comment")) Some("WIDE_SCAN") else None
+        ).flatten
+        if (flags.nonEmpty) flagged += 1
+        println(f"$name%-32s scans=$scans pushed=$pushed bhj=$bhj " +
+          f"smj=$smj bnl=$bnl codegen=$wholeCodegen ${flags.mkString(",")}")
+      } catch { case e: Throwable =>
+        println(f"$name%-32s PLAN_FAIL ${e.getMessage.take(80)}")
+        flagged += 1
+      }
+    }
+    println(s"AUDIT_FLAGGED=$flagged")
+    spark.stop()
+  }
+}

@@ -23,6 +23,24 @@ object Probe {
       case "dump" :: q :: dir :: out :: Nil =>
         graft.SparkEntry.queries(q)(spark, dir)
           .coalesce(1).write.mode("overwrite").parquet(out)
+      case "formats" :: dir :: out :: Nil =>
+        val src = graft.sources.Tables.customer(spark, dir)
+        graft.sources.Formats.writeCsv(src, s"$out/csv")
+        graft.sources.Formats.writeJson(src, s"$out/json")
+        graft.sources.Formats.writeOrc(src, s"$out/orc")
+        println("CSV_BACK=" + graft.sources.Formats
+          .readCsv(spark, s"$out/csv", src.schema).count())
+        println("JSON_BACK=" + graft.sources.Formats
+          .readJson(spark, s"$out/json", src.schema).count())
+        println("ORC_BACK=" + graft.sources.Formats
+          .readOrc(spark, s"$out/orc").count())
+        println("SRC=" + src.count())
+        val orders = graft.sources.Tables.orders(spark, dir)
+          .withColumn("o_year", org.apache.spark.sql.functions
+            .year(org.apache.spark.sql.functions.col("o_orderdate")))
+        graft.sources.Formats.writePartitioned(orders, s"$out/part", "o_year")
+        println("PART_1996=" + spark.read.parquet(s"$out/part")
+          .filter("o_year = 1996").count())
       case "oracles" :: out :: Nil =>
         def esc(s: String): String = "\"" + s.flatMap {
           case '"' => "\\\""

@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Formats, Tables}
+
+/** Round-trip equality for every source/sink format. */
+class FormatsSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_fmt_$name").toString
+
+  test("csv round-trip preserves rows and schema") {
+    val src = Tables.customer(spark, sf0001)
+    val p = tmp("csv")
+    Formats.writeCsv(src, p)
+    val back = Formats.readCsv(spark, p, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.toSeq).toSet == src.collect().map(_.toSeq).toSet)
+  }
+
+  test("json round-trip preserves rows incl. timestamps") {
+    val src = Tables.events(spark, sf0001).limit(200)
+    val p = tmp("json")
+    Formats.writeJson(src, p)
+    val back = Formats.readJson(spark, p, src.schema)
+    assert(back.count() == 200)
+    assert(back.agg(min("ts"), max("ts")).collect().head ==
+      src.agg(min("ts"), max("ts")).collect().head)
+  }
+
+  test("orc round-trip preserves rows and schema") {
+    val src = Tables.lineitem(spark, sf0001).limit(500)
+    val p = tmp("orc")
+    Formats.writeOrc(src, p)
+    val back = Formats.readOrc(spark, p)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 500)
+  }
+
+  test("partitioned parquet prunes partitions on the filter") {
+    val src = Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val p = tmp("part")
+    Formats.writePartitioned(src, p, "o_year")
+    val back = spark.read.parquet(p).filter(col("o_year") === 1996)
+    // partition pruning: the scan should only list the 1996 directory
+    val scanned = back.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(back.count() ==
+      src.filter(col("o_year") === 1996).count())
+    assert(back.count() > 0)
+  }
+}
