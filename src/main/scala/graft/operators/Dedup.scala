@@ -190,11 +190,16 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"),
           size(array_intersect(col("ga"), col("gb"))).as("inter_size"),
           col("lsz"), col("rsz"))
+        // algebraic form of J > 0.5: |∩|/(|A|+|B|-|∩|) > 1/2 ⟺ 3|∩| > |A|+|B|.
+        // The predicate gets pushed into the attach-join condition; this
+        // form references array_intersect ONCE there (the ratio form
+        // inlines it twice — numerator and denominator), halving the
+        // dominant per-pair cost. Survivors recompute it in the project.
+        .filter(col("inter_size") * 3 > col("lsz") + col("rsz"))
         .select(col("doc_a"), col("doc_b"), col("inter_size"),
           (col("lsz") + col("rsz") - col("inter_size")).as("union_size"))
         .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
           (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
-        .filter(col("jaccard") > lit(0.5))
     })
   )
 
