@@ -77,6 +77,28 @@ object Temporal {
           col("asof_v0").as("purchase_value"))
     }),
 
+    // Interval (range) join: every purchase by the same user within the
+    // 30 minutes BEFORE each click — all matches, not just the latest
+    // (that's the as-of above). Equi key + time-range predicate: Spark
+    // plans the equi part as the join and the range as a post-join
+    // filter; the streaming twin (TemporalSpec) runs the same shape as a
+    // watermarked stream-stream join, where the range bound is what lets
+    // Spark expire buffered state.
+    "join_interval" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("purchase_value"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") <= col("ts") &&
+            col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("p_ts").as("purchase_ts"), col("purchase_value"))
+    }),
+
     // First event per (user, type) + how many duplicates a stateful
     // dedup would drop. Batch twin of Stateful.dedupStream — hash
     // aggregate, one shuffle, no window sort needed.
@@ -111,6 +133,19 @@ object Temporal {
            p.ts AS purchase_ts, p.value AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "join_interval" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           p.p_ts AS purchase_ts, p.value AS purchase_value
+         FROM clicks c JOIN purchases p
+           ON c.user_id = p.user_id
+          AND p.p_ts <= c.ts
+          AND p.p_ts >= c.ts - INTERVAL 30 MINUTES""",
     "dedup_first_event" ->
       """SELECT user_id, event_type,
          MIN(CAST(ts AS TIMESTAMP)) AS first_ts,

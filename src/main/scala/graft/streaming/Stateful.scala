@@ -20,6 +20,41 @@ object Stateful {
   case class FirstEv(user_id: Long, event_type: String,
       first_event_id: Long, first_ts: java.sql.Timestamp)
 
+  /** Raw events as an unbounded stream (nanos → micros conversion in
+    * the streaming plan). */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Stream-stream interval join: clicks joined to same-user purchases
+    * in the preceding 30 minutes. The watermarks + the time-range bound
+    * are what let Spark expire buffered rows from both join states —
+    * without the range predicate, stream-stream inner join state grows
+    * forever. Batch twin: Temporal `join_interval` (same answer on a
+    * static frame, asserted in TemporalSpec). */
+  def intervalJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val purchases = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") <= col("ts") &&
+          col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_ts").as("purchase_ts"), col("purchase_value"))
+  }
+
   /** Emit only the first event (by ts) of each (user, type) key; state
     * remembers keys already emitted. */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -23,6 +23,12 @@ object Probe {
       case "dump" :: q :: dir :: out :: Nil =>
         graft.SparkEntry.queries(q)(spark, dir)
           .coalesce(1).write.mode("overwrite").parquet(out)
+      case "stream" :: dir :: Nil =>
+        val q = graft.streaming.Stateful.intervalJoinStream(spark, dir)
+          .writeStream.format("memory").queryName("probe_stream")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        println("STREAM_ROWS=" + spark.table("probe_stream").count())
       case "formats" :: dir :: out :: Nil =>
         val src = graft.sources.Tables.customer(spark, dir)
         graft.sources.Formats.writeCsv(src, s"$out/csv")

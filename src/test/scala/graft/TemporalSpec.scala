@@ -44,6 +44,18 @@ class TemporalSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("stream-stream interval join converges to the batch interval join") {
+    val q = Stateful.intervalJoinStream(spark, sf0001).writeStream
+      .format("memory").queryName("interval_test").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("interval_test").collect().map(_.toSeq).toSet
+    val batch = Temporal.queries("join_interval")(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState dedup stream equals the batch first-event") {
     val q = Stateful.dedupStream(spark, sf0001).writeStream
       .format("memory").queryName("dedup_test").outputMode("append").start()
