@@ -90,6 +90,36 @@ object Aggregates {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
           .as("p95_price"))),
 
+    // Pivot: order counts per (priority × status). Explicit pivot values
+    // — at scale, letting Spark discover them costs an extra distinct
+    // pass over the fact table.
+    "agg_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))),
+
+    // Unpivot (melt): the inverse — wide per-part metrics to long
+    // (metric, value) rows, the normalization step feature pipelines run.
+    "agg_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "metric", "value")),
+
+    // Typed UDAF via Aggregator: exact weighted mean (discount-weighted
+    // price) — the custom-aggregate surface for logic sum/avg can't
+    // express. Decimal accumulators keep it order-independent so the
+    // DuckDB oracle hash-matches.
+    "agg_udaf_weighted_mean" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.WeightedMean.toColumn(
+          col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))),
+
     // Join + aggregate: revenue per nation (multi-join star query).
     // nation/region are broadcast (tiny dims); only customer⋈orders⋈lineitem
     // shuffle on their keys.
@@ -146,6 +176,25 @@ object Aggregates {
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+         CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+    "agg_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+         FROM part""",
+    "agg_udaf_weighted_mean" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS w_avg_price
+         FROM lineitem GROUP BY l_returnflag""",
     "agg_join_revenue_per_nation" ->
       """SELECT n_name,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
