@@ -32,15 +32,31 @@ case class DotProduct(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  // Always nullable: a runtime length mismatch yields NULL even when both
+  // inputs are non-nullable (and nullable=false would make ev.isNull a
+  // non-assignable `false` literal in the generated code).
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
+
+  // Unequal lengths or a null element yield NULL — same contract as the
+  // composed aggregate(zip_with(...)) form this kernel replaced, so the
+  // scaladoc's bit-identical claim holds on malformed inputs too.
+  private def mayContainNullElements: Boolean = Seq(left, right).exists {
+    e => e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -52,13 +68,24 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // Elide the per-element null check when both array types declare
+      // containsNull=false (the fixture embeddings and plane literals) —
+      // keeps the hot loop a straight fused multiply-add.
+      val nullCheck = if (mayContainNullElements) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

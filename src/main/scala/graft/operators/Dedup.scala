@@ -143,10 +143,14 @@ object Dedup {
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           simhashFromHashes(tokenHashes(col("toks"))).as("simhash"))
+        // The band array is the blocking structure; the checked output
+        // carries it as a CSV string because the driver's pandas hasher
+        // can't sort raw list columns (this row was `err` in round 2).
         .select(col("doc_id"), col("simhash"),
-          expr("""transform(sequence(0, 3),
-                    b -> shiftright(simhash, b * 16) & 65535L)""")
-            .as("hamming_bands"))),
+          expr("""array_join(transform(sequence(0, 3),
+                    b -> cast(shiftright(simhash, b * 16) & 65535L
+                              as string)), ',')""")
+            .as("hamming_bands_csv"))),
 
     // Exact n-gram (character 5-gram) Jaccard inside blocking groups —
     // the verify step of a dedup pipeline, DuckDB-checkable end to end.

@@ -20,8 +20,9 @@ import graft.sources.Tables
   * hyperplane signature buckets the corpus (one pass, no shuffle), then
   * candidate retrieval joins query signatures to corpus buckets and
   * reranks only within buckets (~1/256 of the corpus per probe). The
-  * hyperplanes are pseudo-random from xxhash64(plane, dim), so signatures
-  * are reproducible across runs and clusters with zero driver state. */
+  * hyperplanes are a deterministic splitmix64 matrix precomputed on the
+  * driver and shipped as literals, so signatures are reproducible across
+  * runs and clusters with zero mutable driver state. */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
@@ -39,27 +40,36 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * plane `p`, dimension `i`. */
-  private def planeComponent(p: Column, i: Column): Column =
-    (pmod(xxhash64(lit("srp"), p, i), lit(2000001L)) - lit(1000000L))
-      .cast("double") / lit(1000000.0)
+  /** splitmix64 finalizer (public-domain PRNG, Steele et al. 2014) —
+    * deterministic hyperplane source with zero driver state beyond the
+    * (plane, dim) index. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
-  /** 8-bit sign-random-projection signature of an embedding column. */
-  def srpSignature(emb: Column, bits: Int = 8): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p =>
-        when(aggregate(
-          zip_with(emb, sequence(lit(0), size(emb) - 1),
-            (x, i) => x.cast("double") * planeComponent(p, i)),
-          lit(0.0), (acc, v) => acc + v) > 0.0, shiftleft_(lit(1), p))
-          .otherwise(lit(0))),
-      lit(0), (acc, x) => acc.bitwiseOR(x))
+  /** Hyperplane row `p` over `dim` dimensions, components in [-1, 1).
+    * Precomputed ONCE on the driver and shipped as an array<float>
+    * literal — the round-2 form recomputed a hash per (row, plane, dim)
+    * inside nested HOF lambdas and was the slowest query in the bench
+    * (27 s); a constant matrix + the codegen'd `graft_dot` kernel makes
+    * the signature 8 fused loops per row. */
+  private def planeRow(p: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val h = splitmix64((p.toLong << 32) | i.toLong)
+      (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+    }
 
-  // functions.shiftleft only accepts a static Int position; SQL-level
-  // shiftleft takes expressions. Small shim keeping the lambda readable.
-  private def shiftleft_(v: Column, bits: Column): Column =
-    call_function("shiftleft", v, bits)
+  /** Sign-random-projection signature of an embedding column: bit `p` is
+    * the sign of the dot product with precomputed hyperplane `p`.
+    * `dim` must match the embedding dimensionality (64 in the fixtures). */
+  def srpSignature(emb: Column, bits: Int = 8, dim: Int = 64): Column =
+    (0 until bits).map { p =>
+      when(dot(emb, typedLit(planeRow(p, dim))) > 0.0, lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
 
   /** Brute-force top-k neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {

