@@ -54,16 +54,37 @@ object MiniFrame {
   /** Native ingest path for the driver fixtures: Parquet scan with an
     * `_idx` order column. The reference has no file I/O at all
     * (SURVEY §2.1); Parquet + vectorized reader is the 100 TB ingest
-    * story. zipWithIndex computes per-partition offsets with one
-    * lightweight count job — no single-partition window, scales linearly. */
+    * story. */
   def fromParquet(spark: SparkSession, path: String): MiniFrame =
     new MiniFrame(withIdx(spark.read.parquet(path)))
 
+  /** Global position column, fully inside Catalyst (the r2 version went
+    * through `rdd.zipWithIndex`, which deserializes every row and kills
+    * the vectorized Parquet reader). `monotonically_increasing_id()` is
+    * `(partition_id << 33) | row_in_partition` with the low 33 bits
+    * CONTIGUOUS from 0 within each partition, so the global index is
+    * per-partition offset + low bits: one partial-aggregate shuffle of
+    * P one-row groups (P = #partitions, not data size), a broadcast
+    * join back, and pure column arithmetic — scan stays columnar,
+    * everything whole-stage-codegen'd. */
   private[graft] def withIdx(df: DataFrame): DataFrame = {
-    val schema = StructType(
-      StructField(IDX, LongType, nullable = false) +: df.schema.fields)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    val rowInPart = lit((1L << 33) - 1L) // low-33-bit mask
+    val tagged = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rip", monotonically_increasing_id().bitwiseAND(rowInPart))
+    val offsets = tagged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+            .orderBy(col("__pid"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__off"))
+    tagged.join(broadcast(offsets), "__pid")
+      .withColumn(IDX, col("__off") + col("__rip"))
+      .select(col(IDX) +: df.columns.map(col): _*)
   }
 }
 

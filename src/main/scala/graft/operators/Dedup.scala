@@ -118,6 +118,51 @@ object Dedup {
   def tokenHashes(toks: Column): Column =
     transform(toks, w => xxhash64(w))
 
+  /** Pairs → clusters → survivors: the decision step a dedup pipeline
+    * actually runs ("which rows do I keep"), downstream of any pair
+    * generator (MinHash LSH, n-gram verify, embedding cosine).
+    *
+    * Connected components by iterative min-label propagation: every doc
+    * starts labeled with its own id; each round every node takes the min
+    * of its label and its neighbors' labels, until a fixpoint. Each
+    * round is one distributed join + aggregate — no driver-side graph —
+    * and `localCheckpoint` truncates the growing lineage so round k
+    * doesn't recompute rounds 1..k-1. Converges in graph-diameter
+    * rounds; near-dup clusters are dense (diameter 2–3 in practice), and
+    * the iteration cap bounds the worst case. At extreme scale swap the
+    * propagation step for the large-star/small-star contraction of
+    * Kiveris et al. (Connected Components in MapReduce, SoCC'14) — the
+    * O(log n)-round version of this exact loop shape.
+    *
+    * @param docs  (doc_id) universe — isolated docs form their own cluster
+    * @param pairs (doc_a, doc_b) undirected near-dup edges
+    * @return (doc_id, keep_id, is_survivor): keep_id = min doc_id of the
+    *         cluster; survivor = the kept copy. */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("id"))
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("new_label"),
+          (col("nbr_min") < col("label")).as("did_change"))
+        .localCheckpoint()
+      changed = updated.filter(col("did_change")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("keep_id"),
+      (col("id") === col("label")).as("is_survivor"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-aggregate on the full text. At scale group on
     // xxhash64(text) first, verify within groups; here text is the key.
@@ -154,7 +199,21 @@ object Dedup {
 
     // Exact n-gram (character 5-gram) Jaccard inside blocking groups —
     // the verify step of a dedup pipeline, DuckDB-checkable end to end.
-    "dedup_ngram_jaccard" -> ((s, d) => {
+    "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
+
+    // The end-to-end dedup DECISION: exact-Jaccard pairs → connected
+    // components → per-document (keep_id, is_survivor). Oracle: DuckDB
+    // recursive CTE computing min reachable id over the same edge set.
+    "dedup_resolve_clusters" -> ((s, d) =>
+      resolveClusters(
+        Tables.documents(s, d).select(col("doc_id")),
+        ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))))
+  )
+
+  /** Shared by dedup_ngram_jaccard (pair inventory) and
+    * dedup_resolve_clusters (edge set): character-5-gram Jaccard > 0.5
+    * within (lang, length-bucket) blocks. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
       val grams = expr(
         """array_distinct(transform(
              sequence(1, greatest(length(text) - 4, 1)),
@@ -204,8 +263,7 @@ object Dedup {
           (col("lsz") + col("rsz") - col("inter_size")).as("union_size"))
         .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
           (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
-    })
-  )
+  }
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -235,6 +293,35 @@ object Dedup {
          SELECT doc_a, doc_b, inter_size, union_size,
            CAST(inter_size AS DOUBLE) / union_size AS jaccard
          FROM p
-         WHERE CAST(inter_size AS DOUBLE) / union_size > 0.5"""
+         WHERE CAST(inter_size AS DOUBLE) / union_size > 0.5""",
+    // Same edge set as dedup_ngram_jaccard, then min-reachable-id per
+    // document via a recursive transitive closure (UNION dedups → the
+    // closure terminates on the finite node set).
+    "dedup_resolve_clusters" ->
+      """WITH RECURSIVE
+         g AS (
+           SELECT doc_id, lang,
+             CAST(FLOOR(n_chars / 100) AS INTEGER) AS len_bucket,
+             list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+               i -> substr(text, CAST(i AS INTEGER), 5))) AS grams
+           FROM documents),
+         p AS (
+           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+           FROM g l JOIN g r
+             ON l.lang = r.lang AND l.len_bucket = r.len_bucket
+            AND l.doc_id < r.doc_id
+           WHERE CAST(LEN(list_intersect(l.grams, r.grams)) AS DOUBLE)
+             / (LEN(l.grams) + LEN(r.grams)
+                - LEN(list_intersect(l.grams, r.grams))) > 0.5),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         reach AS (
+           SELECT doc_id AS id, doc_id AS r FROM documents
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+         SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS keep_id,
+           (MIN(r) = id) AS is_survivor
+         FROM reach GROUP BY id"""
   )
 }

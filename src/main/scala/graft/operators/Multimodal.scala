@@ -1,29 +1,39 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing [EXT] (SURVEY.md §2.6): media payloads as
   * opaque `binary` columns with typed metadata, processed per-partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`stubDecode`) — but everything
-  * Spark-side is real and tested: the (payload, metadata) schema, the
-  * batch-iterator processing shape (`mapPartitions`, the Scala analogue
-  * of `mapInPandas` — one iterator per partition, constant memory), the
-  * partitioning, and the feature-struct output schema that a real
-  * libjpeg/ffmpeg decoder would fill in.
+  * The decode step is REAL header parsing (pure JDK, no codec deps):
+  * BMP (BITMAPFILEHEADER + BITMAPINFOHEADER) for images, canonical
+  * 44-byte PCM WAV for audio, and a minimal self-describing video
+  * container ("GFTV": magic + frame count + an embedded BMP poster
+  * frame — this environment ships no public video codec, so the video
+  * container is this library's own, documented format). The fixtures'
+  * payloads are synthesized with valid headers in [[withPayload]], so
+  * every decoded feature is integer header math the DuckDB oracle
+  * recomputes from the documents table — the decode query is fully
+  * oracle-checked, not rows-only.
+  *
+  * The decoder infers the media type from container magic bytes — the
+  * metadata column is carried alongside but never trusted, which is the
+  * real-pipeline contract (bytes are the truth, metadata is a hint).
   *
   * Scale notes: payload bytes never shuffle — features are computed in
-  * the scan stage and the binary column is dropped immediately after.
-  * A real pipeline reads payloads from object storage by reference;
-  * here the payload is synthesized from the documents table so the
-  * plumbing is exercised end to end. */
+  * the scan stage (`mapPartitions`, one iterator per partition, constant
+  * memory — the Scala analogue of `mapInPandas`) and the binary column
+  * is dropped immediately after. A real pipeline reads payloads from
+  * object storage by reference; here the payload is synthesized from the
+  * documents table so the plumbing is exercised end to end. */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Feature record a real decoder would produce per media payload. */
+  /** Feature record the decoder produces per media payload. */
   case class MediaFeatures(
       doc_id: Long,
       media_type: String,
@@ -31,55 +41,141 @@ object Multimodal {
       checksum: Long,
       width: Int,
       height: Int,
+      sample_rate: Int,
+      duration_ms: Long,
       n_frames: Int)
 
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
-    * A production build replaces only this function with e.g. a JNI
-    * libjpeg call — the signature (bytes in, features out) and the
-    * surrounding iterator plumbing are exactly what that needs. */
-  def stubDecode(docId: Long, mediaType: String, payload: Array[Byte]): MediaFeatures = {
+  // ---------- container writers (fixture synthesis) ----------
+
+  /** Valid 54-byte BMP header (24bpp, BI_RGB) + stand-in pixel bytes.
+    * Only the header is semantically load-bearing for the decoder; the
+    * body stands in for pixel data without inflating the fixtures to
+    * width*height*3 bytes. */
+  def bmpBytes(w: Int, h: Int, pixelStandIn: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](54 + pixelStandIn.length)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(out.length)            // file size
+    bb.putInt(0)                     // reserved
+    bb.putInt(54)                    // pixel data offset
+    bb.putInt(40)                    // BITMAPINFOHEADER size
+    bb.putInt(w).putInt(h)
+    bb.putShort(1).putShort(24)      // planes, bpp
+    bb.putInt(0)                     // compression = BI_RGB
+    bb.putInt(pixelStandIn.length)   // image size (stand-in length)
+    bb.putInt(2835).putInt(2835)     // 72 dpi
+    bb.putInt(0).putInt(0)           // palette counts
+    bb.put(pixelStandIn)
+    out
+  }
+
+  /** Canonical 44-byte PCM WAV header (16-bit mono) + data, truncated
+    * to the 2-byte block align. */
+  def wavBytes(sampleRate: Int, pcm: Array[Byte]): Array[Byte] = {
+    val dataLen = pcm.length - (pcm.length % 2)
+    val out = new Array[Byte](44 + dataLen)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(16)                    // fmt chunk size
+    bb.putShort(1).putShort(1)       // PCM, mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2)        // byte rate
+    bb.putShort(2).putShort(16)      // block align, bits/sample
+    bb.put("data".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(dataLen)
+    bb.put(pcm, 0, dataLen)
+    out
+  }
+
+  /** Minimal video container: "GFTV" magic, int32 LE frame count, then
+    * an embedded BMP poster frame. */
+  def gftvBytes(nFrames: Int, poster: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](8 + poster.length)
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GFTV".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(nFrames)
+    bb.put(poster)
+    out
+  }
+
+  // ---------- real decoder (pure JDK header parsing) ----------
+
+  /** Parse container magic + headers into features. The media type is
+    * DERIVED from the bytes, not taken from metadata. Video duration
+    * assumes the container's fixed 25 fps (40 ms/frame). */
+  def decode(docId: Long, payload: Array[Byte]): MediaFeatures = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) =
+      new String(payload, off, n, StandardCharsets.US_ASCII)
     var crc = 0L
     var i = 0
     while (i < payload.length) {
       crc = (crc * 131 + (payload(i) & 0xff)) % 1000000007L
       i += 1
     }
-    MediaFeatures(
-      doc_id = docId,
-      media_type = mediaType,
-      n_bytes = payload.length,
-      checksum = crc,
-      width = (crc % 1920).toInt,
-      height = (crc % 1080).toInt,
-      n_frames = if (mediaType == "video") (crc % 300).toInt else 1)
+    if (payload.length >= 54 && ascii(0, 2) == "BM")
+      MediaFeatures(docId, "image", payload.length, crc,
+        width = bb.getInt(18), height = bb.getInt(22),
+        sample_rate = 0, duration_ms = 0L, n_frames = 1)
+    else if (payload.length >= 44 && ascii(0, 4) == "RIFF" &&
+        ascii(8, 4) == "WAVE") {
+      val rate = bb.getInt(24)
+      val blockAlign = bb.getShort(32).toInt
+      val dataLen = bb.getInt(40)
+      MediaFeatures(docId, "audio", payload.length, crc,
+        width = 0, height = 0, sample_rate = rate,
+        duration_ms = dataLen.toLong * 1000 / (rate.toLong * blockAlign),
+        n_frames = 1)
+    } else if (payload.length >= 62 && ascii(0, 4) == "GFTV") {
+      val nFrames = bb.getInt(4)
+      MediaFeatures(docId, "video", payload.length, crc,
+        width = bb.getInt(8 + 18), height = bb.getInt(8 + 22),
+        sample_rate = 0, duration_ms = nFrames * 40L, n_frames = nFrames)
+    } else throw new IllegalArgumentException(
+      s"unknown media container for doc $docId (${payload.length} bytes)")
   }
 
-  /** Attach a synthetic binary payload + media-type metadata to the
-    * documents table (in a real pipeline this is the raw media bytes). */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + lit(1)).cast("int")).as("media_type"))
+  /** Attach a synthetic binary payload (valid container headers, see
+    * above) + media-type metadata to the documents table. Typed
+    * mapPartitions: fixture-synthesis boundary, not a query hot path —
+    * a real pipeline lands these bytes from object storage. */
+  def withPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("n_chars").cast("int"))
+      .as[(Long, String, Int)]
+      .mapPartitions(_.map { case (id, text, nc) =>
+        val body = text.getBytes(StandardCharsets.UTF_8)
+        val (w, h) = (nc % 1920 + 1, nc % 1080 + 1)
+        (id % 3) match {
+          case 0 => (id, bmpBytes(w, h, body), "image")
+          case 1 => (id, wavBytes(16000, body), "audio")
+          case _ => (id,
+            gftvBytes(math.max(nc / 10, 1), bmpBytes(w, h, body)), "video")
+        }
+      })
+      .toDF("doc_id", "payload", "media_type")
+  }
 
   /** Batch feature extraction: one iterator per partition (constant
-    * memory, codec state reused across rows — the mapInPandas shape). */
+    * memory, decoder state reusable across rows — the mapInPandas
+    * shape). Media type comes from the decoder, not the metadata. */
   def extractFeatures(withBytes: DataFrame): DataFrame = {
     val spark = withBytes.sparkSession
     import spark.implicits._
     graft.core.Par.fanout(
-      withBytes.select(col("doc_id"), col("media_type"), col("payload")))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition init of the (stub) decoder happens here
-        it.map { case (id, mt, bytes) => stubDecode(id, mt, bytes) }
-      }
+      withBytes.select(col("doc_id"), col("payload")))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decode(id, bytes) })
       .toDF()
   }
 
   val queries: Map[String, Q] = Map(
     // Binary-column metadata path — pure Column ops, fully oracle-checked
-    // (byte length + first byte of the payload).
+    // (byte length + container magic's first byte).
     "multimodal_binary_meta" -> ((s, d) => {
       val docs = graft.sources.Tables.documents(s, d)
       withPayload(docs).select(
@@ -88,16 +184,20 @@ object Multimodal {
         substring(col("payload"), 1, 1).cast("string").as("first_char"))
     }),
 
-    // Full decode pipeline with the stubbed codec (rows-only check:
-    // the checksum math has no SQL oracle, determinism is asserted in
-    // MultimodalSpec).
+    // Full decode pipeline — REAL header parsing, fully oracle-checked:
+    // every output column is integer header math DuckDB recomputes from
+    // the documents table. The payload checksum stays internal (no SQL
+    // equivalent); MultimodalSpec asserts its determinism.
     "multimodal_decode_features" -> ((s, d) =>
-      extractFeatures(withPayload(graft.sources.Tables.documents(s, d)))),
+      extractFeatures(withPayload(graft.sources.Tables.documents(s, d)))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("sample_rate"),
+          col("duration_ms"), col("n_frames"))),
 
     // Frame sampling for video payloads: every 10th frame index as an
     // in-row array (`sequence` — no explode, no shuffle), plus the
     // scalar summary the oracle checks. A real pipeline feeds the
-    // sampled indices to the decoder stub above.
+    // sampled indices to the decoder above.
     "multimodal_frame_sample" -> ((s, d) => {
       val vids = graft.sources.Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(3)) === lit(2)) // media_type: video
@@ -126,8 +226,39 @@ object Multimodal {
       """SELECT doc_id,
          CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
               WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-         CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
-         SUBSTR(text, 1, 1) AS first_char
-         FROM documents"""
+         CAST(CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 54 + OCTET_LENGTH(ENCODE(text))
+           WHEN 1 THEN 44 + OCTET_LENGTH(ENCODE(text))
+                       - OCTET_LENGTH(ENCODE(text)) % 2
+           ELSE 62 + OCTET_LENGTH(ENCODE(text)) END AS INTEGER) AS n_bytes,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'B'
+              WHEN 1 THEN 'R' ELSE 'G' END AS first_char
+         FROM documents""",
+    // Recompute every decoded header field from the documents table —
+    // the same integer math the container writers baked into the bytes.
+    "multimodal_decode_features" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m,
+             OCTET_LENGTH(ENCODE(text)) AS tb, n_chars
+           FROM documents)
+         SELECT doc_id,
+           CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(CASE m WHEN 0 THEN 54 + tb
+                WHEN 1 THEN 44 + tb - tb % 2
+                ELSE 62 + tb END AS INTEGER) AS n_bytes,
+           CAST(CASE m WHEN 1 THEN 0
+                ELSE n_chars % 1920 + 1 END AS INTEGER) AS width,
+           CAST(CASE m WHEN 1 THEN 0
+                ELSE n_chars % 1080 + 1 END AS INTEGER) AS height,
+           CAST(CASE m WHEN 1 THEN 16000 ELSE 0 END AS INTEGER)
+             AS sample_rate,
+           CAST(CASE m
+                WHEN 1 THEN ((tb - tb % 2) * 1000) // 32000
+                WHEN 2 THEN GREATEST(n_chars // 10, 1) * 40
+                ELSE 0 END AS BIGINT) AS duration_ms,
+           CAST(CASE m WHEN 2 THEN GREATEST(n_chars // 10, 1)
+                ELSE 1 END AS INTEGER) AS n_frames
+         FROM d"""
   )
 }

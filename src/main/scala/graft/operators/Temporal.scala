@@ -28,20 +28,27 @@ object Temporal {
       (col(key) +: col(rts).as(lts) +: lit(1).as("__is_r") +:
         rightVals.map(v => col(v).as(s"__r_$v"))): _*)
     val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
-    // right rows sort before left rows at equal ts → "at or before"
+    // right rows sort before left rows at equal ts → "at or before";
+    // the trailing value columns make the pick among equal-(key, ts)
+    // right rows deterministic under any partitioning
     val w = Window.partitionBy(col(key))
-      .orderBy(col(lts), col("__is_r").desc)
+      .orderBy((col(lts) +: col("__is_r").desc +:
+        rightVals.map(v => col(s"__r_$v").asc_nulls_first)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(
-      unioned.withColumn("__r_ts",
-        max(when(col("__is_r") === 1, col(lts))).over(w))) {
-      case (df, v) => df.withColumn(s"__c_$v",
-        last(when(col("__is_r") === 1, col(s"__r_$v")), ignoreNulls = true)
-          .over(w))
-    }
+    // Carry ONE struct of (ts, vals) so every asof_* field comes from the
+    // same matched right row — carrying each value column independently
+    // with ignoreNulls would fall back to an OLDER row for a value that
+    // is null on the matched row, emitting an inconsistent (ts, value)
+    // pair that DuckDB ASOF (which returns the matched row's null) never
+    // produces.
+    val rStruct = when(col("__is_r") === 1,
+      struct((col(lts).as("ts") +:
+        rightVals.map(v => col(s"__r_$v").as(v))): _*))
+    val carried = unioned.withColumn("__c",
+      last(rStruct, ignoreNulls = true).over(w))
     carried.filter(col("__is_r") === 0)
-      .select((left.columns.map(col) :+ col("__r_ts").as("asof_ts")) ++
-        rightVals.map(v => col(s"__c_$v").as(s"asof_$v")): _*)
+      .select((left.columns.map(col) :+ col("__c.ts").as("asof_ts")) ++
+        rightVals.map(v => col(s"__c.$v").as(s"asof_$v")): _*)
   }
 
   val queries: Map[String, Q] = Map(

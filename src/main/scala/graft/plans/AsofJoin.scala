@@ -63,11 +63,14 @@ case class AsofJoinExec(
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // The right side additionally sorts by the carried value columns so
+  // the row picked among equal-(key, ts) right rows (the last consumed,
+  // i.e. max by values) is deterministic under any partitioning.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
-      Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-        SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)))
+      (rightKey +: rightTs +: rightVals).map(e =>
+        SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -98,31 +101,49 @@ case class AsofJoinExec(
         private var hasCarried = false
         advanceRight()
 
+        // Null-key / null-ts right rows can never be an ASOF match (SQL
+        // comparison semantics: NULL never satisfies <=), so skip them
+        // here instead of unboxing null to 0L and matching key 0 /
+        // epoch 0. They sort first under Ascending NULLS FIRST, so
+        // skipping preserves the merge order.
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
-            rNext = rIter.next()
-            rNextKey = rKeyB.eval(rNext).asInstanceOf[Long]
-            rNextTs = rTsB.eval(rNext).asInstanceOf[Long]
-          } else rNext = null
+          rNext = null
+          while (rNext == null && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyB.eval(r)
+            val t = rTsB.eval(r)
+            if (k != null && t != null) {
+              rNext = r
+              rNextKey = k.asInstanceOf[Long]
+              rNextTs = t.asInstanceOf[Long]
+            }
+          }
         }
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val lk = lKeyB.eval(lRow).asInstanceOf[Long]
-          val lt = lTsB.eval(lRow).asInstanceOf[Long]
+          val lk = lKeyB.eval(lRow)
+          val lt = lTsB.eval(lRow)
+          // null left key/ts: emit the null-extended row without
+          // consuming right rows (null left rows also sort first)
+          if (lk == null || lt == null) {
+            return outProj(joined(lRow, nullRight))
+          }
+          val lkv = lk.asInstanceOf[Long]
+          val ltv = lt.asInstanceOf[Long]
           // consume right rows at-or-before (lk, lt); "at" included —
           // ties resolve to the right row, matching ASOF <=
           while (rNext != null &&
-              (rNextKey < lk || (rNextKey == lk && rNextTs <= lt))) {
+              (rNextKey < lkv || (rNextKey == lkv && rNextTs <= ltv))) {
             carried = rightSideProj(rNext).copy()
             carriedKey = rNextKey
             hasCarried = true
             advanceRight()
           }
           val rightPart =
-            if (hasCarried && carriedKey == lk) carried else nullRight
+            if (hasCarried && carriedKey == lkv) carried else nullRight
           outProj(joined(lRow, rightPart))
         }
       }

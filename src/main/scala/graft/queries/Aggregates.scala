@@ -80,15 +80,30 @@ object Aggregates {
 
     // Sketch aggregates: HLL++ distinct count + KLL-style quantiles —
     // the constant-memory, mergeable shapes a 100 TB profile pass uses
-    // (exact distinct/percentile would shuffle every value). Rows-only
-    // driver check; AggregatesSketchSpec asserts error bounds vs exact.
+    // (exact distinct/percentile would shuffle every value). The sketch
+    // estimates themselves are engine-specific, so the CHECKED output is
+    // (exact count, in-bound booleans): exact twins computed in the same
+    // pass are test-scale scaffolding that lets the DuckDB oracle assert
+    // `TRUE` rows — a production run keeps only the sketch columns.
     "agg_approx_sketches" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a_cnt"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("p50_price"),
+          .as("a_p50"),
+        expr("percentile(l_extendedprice, 0.5D)").as("e_p50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-          .as("p95_price"))),
+          .as("a_p95"),
+        expr("percentile(l_extendedprice, 0.95D)").as("e_p95"))
+      .select(col("exact_orders"),
+        // rsd 0.01 → 2σ relative bound 2%; accuracy 10000 → rank error
+        // ≤ n/10000, generously 1% in value on this distribution
+        (abs(col("a_cnt") - col("exact_orders")) /
+          col("exact_orders") <= 0.02).as("orders_in_bound"),
+        (abs(col("a_p50") - col("e_p50")) / col("e_p50") <= 0.01)
+          .as("p50_in_bound"),
+        (abs(col("a_p95") - col("e_p95")) / col("e_p95") <= 0.01)
+          .as("p95_in_bound"))),
 
     // Pivot: order counts per (priority × status). Explicit pivot values
     // — at scale, letting Spark discover them costs an extra distinct
@@ -140,6 +155,14 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle asserts the sketch estimates landed inside their
+    // published error bounds (booleans TRUE) and the exact count matches.
+    "agg_approx_sketches" ->
+      """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+         TRUE AS orders_in_bound,
+         TRUE AS p50_in_bound,
+         TRUE AS p95_in_bound
+         FROM lineitem""",
     "q1_agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

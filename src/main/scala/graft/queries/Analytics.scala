@@ -70,14 +70,47 @@ object Analytics {
         (row_number().over(w)).as("order_seq"))
     }),
 
-    // ntile + percent_rank (distribution analytics)
+    // ntile + rank over a GLOBAL ordering, without the single-partition
+    // global window (`Window.orderBy` with no partitionBy funnels every
+    // row through one task — a scale-killer at fact-table cardinality).
+    // Distributed formulation: range-repartition on the sort key, number
+    // rows within each range partition in parallel, then add each
+    // partition's offset (a P-row side table — P = shuffle parallelism,
+    // not data size) broadcast back. Global position is exact for ANY
+    // range boundaries, so sampling nondeterminism in the partitioner
+    // can't change results. ntile/rank then become pure arithmetic:
+    // the ordering key (c_acctbal, c_custkey) is unique, so
+    // rank = row_number, and NTILE(k) of position rn over n rows is
+    // closed-form (first n%k tiles get ceil(n/k) rows).
     "window_ntile_dist" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      // single ordered window over customer (small dim) — acceptable here;
-      // for fact-scale data partition first (see window_running_sum).
-      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).as("quartile"),
-        rank().over(w).as("bal_rank"))
+      val k = 4
+      val local = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("c_acctbal"), col("c_custkey"))))
+      // One row per partition — O(parallelism), not O(data) — so the
+      // explicit single-group window over it is constant-size at any SF.
+      val wOne = Window.partitionBy(lit(1))
+      val offsets = local.groupBy(col("pid"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          wOne.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(wOne))
+        .select(col("pid"), col("off"), col("n"))
+      val q = floor(col("n") / k)          // small-tile size
+      val r = col("n") % k                 // number of large tiles
+      val b = r * (q + 1)                  // rows covered by large tiles
+      val rn = col("off") + col("lrn")
+      local.join(broadcast(offsets), "pid")
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(rn <= b, floor((rn - 1) / (q + 1)) + 1)
+            .otherwise(r + floor((rn - b - 1) / q) + 1)
+            .cast("int").as("quartile"),
+          rn.cast("int").as("bal_rank"))
     }),
 
     // Set operations (all distinct-semantics, matching SQL UNION/

@@ -25,10 +25,28 @@ object Tables {
     * to Spark's native microsecond timestamps; oracles truncate the same
     * way via CAST(ts AS TIMESTAMP) in DuckDB. `div` keeps the arithmetic
     * integral — a double intermediate would round off-by-one-microsecond. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame =
+    withNanosAsLong(s) {
+      table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+
+  /** Scope the legacy nanos-as-long conf to one read: the Parquet
+    * relation captures the conf when `spark.read.parquet` resolves the
+    * schema, so restoring it immediately after keeps the rest of the
+    * session on strict semantics (a permanent set() here was flipping
+    * every later parquet read in the session — ADVICE r2). There is no
+    * per-read option for this conf (verified: the option-shaped read
+    * still throws PARQUET_TYPE_ILLEGAL). */
+  def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

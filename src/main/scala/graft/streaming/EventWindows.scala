@@ -50,10 +50,10 @@ object EventWindows {
 
   /** The streaming form of `tumbling` — identical logical plan over an
     * unbounded source, with late data bounded by a 1-hour watermark. */
-  def tumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def tumblingStream(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.withNanosAsLong(spark) {
     // Raw on-disk schema (ts as int64 nanos, via nanosAsLong) — the
     // micros conversion happens inside the streaming plan.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // FileStreamSource needs a directory; pathGlobFilter narrows the scan
     // to the events table within the fixture dir.
@@ -68,7 +68,7 @@ object EventWindows {
           .as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("total_value"))
-  }
+    }
 
   val queries: Map[String, Q] = Map(
     "stream_tumbling_window" -> ((s, d) => tumbling(Tables.events(s, d))),

@@ -22,14 +22,14 @@ object Stateful {
 
   /** Raw events as an unbounded stream (nanos → micros conversion in
     * the streaming plan). */
-  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.withNanosAsLong(spark) {
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** Stream-stream interval join: clicks joined to same-user purchases
     * in the preceding 30 minutes. The watermarks + the time-range bound
@@ -59,12 +59,7 @@ object Stateful {
     * remembers keys already emitted. */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = eventStream(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev]
     events
@@ -75,7 +70,15 @@ object Stateful {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            val first = it.minBy(e => (e.ts.getTime, e.event_id))
+            // getTime is millisecond-precision; getNanos restores the
+            // sub-millisecond part so the tie-break matches the batch
+            // twin's microsecond min_by(event_id, ts) exactly.
+            // "First" is the min within the first micro-batch the key
+            // appears in (Append mode can't retract an emitted row) —
+            // exact only when each key's earliest event is in its first
+            // batch; the fixture arrives as a single batch, which
+            // StatefulSpec's stream==batch assertion relies on.
+            val first = it.minBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             Iterator(FirstEv(user, etype, first.event_id, first.ts))
           }
       }

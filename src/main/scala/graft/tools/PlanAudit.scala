@@ -24,8 +24,20 @@ object PlanAudit {
         val bnl = "BroadcastNestedLoopJoin\\b".r.findAllIn(phys).length
         val cartesian = "CartesianProduct".r.findAllIn(phys).length
         val wholeCodegen = "WholeStageCodegen".r.findAllIn(phys).length
+        // Ordered window with an empty partition spec = every row through
+        // one task at scale. In the analyzed plan such a spec prints as
+        // windowspecdefinition(<sortcol> ASC|DESC NULLS ..., frame) — the
+        // FIRST argument is already a sort order, meaning zero partition
+        // expressions precede it.
+        val globalWindow = {
+          val analyzed = df.queryExecution.analyzed.toString
+          "windowspecdefinition\\(([^,]*)".r.findAllMatchIn(analyzed)
+            .exists(m => m.group(1).contains(" ASC NULLS") ||
+              m.group(1).contains(" DESC NULLS"))
+        }
         val flags = Seq(
           if (cartesian > 0) Some("CARTESIAN") else None,
+          if (globalWindow) Some("GLOBAL_WINDOW") else None,
           // full-width scan: ReadSchema listing every column of lineitem
           if (phys.contains("ReadSchema: struct<l_orderkey") &&
             phys.contains("l_comment")) Some("WIDE_SCAN") else None

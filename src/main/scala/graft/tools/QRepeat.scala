@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Controlled-repeat timing for named SparkEntry queries: each named
+  * query runs `reps` times interleaved with a trivial control scan, so a
+  * host CPU-steal phase (this VM flaps — see the verify skill) shows up
+  * in the control and per-query minima stay comparable across runs.
+  *
+  * Usage: runMain graft.tools.QRepeat <sfDir> <reps> <name> [<name>...]
+  */
+object QRepeat {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val names = args.drop(2).toSeq
+    val spark = graft.functions.GraftExtensions
+      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]", "32")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def control(): Double =
+      time(li.filter(col("l_quantity") <= 25.0).select(col("l_orderkey")).count())
+    control() // warm the scan
+    for (r <- 1 to reps; n <- names) {
+      val c = control()
+      val t = time(SparkEntry_run(spark, sfDir, n))
+      println(f"rep=$r ctrl=$c%.2f $n=$t%.2f")
+    }
+    spark.stop()
+  }
+
+  private def SparkEntry_run(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String): Unit = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.write.mode("overwrite").format("noop").save()
+  }
+}
