@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.ScalarFunctions.queries ++
       graft.functions.TextAnalysis.queries ++
       graft.operators.Dedup.queries ++
+      graft.operators.Corpus.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.Temporal.queries ++
       graft.streaming.EventWindows.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.ScalarFunctions.oracles ++
       graft.functions.TextAnalysis.oracles ++
       graft.operators.Dedup.oracles ++
+      graft.operators.Corpus.oracles ++
       graft.operators.Similarity.oracles ++
       graft.operators.Temporal.oracles ++
       graft.streaming.EventWindows.oracles ++

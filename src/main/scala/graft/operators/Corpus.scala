@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Training-corpus pipeline operators [EXT]: the steps between "raw
+  * documents" and "training batches" that a large-scale LLM data
+  * pipeline runs after dedup — deterministic splits, test-set
+  * decontamination, vocabulary stats, chunking, token-budget packing,
+  * PII redaction, and per-class embedding centroids.
+  *
+  * Everything here is deterministic and ANSI-SQL-expressible, so every
+  * query is oracle-checked end to end (no rows-only entries). The split
+  * hash is a 31-bit LCG step on doc_id rather than xxhash64 purely so
+  * the DuckDB oracle can recompute it; a production run would swap in
+  * `xxhash64(doc_id)` — same shape, same distribution contract.
+  *
+  * Scale notes per operator are on each query; the common theme: token
+  * and gram explosion happens AFTER filters, aggregates use map-side
+  * partial combine, global top-k goes through TakeOrderedAndProject
+  * (never a no-partition window), and per-group running sums window on
+  * the group key. */
+object Corpus {
+  type Q = (SparkSession, String) => DataFrame
+
+  // 31-bit LCG (Knuth/glibc constants) — deterministic, oracle-twinnable
+  private val A = 1103515245L
+  private val C = 12345L
+  private val M = 2147483648L
+
+  /** Deterministic split bucket in [0, 100). */
+  def splitBucket(id: Column): Column = ((id * A + C) % M) % 100
+
+  /** train/valid/test assignment: 80/10/10 by hash bucket. */
+  def withSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("bucket", splitBucket(col("doc_id")).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test"))
+
+  /** Whitespace tokens with empties dropped (leading/trailing space). */
+  def toksOf(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Overlapping word n-grams joined with single spaces. Short docs
+    * (< n tokens) yield one truncated gram — same clamping as DuckDB
+    * list slicing, so the oracle twin matches. */
+  def wordGrams(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  private val phonePat = "[0-9]{3}-[0-9]{4}"
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic train/valid/test assignment. Pure projection — no
+    // shuffle, no state; the split of any document is recomputable by
+    // any worker (the property that makes hash splits the standard over
+    // random ones at scale).
+    "corpus_split_assign" -> ((s, d) =>
+      withSplit(Tables.documents(s, d))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    // Test-set decontamination: which held-out docs share a word-5-gram
+    // with any training doc. Scale shape: explode grams (after the
+    // split filter), distinct the train side (map-side combine), then a
+    // shuffle join ON THE GRAM — both sides hash-partition by gram, so
+    // no broadcast of a corpus-sized set; count per test doc is a
+    // partial-aggregated groupBy.
+    "corpus_decontaminate" -> ((s, d) => {
+      val grams = withSplit(Tables.documents(s, d))
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(wordGrams(toksOf(col("text")), 5)))
+            .as("gram"))
+      val train = grams.filter(col("split") === "train")
+        .select(col("gram")).distinct()
+      grams.filter(col("split") === "test")
+        .select(col("doc_id"), col("gram"))
+        .join(train, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+    }),
+
+    // Vocabulary top-k: token explode -> partial-combined count ->
+    // TakeOrderedAndProject top-20 (the distributed top-k physical op —
+    // NOT a no-partition window over the whole vocabulary). The rank is
+    // attached afterwards over the 20 surviving rows only.
+    "corpus_vocab_topk" -> ((s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(toksOf(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+      top.withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("token")))
+        .cast("int"))
+    }),
+
+    // Fixed-size chunking with overlap (200-char windows, stride 150) —
+    // the context-window prep step. In-row `sequence` of start offsets
+    // (no join, no shuffle), explode, substr: linear in output size.
+    "corpus_chunk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")), lit(150)))
+            .as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          col("text").substr(col("chunk_start"), lit(200)).as("chunk_text"))
+        .withColumn("chunk_len", length(col("chunk_text")))),
+
+    // Token-budget batching: contiguous docs (per lang, doc_id order)
+    // grouped into ~512-token batches by exclusive running token count.
+    // The window partitions on lang — parallel across groups, never a
+    // global single-partition sort. (True greedy packing resets the
+    // boundary per batch — that needs sequential state; the cumsum form
+    // is the deterministic, embarrassingly-parallel approximation used
+    // when batch boundaries may split at budget multiples.)
+    "corpus_pack_batches" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+        size(toksOf(col("text"))).as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("batch_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(512.0))
+          .cast("int"))
+    }),
+
+    // PII redaction: plant deterministic synthetic emails/phones (the
+    // fixture text has none — planting makes the redaction observable),
+    // then count + redact via codegen'd regexp. One projection pass, no
+    // shuffle; the regex never leaves the scan stage.
+    "corpus_pii_redact" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@ex.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" tel 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailPat)).as("n_emails"),
+          regexp_count(col("t"), lit(phonePat)).as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("t"), lit(emailPat), lit("<EMAIL>")),
+            lit(phonePat), lit("<PHONE>")).as("redacted"))
+    }),
+
+    // Per-label embedding centroids: posexplode to (label, dim) cells,
+    // then a partial-combined avg — the standard distributed centroid
+    // (k-means update step) with no driver-side vectors. Output is one
+    // row per (label, dim): 64 x #labels, constant in corpus size.
+    "corpus_embedding_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("v")).as("centroid"), count(lit(1)).as("n")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "corpus_split_assign" ->
+      """SELECT doc_id,
+           CAST(((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS INTEGER)
+             AS bucket,
+           CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 80
+                  THEN 'train'
+                WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+                  THEN 'valid'
+                ELSE 'test' END AS split
+         FROM documents""",
+    "corpus_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS bucket,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+               AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, bucket,
+             unnest(list_distinct(list_transform(
+               range(1, GREATEST(LEN(tk) - 4, 1) + 1),
+               i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+           FROM toks),
+         train AS (SELECT DISTINCT gram FROM g WHERE bucket < 80),
+         test AS (SELECT doc_id, gram FROM g WHERE bucket >= 90)
+         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM test t JOIN train USING (gram)
+         GROUP BY t.doc_id""",
+    "corpus_vocab_topk" ->
+      """WITH c AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+           FROM documents),
+         cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM c GROUP BY token)
+         SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+             AS rnk
+         FROM cnt ORDER BY rnk LIMIT 20""",
+    "corpus_chunk" ->
+      """SELECT doc_id, CAST(s AS INTEGER) AS chunk_start,
+           substr(text, CAST(s AS INTEGER), 200) AS chunk_text,
+           CAST(LENGTH(substr(text, CAST(s AS INTEGER), 200)) AS INTEGER)
+             AS chunk_len
+         FROM documents, unnest(range(1, LENGTH(text) + 1, 150)) AS u(s)""",
+    "corpus_pack_batches" ->
+      """WITH t AS (
+           SELECT lang, doc_id,
+             CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'),
+               x -> x <> '')) AS INTEGER) AS n_tokens
+           FROM documents)
+         SELECT lang, doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+             AS INTEGER) AS batch_id
+         FROM t""",
+    "corpus_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' contact u' || doc_id || '@ex.com' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+               THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(LEN(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+'))
+             AS INTEGER) AS n_emails,
+           CAST(LEN(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}'))
+             AS INTEGER) AS n_phones,
+           regexp_replace(
+             regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM p""",
+    "corpus_embedding_centroids" ->
+      """SELECT label, CAST(u.pos - 1 AS INTEGER) AS pos,
+           AVG(u.val) AS centroid, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (SELECT label,
+             unnest(list_transform(range(1, LEN(embedding) + 1),
+               i -> struct_pack(pos := i, val := embedding[i]))) AS u
+           FROM embeddings)
+         GROUP BY label, u.pos - 1"""
+  )
+}

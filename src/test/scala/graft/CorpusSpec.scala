@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** Invariants of the corpus-pipeline operators beyond the value-level
+  * oracle check: properties that must hold at ANY scale factor, not
+  * just match DuckDB on this one. */
+class CorpusSpec extends SparkSpec {
+
+  test("split assignment is deterministic and roughly 80/10/10") {
+    val a = Corpus.queries("corpus_split_assign")(spark, sf001)
+    val counts = a.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts("test") / n > 0.05 && counts("test") / n < 0.15)
+    val b = Corpus.queries("corpus_split_assign")(spark, sf001)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("chunks reconstruct the document: full coverage, correct overlap") {
+    val docs = Tables.documents(spark, sf0001)
+    val chunks = Corpus.queries("corpus_chunk")(spark, sf0001)
+    // every character position is covered: with stride 150 < size 200,
+    // consecutive chunks overlap by 50 chars and the last chunk reaches
+    // the end of the text
+    val bad = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("chunk_len") - 1).as("reach"),
+        min(col("chunk_start")).as("first"))
+      .join(docs.select(col("doc_id"), length(col("text")).as("len")), "doc_id")
+      .filter(col("reach") =!= col("len") || col("first") =!= 1)
+    assert(bad.isEmpty, "chunk coverage must span [1, len] exactly")
+  }
+
+  test("pack batches: exclusive cumsum puts every batch under budget + one doc") {
+    val packed = Corpus.queries("corpus_pack_batches")(spark, sf001)
+    // within a (lang, batch), total tokens < 512 + the largest single
+    // doc in the batch (the doc that crossed the boundary)
+    val bad = packed.groupBy("lang", "batch_id")
+      .agg(sum(col("n_tokens")).as("tot"), max(col("n_tokens")).as("mx"))
+      .filter(col("tot") >= lit(512) + col("mx"))
+    assert(bad.isEmpty, "batch token totals must stay under budget+1 doc")
+  }
+
+  test("decontamination reports only test-split docs with real overlap") {
+    val contaminated = Corpus.queries("corpus_decontaminate")(spark, sf001)
+    val splits = Corpus.withSplit(Tables.documents(spark, sf001))
+      .select(col("doc_id"), col("split"))
+    val nonTest = contaminated.join(splits, "doc_id")
+      .filter(col("split") =!= "test")
+    assert(nonTest.isEmpty, "only test docs can be reported")
+    assert(contaminated.filter(col("n_shared") <= 0).isEmpty)
+  }
+
+  test("pii redaction removes every planted pattern") {
+    val red = Corpus.queries("corpus_pii_redact")(spark, sf001)
+    // planted docs are detected...
+    assert(red.filter(col("doc_id") % 5 === 0 && col("n_emails") === 0).isEmpty)
+    assert(red.filter(col("doc_id") % 7 === 0 && col("n_phones") === 0).isEmpty)
+    // ...and nothing matchable survives in the redacted text
+    val leftover = red.filter(
+      col("redacted").rlike("[a-z0-9._%+-]+@[a-z0-9.-]+") ||
+        col("redacted").rlike("[0-9]{3}-[0-9]{4}"))
+    assert(leftover.isEmpty, "redacted text must contain no PII patterns")
+  }
+}
