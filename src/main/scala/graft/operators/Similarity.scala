@@ -180,11 +180,34 @@ object Similarity {
     })
   )
 
-  // sim_cosine_topk is oracle-checked end to end: DuckDB recomputes the
-  // same strict left-fold dot product via list_reduce, so the doubles are
-  // bit-identical, ranks agree, and the hash matches. The LSH variants
-  // depend on xxhash64 (no DuckDB equivalent) → rows-only check + recall
-  // assertions in SimilaritySpec.
+  /** The SRP plane matrix as a DuckDB `DOUBLE[]` literal. Each float is
+    * printed via `toDouble.toString` — the shortest decimal that
+    * round-trips to that exact double, which IS the float's exact value
+    * widened — so DuckDB's literal equals Spark's `(double) planeFloat`
+    * bit for bit and sign decisions can never diverge. */
+  private def planeSqlLit(p: Int, dim: Int): String =
+    planeRow(p, dim).map(_.toDouble.toString)
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** SQL twin of [[srpSignature]]: same strict left-fold dot per plane
+    * (proven bit-identical by the sim_cosine_topk hash match), same
+    * sign-to-bit packing. */
+  private def srpSigSql(embExpr: String, bits: Int = 8, dim: Int = 64): String =
+    (0 until bits).map { p =>
+      s"""CASE WHEN list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, $dim + 1),
+             i -> CAST($embExpr[CAST(i AS INTEGER)] AS DOUBLE)
+                  * list_extract(${planeSqlLit(p, dim)}, CAST(i AS INTEGER)))),
+         (acc, v) -> acc + v) > 0.0 THEN ${1 << p} ELSE 0 END"""
+    }.mkString("(", " + ", ")")
+
+  // Every similarity query is oracle-checked end to end: DuckDB
+  // recomputes the same strict left-fold dot product via list_reduce, so
+  // the doubles are bit-identical, ranks agree, and the hash matches.
+  // The SRP-LSH pair needed one extra trick — the hyperplanes are
+  // deterministic constants, so the generated oracle SQL embeds the
+  // plane matrix as DOUBLE[] literals and recomputes the signature.
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
@@ -260,6 +283,33 @@ object Similarity {
                         * CAST(r.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
                (acc, v) -> acc + v) AS cos_sim
            FROM b l JOIN b r ON l.blk = r.blk AND l.vec_id < r.vec_id)
-         SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35"""
+         SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35""",
+    "sim_lsh_ann" ->
+      s"""WITH sig AS (
+           SELECT vec_id, embedding,
+             ${srpSigSql("embedding")} AS sig
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS q_emb, sig AS q_sig
+               FROM sig WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(q.q_emb[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS sim
+           FROM sig e JOIN q
+             ON e.sig = q.q_sig AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3""",
+    "sim_lsh_bucket_stats" ->
+      s"""SELECT ${srpSigSql("embedding")} AS sig,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+         FROM embeddings GROUP BY 1"""
   )
 }
