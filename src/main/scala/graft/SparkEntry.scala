@@ -43,7 +43,8 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.Temporal.queries ++
       graft.streaming.EventWindows.queries ++
-      graft.operators.Multimodal.queries
+      graft.operators.Multimodal.queries ++
+      graft.sources.Formats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.operators.Similarity.oracles ++
       graft.operators.Temporal.oracles ++
       graft.streaming.EventWindows.oracles ++
-      graft.operators.Multimodal.oracles
+      graft.operators.Multimodal.oracles ++
+      graft.sources.Formats.oracles
 }

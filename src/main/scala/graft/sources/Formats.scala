@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Source/sink surface beyond the Parquet fixtures: CSV, JSON (lines),
   * and ORC, with schema-preserving round-trips. The reference has no
@@ -53,4 +54,52 @@ object Formats {
     * at scale. */
   def writePartitioned(df: DataFrame, path: String, byCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(byCol).parquet(path)
+
+  /** Bucketed parquet table (external path, session catalog): rows
+    * hash-partitioned into `nBuckets` files by `byCol` and sorted within
+    * each bucket. Two tables bucketed the same way join WITHOUT a
+    * shuffle — at 100 TB, pre-bucketing the fact tables on the join key
+    * turns every subsequent equi-join into a local merge (the biggest
+    * single cost a warehouse layout decision can remove; BucketingSpec
+    * asserts the Exchange-free plan mechanically). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      nBuckets: Int, byCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, byCol).sortBy(byCol)
+      .option("path", path).format("parquet").saveAsTable(table)
+
+  /** Co-located join over pre-bucketed tables, as an inventory query:
+    * the values match a plain join (the oracle), the point is the plan —
+    * both scan sides report the bucket spec and the equi-join runs with
+    * zero Exchange nodes. The only shuffle left is the final group-by. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed_colocated" -> ((s, d) => {
+      val base = s"/tmp/graft_bucketed/${new java.io.File(d).getName}"
+      writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "g_orders_bkt", s"$base/orders", 8, "o_orderkey")
+      writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "g_lineitem_bkt", s"$base/lineitem", 8, "l_orderkey")
+      s.table("g_orders_bkt")
+        .join(s.table("g_lineitem_bkt"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,10)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority"""
+  )
 }
