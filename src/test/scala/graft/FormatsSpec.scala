@@ -45,9 +45,14 @@ class FormatsSpec extends SparkSpec {
     val p = tmp("part")
     Formats.writePartitioned(src, p, "o_year")
     val back = spark.read.parquet(p).filter(col("o_year") === 1996)
-    // partition pruning: the scan should only list the 1996 directory
+    // partition pruning: the filter must land in the scan's
+    // PartitionFilters (directory-level skip), not a post-scan Filter
     val scanned = back.queryExecution.executedPlan.collectLeaves()
       .head.toString
+    assert(scanned.contains("PartitionFilters"), scanned.take(800))
+    assert("PartitionFilters:[^\\]]*o_year[^\\]]*1996".r
+      .findFirstIn(scanned).isDefined,
+      s"o_year=1996 not in PartitionFilters:\n${scanned.take(800)}")
     assert(back.count() ==
       src.filter(col("o_year") === 1996).count())
     assert(back.count() > 0)
