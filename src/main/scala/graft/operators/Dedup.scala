@@ -142,7 +142,11 @@ object Dedup {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("id"))
+    // Iterate ONLY over edge-touched nodes: isolated docs (the vast
+    // majority after near-dup pair generation) can never change label,
+    // so keeping them in the loop would shuffle the whole corpus every
+    // round for nothing. They rejoin as their own cluster at the end.
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -159,8 +163,11 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("keep_id"),
-      (col("id") === col("label")).as("is_survivor"))
+    docs.select(col("doc_id"))
+      .join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("keep_id"))
+      .withColumn("is_survivor", col("doc_id") === col("keep_id"))
   }
 
   val queries: Map[String, Q] = Map(
