@@ -95,6 +95,39 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Distinct word-3-shingle STRING sets per document — the exact-
+    * verification side of the MinHash pipeline. Same shingle construction
+    * as [[minhashSignatures]] pre-hashing, so |grams| agree; strings are
+    * kept (not hashed) because exact set intersection over strings is
+    * reproducible in the DuckDB oracle while xxhash64 is not. */
+  def wordShingleSets(docs: DataFrame): DataFrame =
+    fanout(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromTokens(col("toks"))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+
+  /** LSH candidate pairs annotated with EXACT word-shingle Jaccard — the
+    * candidate-generate → exact-verify chain a production dedup run uses.
+    * Verification cost is O(candidates), never O(n²): the string shingle
+    * sets are attached only to pairs that already collided in an LSH
+    * band. Exact Jaccard is integer-set math (|∩| / |∪| of distinct
+    * string sets), so the DuckDB oracle reproduces it bit for bit. */
+  def minhashPairsVerified(docs: DataFrame, minEst: Double): DataFrame = {
+    val sh = wordShingleSets(docs)
+    minhashPairs(docs, minEst)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("exact_jaccard"))
+  }
+
   /** 64-bit SimHash from pre-hashed tokens (bit i set iff the sum of ±1
     * votes from token-hash bit i is positive). Single fold over the hash
     * array carrying a 64-wide vote accumulator — each token is hashed
