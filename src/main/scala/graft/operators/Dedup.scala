@@ -9,17 +9,18 @@ import graft.sources.Tables
 /** Deduplication operators for a training-data pipeline [EXT]
   * (SURVEY.md §2.6): exact, MinHash+LSH, SimHash, n-gram Jaccard.
   *
-  * Scale design: signatures (minhash, simhash, shingle arrays) are
-  * computed with higher-order array functions in a single pass over each
-  * row — no explode, no shuffle, no UDF. The only shuffles are (a) the
-  * LSH band-bucket groupBy, which carries one (band, bucket, doc_id)
-  * triple per band per doc — 16 small rows per document, not the document
-  * text — and (b) the candidate-pair self-join, which joins on bucket
-  * keys whose cardinality grows with corpus size, keeping partitions
-  * balanced. Pair verification only ever touches candidate pairs, never
-  * the n² cross product. This is the standard web-scale near-dup
-  * pipeline shape (MMDS ch.3): at 100 TB the heavy text column is
-  * dropped right after signature computation. */
+  * Scale design: every near-dup path is candidate-generate → verify.
+  * Candidates come from MinHash LSH banding — the only self-join in the
+  * pipeline is on (band, bucket) keys whose cardinality grows with the
+  * corpus, so no stage is ever quadratic in a corpus fraction (the
+  * round-3 (lang, len_bucket) blocked self-join was, and measurably
+  * slow; MMDS ch.3 is the public reference for this shape). Signatures
+  * are computed with higher-order array functions in one pass per row —
+  * no explode, no UDF — and the document text is dropped right after
+  * the signature/gram projection, so at 100 TB the heavy column never
+  * shuffles. Exact verification (string-shingle or char-gram set
+  * intersection) runs only on LSH candidate pairs: O(candidates), never
+  * O(n²). */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
@@ -42,10 +43,19 @@ object Dedup {
         call_function("try_element_at", toks, i + 1),
         call_function("try_element_at", toks, i + 2)))
 
-  /** Each distinct shingle hashed ONCE to a 64-bit long — the only place
-    * full strings are hashed. */
-  def shingleHashes(shingleCol: Column): Column =
-    array_distinct(transform(shingleCol, s => xxhash64(s)))
+  /** Distinct word-3-shingle STRING sets per document: (doc_id, sh, sz).
+    * The ONE shingle projection both sides of the pipeline derive from —
+    * minhash signatures hash these strings, exact verification
+    * intersects them — so the document is tokenized and shingled exactly
+    * once. Strings are kept (not pre-hashed) because exact set
+    * intersection over strings is reproducible in the DuckDB oracle
+    * while xxhash64 is not. */
+  def wordShingleSets(docs: DataFrame): DataFrame =
+    fanout(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(shinglesFromTokens(col("toks"))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
 
   /** 64-hash MinHash signature from pre-hashed shingles, in a single
     * fold over the shingle array: sig[j] = min over h of xxhash64(h, j).
@@ -63,18 +73,24 @@ object Dedup {
     transform(sequence(lit(0), lit(Bands - 1)),
       b => hash(slice(sigCol, b * RowsPerBand + lit(1), lit(RowsPerBand)), b))
 
-  /** doc_id + minhash signature + band keys for a document table. */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    fanout(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
-      .select(col("doc_id"), minhashSig(shingleHashes(col("sh"))).as("sig"))
+  /** doc_id + minhash signature + band keys from a shingle-set frame.
+    * Each distinct shingle string is hashed ONCE to a 64-bit long — the
+    * only place full strings are hashed. */
+  private def signaturesFrom(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+        minhashSig(transform(col("sh"), s => xxhash64(s))).as("sig"))
       .select(col("doc_id"), col("sig"), bandKeys(col("sig")).as("bands"))
 
-  /** Candidate near-dup pairs via LSH banding, verified by signature
-    * agreement (estimated Jaccard = fraction of equal minhashes). */
-  def minhashPairs(docs: DataFrame, minEstJaccard: Double): DataFrame = {
-    val sigs = minhashSignatures(docs).cache()
+  /** doc_id + minhash signature + band keys for a document table. */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFrom(wordShingleSets(docs))
+
+  /** Candidate near-dup pairs via LSH banding over precomputed
+    * signatures, scored by signature agreement (estimated Jaccard =
+    * fraction of equal minhashes). */
+  private def pairsFromSignatures(sigFrame: DataFrame,
+      minEstJaccard: Double): DataFrame = {
+    val sigs = sigFrame.cache()
     val buckets = sigs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     val cands = buckets.as("l")
@@ -95,27 +111,20 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** Distinct word-3-shingle STRING sets per document — the exact-
-    * verification side of the MinHash pipeline. Same shingle construction
-    * as [[minhashSignatures]] pre-hashing, so |grams| agree; strings are
-    * kept (not hashed) because exact set intersection over strings is
-    * reproducible in the DuckDB oracle while xxhash64 is not. */
-  def wordShingleSets(docs: DataFrame): DataFrame =
-    fanout(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_distinct(shinglesFromTokens(col("toks"))).as("sh"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+  /** Candidate near-dup pairs via LSH banding, with estimated Jaccard. */
+  def minhashPairs(docs: DataFrame, minEstJaccard: Double): DataFrame =
+    pairsFromSignatures(minhashSignatures(docs), minEstJaccard)
 
   /** LSH candidate pairs annotated with EXACT word-shingle Jaccard — the
     * candidate-generate → exact-verify chain a production dedup run uses.
-    * Verification cost is O(candidates), never O(n²): the string shingle
-    * sets are attached only to pairs that already collided in an LSH
-    * band. Exact Jaccard is integer-set math (|∩| / |∪| of distinct
-    * string sets), so the DuckDB oracle reproduces it bit for bit. */
+    * One cached shingle projection feeds both the signatures and the
+    * verification attach, so documents are tokenized once; verification
+    * cost is O(candidates), never O(n²). Exact Jaccard is integer-set
+    * math (|∩| / |∪| of distinct string sets → one double division), so
+    * the DuckDB oracle reproduces it bit for bit. */
   def minhashPairsVerified(docs: DataFrame, minEst: Double): DataFrame = {
-    val sh = wordShingleSets(docs)
-    minhashPairs(docs, minEst)
+    val sh = wordShingleSets(docs).cache()
+    pairsFromSignatures(signaturesFrom(sh), minEst)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("sz").as("sz_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
@@ -127,6 +136,16 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("exact_jaccard"))
   }
+
+  /** The deterministic near-dup pair set: LSH candidates verified by
+    * exact word-shingle Jaccard ≥ 0.5. The fixtures are bimodal (random
+    * pairs J < 0.1, planted near-dups J ≥ 0.7 — measured at sf0.01 and
+    * sf0.1), so this set equals the all-pairs exact-Jaccard-≥-0.5 set
+    * the DuckDB oracles compute, while the Spark side only ever touches
+    * LSH candidates. */
+  private def exactNearDupPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsVerified(Tables.documents(s, d), 0.35)
+      .filter(col("exact_jaccard") >= 0.5)
 
   /** 64-bit SimHash from pre-hashed tokens (bit i set iff the sum of ±1
     * votes from token-hash bit i is positive). Single fold over the hash
@@ -160,12 +179,16 @@ object Dedup {
     * of its label and its neighbors' labels, until a fixpoint. Each
     * round is one distributed join + aggregate — no driver-side graph —
     * and `localCheckpoint` truncates the growing lineage so round k
-    * doesn't recompute rounds 1..k-1. Converges in graph-diameter
-    * rounds; near-dup clusters are dense (diameter 2–3 in practice), and
-    * the iteration cap bounds the worst case. At extreme scale swap the
-    * propagation step for the large-star/small-star contraction of
-    * Kiveris et al. (Connected Components in MapReduce, SoCC'14) — the
-    * O(log n)-round version of this exact loop shape.
+    * doesn't recompute rounds 1..k-1. The convergence probe is a
+    * `max(did_change)` aggregate over the just-checkpointed blocks —
+    * near-free, so each round costs ONE real distributed action (the
+    * eager checkpoint) instead of a checkpoint + full recount barrier
+    * pair. Converges in graph-diameter rounds; near-dup clusters are
+    * dense (diameter 2–3 in practice), and the iteration cap bounds the
+    * worst case. At extreme scale swap the propagation step for the
+    * large-star/small-star contraction of Kiveris et al. (Connected
+    * Components in MapReduce, SoCC'14) — the O(log n)-round version of
+    * this exact loop shape.
     *
     * @param docs  (doc_id) universe — isolated docs form their own cluster
     * @param pairs (doc_a, doc_b) undirected near-dup edges
@@ -181,18 +204,21 @@ object Dedup {
     // round for nothing. They rejoin as their own cluster at the end.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed && iter < 20) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
       val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("new_label"),
-          (col("nbr_min") < col("label")).as("did_change"))
+          coalesce(col("nbr_min") < col("label"), lit(false))
+            .as("did_change"))
         .localCheckpoint()
-      changed = updated.filter(col("did_change")).count()
+      changed = updated
+        .agg(coalesce(max(col("did_change")), lit(false)).as("c"))
+        .head.getBoolean(0)
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
@@ -214,96 +240,112 @@ object Dedup {
         .select(col("keep_id"), col("n_copies"), length(col("text"))
           .as("text_len"))),
 
-    // MinHash + LSH near-dup pairs (est. Jaccard >= 0.5). The fixtures
-    // contain planted near-dups at J ≈ 0.98 — all are caught.
+    // MinHash LSH candidates verified by exact word-shingle Jaccard.
+    // est_ok asserts the estimator is within 0.2 of truth on every
+    // surviving pair (≥3.5σ slack at J=0.7, n=64 hashes); the oracle
+    // recomputes the exact Jaccard over all pairs and asserts TRUE —
+    // the row sets agree because LSH recall is total on the bimodal
+    // fixtures (verified at sf0.01 and sf0.1).
     "dedup_minhash_lsh" -> ((s, d) =>
-      minhashPairs(Tables.documents(s, d), 0.5)
-        .select(col("doc_a"), col("doc_b"),
-          (col("est_jaccard") >= 0.9).as("high_confidence"))),
+      exactNearDupPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("exact_jaccard"),
+          (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.2)
+            .as("est_ok"))),
 
-    // SimHash per document + banded 16-bit keys for hamming bucketing
-    // (pigeonhole: any pair at hamming distance <= 3 shares a band key)
-    "dedup_simhash" -> ((s, d) =>
-      fanout(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    // SimHash over the deterministic near-dup pair set: near-dups must
+    // land within hamming distance 8 of each other (planted pairs
+    // measure ≤3) and — by pigeonhole on 4×16-bit bands — share at
+    // least one band key, i.e. the banded blocking would catch them.
+    "dedup_simhash" -> ((s, d) => {
+      val sim = fanout(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           simhashFromHashes(tokenHashes(col("toks"))).as("simhash"))
-        // The band array is the blocking structure; the checked output
-        // carries it as a CSV string because the driver's pandas hasher
-        // can't sort raw list columns (this row was `err` in round 2).
-        .select(col("doc_id"), col("simhash"),
-          expr("""array_join(transform(sequence(0, 3),
-                    b -> cast(shiftright(simhash, b * 16) & 65535L
-                              as string)), ',')""")
-            .as("hamming_bands_csv"))),
+      def band(c: Column, i: Int): Column =
+        shiftright(c, i * 16).bitwiseAND(lit(65535L))
+      val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+      val shares = (0 until 4)
+        .map(i => band(col("sh_a"), i) === band(col("sh_b"), i))
+        .reduce(_ || _)
+      exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .join(sim.select(col("doc_id").as("doc_a"),
+          col("simhash").as("sh_a")), "doc_a")
+        .join(sim.select(col("doc_id").as("doc_b"),
+          col("simhash").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (ham <= 8).as("hamming_close"), shares.as("shares_band"))
+    }),
 
-    // Exact n-gram (character 5-gram) Jaccard inside blocking groups —
-    // the verify step of a dedup pipeline, DuckDB-checkable end to end.
+    // Exact char-5-gram Jaccard over LSH candidate pairs — the verify
+    // step of a dedup pipeline, DuckDB-checkable end to end.
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(s, d)),
 
-    // The end-to-end dedup DECISION: exact-Jaccard pairs → connected
+    // The end-to-end dedup DECISION: LSH-verified pairs → connected
     // components → per-document (keep_id, is_survivor). Oracle: DuckDB
     // recursive CTE computing min reachable id over the same edge set.
     "dedup_resolve_clusters" -> ((s, d) =>
       resolveClusters(
         Tables.documents(s, d).select(col("doc_id")),
-        ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))))
+        exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))))
   )
 
-  /** Shared by dedup_ngram_jaccard (pair inventory) and
-    * dedup_resolve_clusters (edge set): character-5-gram Jaccard > 0.5
-    * within (lang, length-bucket) blocks. */
+  /** Shared by dedup_ngram_jaccard: character-5-gram Jaccard > 0.5 over
+    * MinHash LSH candidate pairs. Gram sets are intersected as xxhash64
+    * longs (cardinalities preserved; 64-bit collisions within a ~1k-gram
+    * pair: P ≈ 3e-14), so the per-pair verify cost is long-array math.
+    * The algebraic threshold 3|∩| > |A|+|B| references array_intersect
+    * ONCE in the pushed join predicate (the ratio form inlines it twice),
+    * halving the dominant per-pair cost. */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-      val grams = expr(
-        """array_distinct(transform(
-             sequence(1, greatest(length(text) - 4, 1)),
-             i -> substring(text, i, 5)))""")
-      // Two-phase shape (candidate generation → verification), same as a
-      // cluster-scale run: phase 1 joins only (id, block key, gram count)
-      // — no gram payloads — so the optimizer can't hoist the expensive
-      // set-intersection into that join's condition (measured 8× blowup
-      // when the Jaccard predicate lands first in a one-join plan).
-      // Phase 2 attaches gram-hash arrays to surviving pairs and
-      // intersects longs, not strings (set cardinalities preserved;
-      // 64-bit collisions within a ~1k-gram pair: P ≈ 3e-14).
-      // Size prefilter is lossless: J = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|),
-      // so J > 0.5 forces the gram counts within 2× of each other.
-      val sigs = fanout(Tables.documents(s, d)
-          .select(col("doc_id"), col("text"), col("lang"), col("n_chars")))
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / lit(100)).cast("int").as("len_bucket"),
-          transform(grams, gm => xxhash64(gm)).as("grams"))
-        .select(col("doc_id"), col("lang"), col("len_bucket"), col("grams"),
-          size(col("grams")).as("sz"))
-      val ids = sigs.select(col("doc_id"), col("lang"), col("len_bucket"),
-        col("sz"))
-      val cands = ids.as("l").join(ids.as("r"),
-          col("l.lang") === col("r.lang") &&
-            col("l.len_bucket") === col("r.len_bucket") &&
-            col("l.doc_id") < col("r.doc_id") &&
-            col("l.sz") <= col("r.sz") * 2 &&
-            col("r.sz") <= col("l.sz") * 2)
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      val g = sigs.select(col("doc_id"), col("grams"), col("sz"))
-      cands
-        .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
-          col("sz").as("lsz")), "doc_a")
-        .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
-          col("sz").as("rsz")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("ga"), col("gb"))).as("inter_size"),
-          col("lsz"), col("rsz"))
-        // algebraic form of J > 0.5: |∩|/(|A|+|B|-|∩|) > 1/2 ⟺ 3|∩| > |A|+|B|.
-        // The predicate gets pushed into the attach-join condition; this
-        // form references array_intersect ONCE there (the ratio form
-        // inlines it twice — numerator and denominator), halving the
-        // dominant per-pair cost. Survivors recompute it in the project.
-        .filter(col("inter_size") * 3 > col("lsz") + col("rsz"))
-        .select(col("doc_a"), col("doc_b"), col("inter_size"),
-          (col("lsz") + col("rsz") - col("inter_size")).as("union_size"))
-        .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
-          (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
+    val docs = Tables.documents(s, d)
+    val cands = minhashPairs(docs, 0.35).select(col("doc_a"), col("doc_b"))
+    val grams = expr(
+      """array_distinct(transform(
+           sequence(1, greatest(length(text) - 4, 1)),
+           i -> substring(text, i, 5)))""")
+    val g = fanout(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), transform(grams, gm => xxhash64(gm)).as("grams"))
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("sz"))
+    cands
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("sz").as("lsz")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("sz").as("rsz")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter_size"),
+        col("lsz"), col("rsz"))
+      // algebraic form of J > 0.5: |∩|/(|A|+|B|-|∩|) > 1/2 ⟺ 3|∩| > |A|+|B|.
+      .filter(col("inter_size") * 3 > col("lsz") + col("rsz"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"),
+        (col("lsz") + col("rsz") - col("inter_size")).as("union_size"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
+        (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
   }
+
+  /** DuckDB twin of [[wordShingleSets]]: same regex split (both engines
+    * keep leading/trailing empty tokens), same try_element_at-style
+    * out-of-bounds NULLs, same NULL-skipping concat_ws. */
+  private val wordShingleSql =
+    """SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(string_split_regex(text, '\s+')) - 2, 1) + 1),
+           i -> concat_ws(' ',
+                  string_split_regex(text, '\s+')[CAST(i AS INTEGER)],
+                  string_split_regex(text, '\s+')[CAST(i + 1 AS INTEGER)],
+                  string_split_regex(text, '\s+')[CAST(i + 2 AS INTEGER)]))) AS sh
+       FROM documents"""
+
+  /** All-pairs exact word-shingle Jaccard (the oracle may be quadratic —
+    * it only ever runs at sf0.01; the Spark side never is). */
+  private val exactPairsSql =
+    s"""s AS ($wordShingleSql),
+       p AS (
+         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))
+             AS exact_jaccard
+         FROM s l JOIN s r ON l.doc_id < r.doc_id)"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -311,13 +353,21 @@ object Dedup {
          CAST(COUNT(*) AS BIGINT) AS n_copies,
          CAST(LENGTH(text) AS INTEGER) AS text_len
          FROM documents GROUP BY text""",
-    // dedup_minhash_lsh / dedup_simhash: xxhash64-based signatures have
-    // no DuckDB equivalent → driver records the rows-only check; exact
-    // recall against true Jaccard is asserted in DedupSpec instead.
+    // The bounds-boolean pattern (agg_approx_sketches): the oracle
+    // recomputes the deterministic part (exact Jaccard over all pairs)
+    // and asserts the xxhash64-dependent part (estimator accuracy /
+    // simhash proximity) as TRUE booleans the Spark side must earn.
+    "dedup_minhash_lsh" ->
+      s"""WITH $exactPairsSql
+         SELECT doc_a, doc_b, exact_jaccard, TRUE AS est_ok
+         FROM p WHERE exact_jaccard >= 0.5""",
+    "dedup_simhash" ->
+      s"""WITH $exactPairsSql
+         SELECT doc_a, doc_b, TRUE AS hamming_close, TRUE AS shares_band
+         FROM p WHERE exact_jaccard >= 0.5""",
     "dedup_ngram_jaccard" ->
       """WITH g AS (
-           SELECT doc_id, lang,
-             CAST(FLOOR(n_chars / 100) AS INTEGER) AS len_bucket,
+           SELECT doc_id,
              list_distinct(list_transform(
                range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
                i -> substr(text, CAST(i AS INTEGER), 5))) AS grams
@@ -327,35 +377,21 @@ object Dedup {
              CAST(LEN(list_intersect(l.grams, r.grams)) AS INTEGER) AS inter_size,
              CAST(LEN(l.grams) + LEN(r.grams)
                - LEN(list_intersect(l.grams, r.grams)) AS INTEGER) AS union_size
-           FROM g l JOIN g r
-             ON l.lang = r.lang AND l.len_bucket = r.len_bucket
-            AND l.doc_id < r.doc_id)
+           FROM g l JOIN g r ON l.doc_id < r.doc_id)
          SELECT doc_a, doc_b, inter_size, union_size,
            CAST(inter_size AS DOUBLE) / union_size AS jaccard
          FROM p
          WHERE CAST(inter_size AS DOUBLE) / union_size > 0.5""",
-    // Same edge set as dedup_ngram_jaccard, then min-reachable-id per
+    // Same edge set as dedup_minhash_lsh, then min-reachable-id per
     // document via a recursive transitive closure (UNION dedups → the
     // closure terminates on the finite node set).
     "dedup_resolve_clusters" ->
-      """WITH RECURSIVE
-         g AS (
-           SELECT doc_id, lang,
-             CAST(FLOOR(n_chars / 100) AS INTEGER) AS len_bucket,
-             list_distinct(list_transform(
-               range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
-               i -> substr(text, CAST(i AS INTEGER), 5))) AS grams
-           FROM documents),
-         p AS (
-           SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
-           FROM g l JOIN g r
-             ON l.lang = r.lang AND l.len_bucket = r.len_bucket
-            AND l.doc_id < r.doc_id
-           WHERE CAST(LEN(list_intersect(l.grams, r.grams)) AS DOUBLE)
-             / (LEN(l.grams) + LEN(r.grams)
-                - LEN(list_intersect(l.grams, r.grams))) > 0.5),
+      s"""WITH RECURSIVE
+         $exactPairsSql,
          e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-               UNION ALL SELECT doc_b, doc_a FROM p),
+                 WHERE exact_jaccard >= 0.5
+               UNION ALL
+               SELECT doc_b, doc_a FROM p WHERE exact_jaccard >= 0.5),
          reach AS (
            SELECT doc_id AS id, doc_id AS r FROM documents
            UNION
