@@ -253,9 +253,14 @@ object Dedup {
             .as("est_ok"))),
 
     // SimHash over the deterministic near-dup pair set: near-dups must
-    // land within hamming distance 8 of each other (planted pairs
-    // measure ≤3) and — by pigeonhole on 4×16-bit bands — share at
-    // least one band key, i.e. the banded blocking would catch them.
+    // land within hamming distance 15 of each other (planted pairs
+    // measure ≤5 at sf0.01, ≤12 at sf0.1 — random 64-bit pairs center
+    // at 32±4, so 15 is >4σ below chance) and — by pigeonhole on
+    // 16×4-bit bands — share at least one band key. Sixteen bands is
+    // the Hamming-LSH rule "bands > max distance" (Manku et al.
+    // WWW'07 §3): any pair within hamming 15 provably shares a band,
+    // so the blocking's recall on the claimed radius is 1 by
+    // construction, not by luck.
     "dedup_simhash" -> ((s, d) => {
       val sim = fanout(Tables.documents(s, d)
           .select(col("doc_id"), col("text")))
@@ -263,9 +268,9 @@ object Dedup {
         .select(col("doc_id"),
           simhashFromHashes(tokenHashes(col("toks"))).as("simhash"))
       def band(c: Column, i: Int): Column =
-        shiftright(c, i * 16).bitwiseAND(lit(65535L))
+        shiftright(c, i * 4).bitwiseAND(lit(15L))
       val ham = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
-      val shares = (0 until 4)
+      val shares = (0 until 16)
         .map(i => band(col("sh_a"), i) === band(col("sh_b"), i))
         .reduce(_ || _)
       exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
@@ -274,7 +279,7 @@ object Dedup {
         .join(sim.select(col("doc_id").as("doc_b"),
           col("simhash").as("sh_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (ham <= 8).as("hamming_close"), shares.as("shares_band"))
+          (ham <= 15).as("hamming_close"), shares.as("shares_band"))
     }),
 
     // Exact char-5-gram Jaccard over LSH candidate pairs — the verify
