@@ -21,12 +21,21 @@ object SqlInterface {
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 (shipping priority) through spark.sql over temp views.
+    // Join-strategy hints pin the 100 TB-correct shape: broadcast the
+    // filtered customer dim, SHUFFLE_MERGE the two fact tables on
+    // orderkey. Unhinted, Catalyst's size estimates picked the filtered
+    // LINEITEM as the broadcast build (fact-table broadcast — a
+    // single-threaded multi-hundred-MB hash build here, an OOM at
+    // scale). The shuffle join also co-locates the o_orderkey GROUP BY:
+    // HashPartitioning(o_orderkey) satisfies the aggregate's clustered
+    // distribution, so no further exchange follows the join.
     "sql_tpch_q3" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
-        SELECT o_orderkey,
+        SELECT /*+ BROADCAST(customer), SHUFFLE_MERGE(lineitem) */
+               o_orderkey,
                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
                  AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
                o_orderdate, o_orderpriority
