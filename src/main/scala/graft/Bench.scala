@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,6 +13,16 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    // Steal gauge: a fixed trivial scan timed immediately before every
+    // trial. The host steals CPU in phases that make identical runs read
+    // 5-10x apart; the control's wall time exposes the phase so stolen
+    // trials can be identified and re-run instead of polluting minima.
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def control(): Double =
+      time(li.filter(col("l_quantity") <= 25.0).select(col("l_orderkey")).count())
     // Warm the session before timing: codegen compiler, broadcast infra,
     // file-index caches — fixed costs a resident service pays once, not
     // per query. ~5s at local[32].
@@ -20,26 +32,43 @@ object Bench {
       val n = spark.read.parquet(s"$sfDir/nation.parquet")
       r.join(n, r("r_regionkey") === n("n_regionkey")).count()
     } catch { case _: Throwable => () }
-    // Two trials per query, min reported: this VM sees heavy phase-wise
-    // CPU steal (cumulative steal ≈ 40% of user time in /proc/stat), so
-    // a single trial can land in a stolen phase and read 5-10x high.
+    // Healthy-control baseline: median of a short warm burst.
+    val baseline = {
+      val cs = (1 to 5).map(_ => control()).sorted
+      cs(cs.length / 2)
+    }
+    val controlLog = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    // Two trials per query, plus up to two re-runs of trials whose
+    // control read >3x the healthy baseline (a steal phase): the
+    // reported minimum prefers trials taken under a healthy control, so
+    // a query is only ever judged by time measured on honest CPU.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val trials = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Drop cached frames between trials so leftover blocks from 70
-        // queries don't turn the tail of the run GC-bound.
+      var trials = List.empty[(Double, Double)] // (control, seconds)
+      var extra = 0
+      while (trials.size < 2 + extra && trials.size < 4) {
+        val c = control()
+        val t = time {
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
         spark.catalog.clearCache()
-        dt
+        trials ::= (c, t)
+        if (c > 3 * baseline && extra < 2) extra += 1
       }
-      name -> trials.min
+      controlLog(name) = trials.map(_._1).reverse
+      val healthy = trials.filter(_._1 <= 3 * baseline)
+      val pool = if (healthy.nonEmpty) healthy else trials
+      name -> pool.map(_._2).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ctrls = controlLog.map { case (k, cs) =>
+      s"\"" + k + "\":" + cs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""control_baseline":$baseline,"controls":$ctrls,"sf":"$sfDir"}"""
     println(json)
     // stdout gets truncated by capture harnesses (r2 lost 15 of 77
     // per-query entries); the file is the parseable record.
