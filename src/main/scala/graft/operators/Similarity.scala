@@ -121,25 +121,60 @@ object Similarity {
         .groupBy(col("sig"))
         .agg(count(lit(1)).as("n_vectors"))),
 
-    // IVF (inverted-file) ANN: a deterministic coarse quantizer (the
-    // first 16 corpus vectors as centroids), every vector assigned to
-    // its nearest centroid (one broadcast join — the corpus never
-    // shuffles its embeddings), queries probe only their own cell and
-    // rerank by exact dot product. The 1/n_cells probe fraction is the
-    // classic IVF scan saving; fully DuckDB-expressible (pure fp math),
-    // so this ANN variant is oracle-checked end to end.
+    // IVF (inverted-file) ANN with a TRAINED coarse quantizer:
+    // k = ⌊√n⌋ cells (the classic IVF cell count — probe cost and cell
+    // size both ~√n), seeded by every ⌊n/k⌋-th vec_id and refined by two
+    // Lloyd iterations of k-means. Every training step is exact integer
+    // arithmetic — embeddings quantize to round(v·1000)+1000 ∈ [0,2000],
+    // assignment is integer squared-L2 (offset cancels), centroid update
+    // is a non-negative integer floor-division — so the DuckDB oracle
+    // replays the whole training run bit for bit; only the final rerank
+    // uses fp (the strict-fold double dot both engines share). Each
+    // iteration is one broadcast join + one aggregation: the corpus
+    // embeddings never shuffle, and the ~√n-row centroid table is the
+    // only thing that moves. Queries probe their own cell and rerank by
+    // exact dot — the 1/√n scan saving of a production IVF index.
     "sim_ivf_ann" -> ((s, d) => {
       val emb = fanout(Tables.embeddings(s, d))
-      val cents = Tables.embeddings(s, d).filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"),
+            v => (round(v.cast("double") * 1000) + 1000).cast("long")).as("qv"))
+      // n / k / stride as a 1-row broadcast frame — no driver action.
+      val stats = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n"))
+        .select(col("n"),
+          floor(sqrt(col("n"))).cast("long").as("k"))
+        .select((col("n") / col("k")).cast("long").as("stride"))
+      val qdist = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
       val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("cent_id"))
-      val assigned = emb.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          dot(col("embedding"), col("c_emb")).as("c_sim"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id"))
+        .orderBy(col("dist").asc, col("cent_id"))
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+        vecs.join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("qv"), col("cent_id"),
+            qdist(col("qv"), col("cq")).as("dist"))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("qv"), col("cent_id"))
+      // Lloyd update: per-dimension integer mean (floor div — all values
+      // are non-negative, so Spark and DuckDB divisions agree).
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cent_id"), col("pos"))
+          // floor(a/b) on exact-integer doubles is exact (a ≤ 4e6 ≪ 2^53
+          // and a/b can't round across an integer), so both engines
+          // compute the identical floor-div without int-division
+          // semantics entering the picture.
+          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cmean"))
+          .groupBy(col("cent_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cmean")))),
+            x => x.getField("cmean")).as("cq"))
+      val seeds = emb.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("stride") === 0)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
+      val trained = update(assign(emb, update(assign(emb, seeds))))
+      val assigned = assign(emb, trained)
       val q = assigned.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("cent_id").as("q_cent"))
@@ -154,23 +189,23 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
     }),
 
-    // Embedding-cosine near-dup pairs: block on the sign pattern of the
-    // first 4 dimensions (near-identical vectors share it unless a
-    // blocked dim sits at zero), verify by exact dot within blocks.
-    // Pure fp math → oracle-checked, unlike the xxhash64 SRP variant.
-    // Threshold 0.35: the synthetic embeddings carry no planted
-    // near-identical pairs (corpus max cosine ≈ 0.51), so a production
-    // 0.9+ cut would select nothing — the lower cut keeps the operator
-    // result non-vacuous while exercising the identical plan shape.
+    // Embedding-cosine near-dup pairs: block on the 8-bit SRP signature
+    // (256 buckets — the same deterministic hyperplane matrix the ANN
+    // index uses), verify by exact dot within buckets. The candidate
+    // volume is Σ_b (n_b choose 2) ≈ n²/512 — 16× fewer pairs than the
+    // earlier 4-sign-bit/16-block scheme, and the bucket count is a
+    // constant the operator can raise (more planes) as the corpus
+    // grows. Pure fp math on both sides: the oracle recomputes the
+    // signature from the same plane literals, so the pair set and the
+    // cosines hash-match. Threshold 0.35: the synthetic embeddings
+    // carry no planted near-identical pairs (corpus max cosine ≈ 0.51),
+    // so a production 0.9+ cut would select nothing — the lower cut
+    // keeps the operator result non-vacuous while exercising the
+    // identical plan shape.
     "dedup_embedding_cosine" -> ((s, d) => {
-      def signBlock(e: Column): Column =
-        (when(element_at(e, 1) > 0.0f, 8).otherwise(0) +
-          when(element_at(e, 2) > 0.0f, 4).otherwise(0) +
-          when(element_at(e, 3) > 0.0f, 2).otherwise(0) +
-          when(element_at(e, 4) > 0.0f, 1).otherwise(0))
       val emb = fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
-          signBlock(col("embedding")).as("blk"))
+          srpSignature(col("embedding")).as("blk"))
       emb.as("l").join(emb.as("r"),
           col("l.blk") === col("r.blk") &&
             col("l.vec_id") < col("r.vec_id"))
@@ -179,6 +214,36 @@ object Similarity {
         .filter(col("cos_sim") >= 0.35)
     })
   )
+
+  /** One IVF assignment step as a DuckDB CTE: every quantized vector to
+    * its nearest centroid by integer squared-L2, ties to the smallest
+    * cent_id — the exact mirror of the Spark `assign` window. */
+  private def ivfAssignSql(name: String, cents: String): String =
+    s"""$name AS (
+       SELECT vec_id, qv, cent_id FROM (
+         SELECT v.vec_id, v.qv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(v.qv) + 1),
+                 i -> (v.qv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
+                    * (v.qv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
+               (acc, x) -> acc + x) ASC, c.cent_id) AS arn
+         FROM qv v CROSS JOIN $cents c) t WHERE arn = 1)"""
+
+  /** One Lloyd update as a DuckDB CTE: per-dimension integer mean
+    * (floor division on non-negative sums) reassembled in dimension
+    * order — the exact mirror of the Spark `update` aggregation. */
+  private def ivfUpdateSql(name: String, assigned: String): String =
+    s"""${name}_d AS (
+       SELECT cent_id, u.pos AS pos,
+         CAST(FLOOR(SUM(u.val) / COUNT(*)) AS BIGINT) AS cmean
+       FROM (SELECT cent_id,
+           unnest(list_transform(range(1, len(qv) + 1),
+             i -> struct_pack(pos := i, val := qv[CAST(i AS INTEGER)]))) AS u
+         FROM $assigned) GROUP BY cent_id, u.pos),
+     $name AS (
+       SELECT cent_id, list(cmean ORDER BY pos) AS cq
+       FROM ${name}_d GROUP BY cent_id)"""
 
   /** The SRP plane matrix as a DuckDB `DOUBLE[]` literal. Each float is
     * printed via `toDouble.toString` — the shortest decimal that
@@ -227,26 +292,31 @@ object Similarity {
                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
            FROM scored)
          SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5""",
-    // Both engines compute the dot product as the identical strict left
-    // fold, so assignment / ranking / thresholds agree bit-for-bit.
+    // The oracle replays the integer k-means training run exactly —
+    // quantization, stride seeding, two Lloyd iterations, final
+    // assignment are all integer math, and the fp rerank is the shared
+    // strict left fold — so every step agrees bit-for-bit.
     "sim_ivf_ann" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
-                        FROM embeddings WHERE vec_id < 16),
-         ascore AS (
-           SELECT e.vec_id, e.embedding, c.cent_id,
-             list_reduce(
-               list_prepend(CAST(0.0 AS DOUBLE),
-                 list_transform(range(1, len(e.embedding) + 1),
-                   i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                        * CAST(c.c_emb[CAST(i AS INTEGER)] AS DOUBLE))),
-               (acc, v) -> acc + v) AS c_sim
-           FROM embeddings e CROSS JOIN cents c),
+      s"""WITH st AS (
+           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id, embedding,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * 1000) + 1000 AS BIGINT)) AS qv
+           FROM embeddings),
+         seeds AS (
+           SELECT vec_id AS cent_id, qv AS cq FROM qv, st
+           WHERE vec_id % stride = 0),
+         ${ivfAssignSql("a1", "seeds")},
+         ${ivfUpdateSql("c1", "a1")},
+         ${ivfAssignSql("a2", "c1")},
+         ${ivfUpdateSql("c2", "a2")},
+         ${ivfAssignSql("a3", "c2")},
          assigned AS (
-           SELECT vec_id, embedding, cent_id FROM (
-             SELECT vec_id, embedding, cent_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                 ORDER BY c_sim DESC, cent_id) AS arn
-             FROM ascore) t WHERE arn = 1),
+           SELECT a3.vec_id, e.embedding, a3.cent_id
+           FROM a3 JOIN embeddings e ON a3.vec_id = e.vec_id),
          q AS (SELECT vec_id AS query_id, embedding AS q_emb,
                       cent_id AS q_cent
                FROM assigned WHERE vec_id < 8),
@@ -267,12 +337,9 @@ object Similarity {
            FROM scored)
          SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3""",
     "dedup_embedding_cosine" ->
-      """WITH b AS (
+      s"""WITH b AS (
            SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] > 0.0 THEN 8 ELSE 0 END
-              + CASE WHEN embedding[2] > 0.0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[3] > 0.0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[4] > 0.0 THEN 1 ELSE 0 END) AS blk
+             ${srpSigSql("embedding")} AS blk
            FROM embeddings),
          scored AS (
            SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,

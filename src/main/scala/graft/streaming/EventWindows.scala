@@ -48,27 +48,49 @@ object EventWindows {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("session_value"))
 
-  /** The streaming form of `tumbling` — identical logical plan over an
-    * unbounded source, with late data bounded by a 1-hour watermark. */
-  def tumblingStream(spark: SparkSession, sfDir: String): DataFrame =
+  /** The unbounded twin of `Tables.events`: readStream over the same
+    * parquet, nanos truncated to micros inside the streaming plan, late
+    * data bounded by a 1-hour watermark. Every batch window query above
+    * applies to this frame unchanged — Spark plans the batch and
+    * incremental executions from one logical declaration. */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
     Tables.withNanosAsLong(spark) {
-    // Raw on-disk schema (ts as int64 nanos, via nanosAsLong) — the
-    // micros conversion happens inside the streaming plan.
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // FileStreamSource needs a directory; pathGlobFilter narrows the scan
-    // to the events table within the fixture dir.
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double")
-          .as("total_value"))
-      .select(col("window.start").as("w_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+      // Raw on-disk schema (ts as int64 nanos, via nanosAsLong) — the
+      // micros conversion happens inside the streaming plan.
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      // FileStreamSource needs a directory; pathGlobFilter narrows the
+      // scan to the events table within the fixture dir.
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
     }
+
+  /** The streaming form of `tumbling` — the identical aggregation applied
+    * to the unbounded source. */
+  def tumblingStream(spark: SparkSession, sfDir: String): DataFrame =
+    tumbling(eventStream(spark, sfDir))
+
+  /** The streaming form of `sliding`. One deviation from the batch shape:
+    * streaming aggregation forbids exact `countDistinct`, so distinct
+    * users are counted as `size(collect_set(...))` — exact (state =
+    * the per-window user set, watermark-bounded), and equal to the batch
+    * `countDistinct` result. At 100 TB swap in approx_count_distinct and
+    * trade the set state for a constant-size HLL sketch. */
+  def slidingStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventStream(spark, sfDir)
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        size(collect_set(col("user_id"))).cast("long").as("n_users"))
+      .select(col("window.start").as("w_start"), col("n_events"),
+        col("n_users"))
+
+  /** The streaming form of `sessions` — `session_window` is natively
+    * incremental: state merges adjacent sessions as events arrive and the
+    * watermark closes sessions whose gap can no longer be bridged. */
+  def sessionsStream(spark: SparkSession, sfDir: String): DataFrame =
+    sessions(eventStream(spark, sfDir))
 
   val queries: Map[String, Q] = Map(
     "stream_tumbling_window" -> ((s, d) => tumbling(Tables.events(s, d))),

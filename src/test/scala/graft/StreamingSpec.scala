@@ -28,6 +28,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sliding window converges to the batch plan's answer") {
+    val q = EventWindows.slidingStream(spark, sf0001).writeStream
+      .format("memory")
+      .queryName("sliding_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("sliding_test")
+      .select("w_start", "n_events", "n_users")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.sliding(Tables.events(spark, sf0001))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming session window converges to the batch plan's answer") {
+    // session_window streaming forbids update mode (sessions merge, so
+    // an emitted row could be retracted); complete mode re-emits the
+    // merged state each trigger and equals the batch answer.
+    val q = EventWindows.sessionsStream(spark, sf0001).writeStream
+      .format("memory")
+      .queryName("session_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("session_test")
+      .select("user_id", "session_start", "n_events", "session_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.sessions(Tables.events(spark, sf0001))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("session windows: no session shorter than one event, gaps respected") {
     val sessions = EventWindows.sessions(Tables.events(spark, sf0001))
     assert(sessions.filter(col("n_events") < 1).count() == 0)
