@@ -135,10 +135,16 @@ object Similarity {
     // only thing that moves. Queries probe their own cell and rerank by
     // exact dot — the 1/√n scan saving of a production IVF index.
     "sim_ivf_ann" -> ((s, d) => {
+      // Cached: the quantized corpus is referenced by all three
+      // assignment passes, and the final assignment feeds both the
+      // query set and the probe side — without the cache the whole
+      // training lineage recomputes per reference (10 scans of the
+      // corpus in the uncached plan; 1 with it).
       val emb = fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
           transform(col("embedding"),
             v => (round(v.cast("double") * 1000) + 1000).cast("long")).as("qv"))
+        .cache()
       // n / k / stride as a 1-row broadcast frame — no driver action.
       val stats = Tables.embeddings(s, d)
         .agg(count(lit(1)).as("n"))
@@ -174,7 +180,7 @@ object Similarity {
         .filter(col("vec_id") % col("stride") === 0)
         .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
       val trained = update(assign(emb, update(assign(emb, seeds))))
-      val assigned = assign(emb, trained)
+      val assigned = assign(emb, trained).cache()
       val q = assigned.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("cent_id").as("q_cent"))
