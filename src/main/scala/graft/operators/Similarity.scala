@@ -113,6 +113,34 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("vec_id"))
     }),
 
+    // Multi-probe SRP ANN: each query probes its own bucket plus the 8
+    // buckets at Hamming distance 1 (one flipped sign bit) — the
+    // standard recall lever for LSH indexes (Lv et al., VLDB'07:
+    // perturbation probing trades a constant factor of probes for the
+    // recall extra hash tables would buy, without storing them). Probe
+    // fraction stays ~9/256 of the corpus; the candidate join is still
+    // a broadcast of the tiny query set against the bucketed corpus.
+    "sim_lsh_ann_multiprobe" -> ((s, d) => {
+      val emb = fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          srpSignature(col("embedding")).as("sig"))
+      // 9 probe signatures per query: exact + each single bit flipped.
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(array(
+            col("sig") +: (0 until 8).map(b =>
+              col("sig").bitwiseXOR(lit(1 << b))): _*)).as("probe_sig"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      emb.join(broadcast(q),
+          col("sig") === col("probe_sig") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          dot(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+    }),
+
     // Corpus-wide signature histogram — the bucketing balance check an
     // ANN index build would run (detects skewed hyperplanes).
     "sim_lsh_bucket_stats" -> ((s, d) =>
@@ -380,6 +408,33 @@ object Similarity {
                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
            FROM scored)
          SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3""",
+    "sim_lsh_ann_multiprobe" ->
+      s"""WITH sig AS (
+           SELECT vec_id, embedding,
+             ${srpSigSql("embedding")} AS sig
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS q_emb,
+             unnest(list_prepend(sig,
+               list_transform(range(0, 8), b -> xor(sig, 1 << b))))
+               AS probe_sig
+           FROM sig WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(q.q_emb[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS sim
+           FROM sig e JOIN q
+             ON e.sig = q.probe_sig AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+           FROM scored)
+         SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3""",
     "sim_lsh_bucket_stats" ->
       s"""SELECT ${srpSigSql("embedding")} AS sig,
            CAST(COUNT(*) AS BIGINT) AS n_vectors

@@ -39,4 +39,20 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs.groupBy(col("sig")).count().count() > 1,
       "signatures should spread across multiple buckets")
   }
+
+  test("multi-probe ANN candidates are a superset of single-probe's") {
+    // Probing the exact bucket plus all hamming-1 neighbors can only
+    // widen each query's candidate set, so per query the result count
+    // is at least the single-probe count (both cap at k=3).
+    val single = Similarity.queries("sim_lsh_ann")(spark, sf0001)
+      .groupBy(col("query_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = Similarity.queries("sim_lsh_ann_multiprobe")(spark, sf0001)
+      .groupBy(col("query_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    single.foreach { case (q, n) =>
+      assert(multi.getOrElse(q, 0L) >= n,
+        s"query $q: multiprobe returned fewer rows than single-probe")
+    }
+  }
 }
