@@ -70,6 +70,40 @@ object Analytics {
         (row_number().over(w)).as("order_seq"))
     }),
 
+    // RANGE frame over a value axis (not row counts): trailing-30-day
+    // spend per customer. The frame is defined by the ORDER BY *value*
+    // (days since epoch), so same-day orders are peers and the result is
+    // independent of their physical order — exact under any partitioning,
+    // with DECIMAL sums inside the frame.
+    "window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_days"))
+        .rangeBetween(-30, 0)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast("long").as("o_days"),
+          col("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_days"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("trailing_30d_spend"))
+    }),
+
+    // Distribution window functions: percent_rank / cume_dist / 2nd
+    // balance per segment. Rational values of small integer counts —
+    // both engines compute the identical divisions, so doubles match.
+    "window_dist_functions" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          nth_value(col("c_acctbal"), 2).over(wFull).as("second_bal"))
+    }),
+
     // ntile + rank over a GLOBAL ordering, without the single-partition
     // global window (`Window.orderBy` with no partitionBy funnels every
     // row through one task — a scale-killer at fact-table cardinality).
@@ -177,6 +211,27 @@ object Analytics {
          CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS o_days,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS trailing_30d_spend
+         FROM orders""",
+    "window_dist_functions" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+         PERCENT_RANK() OVER w AS pct_rank,
+         CUME_DIST() OVER w AS cume,
+         NTH_VALUE(c_acctbal, 2) OVER (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_bal
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey)""",
     "window_ntile_dist" ->
       """SELECT c_custkey, c_acctbal,
          CAST(NTILE(4) OVER w AS INTEGER) AS quartile,

@@ -49,6 +49,37 @@ object SqlInterface {
         LIMIT 20""")
     }),
 
+    // TPC-H Q5 (local supplier volume): the classic 6-table star —
+    // region→nation→supplier chain broadcasts (each a small filtered
+    // dim), the three fact-side joins (lineitem⋈orders⋈customer) shuffle
+    // on their keys. Same hint rationale as Q3: unhinted, size
+    // estimates can put a fact table on the build side.
+    "sql_tpch_q5" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql("""
+        SELECT /*+ BROADCAST(region, nation, supplier),
+                   SHUFFLE_MERGE(lineitem, orders, customer) */
+               n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,10))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    }),
+
     // Salted skew join — textbook pattern: the build side is replicated
     // once per salt value; the probe side scatters each row to a salt
     // bucket derived from a NON-key column, so all lineitems of one hot
@@ -87,6 +118,21 @@ object SqlInterface {
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey
          LIMIT 20""",
+    "sql_tpch_q5" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(18,10))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
     "join_skew_salted" ->
       """SELECT o_orderpriority,
          CAST(COUNT(*) AS BIGINT) AS n_items,
