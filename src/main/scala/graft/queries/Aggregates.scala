@@ -78,6 +78,28 @@ object Aggregates {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))),
 
+    // Explicit GROUPING SETS with grouping_id — the general form rollup/
+    // cube compile to; one shuffle computes all three groupings.
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))""")
+    }),
+
+    // Exact distributed median (interpolated percentile): value depends
+    // only on each group's sorted multiset, so it is deterministic under
+    // any partitioning, and both engines interpolate identically.
+    "agg_median" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          count(lit(1)).as("n"))),
+
     // Sketch aggregates: HLL++ distinct count + KLL-style quantiles —
     // the constant-memory, mergeable shapes a 100 TB profile pass uses
     // (exact distinct/percentile would shuffle every value). The sketch
@@ -157,6 +179,18 @@ object Aggregates {
   val oracles: Map[String, String] = Map(
     // The oracle asserts the sketch estimates landed inside their
     // published error bounds (booleans TRUE) and the exact count matches.
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))""",
+    "agg_median" ->
+      """SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS median_price,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority""",
     "agg_approx_sketches" ->
       """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
          TRUE AS orders_in_bound,
