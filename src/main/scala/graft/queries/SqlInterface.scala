@@ -80,6 +80,84 @@ object SqlInterface {
         ORDER BY revenue DESC, n_name""")
     }),
 
+    // TPC-H Q10 (returned item reporting): who returned the most revenue
+    // in a quarter. Fact-fact join (lineitem R-flagged ⋈ orders in the
+    // date window) shuffles on orderkey; the result shuffles once more
+    // onto c_custkey for the customer join — which ALSO satisfies the
+    // GROUP BY's clustering, so the aggregate rides the join exchange.
+    // nation broadcasts. (Reference has no SQL at all; columns adapted
+    // to the fixture schema — no c_address/c_phone/c_comment.)
+    "sql_tpch_q10" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql("""
+        SELECT /*+ BROADCAST(nation), SHUFFLE_MERGE(lineitem, orders) */
+               c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    // subquery — Catalyst decorrelates it into an aggregate on
+    // l_partkey joined back to the probe side, so the per-part average
+    // is computed once per part in a distributed aggregate, never
+    // re-executed per outer row (re-check with .explain: one
+    // Aggregate + one join, no nested-loop). part is a filtered dim →
+    // broadcast. Determinism note: l_quantity is integer-valued, so
+    // the double SUM inside AVG is exact in any accumulation order —
+    // 0.2*AVG compares bit-identically between Spark and DuckDB.
+    "sql_tpch_q17" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT /*+ BROADCAST(part) */
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // TPC-H Q18 (large-volume customer): IN-subquery over an aggregate
+    // → Catalyst plans a left-semi join against the HAVING-filtered
+    // per-order quantity rollup. Both the semi-join and the outer
+    // lineitem join key on l_orderkey, so one HashPartitioning serves
+    // the rollup, the semi join, the fact join, AND the final GROUP BY
+    // (o_orderkey is in the grouping key) — a single shuffle of
+    // lineitem end to end.
+    "sql_tpch_q18" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT /*+ SHUFFLE_MERGE(lineitem, orders) */
+               c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(l_quantity) > 300)
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+    }),
+
     // Salted skew join — textbook pattern: the build side is replicated
     // once per salt value; the probe side scatters each row to a salt
     // bucket derived from a NON-key column, so all lineitems of one hot
@@ -133,6 +211,40 @@ object SqlInterface {
            AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
+         c_acctbal, n_name
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "sql_tpch_q17" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+           AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#1'
+           AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+    "sql_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(l_quantity) > 300)
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
     "join_skew_salted" ->
       """SELECT o_orderpriority,
          CAST(COUNT(*) AS BIGINT) AS n_items,
