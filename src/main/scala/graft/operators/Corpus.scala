@@ -105,6 +105,54 @@ object Corpus {
         .cast("int"))
     }),
 
+    // Quality-percentile filter: drop the shortest quartile of the
+    // corpus by token count. The threshold is ONE aggregated scalar
+    // (exact interpolated percentile — deterministic on the sorted
+    // multiset, same formula in both engines, cf. agg_median)
+    // broadcast to a corpus scan: two passes, no shuffle of documents.
+    // At 100 TB swap the exact percentile for percentile_approx and
+    // the threshold stays a constant-memory sketch merge.
+    "corpus_quality_filter" -> ((s, d) => {
+      val counts = Tables.documents(s, d).select(col("doc_id"),
+        size(toksOf(col("text"))).cast("long").as("n_tokens"))
+      val thresh = counts
+        .agg(expr("percentile(n_tokens, 0.25D)").as("p25"))
+      counts.crossJoin(broadcast(thresh))
+        .filter(col("n_tokens").cast("double") > col("p25"))
+        .select(col("doc_id"), col("n_tokens"), col("p25"))
+    }),
+
+    // TF-IDF top terms per document: tf from one token explode with
+    // map-side partial counting, document frequency from a second
+    // aggregate over the (doc, term) pairs — never a re-scan of text.
+    // The term join shuffles on `term` (the dictionary, orders of
+    // magnitude smaller than the corpus; AQE broadcasts it when it
+    // fits); the top-3 window partitions on doc_id, so no global sort
+    // anywhere. n_docs is a 1-row broadcast scalar. Determinism: tf/df
+    // are integers, both engines compute the identical IEEE
+    // ln((n+1)/(df+1))+1 from identical integer inputs, and the window
+    // tie-breaks on `term`, so equal (tf, df) pairs rank identically.
+    "corpus_tfidf_topterms" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(toksOf(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0)) + 1.0))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+          col("df"), col("tfidf"))
+    }),
+
     // Fixed-size chunking with overlap (200-char windows, stride 150) —
     // the context-window prep step. In-row `sequence` of start offsets
     // (no join, no shuffle), explode, substr: linear in output size.
@@ -207,6 +255,38 @@ object Corpus {
            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER)
              AS rnk
          FROM cnt ORDER BY rnk LIMIT 20""",
+    "corpus_quality_filter" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(LEN(LIST_FILTER(
+             REGEXP_SPLIT_TO_ARRAY(text, '\s+'), t -> t <> ''))
+             AS BIGINT) AS n_tokens
+           FROM documents),
+         t AS (SELECT quantile_cont(n_tokens, 0.25) AS p25 FROM c)
+         SELECT doc_id, n_tokens, p25
+         FROM c CROSS JOIN t
+         WHERE CAST(n_tokens AS DOUBLE) > p25""",
+    "corpus_tfidf_topterms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) *
+               (LN((CAST(n_docs AS DOUBLE) + 1.0) /
+                   (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+             CAST(df AS BIGINT) AS df, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, term, tf, df, tfidf FROM r WHERE rnk <= 3""",
     "corpus_chunk" ->
       """SELECT doc_id, CAST(s AS INTEGER) AS chunk_start,
            substr(text, CAST(s AS INTEGER), 200) AS chunk_text,

@@ -54,6 +54,28 @@ class CorpusSpec extends SparkSpec {
     assert(contaminated.filter(col("n_shared") <= 0).isEmpty)
   }
 
+  test("tfidf ranks at most 3 terms per doc, rare terms outscore common") {
+    val scored = Corpus.queries("corpus_tfidf_topterms")(spark, sf001)
+    assert(scored.filter(col("rnk") < 1 || col("rnk") > 3).isEmpty)
+    assert(scored.filter(col("tfidf") <= 0.0).isEmpty,
+      "tf>=1 and idf>=1 force positive scores")
+    // within a doc, rank order must agree with score order
+    val inverted = scored.as("a").join(scored.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.rnk") < col("b.rnk") &&
+        col("a.tfidf") < col("b.tfidf"))
+    assert(inverted.isEmpty, "lower rank must never have lower score")
+  }
+
+  test("quality filter keeps only docs above the p25 token count") {
+    val kept = Corpus.queries("corpus_quality_filter")(spark, sf001)
+    assert(kept.filter(col("n_tokens").cast("double") <= col("p25")).isEmpty)
+    val total = Tables.documents(spark, sf001).count()
+    val n = kept.count()
+    // drops at least the bottom quartile boundary ties, keeps a majority
+    assert(n < total && n >= total / 2, s"kept $n of $total")
+  }
+
   test("pii redaction removes every planted pattern") {
     val red = Corpus.queries("corpus_pii_redact")(spark, sf001)
     // planted docs are detected...
