@@ -54,6 +54,23 @@ object Aggregates {
         min(col("l_shipdate")).as("first_ship"),
         max(col("l_shipdate")).as("last_ship"))),
 
+    // Statistical moments per group: variance/stddev/covariance/
+    // correlation — single-pass, partial-aggregated (Spark merges
+    // per-partition (n, Σx, Σx²[, Σxy]) moment states, never re-scans).
+    // Computed over the SMALL-magnitude columns (quantity ≤ 50,
+    // discount ≤ 0.1): moment accumulation order differs between
+    // engines, and on small magnitudes the fp drift stays orders of
+    // magnitude inside the gate's 1e-6 tolerance — price-scaled
+    // moments would not (Σx² ~ 1e12 amplifies the last-ulp noise).
+    "agg_stats_moments" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          var_samp(col("l_quantity")).as("qty_var"),
+          stddev_samp(col("l_quantity")).as("qty_sd"),
+          covar_samp(col("l_quantity"), col("l_discount")).as("qd_cov"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("qp_corr"))),
+
     // GROUP BY + HAVING
     "agg_groupby_having" -> ((s, d) =>
       Tables.customer(s, d)
@@ -219,6 +236,13 @@ object Aggregates {
          MIN(l_shipdate) AS first_ship,
          MAX(l_shipdate) AS last_ship
          FROM lineitem""",
+    "agg_stats_moments" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         var_samp(l_quantity) AS qty_var,
+         stddev_samp(l_quantity) AS qty_sd,
+         covar_samp(l_quantity, l_discount) AS qd_cov,
+         corr(l_quantity, l_extendedprice) AS qp_corr
+         FROM lineitem GROUP BY l_returnflag""",
     "agg_groupby_having" ->
       """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
