@@ -92,6 +92,60 @@ object Analytics {
     // Distribution window functions: percent_rank / cume_dist / 2nd
     // balance per segment. Rational values of small integer counts —
     // both engines compute the identical divisions, so doubles match.
+    // Gap-based sessionization in batch — the lag/flag/cumsum
+    // composition (identical semantics to session_window's 30-minute
+    // gap; StreamingSpec ties the two). Everything partitions on
+    // user_id: one shuffle, then two windows and the session rollup all
+    // ride the same partitioning. Event-time gaps compare in integer
+    // microseconds — no fp boundary ambiguity.
+    "window_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val newSess = when(lag(col("ts"), 1).over(byUser).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+          > 30L * 60 * 1000000, 1L).otherwise(0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("sess_id",
+          sum(newSess).over(byUser.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("session_value"))
+    }),
+
+    // Deterministic per-group mode: count per (group, value), then the
+    // top row per group with an explicit (cnt DESC, value ASC)
+    // tie-break — built-in `mode()` leaves ties implementation-defined,
+    // which can never hash-match across engines. Two partial-combined
+    // aggregates + a values-cardinality window, never a row-level sort.
+    "agg_mode" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))),
+
+    // Fixed-bound histogram: bucket index is floor(x / width) — one
+    // integer per row, one partial-combined count per bucket. Explicit
+    // arithmetic instead of width_bucket keeps the binning expression
+    // identical in both engines (and the division is the same IEEE op,
+    // so boundary values land identically).
+    "agg_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select((floor(col("l_extendedprice") / 11000.0)).cast("int")
+          .as("bucket"), col("l_extendedprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))),
+
     "window_dist_functions" -> ((s, d) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -204,6 +258,51 @@ object Analytics {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS running_spend
          FROM orders""",
+    "window_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+           FROM flagged)
+         SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS session_value
+         FROM numbered GROUP BY user_id, sess_id""",
+    "agg_mode" ->
+      """WITH c AS (
+           SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY o_orderstatus, o_orderpriority),
+         r AS (
+           SELECT o_orderstatus, o_orderpriority, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+               ORDER BY cnt DESC, o_orderpriority) AS rn
+           FROM c)
+         SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+         FROM r WHERE rn = 1""",
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 11000.0) AS INTEGER)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(l_extendedprice) AS lo,
+         MAX(l_extendedprice) AS hi
+         FROM lineitem
+         GROUP BY CAST(FLOOR(l_extendedprice / 11000.0) AS INTEGER)""",
     "window_lag_lead" ->
       """SELECT o_orderkey, o_custkey,
          LAG(o_totalprice, 1) OVER w AS prev_price,

@@ -67,6 +67,22 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("lag/cumsum sessionization equals session_window exactly") {
+    // Two independent formulations of 30-minute-gap sessions — the
+    // built-in session_window aggregate and the window_sessionize
+    // lag/flag/cumsum composition — must produce the identical session
+    // set with identical rollups.
+    val composed = graft.queries.Analytics
+      .queries("window_sessionize")(spark, sf001)
+      .select("user_id", "session_start", "n_events", "session_value")
+    val builtin = EventWindows.sessions(Tables.events(spark, sf001))
+      .select("user_id", "session_start", "n_events", "session_value")
+    assert(composed.count() == builtin.count())
+    assert(composed.exceptAll(builtin).isEmpty &&
+      builtin.exceptAll(composed).isEmpty,
+      "session sets must match row for row")
+  }
+
   test("session windows: no session shorter than one event, gaps respected") {
     val sessions = EventWindows.sessions(Tables.events(spark, sf0001))
     assert(sessions.filter(col("n_events") < 1).count() == 0)
