@@ -105,6 +105,48 @@ object Corpus {
         .cast("int"))
     }),
 
+    // The END-TO-END pipeline: quality filter → exact dedup → split →
+    // test-set decontamination → per-split corpus summary, one
+    // composed plan. Every stage is the already-audited distributed
+    // shape (broadcast percentile scalar; hash-aggregate dedup on
+    // text; arithmetic split; gram semi-join decontamination that
+    // shuffles grams, never documents); Catalyst pipelines them
+    // without materializing any intermediate corpus copy. This is the
+    // query a 100 TB training-data build actually runs.
+    "corpus_pipeline_e2e" -> ((s, d) => {
+      val counted = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_tokens", size(toksOf(col("text"))).cast("long"))
+      val thresh = counted
+        .agg(expr("percentile(n_tokens, 0.25D)").as("p25"))
+      val kept = counted.crossJoin(broadcast(thresh))
+        .filter(col("n_tokens").cast("double") > col("p25"))
+      val deduped = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(col("n_tokens")).as("n_tokens"))
+      val split = withSplit(deduped)
+        .select(col("doc_id"), col("split"), col("n_tokens"), col("text"))
+      // materialize tokens behind an exchange (same rationale as
+      // corpus_decontaminate: keep the split+filter out of the gram
+      // lambda so it runs once per row, not once per gram)
+      val tk = graft.core.Par.fanout(
+        split.select(col("doc_id"), col("split"), col("n_tokens"),
+          toksOf(col("text")).as("tk")))
+      val grams = tk.select(col("doc_id"), col("split"),
+        explode(array_distinct(wordGrams(col("tk"), 5))).as("gram"))
+      val testGrams = grams.filter(col("split") === "test")
+        .select(col("gram")).distinct()
+      val contaminated = grams.filter(col("split") === "train")
+        .select(col("doc_id"), col("gram"))
+        .join(testGrams, "gram")
+        .select(col("doc_id")).distinct()
+      tk.select(col("doc_id"), col("split"), col("n_tokens"))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // Quality-percentile filter: drop the shortest quartile of the
     // corpus by token count. The threshold is ONE aggregated scalar
     // (exact interpolated percentile — deterministic on the sorted
@@ -255,6 +297,46 @@ object Corpus {
            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER)
              AS rnk
          FROM cnt ORDER BY rnk LIMIT 20""",
+    "corpus_pipeline_e2e" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '') AS tk
+           FROM documents),
+         n AS (SELECT doc_id, text, tk,
+                 CAST(LEN(tk) AS BIGINT) AS n_tokens FROM c),
+         thr AS (SELECT quantile_cont(n_tokens, 0.25) AS p25 FROM n),
+         kept AS (SELECT doc_id, text, tk, n_tokens
+                  FROM n CROSS JOIN thr
+                  WHERE CAST(n_tokens AS DOUBLE) > p25),
+         dd AS (SELECT MIN(doc_id) AS doc_id,
+                  MIN(n_tokens) AS n_tokens, text
+                FROM kept GROUP BY text),
+         sp AS (SELECT doc_id, n_tokens, text,
+                  CASE WHEN ((doc_id * 1103515245 + 12345)
+                        % 2147483648) % 100 < 80 THEN 'train'
+                       WHEN ((doc_id * 1103515245 + 12345)
+                        % 2147483648) % 100 < 90 THEN 'valid'
+                       ELSE 'test' END AS split
+                FROM dd),
+         g AS (SELECT doc_id, split,
+                 unnest(list_distinct(list_transform(
+                   range(1, GREATEST(LEN(list_filter(
+                     regexp_split_to_array(text, '\s+'),
+                     t -> t <> '')) - 4, 1) + 1),
+                   i -> array_to_string(list_filter(
+                     regexp_split_to_array(text, '\s+'),
+                     t -> t <> '')[i:i+4], ' ')))) AS gram
+               FROM sp),
+         tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+         bad AS (SELECT DISTINCT doc_id FROM g
+                 WHERE split = 'train'
+                   AND gram IN (SELECT gram FROM tg)),
+         fin AS (SELECT * FROM sp
+                 WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         FROM fin GROUP BY split""",
     "corpus_quality_filter" ->
       """WITH c AS (
            SELECT doc_id, CAST(LEN(LIST_FILTER(
