@@ -92,10 +92,31 @@ object EventWindows {
   def sessionsStream(spark: SparkSession, sfDir: String): DataFrame =
     sessions(eventStream(spark, sfDir))
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * customer dim, rolled up per (window, segment). The dim side is
+    * STATELESS — Spark broadcasts a fresh snapshot of the static
+    * relation into each micro-batch, no join state accumulates — which
+    * is exactly how a 100 TB stream enriches against reference data
+    * (the only state is the windowed aggregate, watermark-bounded). */
+  def enriched(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "10 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("c_mktsegment"),
+        col("n_events"), col("total_value"))
+
+  /** The streaming form of `enriched`: unbounded events, static dim. */
+  def enrichedStream(spark: SparkSession, sfDir: String): DataFrame =
+    enriched(eventStream(spark, sfDir), Tables.customer(spark, sfDir))
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_window" -> ((s, d) => tumbling(Tables.events(s, d))),
     "stream_sliding_window" -> ((s, d) => sliding(Tables.events(s, d))),
-    "stream_session_window" -> ((s, d) => sessions(Tables.events(s, d)))
+    "stream_session_window" -> ((s, d) => sessions(Tables.events(s, d))),
+    "stream_static_enrich" -> ((s, d) =>
+      enriched(Tables.events(s, d), Tables.customer(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -116,6 +137,13 @@ object EventWindows {
          SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
          FROM assigned GROUP BY w_start""",
+    "stream_static_enrich" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+           AS w_start, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
     // Gaps-and-islands reconstruction of 30-minute-gap sessions.
     "stream_session_window" ->
       """WITH marked AS (

@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment converges to the batch join's answer") {
+    val q = EventWindows.enrichedStream(spark, sf0001).writeStream
+      .format("memory")
+      .queryName("enrich_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("enrich_test")
+      .select("w_start", "c_mktsegment", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows.enriched(Tables.events(spark, sf0001),
+        Tables.customer(spark, sf0001))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming session window converges to the batch plan's answer") {
     // session_window streaming forbids update mode (sessions merge, so
     // an emitted row could be retracted); complete mode re-emits the
