@@ -51,6 +51,36 @@ object Temporal {
         rightVals.map(v => col(s"__c.$v").as(s"asof_$v")): _*)
   }
 
+  /** Mirror of `asofJoin` for the forward direction: for each left
+    * event, the EARLIEST right event with the same key and `rts > lts`
+    * (strictly after — pandas merge_asof(direction='forward',
+    * allow_exact_matches=False)). Same union-tag shape, with the
+    * window flipped to (current row → unbounded following) and right
+    * rows sorted BEFORE left at equal ts so an equal-ts right row
+    * falls outside the left row's forward frame. Identical scale
+    * profile: one key shuffle, one in-partition sort. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, rightVals: Seq[String]): DataFrame = {
+    val lTag = left.withColumn("__is_r", lit(0))
+      .withColumns(rightVals.map(v => s"__r_$v" -> lit(null)).toMap)
+    val rTag = right.select(
+      (col(key) +: col(rts).as(lts) +: lit(1).as("__is_r") +:
+        rightVals.map(v => col(v).as(s"__r_$v"))): _*)
+    val unioned = lTag.unionByName(rTag, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(lts) +: col("__is_r").desc +:
+        rightVals.map(v => col(s"__r_$v").asc_nulls_first)): _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rStruct = when(col("__is_r") === 1,
+      struct((col(lts).as("ts") +:
+        rightVals.map(v => col(s"__r_$v").as(v))): _*))
+    val carried = unioned.withColumn("__c",
+      first(rStruct, ignoreNulls = true).over(w))
+    carried.filter(col("__is_r") === 0)
+      .select((left.columns.map(col) :+ col("__c.ts").as("asof_ts")) ++
+        rightVals.map(v => col(s"__c.$v").as(s"asof_$v")): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // As-of join: each click paired with the user's most recent purchase
     // at or before it (nulls when no prior purchase).
@@ -61,6 +91,21 @@ object Temporal {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("value"))
       asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("purchase_ts"),
+          col("asof_value").as("purchase_value"))
+    }),
+
+    // Forward as-of: each click paired with the user's NEXT purchase
+    // strictly after it (nulls when none follows).
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      asofJoinForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_ts").as("purchase_ts"),
           col("asof_value").as("purchase_value"))
@@ -129,6 +174,17 @@ object Temporal {
            p.ts AS purchase_ts, p.value AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "join_asof_forward" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS purchase_ts, p.value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.ts > c.ts""",
     "join_asof_native" ->
       """WITH clicks AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -35,6 +35,30 @@ class TemporalSpec extends SparkSpec {
     assert(joined.count() == clicks.count())
   }
 
+  test("forward asof: paired purchase is strictly after and the earliest") {
+    val ev = Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val joined = Temporal.asofJoinForward(clicks, purchases,
+      "user_id", "ts", "ts", Seq("value"))
+    assert(joined.filter(col("asof_ts") <= col("ts")).count() == 0)
+    val sample = joined.limit(20).collect()
+    val p = purchases.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    sample.foreach { r =>
+      val user = r.getAs[Long]("user_id")
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      val best = p.filter(x => x._1 == user && x._2.after(ts))
+        .sortBy(_._2.getTime).headOption
+      assert(r.getAs[java.sql.Timestamp]("asof_ts") == best.map(_._2).orNull)
+      assert(Option(r.getAs[java.lang.Double]("asof_value"))
+        .map(_.doubleValue()) == best.map(_._3))
+    }
+    assert(joined.count() == clicks.count())
+  }
+
   test("native AsofJoinExec equals the union+window formulation") {
     val window = Temporal.queries("join_asof")(spark, sf0001)
       .collect().map(_.toSeq).toSet
