@@ -68,6 +68,34 @@ object Formats {
       .bucketBy(nBuckets, byCol).sortBy(byCol)
       .option("path", path).format("parquet").saveAsTable(table)
 
+  /** Small-file compaction — the table-maintenance pass a lake runs
+    * continuously: streaming sinks and over-parallel writes leave
+    * thousands of tiny files whose per-file open/footer/listing cost
+    * comes to dominate scans at 100 TB. Rewrites the directory into
+    * ⌈bytes / targetBytes⌉ files via a round-robin repartition
+    * (uniform output sizes), then swaps directories. Returns the
+    * output file count. At scale, run per partition directory so each
+    * swap is bounded by one partition's data, and take a table lock
+    * (or use a transactional table format) for the swap window —
+    * rename is atomic per directory on HDFS-like filesystems. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((bytes + targetBytes - 1) / targetBytes)
+      .max(1).min(10000).toInt
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      .parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+    nFiles
+  }
+
   /** Co-located join over pre-bucketed tables, as an inventory query:
     * the values match a plain join (the oracle), the point is the plan —
     * both scan sides report the bucket spec and the equi-join runs with
