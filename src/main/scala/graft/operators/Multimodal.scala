@@ -194,6 +194,33 @@ object Multimodal {
           col("width"), col("height"), col("sample_rate"),
           col("duration_ms"), col("n_frames"))),
 
+    // Resize for image payloads: real decode → halve both dimensions →
+    // nearest-neighbor downsample of the pixel buffer (every 2nd
+    // stand-in byte) → rebuild a VALID BMP container → re-decode it
+    // with the same real parser. The output columns come from the
+    // re-decoded resized payload, so the oracle's header arithmetic
+    // proves the full rebuild round-trip, not just the intent. Payload
+    // bytes never shuffle; the per-partition iterator is the
+    // mapInPandas shape.
+    "multimodal_resize" -> ((s, d) => {
+      import s.implicits._
+      val imgs = withPayload(graft.sources.Tables.documents(s, d))
+        .filter(col("media_type") === "image")
+        .select(col("doc_id"), col("payload"))
+      graft.core.Par.fanout(imgs).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val f = decode(id, bytes)
+          val (newW, newH) =
+            (math.max(f.width / 2, 1), math.max(f.height / 2, 1))
+          val body = java.util.Arrays.copyOfRange(bytes, 54, bytes.length)
+          val resized = Array.tabulate((body.length + 1) / 2)(i => body(i * 2))
+          val rf = decode(id, bmpBytes(newW, newH, resized))
+          (id, f.width, f.height, rf.width, rf.height, rf.n_bytes)
+        })
+        .toDF("doc_id", "src_width", "src_height", "width", "height",
+          "n_bytes")
+    }),
+
     // Frame sampling for video payloads: every 10th frame index as an
     // in-row array (`sequence` — no explode, no shuffle), plus the
     // scalar summary the oracle checks. A real pipeline feeds the
@@ -213,6 +240,19 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "multimodal_resize" ->
+      """WITH d AS (
+           SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS tb, n_chars
+           FROM documents WHERE doc_id % 3 = 0)
+         SELECT doc_id,
+           CAST(n_chars % 1920 + 1 AS INTEGER) AS src_width,
+           CAST(n_chars % 1080 + 1 AS INTEGER) AS src_height,
+           CAST(GREATEST((n_chars % 1920 + 1) // 2, 1) AS INTEGER)
+             AS width,
+           CAST(GREATEST((n_chars % 1080 + 1) // 2, 1) AS INTEGER)
+             AS height,
+           CAST(54 + (tb + 1) // 2 AS INTEGER) AS n_bytes
+         FROM d""",
     "multimodal_frame_sample" ->
       """WITH v AS (
            SELECT doc_id,
