@@ -174,6 +174,40 @@ object Aggregates {
         .agg(graft.functions.WeightedMean.toColumn(
           col("l_extendedprice"), col("l_quantity")).as("w_avg_price"))),
 
+    // Heavy-hitters probe via the custom count-min sketch Aggregator
+    // (functions/CountMin.scala): ONE constant-memory sketch of the
+    // whole key column (partial-merged per executor, 8 KB on the
+    // wire), probed for 10 keys against exact counts computed in the
+    // same job. Bounds-boolean oracle: estimates must never
+    // undercount and must stay within 3N/Width of exact — the
+    // deterministic fixture makes the check stable.
+    "agg_heavy_hitters" -> ((s, d) => {
+      import graft.functions.CountMin
+      val li = Tables.lineitem(s, d)
+      val sketch = li.agg(CountMin.toColumn(col("l_partkey")).as("sk"),
+        count(lit(1)).as("n_total"))
+      val probeDf = s.createDataFrame(
+        (0L until 10L).map { k =>
+          val b = (0 until CountMin.Depth).map(r =>
+            r * CountMin.Width + CountMin.bucket(r, k) + 1)
+          (k, b(0), b(1), b(2), b(3))
+        }).toDF("l_partkey", "b0", "b1", "b2", "b3")
+      val est = probeDf.crossJoin(broadcast(sketch))
+        .select(col("l_partkey"), col("n_total"),
+          least(element_at(col("sk"), col("b0")),
+            element_at(col("sk"), col("b1")),
+            element_at(col("sk"), col("b2")),
+            element_at(col("sk"), col("b3"))).as("est"))
+      li.filter(col("l_partkey") < 10)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_cnt"))
+        .join(est, "l_partkey")
+        .select(col("l_partkey"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).as("no_undercount"),
+          (col("est") <= col("exact_cnt")
+            + col("n_total") * 3 / CountMin.Width)
+            .as("bounded_overcount"))
+    }),
+
     // Join + aggregate: revenue per nation (multi-join star query).
     // nation/region are broadcast (tiny dims); only customer⋈orders⋈lineitem
     // shuffle on their keys.
@@ -203,6 +237,10 @@ object Aggregates {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                                  (l_returnflag, l_linestatus))""",
+    "agg_heavy_hitters" ->
+      """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+         TRUE AS no_undercount, TRUE AS bounded_overcount
+         FROM lineitem WHERE l_partkey < 10 GROUP BY l_partkey""",
     "agg_median" ->
       """SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS median_price,
