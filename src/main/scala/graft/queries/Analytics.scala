@@ -92,6 +92,23 @@ object Analytics {
     // Distribution window functions: percent_rank / cume_dist / 2nd
     // balance per segment. Rational values of small integer counts —
     // both engines compute the identical divisions, so doubles match.
+    // Z-order clustering key: Morton-interleave two bucketed columns
+    // and take the curve-order head — the sort key a lake layout
+    // clusters files by so min/max skipping works on BOTH columns
+    // (ZOrderSpec measures the per-file range narrowing). The top-k
+    // goes through TakeOrderedAndProject; computing zval is pure
+    // codegen'd shift/mask arithmetic on the scan.
+    "sort_zorder" -> ((s, d) => {
+      val px = pmod(col("l_partkey"), lit(256L))
+      val py = pmod(col("l_suppkey"), lit(256L))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          px.as("px"), py.as("py"),
+          graft.functions.ZOrder.zValue(px, py).as("zval"))
+        .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
     // Gap-based sessionization in batch — the lag/flag/cumsum
     // composition (identical semantics to session_window's 30-minute
     // gap; StreamingSpec ties the two). Everything partitions on
@@ -258,6 +275,18 @@ object Analytics {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
            AS running_spend
          FROM orders""",
+    "sort_zorder" -> {
+      val z = graft.functions.ZOrder.zValueSql("px", "py")
+      s"""WITH b AS (
+           SELECT l_orderkey, l_linenumber,
+             l_partkey % 256 AS px, l_suppkey % 256 AS py
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, CAST(px AS BIGINT) AS px,
+           CAST(py AS BIGINT) AS py, CAST($z AS BIGINT) AS zval
+         FROM b
+         ORDER BY zval, l_orderkey, l_linenumber
+         LIMIT 100"""
+    },
     "window_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
