@@ -105,6 +105,38 @@ object Corpus {
         .cast("int"))
     }),
 
+    // Bigram language-model scoring (the CCNet-style perplexity
+    // quality signal): train add-1-smoothed bigram statistics on the
+    // corpus itself and score every document by its average negative
+    // log-probability. Counts are three partial-combined aggregates
+    // over ONE bigram explode; the model joins back by (t1, t2) and
+    // t1 — dictionary-sized relations, shuffled on the gram keys, the
+    // corpus never re-scans. Determinism: every ln argument is an
+    // exact integer-valued double, and the per-doc average is compared
+    // under the gate's 1e-6 tolerance (fp summation order may differ).
+    "corpus_lm_score" -> ((s, d) => {
+      val tk = graft.core.Par.fanout(Tables.documents(s, d)
+        .select(col("doc_id"), toksOf(col("text")).as("tk")))
+      val vocab = tk.select(explode(col("tk")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val bigrams = tk.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("t1"),
+              element_at(col("tk"), i + 1).as("t2")))).as("bg"))
+        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      val cb = bigrams.groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("cb"))
+      val cu = bigrams.groupBy(col("t1")).agg(count(lit(1)).as("cu"))
+      bigrams.join(cb, Seq("t1", "t2")).join(cu, Seq("t1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          (log((col("cu") + col("v")).cast("double"))
+            - log(col("cb") + 1.0)).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
+    }),
+
     // The END-TO-END pipeline: quality filter → exact dedup → split →
     // test-set decontamination → per-split corpus summary, one
     // composed plan. Every stage is the already-audited distributed
@@ -297,6 +329,27 @@ object Corpus {
            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER)
              AS rnk
          FROM cnt ORDER BY rnk LIMIT 20""",
+    "corpus_lm_score" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
+           FROM tk, unnest(range(1, LEN(tk))) AS u(i)
+           WHERE LEN(tk) >= 2),
+         cb AS (SELECT t1, t2, COUNT(*) AS cb FROM b GROUP BY t1, t2),
+         cu AS (SELECT t1, COUNT(*) AS cu FROM b GROUP BY t1),
+         v AS (SELECT COUNT(DISTINCT tok) AS v
+               FROM (SELECT unnest(tk) AS tok FROM tk)),
+         s AS (
+           SELECT doc_id, -(LN(cb + 1.0) - LN(CAST(cu + v AS DOUBLE)))
+             AS nll
+           FROM b JOIN cb USING (t1, t2) JOIN cu USING (t1)
+           CROSS JOIN v)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           AVG(nll) AS avg_nll
+         FROM s GROUP BY doc_id""",
     "corpus_pipeline_e2e" ->
       """WITH c AS (
            SELECT doc_id, text,

@@ -158,6 +158,50 @@ object SqlInterface {
         LIMIT 100""")
     }),
 
+    // TPC-H Q12 (shipping modes / priority classes): one orderkey
+    // shuffle join, CASE-conditional counts ride the aggregate —
+    // conditional aggregation costs nothing extra at scale (same scan,
+    // same exchange, two codegen'd counters).
+    "sql_tpch_q12" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT /*+ SHUFFLE_MERGE(lineitem, orders) */
+               l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                 AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                 AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")
+    }),
+
+    // TPC-H Q14 (promotion effect): conditional revenue share — a
+    // broadcast part-dim join with both the conditional and total sums
+    // in one pass; the final percentage is one driver-side division of
+    // two exact decimals.
+    "sql_tpch_q14" -> ((s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("part")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT /*+ BROADCAST(part) */
+               CAST(100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,10)) ELSE CAST(0.0 AS DECIMAL(18,10))
+                 END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,10))) AS DOUBLE) AS DOUBLE)
+                 AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+    }),
+
     // Salted skew join — textbook pattern: the build side is replicated
     // once per salt value; the probe side scatters each row to a salt
     // bucket derived from a NON-key column, so all lineitems of one hot
@@ -245,6 +289,27 @@ object SqlInterface {
          GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 100""",
+    "sql_tpch_q12" ->
+      """SELECT l_linestatus,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
+    "sql_tpch_q14" ->
+      """SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+           THEN CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,10)) ELSE CAST(0.0 AS DECIMAL(18,10)) END)
+           AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(18,10))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""",
     "join_skew_salted" ->
       """SELECT o_orderpriority,
          CAST(COUNT(*) AS BIGINT) AS n_items,
