@@ -158,6 +158,28 @@ object SqlInterface {
         LIMIT 100""")
     }),
 
+    // TPC-H Q4 (order priority checking): correlated EXISTS — the one
+    // subquery shape Q17/Q18 don't cover. Catalyst rewrites it to a
+    // left SEMI join on o_orderkey (first match short-circuits; the
+    // probe side never multiplies), keyed on the same partitioning the
+    // GROUP BY then reuses. Condition adapted to the fixture schema
+    // (no l_commitdate/l_receiptdate): a lineitem shipped > 60 days
+    // after the order date marks the order late.
+    "sql_tpch_q4" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
     // TPC-H Q12 (shipping modes / priority classes): one orderkey
     // shuffle join, CASE-conditional counts ride the aggregate —
     // conditional aggregation costs nothing extra at scale (same scan,
@@ -289,6 +311,16 @@ object SqlInterface {
          GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 100""",
+    "sql_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "sql_tpch_q12" ->
       """SELECT l_linestatus,
          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
