@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale spot-check: amplify the sf0.1 fixtures 8× (key-shifted copies
+  * — preserves join fan-in, dedup pair structure, and LSH bucket load
+  * per copy) into /tmp, then run the heavy query set against the
+  * amplified directory with interleaved control scans. A query whose
+  * amplified/baseline ratio is ≲ the 8× data ratio scales at-worst
+  * linearly; the LSH-bounded dedup family should come in well under.
+  *
+  * Perf evidence only — correctness stays gated on the driver fixtures.
+  * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [copies]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(8)
+    val amp = s"/tmp/graft_amp_${copies}x_${new java.io.File(base).getName}"
+    val spark = graft.functions.GraftExtensions
+      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]",
+        "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def amplify(table: String, keyCols: Seq[String]): Unit = {
+      val out = s"$amp/$table.parquet"
+      if (new java.io.File(out, "_SUCCESS").exists()) return
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val shift = 1000000000L
+      val parts = (0 until copies).map { k =>
+        keyCols.foldLeft(src) { (df, c) =>
+          df.withColumn(c, col(c) + lit(k * shift)) }
+      }
+      parts.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    }
+    def passthrough(table: String): Unit = {
+      val out = s"$amp/$table.parquet"
+      if (new java.io.File(out).exists()) return
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$base/$table.parquet"),
+        java.nio.file.Paths.get(out))
+    }
+
+    println(s"[scale] building $amp (${copies}x)")
+    amplify("documents", Seq("doc_id"))
+    amplify("lineitem", Seq("l_orderkey"))
+    amplify("orders", Seq("o_orderkey"))
+    amplify("embeddings", Seq("vec_id"))
+    Seq("customer", "supplier", "nation", "region", "part", "events")
+      .foreach(passthrough)
+
+    val li = spark.read.parquet(s"$amp/lineitem.parquet")
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def control(): Double = time(
+      li.filter(col("l_quantity") <= 25.0).select(col("l_orderkey")).count())
+    control()
+
+    val heavy = Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q18",
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_resolve_clusters", "dedup_exact", "corpus_decontaminate",
+      "corpus_pipeline_e2e", "corpus_lm_score", "sim_lsh_ann",
+      "sim_ivf_ann", "agg_heavy_hitters")
+    for (r <- 1 to 2; n <- heavy) {
+      val c = control()
+      val t = time {
+        val df = graft.SparkEntry.queries(n)(spark, amp)
+        df.write.mode(SaveMode.Overwrite).format("noop").save()
+      }
+      println(f"[scale] rep=$r ctrl=$c%.2f $n=$t%.2f")
+    }
+    spark.stop()
+  }
+}
