@@ -43,4 +43,84 @@ class SqlPlanSpec extends SparkSpec {
     val n = df.count()
     assert(n > 0 && n <= 100, s"expected (0,100] rows, got $n")
   }
+
+  test("q6 pushes all predicates into the parquet scan, no join") {
+    val df = run("sql_tpch_q6")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // all three predicates reach the scan: row groups outside the
+    // shipdate year are skipped before any byte is decoded
+    assert(formatted.contains("PushedFilters"), formatted.take(800))
+    assert(formatted.matches("(?s).*PushedFilters:.*l_shipdate.*"),
+      formatted.take(1500))
+    assert(!formatted.contains("Join"))
+    // only the 4 needed columns are read, not all 11
+    val readSchema =
+      formatted.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(df.count() == 1)
+  }
+
+  test("q7/q8/q9 broadcast every dim and never nested-loop") {
+    for (q <- Seq("sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9")) {
+      val df = run(q)
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"), s"$q: ${phys.take(500)}")
+      assert(phys.contains("SortMergeJoin"), s"$q: ${phys.take(500)}")
+      assert(!phys.contains("BroadcastNestedLoopJoin"), q)
+      assert(!phys.contains("CartesianProduct"), q)
+      assert(df.count() > 0, q)
+    }
+  }
+
+  test("q13 keeps the non-key predicate inside the left-outer join") {
+    val df = run("sql_tpch_q13")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftOuter"), phys.take(800))
+    // every customer survives: a WHERE instead of the join-condition
+    // filter would delete fully-urgent customers from the histogram
+    val total = df.agg(org.apache.spark.sql.functions.sum("custdist"))
+      .head.getLong(0)
+    val nCust = graft.sources.Tables.customer(spark, sf001).count()
+    assert(total == nCust, s"histogram covers $total of $nCust customers")
+  }
+
+  test("q15 scans lineitem exactly once (window form, no subquery rescan)") {
+    val df = run("sql_tpch_q15")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val lineitemScans = formatted.linesIterator
+      .count(l => l.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"expected 1 lineitem scan, saw $lineitemScans")
+    assert(df.count() >= 1)
+  }
+
+  test("q19 keeps the equi-join under the OR-of-ANDs filter") {
+    val df = run("sql_tpch_q19")
+    val phys = df.queryExecution.executedPlan.toString
+    // the disjunction must NOT force a nested loop — partkey is still
+    // the join key, the ORs evaluate as a post-join filter
+    assert(phys.contains("BroadcastHashJoin"), phys.take(800))
+    assert(!phys.contains("BroadcastNestedLoopJoin"))
+    assert(!phys.contains("CartesianProduct"))
+    assert(df.count() == 1)
+  }
+
+  test("q21 plans EXISTS as semi and NOT EXISTS as anti, same key") {
+    val df = run("sql_tpch_q21")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftSemi"), phys.take(800))
+    assert(phys.contains("LeftAnti"), phys.take(800))
+    assert(!phys.contains("BroadcastNestedLoopJoin"))
+    assert(!phys.contains("CartesianProduct"))
+  }
+
+  test("q22 plans the lapsed-customer check as an anti join") {
+    val df = run("sql_tpch_q22")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftAnti"), phys.take(800))
+    assert(!phys.contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
 }
