@@ -278,6 +278,111 @@ object Corpus {
             lit(phonePat), lit("<PHONE>")).as("redacted"))
     }),
 
+    // Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1
+    // shapes, adapted to the single-line fixture text): per-document
+    // distinct-word fraction, top-word dominance, duplicate-bigram
+    // fraction, mean word length, and the resulting keep flag. One
+    // tokenize feeds both the unigram term-frequency aggregate and the
+    // bigram distinct count — the corpus text is read once; everything
+    // downstream is dictionary-sized per doc. All metrics are ratios of
+    // integers (one IEEE division each) so both engines agree bitwise.
+    "corpus_gopher_quality" -> ((s, d) => {
+      val tk = graft.core.Par.fanout(Tables.documents(s, d)
+        .select(col("doc_id"), toksOf(col("text")).as("tk")))
+      val tf = tk.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val uni = tf.groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"),
+        sum(col("cnt") * length(col("tok"))).as("sum_len"))
+      val bg = tk.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          explode(wordGrams(col("tk"), 2)).as("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("bg")).as("n_distinct_bg"))
+      val dbl = (c: Column) => c.cast("double")
+      uni.join(bg, "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          (dbl(col("n_distinct")) / dbl(col("n_words")))
+            .as("distinct_word_frac"),
+          (dbl(col("top_cnt")) / dbl(col("n_words")))
+            .as("top_word_frac"),
+          (dbl(col("n_bigrams") - col("n_distinct_bg"))
+            / dbl(col("n_bigrams"))).as("dup_bigram_frac"),
+          (dbl(col("sum_len")) / dbl(col("n_words")))
+            .as("mean_word_len"))
+        .withColumn("keep",
+          col("distinct_word_frac") >= 0.45 &&
+            col("top_word_frac") <= 0.1 &&
+            col("dup_bigram_frac") <= 0.05 &&
+            col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+    }),
+
+    // Stratified per-language sampling: a deterministic 10% sample of
+    // every language, selected by LCG-hash rank so any worker can
+    // recompute membership. The window partitions on lang (parallel
+    // across strata, never a global sort); the per-stratum quota is a
+    // windowed count over the same partition — no driver round-trip.
+    // This is how a mixture-balanced training subset is cut at 100 TB:
+    // hash-rank within stratum, keep rank <= ceil(q * |stratum|).
+    "corpus_stratified_sample" -> ((s, d) => {
+      val ord = (col("doc_id") * A + C) % M
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(ord, col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(cw))
+        .filter(col("rnk") <=
+          ceil(col("n_lang").cast("double") * 0.1).cast("long"))
+        .select(col("lang"), col("doc_id"), col("rnk"), col("n_lang"))
+    }),
+
+    // Source/domain mix report with blocklist: per-source doc and token
+    // counts, corpus share, and the block flag — the provenance audit
+    // that precedes domain filtering. One partial-combined aggregate
+    // over the corpus; the grand total is a 1-row broadcast scalar, so
+    // the share division never shuffles the per-source frame.
+    "corpus_source_mix" -> ((s, d) => {
+      val bySrc = Tables.documents(s, d)
+        .select(col("source"), size(toksOf(col("text"))).cast("long")
+          .as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens"))
+          .as("n_tokens"))
+      val total = bySrc.agg(sum(col("n_docs")).as("total_docs"))
+      bySrc.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_docs").cast("double") /
+            col("total_docs").cast("double")).as("share"),
+          col("source").isin("src3", "src7", "src13").as("blocked"))
+    }),
+
+    // Temperature-scaled language sampling weights (the UniMax /
+    // multilingual-mixing step): w_l ∝ p_l^alpha with alpha=0.3 —
+    // upweights tail languages, downweights the head. Two tiny
+    // aggregates (per-lang counts, then the normalizer over ≤ #langs
+    // rows) and two broadcast scalars; nothing corpus-sized moves.
+    // The normalizer sums 5 doubles — order may differ between
+    // engines, covered by the gate's 1e-6 rounding (diff ~1e-16).
+    "corpus_lang_weights" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val total = byLang.agg(sum(col("n_docs")).as("total_docs"))
+      val scored = byLang.crossJoin(broadcast(total))
+        .withColumn("p", col("n_docs").cast("double") /
+          col("total_docs").cast("double"))
+        .withColumn("w0", pow(col("p"), 0.3))
+      val z = scored.agg(sum(col("w0")).as("z"))
+      scored.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs"), col("p"),
+          (col("w0") / col("z")).as("weight"))
+    }),
+
     // Per-label embedding centroids: posexplode to (label, dim) cells,
     // then a partial-combined avg — the standard distributed centroid
     // (k-means update step) with no driver-side vectors. Output is one
@@ -465,6 +570,80 @@ object Corpus {
              unnest(list_transform(range(1, LEN(embedding) + 1),
                i -> struct_pack(pos := i, val := embedding[i]))) AS u
            FROM embeddings)
-         GROUP BY label, u.pos - 1"""
+         GROUP BY label, u.pos - 1""",
+    "corpus_gopher_quality" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         tf AS (
+           SELECT doc_id, tok, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM tk)
+           GROUP BY doc_id, tok),
+         uni AS (
+           SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct,
+             MAX(cnt) AS top_cnt, SUM(cnt * LENGTH(tok)) AS sum_len
+           FROM tf GROUP BY doc_id),
+         bg AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             COUNT(DISTINCT b) AS n_distinct_bg
+           FROM (SELECT doc_id,
+                   array_to_string(tk[i:i+1], ' ') AS b
+                 FROM tk, unnest(range(1, LEN(tk))) AS u(i)
+                 WHERE LEN(tk) >= 2)
+           GROUP BY doc_id),
+         m AS (
+           SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS distinct_word_frac,
+             CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS top_word_frac,
+             CAST(n_bigrams - n_distinct_bg AS DOUBLE)
+               / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+             CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+               AS mean_word_len
+           FROM uni JOIN bg USING (doc_id))
+         SELECT *,
+           distinct_word_frac >= 0.45 AND top_word_frac <= 0.1
+             AND dup_bigram_frac <= 0.05
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS keep
+         FROM m""",
+    "corpus_stratified_sample" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648,
+                        doc_id) AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+           FROM documents)
+         SELECT lang, doc_id, rnk, n_lang
+         FROM r
+         WHERE rnk <= CAST(CEIL(CAST(n_lang AS DOUBLE) * 0.1) AS BIGINT)""",
+    "corpus_source_mix" ->
+      """WITH s AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(list_filter(
+               regexp_split_to_array(text, '\s+'), t -> t <> '')))
+               AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         t AS (SELECT SUM(n_docs) AS total_docs FROM s)
+         SELECT source, n_docs, n_tokens,
+           CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS share,
+           source IN ('src3', 'src7', 'src13') AS blocked
+         FROM s CROSS JOIN t""",
+    "corpus_lang_weights" ->
+      """WITH l AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+         t AS (SELECT SUM(n_docs) AS total_docs FROM l),
+         sc AS (
+           SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS p,
+             POW(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE),
+               0.3) AS w0
+           FROM l CROSS JOIN t),
+         z AS (SELECT SUM(w0) AS z FROM sc)
+         SELECT lang, n_docs, p, w0 / z AS weight
+         FROM sc CROSS JOIN z"""
   )
 }

@@ -87,4 +87,45 @@ class CorpusSpec extends SparkSpec {
         col("redacted").rlike("[0-9]{3}-[0-9]{4}"))
     assert(leftover.isEmpty, "redacted text must contain no PII patterns")
   }
+
+  test("gopher quality metrics are in-range and keep is selective") {
+    val q = Corpus.queries("corpus_gopher_quality")(spark, sf001)
+    val bad = q.filter(
+      col("distinct_word_frac") < 0.0 || col("distinct_word_frac") > 1.0 ||
+        col("top_word_frac") <= 0.0 || col("top_word_frac") > 1.0 ||
+        col("dup_bigram_frac") < 0.0 || col("dup_bigram_frac") > 1.0 ||
+        col("mean_word_len") < 1.0)
+    assert(bad.isEmpty, "metric out of range")
+    val n = q.count()
+    val kept = q.filter(col("keep")).count()
+    assert(n == Tables.documents(spark, sf001).count())
+    assert(kept > 0 && kept < n, s"keep flag must discriminate: $kept/$n")
+  }
+
+  test("stratified sample takes ceil(10%) of every language") {
+    val sm = Corpus.queries("corpus_stratified_sample")(spark, sf001)
+    val per = sm.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("n_lang")).as("n_lang"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val (sampled, total) = (r.getLong(1), r.getLong(2))
+      assert(sampled == math.ceil(total * 0.1).toLong,
+        s"${r.getString(0)}: $sampled of $total")
+    }
+    // deterministic: same membership on re-run
+    val again = Corpus.queries("corpus_stratified_sample")(spark, sf001)
+    assert(sm.exceptAll(again).isEmpty && again.exceptAll(sm).isEmpty)
+  }
+
+  test("language weights are a temperature-flattened distribution") {
+    val w = Corpus.queries("corpus_lang_weights")(spark, sf001).collect()
+    val totalWeight = w.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(totalWeight - 1.0) < 1e-9, s"sum=$totalWeight")
+    // alpha<1 flattens: every tail language gains weight vs its raw share
+    w.foreach { r =>
+      val (p, weight) = (r.getAs[Double]("p"), r.getAs[Double]("weight"))
+      if (p < 0.2) assert(weight > p, s"${r.getString(0)}: $weight <= $p")
+    }
+  }
 }
