@@ -21,17 +21,19 @@ class SqlPlanSpec extends SparkSpec {
     assert(df.count() == 20)
   }
 
-  test("q17 decorrelates the scalar subquery into one aggregate+join") {
+  test("q17 window form scans lineitem once, no subquery rescan") {
     val df = run("sql_tpch_q17")
-    val phys = df.queryExecution.executedPlan.toString
-    // Catalyst must rewrite the correlated subquery as a per-partkey
-    // aggregate joined to the probe side — a nested-loop re-execution
-    // per outer row would be quadratic at scale. The only BNLJ-free
-    // evidence: no nested-loop join, no cartesian, and the l_partkey
-    // aggregate feeding a join on partkey.
-    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(800))
-    assert(!phys.contains("CartesianProduct"))
-    assert(phys.contains("HashAggregate"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the canonical correlated-subquery form decorrelates to an
+    // aggregate that scans lineitem a second time; the window form
+    // must not — one fact scan is the 100 TB contract
+    val lineitemScans = formatted.linesIterator
+      .count(_.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"expected 1 lineitem scan, saw $lineitemScans")
+    assert(!formatted.contains("BroadcastNestedLoopJoin"))
+    assert(!formatted.contains("CartesianProduct"))
     assert(df.count() == 1)
   }
 
@@ -107,13 +109,21 @@ class SqlPlanSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
-  test("q21 plans EXISTS as semi and NOT EXISTS as anti, same key") {
+  test("q21 aggregation form scans lineitem once, aggs ride the join") {
     val df = run("sql_tpch_q21")
-    val phys = df.queryExecution.executedPlan.toString
-    assert(phys.contains("LeftSemi"), phys.take(800))
-    assert(phys.contains("LeftAnti"), phys.take(800))
-    assert(!phys.contains("BroadcastNestedLoopJoin"))
-    assert(!phys.contains("CartesianProduct"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the canonical EXISTS/NOT EXISTS form costs three lineitem scans
+    // (probe + semi + anti); the per-order tally form must cost one
+    val lineitemScans = formatted.linesIterator
+      .count(_.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"expected 1 lineitem scan, saw $lineitemScans")
+    // both grouping keys contain l_orderkey, so the aggregates reuse
+    // the join's orderkey exchange: exactly one exchange should carry
+    // lineitem-sized data (the fact join), not one per aggregate
+    assert(!formatted.contains("CartesianProduct"))
+    assert(!formatted.contains("BroadcastNestedLoopJoin"))
   }
 
   test("q22 plans the lapsed-customer check as an anti join") {
