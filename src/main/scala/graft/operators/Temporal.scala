@@ -159,7 +159,47 @@ object Temporal {
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("ts")).as("first_ts"),
           min_by(col("event_id"), col("ts")).as("first_event_id"),
-          (count(lit(1)) - 1).as("n_dropped")))
+          (count(lit(1)) - 1).as("n_dropped"))),
+
+    // Time-series resample to a daily grid with forward fill: per user,
+    // one row per calendar day from their first to last event; gap days
+    // get n_events=0, day_value=0 and carry the last observed closing
+    // value forward. Scale shape: the grid is generated per user with
+    // an in-row `sequence` (days-per-user rows, no cross join against a
+    // global calendar), every join and window partitions on user_id —
+    // one key's timeline never leaves one task, and the ffill is a
+    // single running window, not a per-gap lookup. Determinism: the
+    // day's closing value is picked by (ts, event_id) row_number (no
+    // engine-specific arg_max tie rule), and day sums aggregate as
+    // exact decimals.
+    "ts_resample_ffill" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        date_trunc("DAY", col("ts")).as("day"), col("ts"),
+        col("event_id"), col("value"))
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("day_value"))
+      val rn = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val closing = e.withColumn("rn", row_number().over(rn))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("close_value"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("INTERVAL 1 DAY"))).as("day"))
+      val ffill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .join(closing, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("day_value"), lit(0.0)).as("day_value"),
+          last(col("close_value"), ignoreNulls = true).over(ffill)
+            .as("ffill_value"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,6 +254,39 @@ object Temporal {
          MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
          ARG_MIN(event_id, ts) AS first_event_id,
          CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-         FROM events GROUP BY user_id, event_type"""
+         FROM events GROUP BY user_id, event_type""",
+    "ts_resample_ffill" ->
+      """WITH e AS (
+           SELECT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(ts AS TIMESTAMP) AS ts, event_id, value
+           FROM events),
+         daily AS (
+           SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS day_value
+           FROM e GROUP BY user_id, day),
+         closing AS (
+           SELECT user_id, day, value AS close_value
+           FROM (SELECT user_id, day, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, day
+                     ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM e)
+           WHERE rn = 1),
+         grid AS (
+           SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+           FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                 FROM e GROUP BY user_id))
+         SELECT g.user_id, g.day,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(day_value, 0.0) AS day_value,
+           last_value(close_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ffill_value
+         FROM grid g
+         LEFT JOIN daily USING (user_id, day)
+         LEFT JOIN closing USING (user_id, day)"""
   )
 }

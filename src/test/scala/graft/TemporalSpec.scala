@@ -95,4 +95,22 @@ class TemporalSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("resample emits a dense daily grid with forward-filled gaps") {
+    val r = Temporal.queries("ts_resample_ffill")(spark, sf0001)
+    // dense: per user, row count == days between min and max day
+    val span = r.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        (datediff(max(col("day")), min(col("day"))) + 1).as("n_days"))
+      .filter(col("n_rows") =!= col("n_days"))
+    assert(span.isEmpty, "grid must have exactly one row per day")
+    // gap days exist at this sf and always carry a forward-filled value
+    val gaps = r.filter(col("n_events") === 0)
+    assert(gaps.count() > 0, "fixture should contain gap days")
+    assert(gaps.filter(col("ffill_value").isNull).isEmpty,
+      "every gap day after a user's first event must be filled")
+    // ffill on an active day equals that day's closing value
+    val active = r.filter(col("n_events") > 0)
+    assert(active.filter(col("ffill_value").isNull).isEmpty)
+  }
 }
