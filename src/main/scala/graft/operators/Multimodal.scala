@@ -236,6 +236,39 @@ object Multimodal {
         .select(col("doc_id"), col("n_frames"),
           size(col("frames")).as("n_sampled"),
           element_at(col("frames"), -1).as("last_sampled"))
+    }),
+
+    // Cross-modal contrastive pair construction: align each document
+    // with its embedding (vec_id == doc_id — the fixture's pairing
+    // contract) and attach a deterministic LCG-drawn negative, the
+    // (text, positive, negative) triple a CLIP-style training run
+    // consumes. The negative draw is recomputable by any worker (no
+    // shared RNG state); on collision with the positive it steps to
+    // the next vector. Both embedding joins key on vec_id — at scale
+    // the embedding table shuffles once and the negative join reuses
+    // the same partitioning; n_vecs is a 1-row broadcast scalar.
+    "multimodal_contrastive_pairs" -> ((s, d) => {
+      val emb = graft.sources.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
+      val A = 1103515245L
+      val C = 12345L
+      val M = 2147483648L
+      val draw = ((col("doc_id") * A + C) % M) % col("n_vecs")
+      val docs = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .crossJoin(broadcast(nVecs))
+        .withColumn("neg_id",
+          when(draw === col("doc_id"), (draw + 1) % col("n_vecs"))
+            .otherwise(draw))
+      docs.join(emb.withColumnsRenamed(
+          Map("vec_id" -> "pos_id", "label" -> "pos_label")),
+          col("doc_id") === col("pos_id"))
+        .join(emb.withColumnsRenamed(
+          Map("vec_id" -> "nid", "label" -> "neg_label")),
+          col("neg_id") === col("nid"))
+        .select(col("doc_id"), col("lang"), col("pos_label"),
+          col("neg_id"), col("neg_label"))
     })
   )
 
@@ -299,6 +332,23 @@ object Multimodal {
                 ELSE 0 END AS BIGINT) AS duration_ms,
            CAST(CASE m WHEN 2 THEN GREATEST(n_chars // 10, 1)
                 ELSE 1 END AS INTEGER) AS n_frames
-         FROM d"""
+         FROM d""",
+    "multimodal_contrastive_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+         d AS (
+           SELECT doc_id, lang,
+             ((doc_id * 1103515245 + 12345) % 2147483648) % n_vecs
+               AS draw, n_vecs
+           FROM documents CROSS JOIN n),
+         withneg AS (
+           SELECT doc_id, lang,
+             CASE WHEN draw = doc_id THEN (draw + 1) % n_vecs
+                  ELSE draw END AS neg_id
+           FROM d)
+         SELECT w.doc_id, w.lang, p.label AS pos_label,
+           w.neg_id, g.label AS neg_label
+         FROM withneg w
+         JOIN embeddings p ON w.doc_id = p.vec_id
+         JOIN embeddings g ON w.neg_id = g.vec_id"""
   )
 }

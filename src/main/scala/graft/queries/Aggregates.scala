@@ -224,12 +224,72 @@ object Aggregates {
           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
             .as("revenue"),
           count(lit(1)).as("n_items"))
-    })
+    }),
+
+    // Incremental aggregation merge — the lambda-architecture update:
+    // a pre-aggregated base state (events before the cutoff) merged
+    // with a delta aggregate (events after) via a full-outer join on
+    // the key, combining counts/sums additively and maxima by
+    // greatest. The oracle is the FULL recompute over all events —
+    // passing proves the merge is lossless, i.e. these aggregates are
+    // genuinely mergeable (the property that lets 100 TB state update
+    // from a day's delta instead of re-scanning history). Sums merge
+    // as exact decimals so base+delta is order-independent.
+    "agg_incremental_merge" -> ((s, d) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val base = e.filter(col("ts") < cutoff).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_b"), sum(col("v")).as("s_b"),
+          max(col("ts")).as("t_b"))
+      val delta = e.filter(col("ts") >= cutoff).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_d"), sum(col("v")).as("s_d"),
+          max(col("ts")).as("t_d"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("s_b"), lit(0).cast("decimal(18,6)")) +
+            coalesce(col("s_d"), lit(0).cast("decimal(18,6)")))
+            .cast("double").as("total_value"),
+          greatest(col("t_b"), col("t_d")).as("last_ts"))
+    }),
+
+    // Per-group approximate quantiles with error bounds: the per-lang
+    // median of doc length from a KLL-style mergeable sketch
+    // (percentile_approx), asserted against the exact in-group p40/p60
+    // order statistics. Same bounds-boolean gate trick as
+    // agg_approx_sketches, but GROUPED — each group carries its own
+    // constant-memory sketch, merged map-side; the exact twin is
+    // test-scale scaffolding a production run drops.
+    "agg_group_quantile_bounds" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_chars, 0.5D)").as("e_p50"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(1000))
+            .as("a_p50"),
+          expr("percentile(n_chars, 0.4D)").as("e_p40"),
+          expr("percentile(n_chars, 0.6D)").as("e_p60"))
+        .select(col("lang"), col("n_docs"), col("e_p50"),
+          (col("a_p50").cast("double") >= col("e_p40") &&
+            col("a_p50").cast("double") <= col("e_p60"))
+            .as("p50_in_bound")))
   )
 
   val oracles: Map[String, String] = Map(
     // The oracle asserts the sketch estimates landed inside their
     // published error bounds (booleans TRUE) and the exact count matches.
+    "agg_incremental_merge" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+         FROM events GROUP BY user_id""",
+    "agg_group_quantile_bounds" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         quantile_cont(n_chars, 0.5) AS e_p50,
+         TRUE AS p50_in_bound
+         FROM documents GROUP BY lang""",
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,

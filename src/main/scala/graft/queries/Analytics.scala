@@ -250,7 +250,37 @@ object Analytics {
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
           "left_anti")
-        .select(col("c_custkey"), col("c_name")))
+        .select(col("c_custkey"), col("c_name"))),
+
+    // Banded range self-join: count event pairs of the same type whose
+    // values lie within ±0.5 of each other. A pure range predicate
+    // between two big relations is the one join shape Spark cannot
+    // hash — written naively it plans a nested loop, quadratic per
+    // type. The scale trick: quantize the range key into width-0.5
+    // bands, explode the PROBE side to its band and both neighbors
+    // (3x fanout, bounded), equi-join on (type, band) — the build side
+    // keeps its single band so each qualifying pair meets exactly once
+    // — then post-filter the exact range. Shuffle-hash-joinable, load
+    // spreads by band, and the fanout constant never grows with data.
+    "join_range_banded" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val band = floor(col("value") / 0.5).cast("long")
+      val probe = e.withColumn("bk",
+        explode(array(band - 1, band, band + 1)))
+      val build = e.select(col("event_type"), band.as("bk"),
+        col("event_id").as("r_id"), col("value").as("r_value"))
+      probe.join(build, Seq("event_type", "bk"))
+        // boundary predicate spelled exactly as the oracle's (v ± 0.5
+        // bounds, not abs-of-difference): the two forms round
+        // differently at the window edge and disagree on a handful of
+        // boundary pairs
+        .filter(col("r_id") > col("event_id") &&
+          col("r_value") >= col("value") - 0.5 &&
+          col("r_value") <= col("value") + 0.5)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,6 +416,13 @@ object Analytics {
            WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)""",
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "join_range_banded" ->
+      """SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         FROM events a JOIN events b
+           ON a.event_type = b.event_type
+          AND b.value >= a.value - 0.5 AND b.value <= a.value + 0.5
+          AND b.event_id > a.event_id
+         GROUP BY a.event_type"""
   )
 }

@@ -366,9 +366,9 @@ object SqlInterface {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql("""
-        SELECT /*+ SHUFFLE_MERGE(orders) */
-               c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT /*+ SHUFFLE_MERGE(orders) */
+                     c_custkey, COUNT(o_orderkey) AS c_count
               FROM customer LEFT OUTER JOIN orders
                 ON c_custkey = o_custkey
                 AND o_orderpriority <> '1-URGENT'

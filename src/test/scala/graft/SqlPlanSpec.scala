@@ -126,6 +126,21 @@ class SqlPlanSpec extends SparkSpec {
     assert(!formatted.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("banded range self-join is an equi-join, never a nested loop") {
+    val df = graft.queries.Analytics.queries("join_range_banded")(
+      spark, sf001)
+    val phys = df.queryExecution.executedPlan.toString
+    // the pure range predicate alone would plan a BroadcastNestedLoop/
+    // cartesian — banding must turn it into a hash- or merge-joinable
+    // equi-join on (event_type, band)
+    assert(!phys.contains("BroadcastNestedLoopJoin"), phys.take(800))
+    assert(!phys.contains("CartesianProduct"))
+    assert(phys.contains("Join"), phys.take(400))
+    // exactly the DuckDB naive-range-join pair counts
+    assert(df.agg(org.apache.spark.sql.functions.sum("n_pairs"))
+      .head.getLong(0) > 0)
+  }
+
   test("q22 plans the lapsed-customer check as an anti join") {
     val df = run("sql_tpch_q22")
     val phys = df.queryExecution.executedPlan.toString
