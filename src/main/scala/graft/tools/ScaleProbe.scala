@@ -48,8 +48,29 @@ object ScaleProbe {
     amplify("lineitem", Seq("l_orderkey"))
     amplify("orders", Seq("o_orderkey"))
     amplify("embeddings", Seq("vec_id"))
-    Seq("customer", "supplier", "nation", "region", "part", "events")
+    // events stores TIMESTAMP(NANOS); reading under nanosAsLong keeps
+    // ts a plain int64 through the copy, which Tables.events handles
+    // the same way on the amplified dir. Shifting user_id gives 8x
+    // users with the original per-user timeline each — grid and
+    // window load scale, per-task state does not.
+    graft.sources.Tables.withNanosAsLong(spark) {
+      amplify("events", Seq("event_id", "user_id"))
+    }
+    Seq("customer", "supplier", "nation", "region", "part")
       .foreach(passthrough)
+
+    // amplify() skips tables whose output dir already exists — a stale
+    // dir from an earlier run with different settings silently times
+    // the WRONG fixture (this happened: an earlier probe recorded ~1x
+    // numbers as 8x). Row-count validation makes that impossible.
+    for (t <- Seq("documents", "lineitem", "orders", "embeddings",
+        "events")) {
+      val read = (p: String) => graft.sources.Tables.withNanosAsLong(
+        spark)(spark.read.parquet(p).count())
+      val (nb, na) = (read(s"$base/$t.parquet"), read(s"$amp/$t.parquet"))
+      require(na == nb * copies,
+        s"$t: amplified $na rows != $copies x $nb — stale $amp, rm -rf it")
+    }
 
     val li = spark.read.parquet(s"$amp/lineitem.parquet")
     def time(body: => Unit): Double = {
@@ -60,10 +81,12 @@ object ScaleProbe {
     control()
 
     val heavy = Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q18",
+      "sql_tpch_q2", "sql_tpch_q17", "sql_tpch_q21",
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_resolve_clusters", "dedup_exact", "corpus_decontaminate",
-      "corpus_pipeline_e2e", "corpus_lm_score", "sim_lsh_ann",
-      "sim_ivf_ann", "agg_heavy_hitters")
+      "corpus_pipeline_e2e", "corpus_lm_score", "corpus_gopher_quality",
+      "sim_lsh_ann", "sim_ivf_ann", "agg_heavy_hitters",
+      "ts_resample_ffill", "join_range_banded", "agg_incremental_merge")
     for (r <- 1 to 2; n <- heavy) {
       val c = control()
       val t = time {

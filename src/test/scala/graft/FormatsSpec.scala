@@ -58,6 +58,46 @@ class FormatsSpec extends SparkSpec {
     assert(back.count() == 500)
   }
 
+  test("schema evolution: mergeSchema unions old and new columns") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    val v1 = Tables.region(spark, sf001)
+    v1.write.parquet(s"$dir/batch=1")
+    // a later writer adds a column — the standard additive evolution
+    val v2 = Tables.region(spark, sf001)
+      .withColumn("r_comment",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("about "),
+          org.apache.spark.sql.functions.col("r_name")))
+    v2.write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet ==
+      Set("r_regionkey", "r_name", "r_comment", "batch"))
+    assert(merged.count() == v1.count() * 2)
+    // old-batch rows surface the new column as null, new-batch as values
+    assert(merged.filter(org.apache.spark.sql.functions.col("batch") === 1
+      && org.apache.spark.sql.functions.col("r_comment").isNotNull).count() == 0)
+    assert(merged.filter(org.apache.spark.sql.functions.col("batch") === 2
+      && org.apache.spark.sql.functions.col("r_comment").isNull).count() == 0)
+  }
+
+  test("corrupt JSON records are captured, not dropped or fatal") {
+    import spark.implicits._
+    val good = """{"k": 1, "s": "ok"}"""
+    val bad = """{"k": oops"""
+    val ds = Seq(good, bad, good).toDS()
+    val schema = "k LONG, s STRING, _corrupt_record STRING"
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(ds)
+    assert(parsed.count() == 3)
+    assert(parsed.filter(org.apache.spark.sql.functions
+      .col("_corrupt_record").isNotNull).count() == 1)
+    assert(parsed.filter(org.apache.spark.sql.functions
+      .col("k") === 1).count() == 2)
+  }
+
   test("partitioned parquet prunes partitions on the filter") {
     val src = Tables.orders(spark, sf0001)
       .withColumn("o_year", year(col("o_orderdate")))
