@@ -280,6 +280,59 @@ object Analytics {
           col("r_value") <= col("value") + 0.5)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // Ordered funnel (view → click → purchase): each stage's timestamp
+    // is the first qualifying event STRICTLY AFTER the previous stage
+    // — the windowFunnel semantics, not three independent minima.
+    // Three per-user aggregates chained by self-joins, all keyed on
+    // user_id: one hash partitioning serves every stage (the
+    // aggregates and joins all cluster on the same key, so the event
+    // log shuffles once and the per-user stage frames are
+    // dictionary-sized). Timestamps are distinct microseconds, so MIN
+    // is deterministic.
+    "window_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("ts")).as("t_click"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t_click")), "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_purchase"))
+      s1.join(s2.select(col("user_id"), col("t_click")),
+          Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .otherwise(1)).cast("int").as("funnel_stage"))
+    }),
+
+    // Retention cohorts: users grouped by first-active week, counted
+    // in each later week they return — the triangle every growth
+    // dashboard draws. Two aggregates: per-user cohort week (one
+    // shuffle on user_id), then distinct users per (cohort, offset) —
+    // the (user, week) frame is already deduped by the first
+    // aggregate, so the second counts rows, no DISTINCT expansion.
+    "agg_retention_cohorts" -> ((s, d) => {
+      val wk = floor(datediff(to_date(col("ts")),
+        to_date(lit("2024-01-01"))) / 7).cast("long")
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), wk.as("week")).distinct()
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
     })
   )
 
@@ -423,6 +476,39 @@ object Analytics {
            ON a.event_type = b.event_type
           AND b.value >= a.value - 0.5 AND b.value <= a.value + 0.5
           AND b.event_id > a.event_id
-         GROUP BY a.event_type"""
+         GROUP BY a.event_type""",
+    "window_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         s1 AS (SELECT user_id, MIN(ts) AS t_view
+                FROM e WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, s1.t_view, MIN(e.ts) AS t_click
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t_view
+                GROUP BY e.user_id, s1.t_view),
+         s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+                GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                     WHEN s2.t_click IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS funnel_stage
+         FROM s1
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
+    "agg_retention_cohorts" ->
+      """WITH uw AS (
+           SELECT DISTINCT user_id,
+             CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+               CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+           FROM events),
+         c AS (SELECT user_id, MIN(week) AS cohort_week
+               FROM uw GROUP BY user_id)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM uw JOIN c USING (user_id)
+         GROUP BY cohort_week, week - cohort_week"""
   )
 }
