@@ -26,10 +26,13 @@ import graft.sources.Tables
 object Corpus {
   type Q = (SparkSession, String) => DataFrame
 
-  // 31-bit LCG (Knuth/glibc constants) — deterministic, oracle-twinnable
-  private val A = 1103515245L
-  private val C = 12345L
-  private val M = 2147483648L
+  // 31-bit LCG (Knuth/glibc constants) — deterministic, oracle-twinnable.
+  // Shared by every query that needs a recomputable pseudo-random draw
+  // (split assignment, stratified sampling, contrastive negatives) —
+  // one definition so Spark code and oracle SQL cannot drift apart.
+  val A = 1103515245L
+  val C = 12345L
+  val M = 2147483648L
 
   /** Deterministic split bucket in [0, 100). */
   def splitBucket(id: Column): Column = ((id * A + C) % M) % 100
@@ -304,14 +307,18 @@ object Corpus {
         .agg(count(lit(1)).as("n_bigrams"),
           countDistinct(col("bg")).as("n_distinct_bg"))
       val dbl = (c: Column) => c.cast("double")
-      uni.join(bg, "doc_id")
+      // left join: a 0/1-token document has no bigrams but must still
+      // be SCORED (dup fraction 0), not silently dropped from the
+      // quality report — degenerate docs are precisely what the keep
+      // flag exists to judge
+      uni.join(bg, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_words"),
           (dbl(col("n_distinct")) / dbl(col("n_words")))
             .as("distinct_word_frac"),
           (dbl(col("top_cnt")) / dbl(col("n_words")))
             .as("top_word_frac"),
-          (dbl(col("n_bigrams") - col("n_distinct_bg"))
-            / dbl(col("n_bigrams"))).as("dup_bigram_frac"),
+          coalesce(dbl(col("n_bigrams") - col("n_distinct_bg"))
+            / dbl(col("n_bigrams")), lit(0.0)).as("dup_bigram_frac"),
           (dbl(col("sum_len")) / dbl(col("n_words")))
             .as("mean_word_len"))
         .withColumn("keep",
@@ -598,11 +605,11 @@ object Corpus {
                AS distinct_word_frac,
              CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE)
                AS top_word_frac,
-             CAST(n_bigrams - n_distinct_bg AS DOUBLE)
-               / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+             COALESCE(CAST(n_bigrams - n_distinct_bg AS DOUBLE)
+               / CAST(n_bigrams AS DOUBLE), 0.0) AS dup_bigram_frac,
              CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
                AS mean_word_len
-           FROM uni JOIN bg USING (doc_id))
+           FROM uni LEFT JOIN bg USING (doc_id))
          SELECT *,
            distinct_word_frac >= 0.45 AND top_word_frac <= 0.1
              AND dup_bigram_frac <= 0.05

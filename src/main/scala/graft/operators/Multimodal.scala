@@ -238,26 +238,28 @@ object Multimodal {
           element_at(col("frames"), -1).as("last_sampled"))
     }),
 
-    // Cross-modal contrastive pair construction: align each document
-    // with its embedding (vec_id == doc_id — the fixture's pairing
-    // contract) and attach a deterministic LCG-drawn negative, the
-    // (text, positive, negative) triple a CLIP-style training run
-    // consumes. The negative draw is recomputable by any worker (no
-    // shared RNG state); on collision with the positive it steps to
-    // the next vector. Both embedding joins key on vec_id — at scale
-    // the embedding table shuffles once and the negative join reuses
-    // the same partitioning; n_vecs is a 1-row broadcast scalar.
+    // Cross-modal contrastive pair construction over the PAIRED subset:
+    // embeddings cover vec_id == doc_id for the first n_vecs documents
+    // (at sf0.1: 2000 of 5000 docs), so the triple builder explicitly
+    // keeps only documents that have an embedding — the filter states
+    // the modality-coverage contract instead of letting the join drop
+    // rows silently; a real pipeline routes the remainder to a
+    // text-only branch. Each kept doc gets a deterministic LCG-drawn
+    // negative (Corpus.A/C/M — the shared recomputable draw; collision
+    // with the positive steps to the next vector). Both embedding
+    // joins key on vec_id — at scale the embedding table shuffles once
+    // and the negative join reuses the same partitioning; n_vecs is a
+    // 1-row broadcast scalar.
     "multimodal_contrastive_pairs" -> ((s, d) => {
       val emb = graft.sources.Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"))
       val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
-      val A = 1103515245L
-      val C = 12345L
-      val M = 2147483648L
+      import graft.operators.Corpus.{A, C, M}
       val draw = ((col("doc_id") * A + C) % M) % col("n_vecs")
       val docs = graft.sources.Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
         .crossJoin(broadcast(nVecs))
+        .filter(col("doc_id") < col("n_vecs"))
         .withColumn("neg_id",
           when(draw === col("doc_id"), (draw + 1) % col("n_vecs"))
             .otherwise(draw))
@@ -339,7 +341,8 @@ object Multimodal {
            SELECT doc_id, lang,
              ((doc_id * 1103515245 + 12345) % 2147483648) % n_vecs
                AS draw, n_vecs
-           FROM documents CROSS JOIN n),
+           FROM documents CROSS JOIN n
+           WHERE doc_id < n_vecs),
          withneg AS (
            SELECT doc_id, lang,
              CASE WHEN draw = doc_id THEN (draw + 1) % n_vecs

@@ -43,6 +43,33 @@ object ScaleProbe {
         java.nio.file.Paths.get(out))
     }
 
+    // The amp dir is a /tmp cache; amplify()/passthrough() skip tables
+    // that already exist. A cache built from DIFFERENT base files (a
+    // regenerated fixture, another dir with the same leaf name) must
+    // not be reused — the marker fingerprints the absolute base path,
+    // copy count, and every base file's (size, mtime); any mismatch
+    // wipes the cache and rebuilds.
+    val allTables = Seq("documents", "lineitem", "orders", "embeddings",
+      "customer", "supplier", "nation", "region", "part", "events")
+    val fingerprint = {
+      val sigs = allTables.map { t =>
+        val f = new java.io.File(s"$base/$t.parquet")
+        s"$t:${f.length}:${f.lastModified}"
+      }
+      s"base=${new java.io.File(base).getAbsolutePath};copies=$copies;" +
+        sigs.mkString(",")
+    }
+    val marker = java.nio.file.Paths.get(amp, "AMP_MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == fingerprint
+    if (!fresh && new java.io.File(amp).exists()) {
+      println(s"[scale] stale amp cache, wiping $amp")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(amp)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
     println(s"[scale] building $amp (${copies}x)")
     amplify("documents", Seq("doc_id"))
     amplify("lineitem", Seq("l_orderkey"))
@@ -59,10 +86,11 @@ object ScaleProbe {
     Seq("customer", "supplier", "nation", "region", "part")
       .foreach(passthrough)
 
-    // amplify() skips tables whose output dir already exists — a stale
-    // dir from an earlier run with different settings silently times
-    // the WRONG fixture (this happened: an earlier probe recorded ~1x
-    // numbers as 8x). Row-count validation makes that impossible.
+    java.nio.file.Files.writeString(marker, fingerprint)
+
+    // Belt-and-suspenders on top of the marker (an earlier probe
+    // recorded ~1x numbers as 8x off a stale partial build): the five
+    // amplified tables must count exactly copies x base.
     for (t <- Seq("documents", "lineitem", "orders", "embeddings",
         "events")) {
       val read = (p: String) => graft.sources.Tables.withNanosAsLong(
