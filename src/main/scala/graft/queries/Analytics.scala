@@ -284,31 +284,31 @@ object Analytics {
 
     // Ordered funnel (view → click → purchase): each stage's timestamp
     // is the first qualifying event STRICTLY AFTER the previous stage
-    // — the windowFunnel semantics, not three independent minima.
-    // Three per-user aggregates chained by self-joins, all keyed on
-    // user_id: one hash partitioning serves every stage (the
-    // aggregates and joins all cluster on the same key, so the event
-    // log shuffles once and the per-user stage frames are
-    // dictionary-sized). Timestamps are distinct microseconds, so MIN
-    // is deterministic.
+    // — the windowFunnel semantics, not three independent minima. One
+    // scan, one shuffle: three stacked unbounded windows over the SAME
+    // user_id partition (Catalyst fuses them into a single Window
+    // operator — one exchange, one sort), each stage's MIN conditioned
+    // on the previous stage's windowed value, then one per-user
+    // aggregate dedups. The chained-aggregate formulation costs 3
+    // event-log scans and 3 shuffles; this costs 1 and 1 — the DuckDB
+    // oracle keeps the chained form, proving equivalence. Timestamps
+    // are distinct microseconds, so MIN is deterministic.
     "window_funnel" -> ((s, d) => {
+      val u = Window.partitionBy(col("user_id"))
       val e = Tables.events(s, d)
         .select(col("user_id"), col("event_type"), col("ts"))
-      val s1 = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val s2 = e.filter(col("event_type") === "click")
-        .join(s1, "user_id")
-        .filter(col("ts") > col("t_view"))
-        .groupBy(col("user_id"), col("t_view"))
-        .agg(min(col("ts")).as("t_click"))
-      val s3 = e.filter(col("event_type") === "purchase")
-        .join(s2.select(col("user_id"), col("t_click")), "user_id")
-        .filter(col("ts") > col("t_click"))
+        .withColumn("t_view", min(when(col("event_type") === "view",
+          col("ts"))).over(u))
+        .withColumn("t_click", min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view"), col("ts"))).over(u))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click"), col("ts"))).over(u))
+      e.filter(col("t_view").isNotNull)
         .groupBy(col("user_id"))
-        .agg(min(col("ts")).as("t_purchase"))
-      s1.join(s2.select(col("user_id"), col("t_click")),
-          Seq("user_id"), "left")
-        .join(s3, Seq("user_id"), "left")
+        .agg(min(col("t_view")).as("t_view"),
+          min(col("t_click")).as("t_click"),
+          min(col("t_purchase")).as("t_purchase"))
         .select(col("user_id"), col("t_view"), col("t_click"),
           col("t_purchase"),
           (when(col("t_purchase").isNotNull, 3)
