@@ -104,6 +104,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,
+        "graft_minhash"),
+      (children: Seq[Expression]) => MinhashSignature(children(0), 64)))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -75,10 +75,15 @@ object Dedup {
 
   /** doc_id + minhash signature + band keys from a shingle-set frame.
     * Each distinct shingle string is hashed ONCE to a 64-bit long — the
-    * only place full strings are hashed. */
+    * only place full strings are hashed. The signature itself comes from
+    * the fused native kernel (`graft_minhash`, registered with
+    * numHashes = 64 = NumHashes); DedupSpec proves it bit-identical to
+    * the composed `minhashSig` fold, which is kept as the executable
+    * specification. */
   private def signaturesFrom(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"),
-        minhashSig(transform(col("sh"), s => xxhash64(s))).as("sig"))
+        call_function("graft_minhash",
+          transform(col("sh"), s => xxhash64(s))).as("sig"))
       .select(col("doc_id"), col("sig"), bandKeys(col("sig")).as("bands"))
 
   /** doc_id + minhash signature + band keys for a document table. */

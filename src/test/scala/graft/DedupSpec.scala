@@ -59,4 +59,16 @@ class DedupSpec extends SparkSpec {
     withSh.foreach(r => assert(r.getInt(0) == 0,
       "exact dups must have identical simhash"))
   }
+
+  test("graft_minhash kernel is bit-identical to the composed fold") {
+    val sh = Dedup.wordShingleSets(Tables.documents(spark, sf0001))
+    val both = sh.select(
+      Dedup.minhashSig(transform(col("sh"), s => xxhash64(s)))
+        .as("composed"),
+      call_function("graft_minhash",
+        transform(col("sh"), s => xxhash64(s))).as("kernel"))
+    assert(both.count() > 0)
+    assert(both.filter(col("composed") =!= col("kernel")).isEmpty,
+      "fused kernel must reproduce the composed fold exactly")
+  }
 }
