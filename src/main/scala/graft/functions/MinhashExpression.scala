@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -49,9 +49,17 @@ case class MinhashSignature(child: Expression, numHashes: Int)
 }
 
 object MinhashKernel {
+  /** The signature width every consumer assumes: Dedup's band slicing
+    * (16 bands x 4 rows) and the `graft_minhash` registration both
+    * derive from this one constant. */
+  val DefaultNumHashes = 64
+
   /** sig[j] = min over shingle hashes h of xxhash64(h, j), with
     * xxhash64's fold (seed 42 → hashLong(h) → hashInt(j)) split so the
-    * long round runs once per shingle, not once per (shingle, slot). */
+    * long round runs once per shingle, not once per (shingle, slot).
+    * Calls the XXH64 primitive statics directly — going through
+    * XxHash64Function.hash would re-do a DataType match and box the
+    * shingle long on every call of the hot loop. */
   def compute(hashes: ArrayData, numHashes: Int): ArrayData = {
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -61,10 +69,10 @@ object MinhashKernel {
       // a null element cannot occur (xxhash64 of a non-null string);
       // skip defensively rather than NPE if one ever does
       if (!hashes.isNullAt(i)) {
-        val inner = XxHash64Function.hash(hashes.getLong(i), LongType, 42L)
+        val inner = XXH64.hashLong(hashes.getLong(i), 42L)
         var j = 0
         while (j < numHashes) {
-          val v = XxHash64Function.hash(j, IntegerType, inner)
+          val v = XXH64.hashInt(j, inner)
           if (v < sig(j)) sig(j) = v
           j += 1
         }

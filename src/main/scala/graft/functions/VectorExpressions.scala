@@ -108,7 +108,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,
         "graft_minhash"),
-      (children: Seq[Expression]) => MinhashSignature(children(0), 64)))
+      (children: Seq[Expression]) =>
+        MinhashSignature(children(0), MinhashKernel.DefaultNumHashes)))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

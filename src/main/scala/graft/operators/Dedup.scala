@@ -24,7 +24,7 @@ import graft.sources.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  private val NumHashes = 64
+  private val NumHashes = graft.functions.MinhashKernel.DefaultNumHashes
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands // 4 → catches J >= ~0.5
 

@@ -276,6 +276,11 @@ object Analytics {
     "join_range_banded" -> ((s, d) => {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
+        // null/NaN can never satisfy a range predicate — drop them
+        // BEFORE banding: the combinatorial count would otherwise
+        // treat two nulls (grouped under bk=null) or two NaNs (floor
+        // casts NaN to band 0) as a qualifying pair
+        .filter(col("value").isNotNull && !isnan(col("value")))
         .withColumn("bk", floor(col("value") / 0.5).cast("long"))
       val within = e.groupBy(col("event_type"), col("bk"))
         .agg(count(lit(1)).as("n"))
@@ -297,16 +302,21 @@ object Analytics {
         .select(col("event_type"),
           (col("within_pairs") + coalesce(col("adj_pairs"), lit(0L)))
             .as("n_pairs"))
+        // the oracle GROUPs BY over qualifying pairs only — a type
+        // with zero pairs emits no row there, so none here either
+        .filter(col("n_pairs") > 0)
     }),
 
     // Ordered funnel (view → click → purchase): each stage's timestamp
     // is the first qualifying event STRICTLY AFTER the previous stage
     // — the windowFunnel semantics, not three independent minima. One
     // scan, one shuffle: three stacked unbounded windows over the SAME
-    // user_id partition (Catalyst fuses them into a single Window
-    // operator — one exchange, one sort), each stage's MIN conditioned
-    // on the previous stage's windowed value, then one per-user
-    // aggregate dedups. The chained-aggregate formulation costs 3
+    // user_id partition. Each stage's expression depends on the
+    // previous stage's output, so CollapseWindow keeps three Window
+    // operators — but all three declare the same partitioning and no
+    // ordering, so they share ONE exchange and need no sort. Each
+    // stage's MIN is conditioned on the previous stage's windowed
+    // value; one per-user aggregate dedups at the end. The chained-aggregate formulation costs 3
     // event-log scans and 3 shuffles; this costs 1 and 1 — the DuckDB
     // oracle keeps the chained form, proving equivalence. Timestamps
     // are distinct microseconds, so MIN is deterministic.

@@ -65,9 +65,10 @@ object ScaleProbe {
     if (!fresh && new java.io.File(amp).exists()) {
       println(s"[scale] stale amp cache, wiping $amp")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(amp)).iterator()
-        .asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(amp))
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
 
     println(s"[scale] building $amp (${copies}x)")
@@ -86,11 +87,11 @@ object ScaleProbe {
     Seq("customer", "supplier", "nation", "region", "part")
       .foreach(passthrough)
 
-    java.nio.file.Files.writeString(marker, fingerprint)
-
     // Belt-and-suspenders on top of the marker (an earlier probe
     // recorded ~1x numbers as 8x off a stale partial build): the five
-    // amplified tables must count exactly copies x base.
+    // amplified tables must count exactly copies x base. The marker is
+    // stamped only AFTER validation passes — stamping first would mark
+    // a failing cache fresh and disable the auto-wipe forever.
     for (t <- Seq("documents", "lineitem", "orders", "embeddings",
         "events")) {
       val read = (p: String) => graft.sources.Tables.withNanosAsLong(
@@ -99,6 +100,7 @@ object ScaleProbe {
       require(na == nb * copies,
         s"$t: amplified $na rows != $copies x $nb — stale $amp, rm -rf it")
     }
+    java.nio.file.Files.writeString(marker, fingerprint)
 
     val li = spark.read.parquet(s"$amp/lineitem.parquet")
     def time(body: => Unit): Double = {
