@@ -34,8 +34,16 @@ object Corpus {
   val C = 12345L
   val M = 2147483648L
 
-  /** Deterministic split bucket in [0, 100). */
-  def splitBucket(id: Column): Column = ((id * A + C) % M) % 100
+  /** Deterministic split bucket in [0, 100). The id is reduced mod M
+    * BEFORE the multiply: id * A overflows Long for id >= ~8.4e9 — an
+    * id range a 100 TB corpus actually reaches (found by the 16x
+    * amplification probe, which crashed with ARITHMETIC_OVERFLOW).
+    * (id % M) < 2^31 keeps the product under 2^62; the result is
+    * identical for every id by modular arithmetic. */
+  def splitBucket(id: Column): Column = (((id % M) * A + C) % M) % 100
+
+  /** Full-range LCG draw in [0, M) — same overflow-safe shape. */
+  def lcgDraw(id: Column): Column = ((id % M) * A + C) % M
 
   /** train/valid/test assignment: 80/10/10 by hash bucket. */
   def withSplit(docs: DataFrame): DataFrame =
@@ -336,7 +344,7 @@ object Corpus {
     // This is how a mixture-balanced training subset is cut at 100 TB:
     // hash-rank within stratum, keep rank <= ceil(q * |stratum|).
     "corpus_stratified_sample" -> ((s, d) => {
-      val ord = (col("doc_id") * A + C) % M
+      val ord = lcgDraw(col("doc_id"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(ord, col("doc_id"))
       val cw = Window.partitionBy(col("lang"))
@@ -404,18 +412,18 @@ object Corpus {
   val oracles: Map[String, String] = Map(
     "corpus_split_assign" ->
       """SELECT doc_id,
-           CAST(((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS INTEGER)
+           CAST((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 AS INTEGER)
              AS bucket,
-           CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 80
+           CASE WHEN (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 80
                   THEN 'train'
-                WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 100 < 90
+                WHEN (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 < 90
                   THEN 'valid'
                 ELSE 'test' END AS split
          FROM documents""",
     "corpus_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id,
-             ((doc_id * 1103515245 + 12345) % 2147483648) % 100 AS bucket,
+             (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 AS bucket,
              list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
                AS tk
            FROM documents),
@@ -478,9 +486,9 @@ object Corpus {
                   MIN(n_tokens) AS n_tokens, text
                 FROM kept GROUP BY text),
          sp AS (SELECT doc_id, n_tokens, text,
-                  CASE WHEN ((doc_id * 1103515245 + 12345)
+                  CASE WHEN (((doc_id % 2147483648) * 1103515245 + 12345)
                         % 2147483648) % 100 < 80 THEN 'train'
-                       WHEN ((doc_id * 1103515245 + 12345)
+                       WHEN (((doc_id % 2147483648) * 1103515245 + 12345)
                         % 2147483648) % 100 < 90 THEN 'valid'
                        ELSE 'test' END AS split
                 FROM dd),
@@ -619,7 +627,8 @@ object Corpus {
       """WITH r AS (
            SELECT lang, doc_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY lang
-               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648,
+               ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                          % 2147483648,
                         doc_id) AS BIGINT) AS rnk,
              CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
            FROM documents)

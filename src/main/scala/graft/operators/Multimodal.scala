@@ -254,8 +254,8 @@ object Multimodal {
       val emb = graft.sources.Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"))
       val nVecs = emb.agg(count(lit(1)).as("n_vecs"))
-      import graft.operators.Corpus.{A, C, M}
-      val draw = ((col("doc_id") * A + C) % M) % col("n_vecs")
+      val draw = graft.operators.Corpus.lcgDraw(col("doc_id")) %
+        col("n_vecs")
       val docs = graft.sources.Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
         .crossJoin(broadcast(nVecs))
@@ -339,8 +339,8 @@ object Multimodal {
       """WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
          d AS (
            SELECT doc_id, lang,
-             ((doc_id * 1103515245 + 12345) % 2147483648) % n_vecs
-               AS draw, n_vecs
+             (((doc_id % 2147483648) * 1103515245 + 12345)
+               % 2147483648) % n_vecs AS draw, n_vecs
            FROM documents CROSS JOIN n
            WHERE doc_id < n_vecs),
          withneg AS (
