@@ -161,6 +161,28 @@ object Temporal {
           min_by(col("event_id"), col("ts")).as("first_event_id"),
           (count(lit(1)) - 1).as("n_dropped"))),
 
+    // As-of join with a staleness tolerance (pandas
+    // merge_asof(tolerance=...)): the matched right row only counts if
+    // it is at most 30 minutes old; staler matches null out. Reuses
+    // the union-tag as-of machinery — the tolerance is a pure
+    // post-projection on the already-matched pair, so the scale shape
+    // (one key shuffle, one in-partition sort) is unchanged.
+    "join_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val j = asofJoin(clicks, purchases, "user_id", "ts", "ts",
+        Seq("value"))
+      val inTol = col("asof_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("asof_ts")) <=
+          30L * 60 * 1000000
+      j.select(col("event_id"), col("user_id"), col("ts"),
+        when(inTol, col("asof_ts")).as("purchase_ts"),
+        when(inTol, col("asof_value")).as("purchase_value"))
+    }),
+
     // Time-series resample to a daily grid with forward fill: per user,
     // one row per calendar day from their first to last event; gap days
     // get n_events=0, day_value=0 and carry the last observed closing
@@ -255,6 +277,24 @@ object Temporal {
          ARG_MIN(event_id, ts) AS first_event_id,
          CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
          FROM events GROUP BY user_id, event_type""",
+    "join_asof_tolerance" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN p.ts IS NOT NULL
+                 AND epoch_us(c.ts) - epoch_us(p.ts)
+                     <= 30 * 60 * 1000000
+                THEN p.ts END AS purchase_ts,
+           CASE WHEN p.ts IS NOT NULL
+                 AND epoch_us(c.ts) - epoch_us(p.ts)
+                     <= 30 * 60 * 1000000
+                THEN p.value END AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.ts <= c.ts""",
     "ts_resample_ffill" ->
       """WITH e AS (
            SELECT user_id,
