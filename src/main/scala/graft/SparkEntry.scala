@@ -44,7 +44,8 @@ object SparkEntry {
       graft.operators.Temporal.queries ++
       graft.streaming.EventWindows.queries ++
       graft.operators.Multimodal.queries ++
-      graft.sources.Formats.queries
+      graft.sources.Formats.queries ++
+      graft.queries.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.operators.Temporal.oracles ++
       graft.streaming.EventWindows.oracles ++
       graft.operators.Multimodal.oracles ++
-      graft.sources.Formats.oracles
+      graft.sources.Formats.oracles ++
+      graft.queries.Graph.oracles
 }
