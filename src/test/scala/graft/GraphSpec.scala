@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph analytics: the degree-oriented triangle count must equal an
+  * independent brute-force count (edge set built via the self-join form
+  * the production code deliberately avoids, triangles closed in-memory),
+  * and the census invariants must hold against the triangle output. */
+class GraphSpec extends SparkSpec {
+
+  private def runQ(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  /** Independent edge construction: distinct (order, part) self-join —
+    * NOT the collect_set path production uses. */
+  private lazy val bruteEdges: Set[(Long, Long)] = {
+    val op = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p"), col("b.p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private lazy val bruteTriCounts: Map[Long, Long] = {
+    val adj = bruteEdges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- bruteEdges
+      cs <- adj.get(a).toSeq
+      c <- cs if c > b && bruteEdges.contains((b, c))
+    } {
+      counts(a) += 1; counts(b) += 1; counts(c) += 1
+    }
+    counts.toMap
+  }
+
+  test("graph_triangles matches an independent brute-force count per node") {
+    val got = runQ("graph_triangles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bruteTriCounts.nonEmpty, "fixture graph should contain triangles")
+    assert(got == bruteTriCounts)
+  }
+
+  test("graph_census invariants hold vs the independent edge set") {
+    val row = runQ("graph_census").collect().head
+    val (nNodes, nEdges, nWedges, maxDeg) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val deg = (bruteEdges.toSeq.map(_._1) ++ bruteEdges.toSeq.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(nNodes == deg.size)
+    assert(nEdges == bruteEdges.size)
+    assert(nWedges == deg.values.map(d => d * (d - 1) / 2).sum)
+    assert(maxDeg == deg.values.max)
+  }
+
+  test("triangle totals are consistent: sum of corner credits = 3 x triangles, bounded by wedges") {
+    val triSum = runQ("graph_triangles")
+      .agg(sum(col("tri_count"))).collect().head.getLong(0)
+    val nWedges = runQ("graph_census").collect().head.getLong(2)
+    assert(triSum % 3 == 0)
+    // each triangle closes exactly 3 wedges (one per corner)
+    assert(triSum <= nWedges)
+  }
+}
