@@ -406,7 +406,70 @@ object Corpus {
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(avg(col("v")).as("centroid"), count(lit(1)).as("n")))
+        .agg(avg(col("v")).as("centroid"), count(lit(1)).as("n"))),
+
+    // BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query — the
+    // scoring half of retrieval-based decontamination / quality lookup.
+    // ONE corpus scan produces doc length and matched-term frequencies
+    // together; df and avgdl are dictionary/scalar-sized broadcasts; the
+    // per-doc score sums <= 3 term scores through DECIMAL so the fold is
+    // order-independent; global top-20 is TakeOrderedAndProject, never a
+    // partitionless window. ln(1 + x) is one libm call per (doc, term) —
+    // bit-equality across engines is not guaranteed but differences are
+    // ~1 ulp, far inside the gate's 1e-6.
+    "corpus_bm25_retrieval" -> ((s, d) => {
+      val qterms = Seq("spark", "join", "window")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toksOf(col("text")).as("tk"))
+      val stats = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(filter(col("tk"), t => t.isin(qterms: _*))).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val nAvg = docs.agg(count(lit(1)).as("n_docs"),
+        (sum(size(col("tk")).cast("long")).cast("double") /
+          count(lit(1))).as("avgdl"))
+      val dfreq = stats.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      stats.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nAvg))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("tscore", col("idf") *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            col("dl").cast("double") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tscore").cast("decimal(18,10)")).cast("double")
+          .as("score"),
+          count(lit(1)).as("n_matched"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Size-proportional systematic sampling under a token budget: within
+    // each (lang, shard) stratum, walk docs in id order accumulating
+    // token counts and keep every doc whose span crosses a multiple of
+    // (stratum total / 4) — the deterministic "sample ~4 docs per
+    // stratum weighted by length" primitive of training-mix
+    // construction. All integer math (BIGINT cumsum + floor division),
+    // so the oracle matches bit for bit. The 16-way shard key keeps the
+    // running-sum window partition-bounded at any corpus size — a plain
+    // per-lang cumsum would serialize a 100 TB language into one task.
+    "corpus_token_budget_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("lang"), (col("doc_id") % 16).as("shard"),
+          col("doc_id"), size(toksOf(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("step",
+          greatest(expr("sum(n_tok) over (partition by lang, shard) div 4"),
+            lit(1L)))
+        .filter(expr("cum div step") > expr("(cum - n_tok) div step"))
+        .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
+          col("cum"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -660,6 +723,58 @@ object Corpus {
            FROM l CROSS JOIN t),
          z AS (SELECT SUM(w0) AS z FROM sc)
          SELECT lang, n_docs, p, w0 / z AS weight
-         FROM sc CROSS JOIN z"""
+         FROM sc CROSS JOIN z""",
+    "corpus_bm25_retrieval" ->
+      """WITH dk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '') AS tk
+           FROM documents),
+         stats AS (
+           SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dl, term,
+             CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, tk, unnest(tk) AS term FROM dk)
+           WHERE term IN ('spark', 'join', 'window')
+           GROUP BY doc_id, LEN(tk), term),
+         na AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(tk)) AS DOUBLE) / COUNT(*) AS avgdl
+           FROM dk),
+         dfreq AS (
+           SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM stats GROUP BY term),
+         sc AS (
+           SELECT s.doc_id,
+             LN(CAST(1.0 AS DOUBLE) +
+                (CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) /
+                (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) *
+             (s.tf * CAST(2.2 AS DOUBLE)) /
+             (s.tf + CAST(1.2 AS DOUBLE) *
+               (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+                 CAST(s.dl AS DOUBLE) / avgdl)) AS tscore
+           FROM stats s JOIN dfreq USING (term) CROSS JOIN na)
+         SELECT doc_id,
+           CAST(SUM(CAST(tscore AS DECIMAL(18,10))) AS DOUBLE) AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_matched
+         FROM sc
+         GROUP BY doc_id
+         ORDER BY score DESC, doc_id
+         LIMIT 20""",
+    "corpus_token_budget_sample" ->
+      """WITH t AS (
+           SELECT lang, doc_id % 16 AS shard, doc_id,
+             CAST(LEN(list_filter(regexp_split_to_array(text, '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tok
+           FROM documents),
+         w AS (
+           SELECT lang, shard, doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang, shard
+               ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(GREATEST(SUM(n_tok) OVER (PARTITION BY lang, shard) // 4,
+               1) AS BIGINT) AS step
+           FROM t)
+         SELECT lang, shard, doc_id, n_tok, cum
+         FROM w
+         WHERE cum // step > (cum - n_tok) // step"""
   )
 }

@@ -109,6 +109,39 @@ object Graph {
         .groupBy(col("part")).agg(count(lit(1)).as("tri_count"))
     }),
 
+    // Fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    // undirected co-purchase graph — link analysis as a first-class
+    // batch op. Physical shape per round: the rank vector is NODE-sized
+    // (catalog-bounded), so the edge⋈rank join broadcasts ranks and the
+    // only shuffle is the map-side-combined contribution aggregate on
+    // dst. Contributions sum through DECIMAL(18,10) so the result is
+    // order-independent and bit-matches the oracle's unrolled SQL; all
+    // other arithmetic is per-row IEEE double, identical in both
+    // engines. Every node has degree >= 1 by construction, so there are
+    // no dangling-mass corrections and every node receives mass.
+    "graph_pagerank" -> ((s, d) => {
+      val e = edges(s, d).localCheckpoint()
+      val dir = e.select(col("pa").as("u"), col("pb").as("v"))
+        .union(e.select(col("pb").as("u"), col("pa").as("v")))
+      val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val n = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(n))
+        .select(col("u").as("v"), (lit(1.0) / col("n")).as("r"))
+      for (_ <- 1 to 3) {
+        val perNode = ranks.join(deg, ranks("v") === deg("u"))
+          .select(ranks("v").as("cu"), (col("r") / col("deg")).as("c"))
+        val contrib = dir.join(broadcast(perNode), col("u") === col("cu"))
+          .groupBy(col("v"))
+          .agg(sum(col("c").cast("decimal(18,10)")).as("srank"))
+        ranks = contrib.crossJoin(broadcast(n))
+          .select(col("v"),
+            (lit(0.15) / col("n") +
+              lit(0.85) * col("srank").cast("double")).as("r"))
+      }
+      ranks.select(col("v").as("part"), col("r").as("pagerank"))
+    }),
+
     // Global degree census: nodes, edges, wedges (Σ C(deg,2), the exact
     // open-triad count — integer closed form, no enumeration), max degree.
     "graph_census" -> ((s, d) => {
@@ -139,6 +172,36 @@ object Graph {
          |      SELECT b FROM t UNION ALL
          |      SELECT c FROM t)
          |GROUP BY part""".stripMargin,
+    "graph_pagerank" ->
+      s"""WITH $edgeCte,
+         |d AS (SELECT pa AS u, pb AS v FROM e
+         |      UNION ALL SELECT pb AS u, pa AS v FROM e),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM d GROUP BY u),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT u AS v, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS r
+         |       FROM deg),
+         |r1 AS (SELECT d.v AS v,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM n) +
+         |         CAST(0.85 AS DOUBLE) *
+         |           CAST(SUM(CAST(r0.r / deg.deg AS DECIMAL(18,10))) AS DOUBLE)
+         |           AS r
+         |       FROM d JOIN r0 ON d.u = r0.v JOIN deg ON d.u = deg.u
+         |       GROUP BY d.v),
+         |r2 AS (SELECT d.v AS v,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM n) +
+         |         CAST(0.85 AS DOUBLE) *
+         |           CAST(SUM(CAST(r1.r / deg.deg AS DECIMAL(18,10))) AS DOUBLE)
+         |           AS r
+         |       FROM d JOIN r1 ON d.u = r1.v JOIN deg ON d.u = deg.u
+         |       GROUP BY d.v),
+         |r3 AS (SELECT d.v AS v,
+         |         CAST(0.15 AS DOUBLE) / (SELECT n FROM n) +
+         |         CAST(0.85 AS DOUBLE) *
+         |           CAST(SUM(CAST(r2.r / deg.deg AS DECIMAL(18,10))) AS DOUBLE)
+         |           AS r
+         |       FROM d JOIN r2 ON d.u = r2.v JOIN deg ON d.u = deg.u
+         |       GROUP BY d.v)
+         |SELECT v AS part, r AS pagerank FROM r3""".stripMargin,
     "graph_census" ->
       s"""WITH $edgeCte,
          |deg AS (SELECT v, COUNT(*) AS deg FROM

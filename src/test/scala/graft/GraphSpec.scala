@@ -56,6 +56,28 @@ class GraphSpec extends SparkSpec {
     assert(maxDeg == deg.values.max)
   }
 
+  test("pagerank: mass conserved, all ranks positive, matches in-memory power iteration") {
+    val got = runQ("graph_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.values.forall(_ > 0))
+    // no dangling nodes => total mass stays 1 (up to decimal rounding)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    // independent in-memory power iteration, 3 rounds, same constants
+    val adj = (bruteEdges.toSeq ++ bruteEdges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    val n = adj.size
+    var r = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((u, vs) <- adj; v <- vs) contrib(v) += r(u) / vs.size
+      r = adj.keys.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    // production path rounds contributions to DECIMAL(18,10); allow that
+    assert(r.forall { case (v, x) => math.abs(got(v) - x) < 1e-5 })
+  }
+
   test("triangle totals are consistent: sum of corner credits = 3 x triangles, bounded by wedges") {
     val triSum = runQ("graph_triangles")
       .agg(sum(col("tri_count"))).collect().head.getLong(0)
