@@ -360,6 +360,59 @@ object Analytics {
         .groupBy(col("cohort_week"),
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // First-order Markov transition matrix over per-user event streams:
+    // P(next_type | type) with counts — the "what do users do next"
+    // primitive behind journey analysis. One user_id-partitioned window
+    // (lead) over one scan, then a type-pair aggregate; the per-source
+    // normalizer rides a tiny broadcast join (|types|² rows), never a
+    // second corpus pass. Probability is one BIGINT/BIGINT IEEE
+    // division per output row — deterministic.
+    "events_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("n_from")).as("p"))
+    }),
+
+    // Per-type z-score outliers: population mean/stddev per event_type
+    // from DECIMAL-exact Σx / Σx² (order-independent, bit-matching the
+    // oracle), then the top 10 events per type by |z|. Selection is by
+    // ORDER, not by a z threshold — a 1-ulp sqrt difference between
+    // engines rescales a whole group's z-scores together, so ranks (and
+    // the event_id tiebreak) are stable where a boundary cut would not
+    // be. One scan + one broadcast of the |types|-sized stats frame.
+    "events_zscore_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast("decimal(28,10)"))
+          .cast("double").as("sxx"))
+        .select(col("event_type"),
+          (col("sx") / col("cnt")).as("mean"),
+          sqrt(col("sxx") / col("cnt") -
+            (col("sx") / col("cnt")) * (col("sx") / col("cnt"))).as("std"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(abs((col("value") - col("mean")) / col("std")).desc,
+          col("event_id"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 10)
+        .select(col("event_type"), col("rnk"), col("event_id"),
+          col("value"), col("z"))
     })
   )
 
@@ -536,6 +589,45 @@ object Analytics {
          SELECT cohort_week, week - cohort_week AS week_offset,
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM uw JOIN c USING (user_id)
-         GROUP BY cohort_week, week - cohort_week"""
+         GROUP BY cohort_week, week - cohort_week""",
+    "events_transition_matrix" ->
+      """WITH seq AS (
+           SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+           FROM events),
+         pairs AS (
+           SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM seq WHERE next_type IS NOT NULL
+           GROUP BY event_type, next_type),
+         tot AS (
+           SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from
+           FROM pairs GROUP BY event_type)
+         SELECT p.event_type, p.next_type, p.n,
+           CAST(p.n AS DOUBLE) / t.n_from AS p
+         FROM pairs p JOIN tot t USING (event_type)""",
+    "events_zscore_outliers" ->
+      """WITH st AS (
+           SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE)
+               AS sxx
+           FROM events GROUP BY event_type),
+         ms AS (
+           SELECT event_type, sx / cnt AS mean,
+             SQRT(sxx / cnt - (sx / cnt) * (sx / cnt)) AS std
+           FROM st),
+         z AS (
+           SELECT e.event_type, e.event_id, e.value,
+             (e.value - ms.mean) / ms.std AS z
+           FROM events e JOIN ms USING (event_type)),
+         r AS (
+           SELECT event_type, event_id, value, z,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY ABS(z) DESC, event_id) AS INT) AS rnk
+           FROM z)
+         SELECT event_type, rnk, event_id, value, z
+         FROM r WHERE rnk <= 10"""
   )
 }

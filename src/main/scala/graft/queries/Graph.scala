@@ -142,6 +142,39 @@ object Graph {
       ranks.select(col("v").as("part"), col("r").as("pagerank"))
     }),
 
+    // Association-rule mining on the co-purchase pairs: support /
+    // confidence-free lift = N·n_ab / (n_a·n_b), min support 3, top 20
+    // by lift. Counts are exact integers off the same one-shuffle pair
+    // generation as the graph; item supports and the order total are
+    // catalog-/scalar-sized broadcasts; top-k is TakeOrderedAndProject.
+    // Lift is one integer-exact double expression per surviving pair,
+    // so ordering (with the (pa, pb) tiebreak) is engine-stable.
+    "graph_copurchase_lift" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint()
+      val pairs = op.groupBy(col("o"))
+        .agg(array_sort(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val item = op.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      val total = op.agg(countDistinct(col("o")).as("n_orders"))
+      pairs
+        .join(broadcast(item.select(col("p").as("pa"), col("n_item").as("n_a"))), "pa")
+        .join(broadcast(item.select(col("p").as("pb"), col("n_item").as("n_b"))), "pb")
+        .crossJoin(broadcast(total))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab").cast("double") * col("n_orders") /
+            (col("n_a") * col("n_b"))).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // Global degree census: nodes, edges, wedges (Σ C(deg,2), the exact
     // open-triad count — integer closed form, no enumeration), max degree.
     "graph_census" -> ((s, d) => {
@@ -202,6 +235,23 @@ object Graph {
          |       FROM d JOIN r2 ON d.u = r2.v JOIN deg ON d.u = deg.u
          |       GROUP BY d.v)
          |SELECT v AS part, r AS pagerank FROM r3""".stripMargin,
+    "graph_copurchase_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |           FROM lineitem),
+         |pairs AS (SELECT a.p AS pa, b.p AS pb,
+         |            CAST(COUNT(*) AS BIGINT) AS n_ab
+         |          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |          GROUP BY a.p, b.p HAVING COUNT(*) >= 3),
+         |item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item
+         |         FROM op GROUP BY p),
+         |tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+         |        FROM op)
+         |SELECT pa, pb, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+         |  CAST(n_ab AS DOUBLE) * n_orders / (ia.n_item * ib.n_item) AS lift
+         |FROM pairs JOIN item ia ON pairs.pa = ia.p
+         |           JOIN item ib ON pairs.pb = ib.p
+         |CROSS JOIN tot
+         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
     "graph_census" ->
       s"""WITH $edgeCte,
          |deg AS (SELECT v, COUNT(*) AS deg FROM
