@@ -45,7 +45,8 @@ object SparkEntry {
       graft.streaming.EventWindows.queries ++
       graft.operators.Multimodal.queries ++
       graft.sources.Formats.queries ++
-      graft.queries.Graph.queries
+      graft.queries.Graph.queries ++
+      graft.queries.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       graft.streaming.EventWindows.oracles ++
       graft.operators.Multimodal.oracles ++
       graft.sources.Formats.oracles ++
-      graft.queries.Graph.oracles
+      graft.queries.Graph.oracles ++
+      graft.queries.Warehouse.oracles
 }

@@ -362,6 +362,27 @@ object Analytics {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Running distinct count per user over time — "how many distinct
+    // event types has this user touched so far" — the classic
+    // cumulative-cardinality metric. Exact distributed form: a
+    // first-seen flag (row_number over (user, type) == 1) and a running
+    // sum, both windows partitioned by user_id — no global state, no
+    // distinct-aggregate over a growing frame.
+    "window_running_distinct" -> ((s, d) => {
+      val seen = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("first_seen",
+          when(row_number().over(seen) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_types", sum(col("first_seen")).over(run))
+        .select(col("user_id"), col("event_id"),
+          col("n_distinct_types"))
+    }),
+
     // First-order Markov transition matrix over per-user event streams:
     // P(next_type | type) with counts — the "what do users do next"
     // primitive behind journey analysis. One user_id-partitioned window
@@ -590,6 +611,19 @@ object Analytics {
            CAST(COUNT(*) AS BIGINT) AS n_users
          FROM uw JOIN c USING (user_id)
          GROUP BY cohort_week, week - cohort_week""",
+    "window_running_distinct" ->
+      """WITH f AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+               THEN 1 ELSE 0 END AS first_seen
+           FROM events)
+         SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types
+         FROM f""",
     "events_transition_matrix" ->
       """WITH seq AS (
            SELECT event_type,
