@@ -19,6 +19,8 @@ object Stateful {
       event_type: String, value: Double)
   case class FirstEv(user_id: Long, event_type: String,
       first_event_id: Long, first_ts: java.sql.Timestamp)
+  case class Trans(user_id: Long, from_type: String, to_type: String,
+      to_event_id: Long)
 
   /** Raw events as an unbounded stream (nanos → micros conversion in
     * the streaming plan). */
@@ -81,6 +83,37 @@ object Stateful {
             val first = it.minBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             Iterator(FirstEv(user, etype, first.event_id, first.ts))
           }
+      }
+      .toDF()
+  }
+
+  /** Streaming twin of `events_transition_matrix`'s pair stream: emit a
+    * (from_type → to_type) row for every consecutive event pair per
+    * user. State is ONE event per user (the last seen) — O(distinct
+    * users), not O(events) — so the stream stays bounded at any scale;
+    * pair with a timeout to expire idle users in production. Within a
+    * micro-batch events sort by (ts, event_id), the same total order
+    * the batch twin's lead() window uses, and the stored last event
+    * stitches transitions across batch boundaries. The matrix itself is
+    * a downstream aggregate of this append stream (TemporalSpec folds
+    * it and asserts equality with the batch query's counts). */
+  def transitionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val events = eventStream(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Ev, Trans](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[Ev]) =>
+          val sorted = it.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val chain = state.getOption.toSeq ++ sorted
+          if (sorted.nonEmpty) state.update(sorted.last)
+          chain.sliding(2).collect { case Seq(a, b) =>
+            Trans(user, a.event_type, b.event_type, b.event_id)
+          }.toSeq.iterator
       }
       .toDF()
   }

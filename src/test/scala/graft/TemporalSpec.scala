@@ -80,6 +80,22 @@ class TemporalSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stateful transition stream folds to the batch transition matrix") {
+    val q = Stateful.transitionStream(spark, sf0001).writeStream
+      .format("memory").queryName("trans_test").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("trans_test")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("events_transition_matrix")(spark, sf0001)
+      .select(col("event_type"), col("next_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState dedup stream equals the batch first-event") {
     val q = Stateful.dedupStream(spark, sf0001).writeStream
       .format("memory").queryName("dedup_test").outputMode("append").start()
