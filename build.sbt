@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout straight through instead of routing it
+// via sbt's logger: the logger prepends "[info] " to every line, which
+// breaks any harness that parses Bench's one-line JSON contract from
+// captured output (BENCH_r01-r05 all show parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,20 +60,42 @@ object Bench {
       val pool = if (healthy.nonEmpty) healthy else trials
       name -> pool.map(_._2).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val ctrls = controlLog.map { case (k, cs) =>
-      s"\"" + k + "\":" + cs.mkString("[", ",", "]")
+      s"\"" + k + "\":" + cs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
+    // The driver captures only the LAST 2000 chars of stdout (measured
+    // from BENCH_r01-r05: every round's "tail" is exactly 2000 chars and
+    // "parsed" is null because the full per-query map pushed the line's
+    // opening brace out of the buffer). So stdout gets a COMPACT line —
+    // total plus a fixed headline subset, one per operator family,
+    // sized well under the buffer — and the complete record (all queries
+    // + controls) goes to the file.
+    val headline = Seq(
+      "flagship_mask_project", "q1_agg_pricing_summary", "sql_tpch_q3",
+      "sql_tpch_q17", "sql_tpch_q21", "agg_join_revenue_per_nation",
+      "join_asof_native", "join_skew_salted", "join_interval",
+      "window_rank_topk_per_group", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_resolve_clusters", "dedup_simhash",
+      "dedup_embedding_cosine", "sim_cosine_topk", "sim_lsh_ann",
+      "sim_ivf_ann", "corpus_decontaminate", "corpus_pack_batches",
+      "text_quality_score", "multimodal_decode_features",
+      "stream_tumbling_window", "graph_triangles", "graph_pagerank")
+    val hqs = headline.flatMap(k => results.get(k).map(v =>
+      s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
+    val stdoutJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$hqs,"n_queries":${results.size},""" +
+        s""""control_baseline":${fmt(baseline)},"sf":"$sfDir"}"""
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""control_baseline":$baseline,"controls":$ctrls,"sf":"$sfDir"}"""
-    println(json)
-    // stdout gets truncated by capture harnesses (r2 lost 15 of 77
-    // per-query entries); the file is the parseable record.
+    println(stdoutJson)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullJson)
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -221,6 +221,29 @@ object Temporal {
           coalesce(col("day_value"), lit(0.0)).as("day_value"),
           last(col("close_value"), ignoreNulls = true).over(ffill)
             .as("ffill_value"))
+    }),
+
+    // Time-weighted average per user — the TSDB aggregate that values a
+    // reading by how long it was current, not how often it was sampled.
+    // Each value is weighted by the integer-microsecond interval until
+    // the user's next event (the last event carries no interval); the
+    // weighted sum folds through DECIMAL so the result is
+    // order-independent, and the total duration is an exact BIGINT.
+    // One user-partitioned lead window over one scan, one aggregate.
+    "ts_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("dur",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          (sum((col("value") * col("dur")).cast("decimal(28,6)"))
+            .cast("double") / sum(col("dur"))).as("twa"),
+          sum(col("dur")).as("total_dur_us"),
+          count(lit(1)).as("n_intervals"))
     })
   )
 
@@ -327,6 +350,20 @@ object Temporal {
              AS ffill_value
          FROM grid g
          LEFT JOIN daily USING (user_id, day)
-         LEFT JOIN closing USING (user_id, day)"""
+         LEFT JOIN closing USING (user_id, day)""",
+    "ts_time_weighted_avg" ->
+      """WITH iv AS (
+           SELECT user_id, value,
+             date_diff('microsecond', CAST(ts AS TIMESTAMP),
+               LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS dur
+           FROM events)
+         SELECT user_id,
+           CAST(SUM(CAST(value * dur AS DECIMAL(28,6))) AS DOUBLE) /
+             CAST(SUM(dur) AS BIGINT) AS twa,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+         FROM iv WHERE dur IS NOT NULL
+         GROUP BY user_id"""
   )
 }
