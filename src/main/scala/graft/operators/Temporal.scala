@@ -230,6 +230,35 @@ object Temporal {
     // weighted sum folds through DECIMAL so the result is
     // order-independent, and the total duration is an exact BIGINT.
     // One user-partitioned lead window over one scan, one aggregate.
+    // OHLC downsampling — the canonical TSDB bar aggregation: per
+    // (user, hour) the first/highest/lowest/last reading plus an exact
+    // DECIMAL volume sum. Open/close are picked by row_number over
+    // (ts, event_id) — a total order, so both engines pick the same row
+    // even with duplicate timestamps — and the bars build in ONE
+    // hash-aggregate pass over one scan (the two windows share the same
+    // (user, hour) partitioning, so there is one shuffle, then the
+    // aggregate is partial-merged map-side).
+    "ts_downsample_ohlc" -> ((s, d) => {
+      val bucket = date_trunc("hour", col("ts"))
+      val wAsc = Window.partitionBy(col("user_id"), bucket)
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy(col("user_id"), bucket)
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn_a", row_number().over(wAsc))
+        .withColumn("rn_d", row_number().over(wDesc))
+        .groupBy(col("user_id"), bucket.as("bar_start"))
+        .agg(
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("volume"),
+          count(lit(1)).as("n_ticks"))
+    }),
+
     "ts_time_weighted_avg" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -351,6 +380,25 @@ object Temporal {
          FROM grid g
          LEFT JOIN daily USING (user_id, day)
          LEFT JOIN closing USING (user_id, day)""",
+    "ts_downsample_ohlc" ->
+      """WITH t AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar_start
+           FROM events),
+         r AS (
+           SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_start
+               ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bar_start
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM t)
+         SELECT user_id, bar_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+         FROM r GROUP BY user_id, bar_start""",
     "ts_time_weighted_avg" ->
       """WITH iv AS (
            SELECT user_id, value,

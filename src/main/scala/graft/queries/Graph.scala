@@ -213,6 +213,36 @@ object Graph {
       degrees(ef).select(col("v").as("part"), col("deg").as("core_deg"))
     }),
 
+    // Structural node similarity: neighbor-set Jaccard over every edge
+    // of the co-purchase graph, top 20. This is the link-prediction /
+    // "related items" primitive. Shape: adjacency sets are one
+    // collect_set aggregate (node-sized output, catalog-bounded), then
+    // each EDGE — never all pairs — probes the broadcast adjacency twice
+    // and intersects two ~avg-degree arrays in-row. Integer (inter,
+    // union) feed one double division, identical IEEE in both engines;
+    // top-k is TakeOrderedAndProject (no global sort), ties broken by
+    // (pa, pb).
+    "graph_neighbor_jaccard" -> ((s, d) => {
+      val e = edges(s, d)
+      val dir = e.select(col("pa").as("u"), col("pb").as("v"))
+        .union(e.select(col("pb").as("u"), col("pa").as("v")))
+      val adj = dir.groupBy(col("u"))
+        .agg(collect_set(col("v")).as("nbrs"), count(lit(1)).as("deg"))
+      e.join(broadcast(adj.select(col("u").as("pa"),
+          col("nbrs").as("na"), col("deg").as("da"))), "pa")
+        .join(broadcast(adj.select(col("u").as("pb"),
+          col("nbrs").as("nb"), col("deg").as("db"))), "pb")
+        .select(col("pa"), col("pb"),
+          size(array_intersect(col("na"), col("nb"))).as("inter"),
+          col("da"), col("db"))
+        .select(col("pa"), col("pb"), col("inter"),
+          (col("da") + col("db") - col("inter")).as("un"))
+        .select(col("pa"), col("pb"),
+          (col("inter").cast("double") / col("un")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // Association-rule mining on the co-purchase pairs: support /
     // confidence-free lift = N·n_ab / (n_a·n_b), min support 3, top 20
     // by lift. Counts are exact integers off the same one-shuffle pair
@@ -338,6 +368,20 @@ object Graph {
          |SELECT v AS part, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
          |  (SELECT pa AS v FROM e4 UNION ALL SELECT pb FROM e4)
          |GROUP BY v""".stripMargin,
+    "graph_neighbor_jaccard" ->
+      s"""WITH $edgeCte,
+         |dir AS (SELECT pa AS u, pb AS v FROM e
+         |        UNION ALL SELECT pb, pa FROM e),
+         |adj AS (SELECT u, list(v) AS nbrs, COUNT(*) AS deg
+         |        FROM dir GROUP BY u),
+         |scored AS (
+         |  SELECT e.pa, e.pb,
+         |    len(list_intersect(a.nbrs, b.nbrs)) AS inter,
+         |    a.deg + b.deg - len(list_intersect(a.nbrs, b.nbrs)) AS un
+         |  FROM e JOIN adj a ON e.pa = a.u JOIN adj b ON e.pb = b.u)
+         |SELECT pa, pb, CAST(inter AS DOUBLE) / un AS jaccard
+         |FROM scored
+         |ORDER BY jaccard DESC, pa, pb LIMIT 20""".stripMargin,
     "graph_copurchase_lift" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
          |           FROM lineitem),

@@ -78,6 +78,45 @@ class GraphSpec extends SparkSpec {
     assert(r.forall { case (v, x) => math.abs(got(v) - x) < 1e-5 })
   }
 
+  test("neighbor jaccard matches an in-memory recompute of the top-20") {
+    val adj = (bruteEdges.toSeq ++ bruteEdges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).toSet }
+    val expected = bruteEdges.toSeq.map { case (a, b) =>
+      val inter = (adj(a) & adj(b)).size
+      val un = adj(a).size + adj(b).size - inter
+      (a, b, inter.toDouble / un)
+    }.sortBy { case (a, b, j) => (-j, a, b) }.take(20)
+    val got = runQ("graph_neighbor_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("kcore peel: survivors have core degree >= 2 and match a brute peel") {
+    // independent support>=2 edge set: count orders per pair via self-join
+    val op = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val support = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p"), col("b.p")).count()
+      .filter(col("count") >= 2)
+      .select(col("a.p"), col("b.p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var es = support.toSet
+    for (_ <- 1 to 4) { // initial cut + 3 recompute rounds
+      val deg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val surv = deg.filter(_._2 >= 2).keySet
+      es = es.filter(e => surv(e._1) && surv(e._2))
+    }
+    val expDeg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = runQ("graph_kcore_peel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "peel must not empty the fixture graph")
+    assert(got == expDeg)
+  }
+
   test("triangle totals are consistent: sum of corner credits = 3 x triangles, bounded by wedges") {
     val triSum = runQ("graph_triangles")
       .agg(sum(col("tri_count"))).collect().head.getLong(0)

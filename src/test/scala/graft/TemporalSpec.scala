@@ -129,4 +129,33 @@ class TemporalSpec extends SparkSpec {
     val active = r.filter(col("n_events") > 0)
     assert(active.filter(col("ffill_value").isNull).isEmpty)
   }
+
+  test("ohlc bars match an in-memory recompute") {
+    val got = Temporal.queries("ts_downsample_ohlc")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(7))).toMap
+    val rows = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val hourMs = 3600L * 1000
+    val expected = rows.groupBy { case (u, ts, _, _) =>
+      (u, new java.sql.Timestamp(ts.getTime / hourMs * hourMs))
+    }.map { case (k, vs) =>
+      // micro-precision sort key: getTime is only ms-precision and the
+      // fixture timestamps carry microseconds
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      val sorted = vs.sortBy(v => (micros(v._2), v._3))
+      k -> (sorted.head._4, vs.map(_._4).max, vs.map(_._4).min,
+        sorted.last._4, vs.size.toLong)
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (o, h, l, c, n)) =>
+      val (go, gh, gl, gc, gn) = got(k)
+      assert((go, gh, gl, gc, gn) == (o, h, l, c, n), s"bar $k")
+      assert(gl <= go && go <= gh && gl <= gc && gc <= gh)
+    }
+  }
 }
