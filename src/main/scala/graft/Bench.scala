@@ -83,7 +83,8 @@ object Bench {
       "dedup_embedding_cosine", "sim_cosine_topk", "sim_lsh_ann",
       "sim_ivf_ann", "corpus_decontaminate", "corpus_pack_batches",
       "text_quality_score", "multimodal_decode_features",
-      "stream_tumbling_window", "graph_triangles", "graph_pagerank")
+      "stream_tumbling_window", "graph_triangles", "graph_pagerank",
+      "dedup_incremental_update", "graph_kcore_peel")
     val hqs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val stdoutJson =

@@ -135,12 +135,22 @@ object Dedup {
   private def verifyFromShingles(sh: DataFrame, minEst: Double): DataFrame =
     attachExactJaccard(pairsFromSignatures(signaturesFrom(sh), minEst), sh)
 
+  /** Attach exact word-shingle Jaccard to candidate pairs. The pair set
+    * is BROADCAST on both attaches (pairs ≈ near-dup density ≪ corpus),
+    * so the corpus-sized shingle index streams through two broadcast
+    * probes and never shuffles — a checkpointed pair frame carries no
+    * size stats, and without the hint the planner picks a sort-merge
+    * join that shuffles the multi-GB index to attach a few thousand
+    * pairs (measured 42 s warm at 8× sf0.1; 1.3 s hinted). If candidate
+    * volume ever outgrows a broadcast, bucket the index by doc_id at
+    * ingest and the attach is shuffle-free on the index side instead. */
   private def attachExactJaccard(cands: DataFrame, sh: DataFrame): DataFrame =
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("sz").as("sz_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("sz").as("sz_b")), "doc_b")
+    sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b"))
+      .join(broadcast(
+        sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+            col("sz").as("sz_a"))
+          .join(broadcast(cands), "doc_a")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         col("sz_a"), col("sz_b"))
@@ -312,11 +322,11 @@ object Dedup {
       val shares = (0 until 16)
         .map(i => band(col("sh_a"), i) === band(col("sh_b"), i))
         .reduce(_ || _)
-      exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
-        .join(sim.select(col("doc_id").as("doc_a"),
-          col("simhash").as("sh_a")), "doc_a")
-        .join(sim.select(col("doc_id").as("doc_b"),
-          col("simhash").as("sh_b")), "doc_b")
+      sim.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+        .join(broadcast(
+          sim.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+            .join(broadcast(exactNearDupPairs(s, d)
+              .select(col("doc_a"), col("doc_b"))), "doc_a")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (ham <= 15).as("hamming_close"), shares.as("shares_band"))
     }),
@@ -348,11 +358,11 @@ object Dedup {
         .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
           greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
         .distinct()
-      val est = cands
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
-          "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
-          "doc_b")
+      val est = sigs
+        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+        .join(broadcast(
+          sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+            .join(broadcast(cands), "doc_a")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (a, b) => when(a === b, 1).otherwise(0)),
@@ -392,11 +402,16 @@ object Dedup {
       fanout(docs.select(col("doc_id"), col("text")))
         .select(col("doc_id"), transform(grams, gm => xxhash64(gm)).as("grams"))
         .select(col("doc_id"), col("grams"), size(col("grams")).as("sz")))
-    cands
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
-        col("sz").as("lsz")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
-        col("sz").as("rsz")), "doc_b")
+    // Same attach shape as attachExactJaccard: the gram index streams
+    // through broadcast probes of the (tiny) candidate set — without the
+    // hints the stat-less checkpointed pair frame forces a sort-merge
+    // join that shuffles the full gram index.
+    g.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("sz").as("rsz"))
+      .join(broadcast(
+        g.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+            col("sz").as("lsz"))
+          .join(broadcast(cands), "doc_a")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ga"), col("gb"))).as("inter_size"),
         col("lsz"), col("rsz"))

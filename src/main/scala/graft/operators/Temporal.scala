@@ -239,16 +239,21 @@ object Temporal {
     // (user, hour) partitioning, so there is one shuffle, then the
     // aggregate is partial-merged map-side).
     "ts_downsample_ohlc" -> ((s, d) => {
-      val bucket = date_trunc("hour", col("ts"))
-      val wAsc = Window.partitionBy(col("user_id"), bucket)
+      // The hour bucket is materialized ONCE as a column: if the windows
+      // and the aggregate each recompute date_trunc as their own
+      // expression, none of them recognize a shared distribution and the
+      // plan pays three exchanges instead of one (pinned by
+      // PlanShapeSpec).
+      val wAsc = Window.partitionBy(col("user_id"), col("bar_start"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      val wDesc = Window.partitionBy(col("user_id"), bucket)
+      val wDesc = Window.partitionBy(col("user_id"), col("bar_start"))
         .orderBy(col("ts").desc, col("event_id").desc)
       Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          date_trunc("hour", col("ts")).as("bar_start"))
         .withColumn("rn_a", row_number().over(wAsc))
         .withColumn("rn_d", row_number().over(wDesc))
-        .groupBy(col("user_id"), bucket.as("bar_start"))
+        .groupBy(col("user_id"), col("bar_start"))
         .agg(
           max(when(col("rn_a") === 1, col("value"))).as("open"),
           max(col("value")).as("high"),

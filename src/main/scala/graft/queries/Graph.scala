@@ -90,16 +90,17 @@ object Graph {
     * per-order pairs feed a count aggregate instead of a distinct — one
     * extra shuffle on (pa, pb), still catalog-bounded output. */
   private def supportEdges(s: SparkSession, d: String): DataFrame =
-    projection(s, d)._1.groupBy(col("o"))
-      .agg(array_sort(collect_set(col("p"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)), y ->
-          |    struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
-      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("pa"), col("pb"))
+    graft.core.ArtifactCache.of(s, d, "graph_support_edges")(
+      projection(s, d)._1.groupBy(col("o"))
+        .agg(array_sort(collect_set(col("p"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), y ->
+            |    struct(x AS pa, y AS pb))))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("pa"), col("pb")))
 
   /** Degree of every endpoint over the distinct edge set. */
   private def degrees(e: DataFrame): DataFrame =
