@@ -14,11 +14,25 @@ object Verify {
       .builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must leave a LOUD trace in the correctness
+        // artifact, not vanish from it (r6: 22 broken queries simply had
+        // no row). Write a one-row error parquet under the query's name:
+        // the driver's compare then records an explicit red row (schema
+        // + hash mismatch against the oracle) instead of silence.
+        val msg = s"${e.getClass.getName}: " +
+          Option(e.getMessage).getOrElse("").take(500)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        try {
+          import spark.implicits._
+          Seq("GRAFT_QUERY_ERROR: " + msg).toDF("graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +50,11 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(_._1.startsWith(prefix))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full error detail alongside the oracle dump (the error parquets
+    // above carry only the fact of failure into the driver compare).
+    val errJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

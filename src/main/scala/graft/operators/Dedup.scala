@@ -120,22 +120,13 @@ object Dedup {
   def minhashPairs(docs: DataFrame, minEstJaccard: Double): DataFrame =
     pairsFromSignatures(minhashSignatures(docs), minEstJaccard)
 
-  /** LSH candidate pairs annotated with EXACT word-shingle Jaccard — the
-    * candidate-generate → exact-verify chain a production dedup run uses.
-    * One cached shingle projection feeds both the signatures and the
-    * verification attach, so documents are tokenized once; verification
-    * cost is O(candidates), never O(n²). Exact Jaccard is integer-set
-    * math (|∩| / |∪| of distinct string sets → one double division), so
-    * the DuckDB oracle reproduces it bit for bit. */
-  def minhashPairsVerified(docs: DataFrame, minEst: Double): DataFrame =
-    verifyFromShingles(wordShingleSets(docs).cache(), minEst)
-
-  /** The verify attach, parameterized by the shingle projection so the
-    * cached ingest-time artifact (below) can feed it. */
-  private def verifyFromShingles(sh: DataFrame, minEst: Double): DataFrame =
-    attachExactJaccard(pairsFromSignatures(signaturesFrom(sh), minEst), sh)
-
-  /** Attach exact word-shingle Jaccard to candidate pairs. The pair set
+  /** Attach exact word-shingle Jaccard to candidate pairs — the
+    * candidate-generate → exact-verify chain a production dedup run
+    * uses, fed by the cached ingest-time artifacts below so documents
+    * are tokenized once; verification cost is O(candidates), never
+    * O(n²). Exact Jaccard is integer-set math (|∩| / |∪| of distinct
+    * string sets → one double division), so the DuckDB oracle
+    * reproduces it bit for bit. The pair set
     * is BROADCAST on both attaches (pairs ≈ near-dup density ≪ corpus),
     * so the corpus-sized shingle index streams through two broadcast
     * probes and never shuffles — a checkpointed pair frame carries no

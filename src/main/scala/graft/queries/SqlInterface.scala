@@ -19,6 +19,28 @@ object SqlInterface {
 
   private val Salts = 8
 
+  /** The fixture has no partsupp table; TPC-H Q2/Q11/Q16/Q20 run over a
+    * DERIVED partsupp — the distinct (partkey, suppkey) pairs actually
+    * traded in lineitem, with supplycost/availqty as deterministic
+    * integer functions of the keys so the DuckDB oracle rebuilds the
+    * identical table (the oracles keep the WITH-ps form). Built ONCE per
+    * session+fixture via the ingest-time ArtifactCache convention —
+    * previously each of the four queries re-ran the distinct-aggregate
+    * over the fact per execution, making q2/q11 the two slowest TPC-H
+    * entries (3.98 s + 3.06 s healthy at sf0.1, VERDICT r6 #5). */
+  private def derivedPartsupp(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "tpch_partsupp") {
+      Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+        .select(col("ps_partkey"), col("ps_suppkey"),
+          ((col("ps_partkey") * 31 + col("ps_suppkey") * 7) % 10000)
+            .cast("double").divide(lit(100.0)).as("ps_supplycost"),
+          ((col("ps_partkey") % 100) * 10 + (col("ps_suppkey") % 50))
+            .as("ps_availqty"))
+    }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q3 (shipping priority) through spark.sql over temp views.
     // Join-strategy hints pin the 100 TB-correct shape: broadcast the
@@ -381,31 +403,35 @@ object SqlInterface {
     // scalar-subquery MAX over the same revenue CTE — and Spark plans
     // that subquery as a SECOND full scan+aggregate of lineitem
     // (verified in explain: Subquery:1 re-scans the fact). At 100 TB
-    // that doubles the dominant cost, so this uses the one-scan form:
-    // aggregate per suppkey once, then MAX() OVER () on the already-
-    // aggregated per-supplier frame (1 row per supplier — a single
-    // narrow partition even at SF100k, vs re-reading the fact).
-    // Revenue stays decimal through the MAX comparison so ties and the
-    // max itself are exact.
+    // that doubles the dominant cost, so the fact is aggregated per
+    // suppkey once and the global max comes from a 1-row broadcast join
+    // against a re-aggregate of that per-supplier frame — Spark's
+    // exchange reuse feeds both references from one lineitem scan
+    // (verified in explain: ReusedExchange), and the 1-row max side
+    // broadcasts. An earlier MAX() OVER () form computed the same thing
+    // but forced a deliberate single-partition WindowExec whose "No
+    // Partition Defined" warning drowned real signals in every bench
+    // log (VERDICT r6 #7). Revenue stays decimal through the MAX
+    // comparison so ties and the max itself are exact.
     "sql_tpch_q15" -> ((s, d) => {
       Tables.supplier(s, d).createOrReplaceTempView("supplier")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
+        WITH r AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                   AS DECIMAL(18,10))) AS total_revenue_dec
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
         SELECT /*+ BROADCAST(supplier) */
                s_suppkey, s_name,
                CAST(total_revenue_dec AS DOUBLE) AS total_revenue
-        FROM supplier JOIN (
-          SELECT supplier_no, total_revenue_dec,
-                 MAX(total_revenue_dec) OVER () AS max_revenue_dec
-          FROM (SELECT l_suppkey AS supplier_no,
-                       SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                         AS DECIMAL(18,10))) AS total_revenue_dec
-                FROM lineitem
-                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-                GROUP BY l_suppkey) r
-        ) revenue ON s_suppkey = supplier_no
-        WHERE total_revenue_dec = max_revenue_dec
+        FROM r
+        JOIN (SELECT MAX(total_revenue_dec) AS max_revenue_dec FROM r) mx
+          ON total_revenue_dec = max_revenue_dec
+        JOIN supplier ON s_suppkey = supplier_no
         ORDER BY s_suppkey""")
     }),
 
@@ -516,33 +542,20 @@ object SqlInterface {
         ORDER BY cntrycode""")
     }),
 
-    // The fixture has no partsupp table; the remaining four TPC-H
-    // queries (Q2, Q11, Q16, Q20) run over a DERIVED partsupp — the
-    // distinct (partkey, suppkey) pairs actually traded in lineitem,
-    // with supplycost/availqty as deterministic integer functions of
-    // the keys so the DuckDB oracle rebuilds the identical table. The
-    // derivation is one distinct-aggregate over two fact columns
-    // (map-side combined); everything downstream treats `ps` exactly
-    // as it would the real table.
-    // TPC-H Q2 (minimum-cost supplier): canonical form correlates a
-    // MIN subquery per part — and like Q17 that re-derives/re-scans
-    // the big side. One-scan form: MIN(cost) OVER (PARTITION BY
-    // partkey) on the region-filtered join, then keep the rows at the
-    // minimum. The oracle keeps the correlated form.
+    // TPC-H Q2 (minimum-cost supplier) over the cached derived partsupp
+    // (see `derivedPartsupp`): canonical form correlates a MIN subquery
+    // per part — and like Q17 that re-derives/re-scans the big side.
+    // One-scan form: MIN(cost) OVER (PARTITION BY partkey) on the
+    // region-filtered join, then keep the rows at the minimum. The
+    // oracle keeps the correlated form.
     "sql_tpch_q2" -> ((s, d) => {
       Tables.part(s, d).createOrReplaceTempView("part")
       Tables.supplier(s, d).createOrReplaceTempView("supplier")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.nation(s, d).createOrReplaceTempView("nation")
       Tables.region(s, d).createOrReplaceTempView("region")
+      derivedPartsupp(s, d).createOrReplaceTempView("ps")
       s.sql("""
-        WITH ps AS (
-          SELECT DISTINCT l_partkey AS ps_partkey,
-                 l_suppkey AS ps_suppkey,
-                 CAST((l_partkey * 31 + l_suppkey * 7) % 10000
-                   AS DOUBLE) / 100.0 AS ps_supplycost
-          FROM lineitem),
-        eur AS (
+        WITH eur AS (
           SELECT /*+ BROADCAST(supplier, nation, region, part) */
                  s_acctbal, s_name, n_name, p_partkey, p_brand,
                  ps_supplycost,
@@ -564,23 +577,14 @@ object SqlInterface {
     // nation vs a fraction-of-total threshold from an uncorrelated
     // scalar subquery (a 1-row broadcast). Value sums aggregate as
     // exact decimals; the threshold multiply happens once on the
-    // aggregated scalar. The ps CTE is referenced twice — with a real
-    // partsupp table each reference is a table scan; here each is the
-    // same distinct-aggregate, and Spark's exchange reuse dedups the
-    // heavy subtree.
+    // aggregated scalar. The ps view is referenced twice — as the
+    // cached derived-partsupp artifact each reference is a scan of the
+    // materialized table, exactly as a real partsupp would be.
     "sql_tpch_q11" -> ((s, d) => {
       Tables.supplier(s, d).createOrReplaceTempView("supplier")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.nation(s, d).createOrReplaceTempView("nation")
+      derivedPartsupp(s, d).createOrReplaceTempView("ps")
       s.sql("""
-        WITH ps AS (
-          SELECT DISTINCT l_partkey AS ps_partkey,
-                 l_suppkey AS ps_suppkey,
-                 CAST((l_partkey * 31 + l_suppkey * 7) % 10000
-                   AS DOUBLE) / 100.0 AS ps_supplycost,
-                 (l_partkey % 100) * 10 + (l_suppkey % 50)
-                   AS ps_availqty
-          FROM lineitem)
         SELECT /*+ BROADCAST(supplier, nation) */
                ps_partkey,
                CAST(SUM(CAST(ps_supplycost * ps_availqty
@@ -609,12 +613,8 @@ object SqlInterface {
     "sql_tpch_q16" -> ((s, d) => {
       Tables.part(s, d).createOrReplaceTempView("part")
       Tables.supplier(s, d).createOrReplaceTempView("supplier")
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      derivedPartsupp(s, d).createOrReplaceTempView("ps")
       s.sql("""
-        WITH ps AS (
-          SELECT DISTINCT l_partkey AS ps_partkey,
-                 l_suppkey AS ps_suppkey
-          FROM lineitem)
         SELECT /*+ BROADCAST(part) */
                p_brand, p_type, p_size,
                CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
@@ -641,13 +641,8 @@ object SqlInterface {
       Tables.supplier(s, d).createOrReplaceTempView("supplier")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       Tables.nation(s, d).createOrReplaceTempView("nation")
+      derivedPartsupp(s, d).createOrReplaceTempView("ps")
       s.sql("""
-        WITH ps AS (
-          SELECT DISTINCT l_partkey AS ps_partkey,
-                 l_suppkey AS ps_suppkey,
-                 (l_partkey % 100) * 10 + (l_suppkey % 50)
-                   AS ps_availqty
-          FROM lineitem)
         SELECT /*+ BROADCAST(nation) */ s_name, s_suppkey
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         WHERE n_name = 'NATION_2'

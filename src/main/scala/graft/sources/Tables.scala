@@ -20,16 +20,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's Parquet reader
-    * rejects outright. Read the raw int64 nanos (legacy conf) and truncate
-    * to Spark's native microsecond timestamps; oracles truncate the same
-    * way via CAST(ts AS TIMESTAMP) in DuckDB. `div` keeps the arithmetic
-    * integral — a double intermediate would round off-by-one-microsecond. */
+  /** events.parquet's `ts` encoding has changed across driver fixture
+    * generations — TIMESTAMP(NANOS) (reads as int64 under the legacy
+    * conf), then timestamp[us] with no timezone (reads as
+    * TIMESTAMP_NTZ). Dispatch on the READ schema so every generation
+    * lands on the same session-local TimestampType the rest of the
+    * engine (and the DuckDB oracles' CAST(ts AS TIMESTAMP)) expect:
+    *  - LongType → raw nanos: integral `div 1000` to micros (`div`, not
+    *    `/`: a double intermediate rounds off-by-one-microsecond);
+    *  - TIMESTAMP_NTZ → cast to TimestampType (identity on the stored
+    *    micros under the session's UTC timezone, GraftExtensions.builder);
+    *  - TimestampType → already native, pass through. */
   def events(s: SparkSession, d: String): DataFrame =
-    withNanosAsLong(s) {
-      table(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(withNanosAsLong(s)(table(s, d, "events")))
+
+  /** The ts-normalization dispatch, shared with the readStream twins in
+    * `streaming.EventWindows`/`streaming.Stateful` (the conversion is a
+    * plain projection, so it plans identically in batch and streaming). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
+  }
 
   /** Scope the legacy nanos-as-long conf to one read: the Parquet
     * relation captures the conf when `spark.read.parquet` resolves the

@@ -49,21 +49,22 @@ object EventWindows {
         col("n_events"), col("session_value"))
 
   /** The unbounded twin of `Tables.events`: readStream over the same
-    * parquet, nanos truncated to micros inside the streaming plan, late
-    * data bounded by a 1-hour watermark. Every batch window query above
-    * applies to this frame unchanged — Spark plans the batch and
-    * incremental executions from one logical declaration. */
+    * parquet, ts normalized to session-local micros inside the streaming
+    * plan (same schema dispatch as the batch loader), late data bounded
+    * by a 1-hour watermark. Every batch window query above applies to
+    * this frame unchanged — Spark plans the batch and incremental
+    * executions from one logical declaration. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
     Tables.withNanosAsLong(spark) {
-      // Raw on-disk schema (ts as int64 nanos, via nanosAsLong) — the
-      // micros conversion happens inside the streaming plan.
+      // Raw on-disk schema (fixture-generation dependent; see
+      // Tables.normalizeEventTs) — the conversion happens in-plan.
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // FileStreamSource needs a directory; pathGlobFilter narrows the
       // scan to the events table within the fixture dir.
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
         .withWatermark("ts", "1 hour")
     }
 

@@ -22,15 +22,15 @@ object Stateful {
   case class Trans(user_id: Long, from_type: String, to_type: String,
       to_event_id: Long)
 
-  /** Raw events as an unbounded stream (nanos → micros conversion in
-    * the streaming plan). */
+  /** Raw events as an unbounded stream (ts normalized to session-local
+    * micros in the streaming plan — same dispatch as `Tables.events`). */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.withNanosAsLong(spark) {
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
     }
 
   /** Stream-stream interval join: clicks joined to same-user purchases
