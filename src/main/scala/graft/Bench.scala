@@ -139,7 +139,11 @@ object Bench {
         s""""errors":$errsJson,"artifact_build_s":$artifactBuild,""" +
         s""""control_baseline":$baseline,"controls":$ctrls,"sf":"$sfDir"}"""
     println(stdoutJson)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // Default the complete record to a COMMITTED path (ADVICE r6): the
+    // driver's stdout capture keeps only the last 2000 chars, so the
+    // full per-query map must live in the repo for round-over-round
+    // deltas to be computed from complete data, not a biased tail.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullJson)
     catch { case _: Throwable => () }
     spark.stop()

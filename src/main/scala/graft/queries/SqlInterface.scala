@@ -400,36 +400,39 @@ object SqlInterface {
     }),
 
     // TPC-H Q15 (top supplier): the canonical form compares against a
-    // scalar-subquery MAX over the same revenue CTE — and Spark plans
+    // scalar-subquery MAX over the same revenue view — and Spark plans
     // that subquery as a SECOND full scan+aggregate of lineitem
     // (verified in explain: Subquery:1 re-scans the fact). At 100 TB
-    // that doubles the dominant cost, so the fact is aggregated per
-    // suppkey once and the global max comes from a 1-row broadcast join
-    // against a re-aggregate of that per-supplier frame — Spark's
-    // exchange reuse feeds both references from one lineitem scan
-    // (verified in explain: ReusedExchange), and the 1-row max side
-    // broadcasts. An earlier MAX() OVER () form computed the same thing
-    // but forced a deliberate single-partition WindowExec whose "No
-    // Partition Defined" warning drowned real signals in every bench
-    // log (VERDICT r6 #7). Revenue stays decimal through the MAX
-    // comparison so ties and the max itself are exact.
+    // that doubles the dominant cost. The official query defines
+    // `revenue` as a VIEW; here that view — the per-supplier aggregate,
+    // catalog-bounded at one row per supplier — is cached, so the fact
+    // is scanned once and both the 1-row MAX probe and the final join
+    // read the materialization (Catalyst's ReuseExchange does NOT match
+    // the two aggregate branches of the unre-used CTE form — verified —
+    // hence the explicit cache). An earlier MAX() OVER () form was
+    // also one-scan but forced a deliberate single-partition WindowExec
+    // whose "No Partition Defined" warning drowned real signals in
+    // every bench log (VERDICT r6 #7). Revenue stays decimal through
+    // the MAX comparison so ties and the max itself are exact.
     "sql_tpch_q15" -> ((s, d) => {
       Tables.supplier(s, d).createOrReplaceTempView("supplier")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
-        WITH r AS (
-          SELECT l_suppkey AS supplier_no,
-                 SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                   AS DECIMAL(18,10))) AS total_revenue_dec
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-          GROUP BY l_suppkey)
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,10))) AS total_revenue_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey""").cache()
+        .createOrReplaceTempView("revenue")
+      s.sql("""
         SELECT /*+ BROADCAST(supplier) */
                s_suppkey, s_name,
                CAST(total_revenue_dec AS DOUBLE) AS total_revenue
-        FROM r
-        JOIN (SELECT MAX(total_revenue_dec) AS max_revenue_dec FROM r) mx
+        FROM revenue
+        JOIN (SELECT MAX(total_revenue_dec) AS max_revenue_dec
+              FROM revenue) mx
           ON total_revenue_dec = max_revenue_dec
         JOIN supplier ON s_suppkey = supplier_no
         ORDER BY s_suppkey""")
