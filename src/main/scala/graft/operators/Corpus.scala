@@ -67,6 +67,39 @@ object Corpus {
   private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
   private val phonePat = "[0-9]{3}-[0-9]{4}"
 
+  /** Bigram language-model scoring (the CCNet-style perplexity quality
+    * signal), shared by corpus_lm_score and corpus_ccnet_buckets: train
+    * add-1-smoothed bigram statistics on the corpus itself and score
+    * every document by its average negative log-probability. Counts are
+    * three partial-combined aggregates over ONE bigram explode; the
+    * model joins back by (t1, t2) and t1 — dictionary-sized relations,
+    * shuffled on the gram keys, the corpus never re-scans. Determinism:
+    * every ln argument is an exact integer-valued double, and the
+    * per-doc average is compared under the gate's 1e-6 tolerance (fp
+    * summation order may differ). */
+  private def lmScored(s: SparkSession, d: String): DataFrame = {
+    val tk = graft.core.Par.fanout(Tables.documents(s, d)
+      .select(col("doc_id"), toksOf(col("text")).as("tk")))
+    val vocab = tk.select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val bigrams = tk.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("t1"),
+            element_at(col("tk"), i + 1).as("t2")))).as("bg"))
+      .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+    val cb = bigrams.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("cb"))
+    val cu = bigrams.groupBy(col("t1")).agg(count(lit(1)).as("cu"))
+    bigrams.join(cb, Seq("t1", "t2")).join(cu, Seq("t1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (log((col("cu") + col("v")).cast("double"))
+          - log(col("cb") + 1.0)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Deterministic train/valid/test assignment. Pure projection — no
     // shuffle, no state; the split of any document is recomputable by
@@ -125,27 +158,30 @@ object Corpus {
     // corpus never re-scans. Determinism: every ln argument is an
     // exact integer-valued double, and the per-doc average is compared
     // under the gate's 1e-6 tolerance (fp summation order may differ).
-    "corpus_lm_score" -> ((s, d) => {
-      val tk = graft.core.Par.fanout(Tables.documents(s, d)
-        .select(col("doc_id"), toksOf(col("text")).as("tk")))
-      val vocab = tk.select(explode(col("tk")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
-      val bigrams = tk.filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("tk")) - 1),
-            i => struct(element_at(col("tk"), i).as("t1"),
-              element_at(col("tk"), i + 1).as("t2")))).as("bg"))
-        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
-      val cb = bigrams.groupBy(col("t1"), col("t2"))
-        .agg(count(lit(1)).as("cb"))
-      val cu = bigrams.groupBy(col("t1")).agg(count(lit(1)).as("cu"))
-      bigrams.join(cb, Seq("t1", "t2")).join(cu, Seq("t1"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          (log((col("cu") + col("v")).cast("double"))
-            - log(col("cb") + 1.0)).as("nll"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
+    "corpus_lm_score" -> ((s, d) => lmScored(s, d)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    // every document with the corpus-trained bigram LM above, then
+    // split each language into head/middle/tail thirds by score rank —
+    // the classic quality-tiering step before mixing or filtering a
+    // web corpus. The rank orders on avg_nll ROUNDED to 6 dp with a
+    // doc_id tiebreak: fp summation order differs between engines, so
+    // rounding first turns equal-to-tolerance scores into EXACT ties
+    // broken by id, making the bucket assignment engine-independent.
+    // One window per lang partition (parallel across strata, never a
+    // global sort); docs with <2 tokens have no LM score and drop, as
+    // in the oracle's inner join.
+    "corpus_ccnet_buckets" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(round(col("avg_nll"), 6), col("doc_id"))
+      lmScored(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("b", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"),
+          when(col("b") === 1, "head")
+            .when(col("b") === 2, "middle")
+            .otherwise("tail").as("tier"))
     }),
 
     // The END-TO-END pipeline: quality filter → exact dedup → split →
@@ -533,6 +569,36 @@ object Corpus {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            AVG(nll) AS avg_nll
          FROM s GROUP BY doc_id""",
+    "corpus_ccnet_buckets" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
+           FROM tk, unnest(range(1, LEN(tk))) AS u(i)
+           WHERE LEN(tk) >= 2),
+         cb AS (SELECT t1, t2, COUNT(*) AS cb FROM b GROUP BY t1, t2),
+         cu AS (SELECT t1, COUNT(*) AS cu FROM b GROUP BY t1),
+         v AS (SELECT COUNT(DISTINCT tok) AS v
+               FROM (SELECT unnest(tk) AS tok FROM tk)),
+         s AS (
+           SELECT doc_id, -(LN(cb + 1.0) - LN(CAST(cu + v AS DOUBLE)))
+             AS nll
+           FROM b JOIN cb USING (t1, t2) JOIN cu USING (t1)
+           CROSS JOIN v),
+         sc AS (SELECT doc_id, AVG(nll) AS avg_nll
+                FROM s GROUP BY doc_id),
+         r AS (
+           SELECT sc.doc_id, d.lang,
+             NTILE(3) OVER (PARTITION BY d.lang
+               ORDER BY ROUND(avg_nll, 6), sc.doc_id) AS b
+           FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+         SELECT doc_id, lang,
+           CASE WHEN b = 1 THEN 'head'
+                WHEN b = 2 THEN 'middle'
+                ELSE 'tail' END AS tier
+         FROM r""",
     "corpus_pipeline_e2e" ->
       """WITH c AS (
            SELECT doc_id, text,

@@ -371,7 +371,33 @@ object Dedup {
     "dedup_resolve_clusters" -> ((s, d) =>
       resolveClusters(
         Tables.documents(s, d).select(col("doc_id")),
-        exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))))
+        exactNearDupPairs(s, d).select(col("doc_a"), col("doc_b")))),
+
+    // Exact duplicated-SPAN detection (the substring-dedup class of
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better": near-dup docs share whole documents; copied
+    // boilerplate shares SPANS). Every overlapping 8-word window is a
+    // span key; a span occurring in ≥2 distinct documents marks each as
+    // carrying copied text. One token scan → window explode →
+    // per-doc-distinct spans → span-keyed count — the only shuffles are
+    // on span keys, never doc×doc. At 100 TB the span string is
+    // replaced by xxhash64(span) so the shuffle carries 8 bytes per
+    // window (collisions ~n²/2⁶⁴, negligible); the string form here
+    // keeps the DuckDB oracle exact.
+    "dedup_substring_spans" -> ((s, d) => {
+      val wins = fanout(Tables.documents(s, d)
+          .select(col("doc_id"), Corpus.toksOf(col("text")).as("tk")))
+        .select(col("doc_id"),
+          explode(array_distinct(Corpus.wordGrams(col("tk"), 8)))
+            .as("span"))
+      val shared = wins.groupBy(col("span"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      wins.join(shared, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          max(col("n_docs")).as("max_span_spread"))
+    })
   )
 
   /** Shared by dedup_ngram_jaccard: character-5-gram Jaccard > 0.5 over
@@ -439,6 +465,22 @@ object Dedup {
          FROM s l JOIN s r ON l.doc_id < r.doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         w AS (
+           SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, i, i + 7), ' ') AS span
+           FROM tk,
+             unnest(range(1, GREATEST(LEN(tk) - 7, 1) + 1)) AS u(i)),
+         sh AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM w GROUP BY span HAVING COUNT(*) >= 2)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           MAX(n_docs) AS max_span_spread
+         FROM w JOIN sh USING (span)
+         GROUP BY doc_id""",
     "dedup_exact" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
          CAST(COUNT(*) AS BIGINT) AS n_copies,

@@ -183,6 +183,42 @@ object Temporal {
         when(inTol, col("asof_value")).as("purchase_value"))
     }),
 
+    // Nearest as-of (pandas merge_asof(direction='nearest')): each
+    // click paired with the purchase closest in time in EITHER
+    // direction, ties to the earlier (backward) match. Composed from
+    // the two directional as-ofs — each a one-shuffle window pass —
+    // joined on the click id to pick the smaller |Δt|; the compose
+    // keeps the per-direction scale shape (no events-per-key² range
+    // intermediate) and the final join is click-keyed, co-partitioned
+    // with both inputs. (user_id, ts) purchase pairs are unique in the
+    // fixture (verified at sf0.01/sf0.1), so no cross-engine tiebreak
+    // beyond ts is exercised.
+    "join_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val b = asofJoin(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("b_ts"), col("asof_value").as("b_value"))
+      val f = asofJoinForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("value"))
+        .select(col("event_id"), col("asof_ts").as("f_ts"),
+          col("asof_value").as("f_value"))
+      val db = unix_micros(col("ts")) - unix_micros(col("b_ts"))
+      val df = unix_micros(col("f_ts")) - unix_micros(col("ts"))
+      val pickB = col("b_ts").isNotNull &&
+        (col("f_ts").isNull || db <= df)
+      b.join(f, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(pickB, col("b_ts")).otherwise(col("f_ts"))
+            .as("purchase_ts"),
+          when(pickB, col("b_value")).otherwise(col("f_value"))
+            .as("purchase_value"))
+    }),
+
     // Time-series resample to a daily grid with forward fill: per user,
     // one row per calendar day from their first to last event; gap days
     // get n_events=0, day_value=0 and carry the last observed closing
@@ -352,6 +388,24 @@ object Temporal {
                 THEN p.value END AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.ts <= c.ts""",
+    "join_asof_nearest" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase'),
+         ranked AS (
+           SELECT c.event_id, p.ts AS purchase_ts,
+             p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY ABS(epoch_us(c.ts) - epoch_us(p.ts)), p.ts)
+               AS rk
+           FROM clicks c JOIN purchases p ON c.user_id = p.user_id)
+         SELECT c.event_id, c.user_id, c.ts,
+           r.purchase_ts, r.purchase_value
+         FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
+           USING (event_id)""",
     "ts_resample_ffill" ->
       """WITH e AS (
            SELECT user_id,

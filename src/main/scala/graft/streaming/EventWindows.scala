@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -117,7 +118,21 @@ object EventWindows {
     "stream_sliding_window" -> ((s, d) => sliding(Tables.events(s, d))),
     "stream_session_window" -> ((s, d) => sessions(Tables.events(s, d))),
     "stream_static_enrich" -> ((s, d) =>
-      enriched(Tables.events(s, d), Tables.customer(s, d)))
+      enriched(Tables.events(s, d), Tables.customer(s, d))),
+    // Batch twin of Stateful.runningTotalStream (transformWithState):
+    // per-user running purchase total in (ts, event_id) order — a
+    // window cumsum here, a ValueState fold there; StreamingSpec
+    // asserts the streaming execution produces the identical frame.
+    "stream_stateful_running_total" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .withColumn("running_total",
+          sum(col("value")).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("running_total")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +177,12 @@ object EventWindows {
          SELECT user_id, MIN(ts) AS session_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-         FROM numbered GROUP BY user_id, session_id"""
+         FROM numbered GROUP BY user_id, session_id""",
+    "stream_stateful_running_total" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           SUM(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+             AS running_total
+         FROM events WHERE event_type = 'purchase'"""
   )
 }

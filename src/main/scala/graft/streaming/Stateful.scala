@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Custom streaming state [EXT]: first-event dedup per (user, type) via
   * `flatMapGroupsWithState` — the arbitrary-state API a pipeline uses
@@ -115,6 +117,52 @@ object Stateful {
             Trans(user, a.event_type, b.event_type, b.event_id)
           }.toSeq.iterator
       }
+      .toDF()
+  }
+
+  case class Running(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, running_total: Double)
+
+  /** Per-user running purchase total through `transformWithState` —
+    * Spark 4's arbitrary-state API (SPARK-42931), the successor to
+    * flatMapGroupsWithState used above: typed state variables from a
+    * handle, explicit TimeMode/TTL, and a RocksDB-backed store
+    * (required by the operator; the spec sets the provider conf).
+    * State is ONE double per user — O(distinct users) — and each
+    * micro-batch's rows fold in (ts, event_id) order, the same total
+    * order as the batch twin's window cumsum, with the stored total
+    * stitching across batch boundaries. Batch twin registered as
+    * `stream_stateful_running_total` (EventWindows.queries); equality
+    * asserted in StreamingSpec. */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, Ev, Running] {
+    @transient private var total: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[Running] = {
+      var acc = if (total.exists()) total.get() else 0.0
+      val out = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .map { e =>
+          acc += e.value
+          Running(user, e.event_id, e.ts, acc)
+        }
+      total.update(acc)
+      out.iterator
+    }
+  }
+
+  def runningTotalStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev]
+    purchases.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
       .toDF()
   }
 }

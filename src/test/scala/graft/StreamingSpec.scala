@@ -102,6 +102,38 @@ class StreamingSpec extends SparkSpec {
       "session sets must match row for row")
   }
 
+  test("transformWithState running total equals the batch window cumsum") {
+    // Spark 4's arbitrary-state API requires the RocksDB state store;
+    // scope the provider conf to this query so the rest of the suite
+    // keeps the default HDFS-backed store.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.Stateful.runningTotalStream(spark, sf0001)
+        .writeStream
+        .format("memory")
+        .queryName("running_total_test")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+
+      val streamed = spark.table("running_total_test")
+        .select("user_id", "event_id", "ts", "running_total")
+        .collect().map(_.toSeq).toSet
+      val batch = EventWindows
+        .queries("stream_stateful_running_total")(spark, sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session windows: no session shorter than one event, gaps respected") {
     val sessions = EventWindows.sessions(Tables.events(spark, sf0001))
     assert(sessions.filter(col("n_events") < 1).count() == 0)
