@@ -262,6 +262,90 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
     }),
 
+    // Product quantization with ADC search (Jégou et al. 2011 — the
+    // compression half of the canonical IVF-PQ index): the 64-dim
+    // corpus splits into 4×16-dim subspaces, each trained to 16
+    // integer centroids with the same stride-seeded two-iteration
+    // Lloyd run the IVF quantizer uses, and every vector is then
+    // stored as a 4-code word (one centroid id per subspace) — 64×
+    // smaller than the raw floats, which is what keeps billion-vector
+    // indexes RAM-resident at 100 TB. Search is asymmetric distance
+    // computation: the query builds a 4×16 distance table against the
+    // centroids (64 entries, broadcast) and each candidate costs 4
+    // table lookups + a sum — the scan never touches a float vector.
+    // Training, encoding, and ADC are all integer squared-L2 on the
+    // ingest-quantized vectors, so the DuckDB oracle replays every
+    // step bit for bit. At this corpus size ADC scans all codes;
+    // production composes it with the IVF cell restriction above.
+    "sim_pq_adc" -> ((s, d) => {
+      val NumSub = 4; val SubDim = 16; val K = 16
+      val subv = fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => (round(v.cast("double") * 1000) + 1000).cast("long"))
+            .as("qv"))
+        .select(col("vec_id"), explode(
+          transform(sequence(lit(0), lit(NumSub - 1)),
+            i => struct(i.cast("int").as("sub"),
+              slice(col("qv"), i * SubDim + 1, lit(SubDim)).as("sqv"))))
+          .as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
+        .cache()
+      val stats = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+        .select(floor(col("n") / K).cast("long").as("stride"))
+      val seeds = subv.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("stride") === 0 &&
+          col("vec_id") < col("stride") * K)
+        .select(col("sub"),
+          floor(col("vec_id") / col("stride")).cast("long").as("cent_id"),
+          col("sqv").as("cq"))
+      val qdist = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      val wA = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist").asc, col("cent_id"))
+      def assign(cents: DataFrame): DataFrame =
+        subv.join(broadcast(cents), "sub")
+          .select(col("vec_id"), col("sub"), col("sqv"), col("cent_id"),
+            qdist(col("sqv"), col("cq")).as("dist"))
+          .withColumn("arn", row_number().over(wA))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("sub"), col("sqv"), col("cent_id"))
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("sub"), col("cent_id"),
+            posexplode(col("sqv")).as(Seq("pos", "v")))
+          .groupBy(col("sub"), col("cent_id"), col("pos"))
+          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cmean"))
+          .groupBy(col("sub"), col("cent_id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cmean")))),
+            x => x.getField("cmean")).as("cq"))
+      // Codebook + code table are ingest-time artifacts, like the IVF
+      // index: trained/encoded once, consumed by every search.
+      val cents = graft.core.ArtifactCache.of(s, d, "pq_cents")(
+        update(assign(update(assign(seeds)))))
+      val codes = graft.core.ArtifactCache.of(s, d, "pq_codes")(
+        assign(cents)
+          .select(col("vec_id"), col("sub"), col("cent_id").as("code")))
+      val dt = subv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("sub").as("dsub"),
+          col("sqv"))
+        .join(broadcast(cents), col("dsub") === cents("sub"))
+        .select(col("query_id"), col("dsub"),
+          col("cent_id").as("dcent"), qdist(col("sqv"), col("cq")).as("dd"))
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id"))
+      codes.join(broadcast(dt),
+          col("sub") === col("dsub") && col("code") === col("dcent"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("dd")).as("adc_dist"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(wR).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("adc_dist"))
+    }),
+
     // Embedding-cosine near-dup pairs: block on the 8-bit SRP signature
     // (256 buckets — the same deterministic hyperplane matrix the ANN
     // index uses), verify by exact dot within buckets. The candidate
@@ -316,6 +400,36 @@ object Similarity {
      $name AS (
        SELECT cent_id, list(cmean ORDER BY pos) AS cq
        FROM ${name}_d GROUP BY cent_id)"""
+
+  /** One PQ assignment step as a DuckDB CTE: every (vector, subspace)
+    * subvector to its nearest same-subspace centroid by integer
+    * squared-L2, ties to the smallest cent_id — the per-subspace mirror
+    * of [[ivfAssignSql]], against the `sv` subvector CTE. */
+  private def pqAssignSql(name: String, cents: String): String =
+    s"""$name AS (
+       SELECT vec_id, sub, sqv, cent_id FROM (
+         SELECT v.vec_id, v.sub, v.sqv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(v.sqv) + 1),
+                 i -> (v.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
+                    * (v.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
+               (acc, x) -> acc + x) ASC, c.cent_id) AS arn
+         FROM sv v JOIN $cents c ON v.sub = c.sub) t WHERE arn = 1)"""
+
+  /** One per-subspace Lloyd update as a DuckDB CTE — [[ivfUpdateSql]]
+    * with the subspace id carried through the group keys. */
+  private def pqUpdateSql(name: String, assigned: String): String =
+    s"""${name}_d AS (
+       SELECT sub, cent_id, u.pos AS pos,
+         CAST(FLOOR(SUM(u.val) / COUNT(*)) AS BIGINT) AS cmean
+       FROM (SELECT sub, cent_id,
+           unnest(list_transform(range(1, len(sqv) + 1),
+             i -> struct_pack(pos := i, val := sqv[CAST(i AS INTEGER)]))) AS u
+         FROM $assigned) GROUP BY sub, cent_id, u.pos),
+     $name AS (
+       SELECT sub, cent_id, list(cmean ORDER BY pos) AS cq
+       FROM ${name}_d GROUP BY sub, cent_id)"""
 
   /** The SRP plane matrix as a DuckDB `DOUBLE[]` literal. Each float is
     * printed via `toDouble.toString` — the shortest decimal that
@@ -412,6 +526,52 @@ object Similarity {
                ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
            FROM scored)
          SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3""",
+    // The PQ oracle replays the whole pipeline in integer math:
+    // quantization, subspace split, per-subspace stride seeding, two
+    // Lloyd iterations, encoding, and the ADC table-lookup sum.
+    "sim_pq_adc" ->
+      s"""WITH st AS (SELECT COUNT(*) // 16 AS stride FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * 1000) + 1000 AS BIGINT)) AS qv
+           FROM embeddings),
+         sv AS (
+           SELECT vec_id, sub,
+             list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
+           FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
+         seeds AS (
+           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
+           FROM sv, st WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         ${pqAssignSql("a1", "seeds")},
+         ${pqUpdateSql("c1", "a1")},
+         ${pqAssignSql("a2", "c1")},
+         ${pqUpdateSql("c2", "a2")},
+         ${pqAssignSql("codes", "c2")},
+         qs AS (SELECT vec_id AS query_id, sub, sqv
+                FROM sv WHERE vec_id < 8),
+         dt AS (
+           SELECT q.query_id, c.sub, c.cent_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(q.sqv) + 1),
+                 i -> (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
+                    * (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
+               (acc, x) -> acc + x) AS dd
+           FROM qs q JOIN c2 c ON q.sub = c.sub),
+         adc AS (
+           SELECT d.query_id, k.vec_id,
+             CAST(SUM(d.dd) AS BIGINT) AS adc_dist
+           FROM codes k JOIN dt d
+             ON k.sub = d.sub AND k.cent_id = d.cent_id
+           GROUP BY d.query_id, k.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, vec_id) AS INTEGER) AS rank
+           FROM adc WHERE vec_id <> query_id)
+         SELECT query_id, rank, vec_id, adc_dist
+         FROM ranked WHERE rank <= 3""",
     "dedup_embedding_cosine" ->
       s"""WITH b AS (
            SELECT vec_id, embedding,
