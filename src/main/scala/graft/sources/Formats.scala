@@ -127,7 +127,23 @@ object Formats {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,10)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
-    })
+    }),
+
+    // The custom DSv2 connector driven end to end: a range predicate
+    // that the source consumes at planning (partition pruning — only
+    // the overlapping id-slices are ever generated; SeriesSourceSpec
+    // pins the plan) and a projection that prunes `tag` out of the
+    // reader. DECIMAL sum so the aggregate is order-independent; the
+    // oracle rebuilds the identical table from range() — the custom
+    // source passes the same gate as every operator.
+    "source_custom_dsv2" -> ((s, d) =>
+      s.read.format("graft.sources.SeriesSource")
+        .option("n", "100000").option("slices", "16").load()
+        .filter(col("id") >= 25000L && col("id") < 75000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,6 +153,13 @@ object Formats {
            AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
          CAST(COUNT(*) AS BIGINT) AS n_items
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         GROUP BY o_orderpriority"""
+         GROUP BY o_orderpriority""",
+    "source_custom_dsv2" ->
+      """SELECT CAST(id % 97 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(((id * 2654435761) % 100000) / 100.0
+             AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM range(25000, 75000) t(id)
+         GROUP BY bucket"""
   )
 }

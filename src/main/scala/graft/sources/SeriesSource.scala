@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A full Data Source V2 connector [EXT]: a deterministic series
+  * generator table with REAL pushdown — the ingest behaviors that
+  * matter at 100 TB, demonstrated end to end:
+  *
+  *  - **Filter pushdown → partition pruning**: range predicates on `id`
+  *    narrow the generated span at PLANNING time, and whole input
+  *    partitions outside the span are never created — the DSv2
+  *    equivalent of parquet row-group pruning. The scan description
+  *    reports `slices=kept/total`, asserted in SeriesSourceSpec.
+  *  - **Column pruning**: `pruneColumns` hands the reader the narrowed
+  *    schema; readers materialize ONLY requested fields (a pruned `tag`
+  *    is never even formatted). `ReadSchema` in explain shows the cut.
+  *  - **Deterministic content**: every field is a pure integer function
+  *    of `id` (Knuth multiplicative hash), so the DuckDB oracle rebuilds
+  *    the identical table from `range()` — the source's correctness is
+  *    gated exactly like every operator.
+  *
+  * Row shape: id BIGINT, bucket INT = id % 97, value DOUBLE =
+  * ((id * 2654435761) % 100000) / 100.0, tag STRING = 't' || id % 7.
+  *
+  * Usage: spark.read.format("graft.sources.SeriesSource")
+  *   .option("n", rows).option("slices", partitions).load()
+  */
+class SeriesSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeriesTable.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SeriesTable(
+      Option(properties.get("n")).map(_.toLong).getOrElse(1000L),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object SeriesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+
+  def bucketOf(id: Long): Int = (id % 97).toInt
+  def valueOf(id: Long): Double = ((id * 2654435761L) % 100000L) / 100.0
+  def tagOf(id: Long): String = "t" + (id % 7)
+}
+
+class SeriesTable(n: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_series(n=$n)"
+  override def schema(): StructType = SeriesTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeriesScanBuilder(n, slices)
+}
+
+/** Pushdown happens here, at planning: range filters on `id` tighten
+  * [lo, hi) and are CONSUMED (returned array = the residual Spark must
+  * still evaluate — empty for the accepted shapes, so the plan carries
+  * no duplicate Filter node for them). Everything else is left to
+  * Spark unevaluated-residual style, exactly how a file source treats
+  * non-pushable predicates. */
+class SeriesScanBuilder(n: Long, slices: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = n
+  private var accepted = Array.empty[Filter]
+  private var required: StructType = SeriesTable.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case GreaterThan("id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
+      case EqualTo("id", _: java.lang.Long) => true
+      case _ => false
+    }
+    ok.foreach {
+      case GreaterThan("id", v: java.lang.Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: java.lang.Long) =>
+        lo = math.max(lo, v.longValue())
+      case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v.longValue())
+      case LessThanOrEqual("id", v: java.lang.Long) =>
+        hi = math.min(hi, v + 1)
+      case EqualTo("id", v: java.lang.Long) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SeriesScan(n, slices, lo, hi, required)
+}
+
+class SeriesScan(n: Long, slices: Int, lo: Long, hi: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+
+  /** Slice [0, n) evenly; keep only slices intersecting the pushed
+    * [lo, hi) — pruning visible in `description()` and in the partition
+    * count the executor sees. */
+  private def kept: Seq[(Long, Long)] = {
+    val per = math.max(1L, (n + slices - 1) / slices)
+    (0L until n by per)
+      .map(s => (math.max(s, lo), math.min(s + per, hi)))
+      .filter { case (a, b) => a < b }
+  }
+
+  override def description(): String = {
+    val total = math.min(slices.toLong, math.max(1L, n))
+    s"graft_series n=$n span=[$lo,$hi) slices=${kept.size}/$total"
+  }
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map { case (a, b) => SeriesPartition(a, b) }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeriesReaderFactory(required)
+}
+
+case class SeriesPartition(start: Long, end: Long) extends InputPartition
+
+class SeriesReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[SeriesPartition]
+    new PartitionReader[InternalRow] {
+      private var id = part.start - 1
+      // Field generators bound ONCE per reader from the pruned schema —
+      // the per-row loop does no name lookups and skips pruned columns
+      // entirely.
+      private val gens: Array[Long => Any] = required.fields.map(_.name).map {
+        case "id" => (i: Long) => i
+        case "bucket" => (i: Long) => SeriesTable.bucketOf(i)
+        case "value" => (i: Long) => SeriesTable.valueOf(i)
+        case "tag" => (i: Long) => UTF8String.fromString(SeriesTable.tagOf(i))
+        case other => throw new IllegalArgumentException(
+          s"unknown column $other")
+      }
+      override def next(): Boolean = { id += 1; id < part.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(gens.map(g => g(id)))
+      override def close(): Unit = ()
+    }
+  }
+}

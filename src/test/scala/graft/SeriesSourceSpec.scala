@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The custom DSv2 connector's contract: deterministic content, filter
+  * pushdown that prunes input partitions at planning time, column
+  * pruning that reaches the reader, and non-pushable predicates left
+  * as Spark-side residuals. */
+class SeriesSourceSpec extends SparkSpec {
+  private def load(n: Long, slices: Int = 8) =
+    spark.read.format("graft.sources.SeriesSource")
+      .option("n", n.toString).option("slices", slices.toString).load()
+
+  test("full scan generates exactly n rows matching the range twin") {
+    val df = load(1000)
+    val twin = spark.range(1000).select(col("id"),
+      (col("id") % 97).cast("int").as("bucket"),
+      ((col("id") * 2654435761L) % 100000L / 100.0).as("value"),
+      concat(lit("t"), col("id") % 7).as("tag"))
+    assert(df.count() == 1000)
+    assert(df.exceptAll(twin).isEmpty && twin.exceptAll(df).isEmpty,
+      "generated content must equal the deterministic range twin")
+  }
+
+  test("range filters prune partitions at planning time") {
+    val df = load(100000, 16)
+      .filter(col("id") >= 25000L && col("id") < 75000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("slices=8/16"),
+      s"expected 8 of 16 slices kept:\n${plan.take(2000)}")
+    assert(df.count() == 50000)
+  }
+
+  test("projection prunes generated columns out of the reader") {
+    val df = load(100).select("id", "value")
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.nonEmpty && !scanLine.contains("tag"), scanLine)
+    assert(df.agg(sum("value")).head.getDouble(0) > 0)
+  }
+
+  test("non-pushable predicates remain as Spark-side residual filters") {
+    val df = load(1000).filter(col("bucket") === 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), plan.take(1500))
+    assert(df.count() ==
+      spark.range(1000).filter(col("id") % 97 === 5).count())
+  }
+}
