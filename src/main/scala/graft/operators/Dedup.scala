@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Par.fanout
@@ -397,6 +398,36 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_dup_spans"),
           max(col("n_docs")).as("max_span_spread"))
+    }),
+
+    // Hard-negative mining for contrastive training (DPR/E5-style
+    // retrieval encoders): per anchor document, the most lexically
+    // similar documents that are NOT near-duplicates — high shingle
+    // overlap makes them hard, Jaccard < 0.5 keeps them true
+    // negatives rather than unlabeled positives. One corpus shingle
+    // scan; the 8 anchor sets broadcast; top-3 per anchor through a
+    // per-anchor window. At 100 TB the anchor set is a training batch
+    // and candidates come from the LSH band index instead of a full
+    // scan — the same candidate-generate shape as the dedup chain.
+    "corpus_hard_negatives" -> ((s, d) => {
+      val sh = wordShingleSets(Tables.documents(s, d))
+      val anchors = sh.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("anchor_id"), col("sh").as("a_sh"),
+          col("sz").as("a_sz"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("jaccard").desc, col("doc_id"))
+      sh.join(broadcast(anchors), col("doc_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("doc_id"),
+          size(array_intersect(col("a_sh"), col("sh"))).as("inter"),
+          col("a_sz"), col("sz"))
+        .select(col("anchor_id"), col("doc_id"),
+          (col("inter").cast("double") /
+            (col("a_sz") + col("sz") - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") > 0 && col("jaccard") < 0.5)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("anchor_id"), col("rank"), col("doc_id"),
+          col("jaccard"))
     })
   )
 
@@ -503,6 +534,22 @@ object Dedup {
          SELECT doc_a, doc_b, exact_jaccard FROM p
          WHERE exact_jaccard >= 0.5
            AND (doc_a % 10 = 0 OR doc_b % 10 = 0)""",
+    "corpus_hard_negatives" ->
+      s"""WITH s AS ($wordShingleSql),
+         a AS (SELECT doc_id AS anchor_id, sh AS a_sh
+               FROM s WHERE doc_id < 8),
+         p AS (
+           SELECT a.anchor_id, s.doc_id,
+             CAST(len(list_intersect(a.a_sh, s.sh)) AS DOUBLE)
+               / (len(a.a_sh) + len(s.sh)
+                  - len(list_intersect(a.a_sh, s.sh))) AS jaccard
+           FROM a JOIN s ON s.doc_id <> a.anchor_id),
+         r AS (
+           SELECT anchor_id, doc_id, jaccard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+               ORDER BY jaccard DESC, doc_id) AS INTEGER) AS rank
+           FROM p WHERE jaccard > 0 AND jaccard < 0.5)
+         SELECT anchor_id, rank, doc_id, jaccard FROM r WHERE rank <= 3""",
     "dedup_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id,
