@@ -10,8 +10,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
-  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics,
+  SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -80,11 +81,23 @@ class SeriesTable(n: Long, slices: Int) extends Table with SupportsRead {
   * Spark unevaluated-residual style, exactly how a file source treats
   * non-pushable predicates. */
 class SeriesScanBuilder(n: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var lo = 0L
   private var hi = n
   private var accepted = Array.empty[Filter]
   private var required: StructType = SeriesTable.Schema
+
+  /** LIMIT pushes FULLY: the generator is ordered and deterministic, so
+    * "any limit rows" is exactly the first `limit` ids of the (already
+    * filter-narrowed) span — the scan then plans only the slices that
+    * span those ids, the DSv2 analogue of a file source stopping after
+    * the first row groups. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition {
@@ -116,8 +129,30 @@ class SeriesScanBuilder(n: Long, slices: Int) extends ScanBuilder
 }
 
 class SeriesScan(n: Long, slices: Int, lo: Long, hi: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch
+    with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Pushdown-AWARE statistics: row count and bytes reflect the
+    * narrowed [lo, hi) span and the pruned schema, not the full table —
+    * so Catalyst/AQE sees a filtered read of this source as small and
+    * can pick a broadcast join where the unfiltered table would
+    * shuffle. File sources get this from footer metadata; a custom
+    * source has to report it. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = math.max(0L, hi - lo)
+    // id 8B + bucket 4B + value 8B + tag ~2B, per surviving column
+    private val perRow = required.fields.map(_.name).map {
+      case "id" => 8L
+      case "bucket" => 4L
+      case "value" => 8L
+      case _ => 2L
+    }.sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * perRow)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   /** Slice [0, n) evenly; keep only slices intersecting the pushed
     * [lo, hi) — pruning visible in `description()` and in the partition

@@ -39,6 +39,24 @@ class SeriesSourceSpec extends SparkSpec {
     assert(df.agg(sum("value")).head.getDouble(0) > 0)
   }
 
+  test("limit pushes fully and shrinks the planned slices") {
+    val df = load(100000, 16).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("slices=1/16"),
+      s"limit should narrow the span to one slice:\n${plan.take(2000)}")
+    assert(df.count() == 5)
+  }
+
+  test("statistics reflect pushdown so a filtered read looks small") {
+    val full = load(100000, 16)
+    val narrow = load(100000, 16)
+      .filter(col("id") >= 10L && col("id") < 20L)
+    def bytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes(narrow) < bytes(full) / 100,
+      s"narrow=${bytes(narrow)} full=${bytes(full)}")
+  }
+
   test("non-pushable predicates remain as Spark-side residual filters") {
     val df = load(1000).filter(col("bucket") === 5)
     val plan = df.queryExecution.executedPlan.toString
