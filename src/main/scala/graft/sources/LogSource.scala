@@ -17,6 +17,8 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,6 +64,31 @@ class GraftLogSource extends TableProvider {
 object GraftLog {
   val ManifestFile = "_manifest"
   val SchemaFile = "_schema"
+  val EpochsFile = "_epochs"
+
+  def committedEpochs(dir: String): Set[Long] = {
+    val f = new File(dir, EpochsFile)
+    if (!f.exists()) Set.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  /** Epoch-idempotent publish for streaming: a replayed micro-batch
+    * (restart re-running an already-committed epoch) is a no-op, which
+    * upgrades the sink to exactly-once under Structured Streaming's
+    * epoch-replay recovery contract. */
+  def publishEpoch(dir: String, epochId: Long, files: Seq[String],
+      schema: StructType): Unit = synchronized {
+    if (!committedEpochs(dir).contains(epochId)) {
+      publish(dir, committedFiles(dir) ++ files, schema)
+      val tmp = Paths.get(dir, s"$EpochsFile.tmp.${UUID.randomUUID()}")
+      Files.write(tmp, (committedEpochs(dir) + epochId).toSeq.sorted
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(dir, EpochsFile),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   def dirOf(path: String): String = {
     require(path != null && path.nonEmpty,
@@ -104,7 +131,7 @@ class GraftLogTable(dir: String, writeSchema: StructType)
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -122,7 +149,33 @@ class GraftLogWriteBuilder(dir: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftLogBatchWrite(
       dir, schema, truncate)
+    override def toStreaming: StreamingWrite =
+      new GraftLogStreamingWrite(dir, schema)
   }
+}
+
+/** Micro-batch writes through the same part-file + manifest protocol;
+  * `commit(epochId, ...)` is idempotent per epoch, so a replayed batch
+  * after restart publishes nothing twice. */
+class GraftLogStreamingWrite(dir: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StreamingDataWriterFactory {
+      private val inner = new GraftLogWriterFactory(dir, schema)
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        inner.createWriter(partitionId, taskId)
+    }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftLog.publishEpoch(dir, epochId,
+      messages.collect { case GraftLogCommit(f, _) => f }.toSeq, schema)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case GraftLogCommit(f, _) =>
+      new File(dir, f).delete()
+    }
 }
 
 case class GraftLogCommit(file: String, rows: Long)

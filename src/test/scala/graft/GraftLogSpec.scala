@@ -39,6 +39,30 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 30)
   }
 
+  test("streaming write commits epochs exactly once across restarts") {
+    val dir = tmp(); val ckpt = tmp()
+    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+    def run(): Unit = {
+      val q = spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format(Fmt).option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val n = batch.count()
+    assert(readBack(dir).count() == n)
+    // Restart from the same checkpoint: nothing new to process, and a
+    // replayed epoch publishes nothing twice.
+    run()
+    assert(readBack(dir).count() == n,
+      "restart must not duplicate committed epochs")
+  }
+
   test("a failed job is invisible: manifest-gated atomicity") {
     val dir = tmp()
     series(100).write.format(Fmt).option("path", dir).mode("append").save()
