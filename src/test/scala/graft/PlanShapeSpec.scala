@@ -41,4 +41,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(600))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("partsupp TPC-H queries consume the cached artifact, not lineitem") {
+    // Q2/Q11/Q16 derive partsupp from the shared ArtifactCache entry —
+    // the fact table must not appear in their scans at all (Q20 keeps a
+    // lineitem scan for its correlated shipment subquery, by design).
+    for (q <- Seq("sql_tpch_q2", "sql_tpch_q11", "sql_tpch_q16")) {
+      val p = phys(q)
+      assert(!p.contains("lineitem"),
+        s"$q should read the cached partsupp artifact:\n${p.take(800)}")
+    }
+  }
+
+  test("hard negatives: anchors broadcast, corpus scans once") {
+    val p = phys("corpus_hard_negatives")
+    // the non-equi anchor attach must be a broadcast of the 8-row
+    // anchor set, never a shuffle of the corpus-sized shingle frame
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pq adc: codebook and distance table broadcast, top-k per query windowed") {
+    val p = phys("sim_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "dictionary-sized codebook joins must never shuffle the codes:\n" +
+        p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("substring spans: span-keyed aggregation, no doc-by-doc join") {
+    val p = phys("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }
