@@ -160,6 +160,51 @@ object Corpus {
     // under the gate's 1e-6 tolerance (fp summation order may differ).
     "corpus_lm_score" -> ((s, d) => lmScored(s, d)),
 
+    // UniMax budget allocation (Chung et al. 2023): distribute a total
+    // token budget over languages with an epoch cap — small languages
+    // are fully consumed up to E epochs, the remainder waterfills
+    // equally over the large ones. The classic iterative waterfilling
+    // has a CLOSED FORM once capacities sort ascending: lang i is
+    // capped iff capacity_i · (langs remaining incl. i) ≤ budget −
+    // prefix_{i−1}, all BIGINT (multiply, never divide → exact), and
+    // uncapped langs share floor((B − capped_sum) / uncapped_count).
+    // Windows partition on a constant over the LANGUAGE table — 5 rows
+    // here, countable-on-one-hand at any corpus scale — the corpus
+    // itself contributes one token-count aggregate. Budget = half the
+    // corpus tokens, E = 2.
+    "corpus_unimax_alloc" -> ((s, d) => {
+      val E = 2
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(toksOf(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("lang")).agg(sum(col("n_tok")).as("s_tokens"))
+        .withColumn("capacity", col("s_tokens") * E)
+      val budget = perLang.agg(
+        (sum(col("s_tokens")) / 2).cast("long").as("b"),
+        count(lit(1)).as("n"))
+      val w = Window.partitionBy(lit(1))
+        .orderBy(col("capacity"), col("lang"))
+      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = perLang.crossJoin(broadcast(budget))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum(col("capacity")).over(wc))
+        .withColumn("capped",
+          col("capacity") * (col("n") - col("i") + 1) <=
+            col("b") - (col("prefix") - col("capacity")))
+      val caps = ranked.agg(
+        sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+        sum(when(col("capped"), col("capacity")).otherwise(0L))
+          .as("capped_sum"))
+      ranked.crossJoin(broadcast(caps))
+        .withColumn("alloc",
+          when(col("capped"), col("capacity"))
+            .otherwise(floor((col("b") - col("capped_sum")) /
+              (col("n") - col("k"))).cast("long")))
+        .select(col("lang"), col("s_tokens"), col("capacity"),
+          col("capped"), col("alloc"),
+          (col("alloc").cast("double") / col("s_tokens")).as("epochs"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023, "Data Selection for
     // Language Models via Importance Resampling"): every document is
     // scored by how much more likely its bigrams are under a TARGET
@@ -618,6 +663,38 @@ object Corpus {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            AVG(nll) AS avg_nll
          FROM s GROUP BY doc_id""",
+    "corpus_unimax_alloc" ->
+      """WITH t AS (
+           SELECT lang, CAST(SUM(LEN(list_filter(
+             regexp_split_to_array(text, '\s+'), x -> x <> '')))
+             AS BIGINT) AS s_tokens
+           FROM documents GROUP BY lang),
+         st AS (SELECT CAST(SUM(s_tokens) // 2 AS BIGINT) AS b,
+                       CAST(COUNT(*) AS BIGINT) AS n FROM t),
+         r AS (
+           SELECT lang, s_tokens, s_tokens * 2 AS capacity, b, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY s_tokens * 2, lang)
+               AS BIGINT) AS i,
+             CAST(SUM(s_tokens * 2) OVER (ORDER BY s_tokens * 2, lang
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+           FROM t, st),
+         c AS (
+           SELECT *, capacity * (n - i + 1) <= b - (prefix - capacity)
+             AS capped
+           FROM r),
+         k AS (
+           SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END),
+               0) AS BIGINT) AS k,
+             CAST(COALESCE(SUM(CASE WHEN capped THEN capacity
+               ELSE 0 END), 0) AS BIGINT) AS capped_sum
+           FROM c)
+         SELECT lang, s_tokens, capacity, capped,
+           CAST(CASE WHEN capped THEN capacity
+                ELSE (b - capped_sum) // (n - k) END AS BIGINT) AS alloc,
+           CAST(CASE WHEN capped THEN capacity
+                ELSE (b - capped_sum) // (n - k) END AS DOUBLE)
+             / s_tokens AS epochs
+         FROM c, k""",
     "corpus_dsir_weights" ->
       """WITH tk AS (
            SELECT doc_id, lang, list_filter(
