@@ -23,14 +23,29 @@ object ScaleProbe {
         "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def amplify(table: String, keyCols: Seq[String]): Unit = {
+    def amplify(table: String, keyCols: Seq[String],
+        saltText: Boolean = false): Unit = {
       val out = s"$amp/$table.parquet"
       if (new java.io.File(out, "_SUCCESS").exists()) return
       val src = spark.read.parquet(s"$base/$table.parquet")
       val shift = 1000000000L
       val parts = (0 until copies).map { k =>
-        keyCols.foldLeft(src) { (df, c) =>
+        val shifted = keyCols.foldLeft(src) { (df, c) =>
           df.withColumn(c, col(c) + lit(k * shift)) }
+        // Token-salt document text per copy: verbatim copies would all
+        // collide in the SAME LSH buckets (identical shingles →
+        // identical signatures), making every doc an exact near-dup of
+        // its 7 clones — a 64x-denser dedup graph, not an 8x corpus.
+        // Suffixing every token with the copy id keeps the within-copy
+        // token/shingle structure isomorphic (planted near-dups stay
+        // near-dups) and zeroes cross-copy overlap, so the probe
+        // measures the algorithm at 8x structure, not a pathological
+        // density it would never see.
+        if (saltText && k > 0)
+          shifted.withColumn("text",
+            concat_ws(" ", transform(split(col("text"), "\\s+"),
+              t => concat(t, lit("_" + k)))))
+        else shifted
       }
       parts.reduce(_ unionByName _)
         .write.mode(SaveMode.Overwrite).parquet(out)
@@ -56,7 +71,9 @@ object ScaleProbe {
         val f = new java.io.File(s"$base/$t.parquet")
         s"$t:${f.length}:${f.lastModified}"
       }
-      s"base=${new java.io.File(base).getAbsolutePath};copies=$copies;" +
+      // v2: documents token-salted per copy (amplifier change must
+      // invalidate caches built by the old code)
+      s"v2;base=${new java.io.File(base).getAbsolutePath};copies=$copies;" +
         sigs.mkString(",")
     }
     val marker = java.nio.file.Paths.get(amp, "AMP_MARKER")
@@ -72,15 +89,16 @@ object ScaleProbe {
     }
 
     println(s"[scale] building $amp (${copies}x)")
-    amplify("documents", Seq("doc_id"))
+    amplify("documents", Seq("doc_id"), saltText = true)
     amplify("lineitem", Seq("l_orderkey"))
     amplify("orders", Seq("o_orderkey"))
     amplify("embeddings", Seq("vec_id"))
-    // events stores TIMESTAMP(NANOS); reading under nanosAsLong keeps
-    // ts a plain int64 through the copy, which Tables.events handles
-    // the same way on the amplified dir. Shifting user_id gives 8x
-    // users with the original per-user timeline each — grid and
-    // window load scale, per-task state does not.
+    // events ts encoding varies by fixture generation (int64 nanos /
+    // timestamp[us]); reading under nanosAsLong carries either form
+    // unchanged through the copy, and Tables.events dispatches on the
+    // amplified dir the same way. Shifting user_id gives 8x users with
+    // the original per-user timeline each — grid and window load
+    // scale, per-task state does not.
     graft.sources.Tables.withNanosAsLong(spark) {
       amplify("events", Seq("event_id", "user_id"))
     }
@@ -118,7 +136,10 @@ object ScaleProbe {
       "sim_lsh_ann", "sim_ivf_ann", "agg_heavy_hitters",
       "ts_resample_ffill", "join_range_banded", "agg_incremental_merge",
       "ts_downsample_ohlc", "ts_time_weighted_avg",
-      "dedup_incremental_update", "graph_kcore_peel")
+      "dedup_incremental_update", "graph_kcore_peel",
+      "dedup_substring_spans", "corpus_ccnet_buckets",
+      "corpus_dsir_weights", "corpus_hard_negatives",
+      "join_asof_nearest", "sim_pq_adc", "corpus_unimax_alloc")
     for (r <- 1 to 2; n <- heavy) {
       val c = control()
       val t = time {

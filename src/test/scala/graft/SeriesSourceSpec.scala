@@ -57,6 +57,17 @@ class SeriesSourceSpec extends SparkSpec {
       s"narrow=${bytes(narrow)} full=${bytes(full)}")
   }
 
+  test("reads are vectorized: the scan feeds ColumnarToRow") {
+    val df = load(10000).groupBy("bucket").count()
+    // AQE inserts row/columnar transitions when it materializes query
+    // stages — execute THIS df's plan first (count() would build a
+    // separate execution), then inspect the final plan.
+    assert(df.collect().length == 97)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"columnar batches expected:\n${plan.take(1500)}")
+  }
+
   test("non-pushable predicates remain as Spark-side residual filters") {
     val df = load(1000).filter(col("bucket") === 5)
     val plan = df.queryExecution.executedPlan.toString
