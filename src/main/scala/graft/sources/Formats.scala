@@ -153,7 +153,9 @@ object Formats {
     // oracle rebuilds the same table from range(), so a row lost or
     // doubled anywhere in the write/commit/read path is a hash miss.
     "sink_custom_dsv2_roundtrip" -> ((s, d) => {
-      val dir = s"/tmp/graft_log/${new java.io.File(d).getName}"
+      // _v2: versioned-manifest format (time travel) — old bare-name
+      // manifests in a stale /tmp cache must not be parsed
+      val dir = s"/tmp/graft_log_v2/${new java.io.File(d).getName}"
       if (GraftLog.committedFiles(dir).isEmpty)
         s.read.format("graft.sources.SeriesSource")
           .option("n", "50000").option("slices", "8").load()

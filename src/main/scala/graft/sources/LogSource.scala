@@ -80,7 +80,8 @@ object GraftLog {
   def publishEpoch(dir: String, epochId: Long, files: Seq[String],
       schema: StructType): Unit = synchronized {
     if (!committedEpochs(dir).contains(epochId)) {
-      publish(dir, committedFiles(dir) ++ files, schema)
+      val v = nextVersion(dir)
+      publish(dir, committedEntries(dir) ++ files.map(v -> _), schema)
       val tmp = Paths.get(dir, s"$EpochsFile.tmp.${UUID.randomUUID()}")
       Files.write(tmp, (committedEpochs(dir) + epochId).toSeq.sorted
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -97,22 +98,41 @@ object GraftLog {
     path
   }
 
-  def committedFiles(dir: String): Seq[String] = {
+  /** Manifest entries are `<version>\t<file>` — each commit tags its
+    * files with the next table version, so any historical snapshot is
+    * reconstructible (time travel, `asOfVersion` read option). */
+  def committedEntries(dir: String): Seq[(Long, String)] = {
     val m = new File(dir, ManifestFile)
     if (!m.exists()) Seq.empty
     else new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).toSeq
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(v, f) = l.split("\t", 2)
+        (v.toLong, f)
+      }.toSeq
   }
+
+  def committedFiles(dir: String): Seq[String] =
+    committedEntries(dir).map(_._2)
+
+  def filesAsOf(dir: String, version: Long): Seq[String] =
+    committedEntries(dir).filter(_._1 <= version).map(_._2)
+
+  def currentVersion(dir: String): Long =
+    committedEntries(dir).map(_._1).maxOption.getOrElse(-1L)
+
+  def nextVersion(dir: String): Long = currentVersion(dir) + 1
 
   /** Atomic manifest swap: temp write + rename. The directory is the
     * unit of locking (single-writer per table, as in a metastore CAS). */
-  def publish(dir: String, files: Seq[String], schema: StructType): Unit =
+  def publish(dir: String, entries: Seq[(Long, String)],
+      schema: StructType): Unit =
     synchronized {
       Files.write(Paths.get(dir, SchemaFile),
         schema.json.getBytes(StandardCharsets.UTF_8))
       val tmp = Paths.get(dir, s"$ManifestFile.tmp.${UUID.randomUUID()}")
       Files.write(tmp,
-        files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        entries.map { case (v, f) => s"$v\t$f" }.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, Paths.get(dir, ManifestFile),
         StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -135,7 +155,9 @@ class GraftLogTable(dir: String, writeSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftLogScan(dir, schema())
+      override def build(): Scan = new GraftLogScan(dir, schema(),
+        Option(options.get("asOfVersion")).map(_.toLong)
+          .getOrElse(Long.MaxValue))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -189,8 +211,11 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case GraftLogCommit(f, _) => f }.toSeq
-    val base = if (truncate) Seq.empty else GraftLog.committedFiles(dir)
-    GraftLog.publish(dir, base ++ fresh, schema)
+    // Truncate resets history to version 0 — overwrite is a new table
+    // lineage, not an addendum.
+    val base = if (truncate) Seq.empty else GraftLog.committedEntries(dir)
+    val v = if (truncate) 0L else GraftLog.nextVersion(dir)
+    GraftLog.publish(dir, base ++ fresh.map(v -> _), schema)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -235,14 +260,20 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
     }
 }
 
-class GraftLogScan(dir: String, schema: StructType) extends Scan with Batch {
+/** Snapshot-isolated scan: the file list is fixed at PLANNING time from
+  * the manifest as of `asOfVersion` (default: latest) — concurrent
+  * commits after planning don't shift the read, and any historical
+  * version stays reconstructible as long as its files aren't vacuumed
+  * (the Delta/Iceberg time-travel contract in miniature). */
+class GraftLogScan(dir: String, schema: StructType,
+    asOfVersion: Long = Long.MaxValue) extends Scan with Batch {
+  private val files = GraftLog.filesAsOf(dir, asOfVersion)
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_log $dir files=${GraftLog.committedFiles(dir).size}"
+    s"graft_log $dir asOf=$asOfVersion files=${files.size}"
   override def planInputPartitions(): Array[InputPartition] =
-    GraftLog.committedFiles(dir)
-      .map(f => GraftLogPartition(dir, f)).toArray
+    files.map(f => GraftLogPartition(dir, f)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(schema)
 }

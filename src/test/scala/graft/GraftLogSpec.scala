@@ -39,6 +39,22 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 30)
   }
 
+  test("time travel: asOfVersion reads a historical snapshot") {
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    series(250).write.format(Fmt).option("path", dir).mode("append").save()
+    assert(graft.sources.GraftLog.currentVersion(dir) == 1L)
+    assert(readBack(dir).count() == 350)
+    val v0 = spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "0").load()
+    assert(v0.count() == 100, "version 0 must be the first commit alone")
+    // overwrite starts a new lineage at version 0
+    series(30).write.format(Fmt).option("path", dir)
+      .mode("overwrite").save()
+    assert(graft.sources.GraftLog.currentVersion(dir) == 0L)
+    assert(readBack(dir).count() == 30)
+  }
+
   test("streaming write commits epochs exactly once across restarts") {
     val dir = tmp(); val ckpt = tmp()
     val batch = spark.read.parquet(s"$sf0001/events.parquet")
