@@ -91,7 +91,30 @@ object TextAnalysis {
           lit(0L),
           (acc, w) => (acc * lit(31L)
             + coalesce(ascii(substring(w, 1, 1)), lit(0)).cast("long") * lit(256L)
-            + length(w).cast("long")) % lit(2147483647L)).as("fingerprint")))
+            + length(w).cast("long")) % lit(2147483647L)).as("fingerprint"))),
+
+    // Character-entropy quality signal: Shannon entropy of the
+    // character distribution per document — the gibberish /
+    // compression-ratio heuristic (low entropy = repeated filler, high
+    // = random noise; natural text sits in a band). Computed as
+    // H = ln(n) − (Σ c·ln c)/n over per-char counts, so every ln
+    // argument is an exact integer and the engines agree within the
+    // gate's tolerance. One char explode → two hash aggregates;
+    // characters come from regexp_extract_all('.') which both engines
+    // define identically over codepoints.
+    "text_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(call_function("regexp_extract_all",
+            col("text"), lit("."), lit(0))).as("ch"))
+        .groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chars_e"),
+          sum(col("c").cast("double") * log(col("c"))).as("clc"))
+        .select(col("doc_id"), col("n_chars_e"),
+          (log(col("n_chars_e")) - col("clc") / col("n_chars_e"))
+            .as("entropy")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,6 +164,19 @@ object TextAnalysis {
                w -> CAST(COALESCE(ASCII(SUBSTR(w, 1, 1)), 0) AS BIGINT) * 256
                     + CAST(LENGTH(w) AS BIGINT))),
            (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint
-         FROM documents"""
+         FROM documents""",
+    "text_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+           FROM documents),
+         cc AS (SELECT doc_id, ch, COUNT(*) AS c
+                FROM ch GROUP BY doc_id, ch),
+         agg AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars_e,
+             SUM(CAST(c AS DOUBLE) * LN(c)) AS clc
+           FROM cc GROUP BY doc_id)
+         SELECT doc_id, n_chars_e,
+           LN(n_chars_e) - clc / n_chars_e AS entropy
+         FROM agg"""
   )
 }

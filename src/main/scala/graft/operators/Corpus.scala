@@ -100,6 +100,49 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
   }
 
+  /** DSIR scoring (Xie et al. 2023), shared by corpus_dsir_weights and
+    * corpus_dsir_resample: per document, the average bigram
+    * log-likelihood ratio of the target distribution (the English
+    * subset) vs the raw corpus, both add-1 smoothed. One bigram explode
+    * feeds all four count models (raw / target × bigram /
+    * unigram-context); the dictionary-sized models join back on gram
+    * keys — the corpus never re-scans. */
+  private def dsirScored(s: SparkSession, d: String): DataFrame = {
+    val tk = graft.core.Par.fanout(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toksOf(col("text")).as("tk")))
+    val bigrams = tk.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("t1"),
+            element_at(col("tk"), i + 1).as("t2")))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+    val tgt = bigrams.filter(col("lang") === "en")
+    val cbR = bigrams.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("cbr"))
+    val cuR = bigrams.groupBy(col("t1")).agg(count(lit(1)).as("cur"))
+    val cbT = tgt.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("cbt"))
+    val cuT = tgt.groupBy(col("t1")).agg(count(lit(1)).as("cut"))
+    val vR = tk.select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vr"))
+    val vT = tk.filter(col("lang") === "en")
+      .select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vt"))
+    bigrams
+      .join(cbR, Seq("t1", "t2")).join(cuR, Seq("t1"))
+      .join(cbT, Seq("t1", "t2"), "left").join(cuT, Seq("t1"), "left")
+      .crossJoin(broadcast(vR)).crossJoin(broadcast(vT))
+      .select(col("doc_id"),
+        ((log(coalesce(col("cbt"), lit(0L)) + 1.0)
+          - log((coalesce(col("cut"), lit(0L)) + col("vt"))
+              .cast("double")))
+         - (log(col("cbr") + 1.0)
+          - log((col("cur") + col("vr")).cast("double")))).as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lr")).as("avg_log_ratio"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Deterministic train/valid/test assignment. Pure projection — no
     // shuffle, no state; the split of any document is recomputable by
@@ -217,41 +260,25 @@ object Corpus {
     // re-scans — the same scale shape as the CCNet scorer. The keep
     // flag thresholds the 6-dp-rounded average so the boolean can't
     // flip on cross-engine fp summation order.
-    "corpus_dsir_weights" -> ((s, d) => {
-      val tk = graft.core.Par.fanout(Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), toksOf(col("text")).as("tk")))
-      val bigrams = tk.filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(
-          transform(sequence(lit(1), size(col("tk")) - 1),
-            i => struct(element_at(col("tk"), i).as("t1"),
-              element_at(col("tk"), i + 1).as("t2")))).as("bg"))
-        .select(col("doc_id"), col("lang"),
-          col("bg.t1").as("t1"), col("bg.t2").as("t2"))
-      val tgt = bigrams.filter(col("lang") === "en")
-      val cbR = bigrams.groupBy(col("t1"), col("t2"))
-        .agg(count(lit(1)).as("cbr"))
-      val cuR = bigrams.groupBy(col("t1")).agg(count(lit(1)).as("cur"))
-      val cbT = tgt.groupBy(col("t1"), col("t2"))
-        .agg(count(lit(1)).as("cbt"))
-      val cuT = tgt.groupBy(col("t1")).agg(count(lit(1)).as("cut"))
-      val vR = tk.select(explode(col("tk")).as("tok"))
-        .agg(countDistinct(col("tok")).as("vr"))
-      val vT = tk.filter(col("lang") === "en")
-        .select(explode(col("tk")).as("tok"))
-        .agg(countDistinct(col("tok")).as("vt"))
-      bigrams
-        .join(cbR, Seq("t1", "t2")).join(cuR, Seq("t1"))
-        .join(cbT, Seq("t1", "t2"), "left").join(cuT, Seq("t1"), "left")
-        .crossJoin(broadcast(vR)).crossJoin(broadcast(vT))
-        .select(col("doc_id"),
-          ((log(coalesce(col("cbt"), lit(0L)) + 1.0)
-            - log((coalesce(col("cut"), lit(0L)) + col("vt"))
-                .cast("double")))
-           - (log(col("cbr") + 1.0)
-            - log((col("cur") + col("vr")).cast("double")))).as("lr"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), avg(col("lr")).as("avg_log_ratio"))
-        .withColumn("dsir_keep", round(col("avg_log_ratio"), 6) > 0)
+    "corpus_dsir_weights" -> ((s, d) => dsirScored(s, d)
+      .withColumn("dsir_keep", round(col("avg_log_ratio"), 6) > 0)),
+
+    // The RESAMPLING half of DSIR: accept each document with
+    // probability sigmoid(avg_log_ratio) — documents that look more
+    // like the target than the raw corpus survive more often. The
+    // accept draw is the deterministic LCG already used for splits
+    // (any worker recomputes membership), and the probability is
+    // quantized to an exact integer in [0, 1e6] before the compare so
+    // cross-engine libm noise in exp() cannot flip an acceptance.
+    "corpus_dsir_resample" -> ((s, d) => {
+      val p = round(lit(1.0) /
+        (lit(1.0) + exp(-col("avg_log_ratio"))), 6)
+      dsirScored(s, d)
+        .withColumn("p_accept", p)
+        .withColumn("thresh",
+          round(col("p_accept") * 1000000).cast("long"))
+        .filter(lcgDraw(col("doc_id")) % 1000000L < col("thresh"))
+        .select(col("doc_id"), col("n_bigrams"), col("p_accept"))
     }),
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): score
@@ -663,6 +690,43 @@ object Corpus {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            AVG(nll) AS avg_nll
          FROM s GROUP BY doc_id""",
+    "corpus_dsir_resample" ->
+      """WITH tk AS (
+           SELECT doc_id, lang, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         b AS (
+           SELECT doc_id, lang, tk[i] AS t1, tk[i + 1] AS t2
+           FROM tk, unnest(range(1, LEN(tk))) AS u(i)
+           WHERE LEN(tk) >= 2),
+         cbr AS (SELECT t1, t2, COUNT(*) AS cbr FROM b GROUP BY t1, t2),
+         cur AS (SELECT t1, COUNT(*) AS cur FROM b GROUP BY t1),
+         cbt AS (SELECT t1, t2, COUNT(*) AS cbt FROM b
+                 WHERE lang = 'en' GROUP BY t1, t2),
+         cut AS (SELECT t1, COUNT(*) AS cut FROM b
+                 WHERE lang = 'en' GROUP BY t1),
+         vr AS (SELECT COUNT(DISTINCT tok) AS vr
+                FROM (SELECT unnest(tk) AS tok FROM tk)),
+         vt AS (SELECT COUNT(DISTINCT tok) AS vt
+                FROM (SELECT unnest(tk) AS tok FROM tk
+                      WHERE lang = 'en')),
+         s AS (
+           SELECT doc_id,
+             (LN(COALESCE(cbt, 0) + 1.0)
+               - LN(CAST(COALESCE(cut, 0) + vt AS DOUBLE)))
+             - (LN(cbr + 1.0) - LN(CAST(cur + vr AS DOUBLE))) AS lr
+           FROM b JOIN cbr USING (t1, t2) JOIN cur USING (t1)
+           LEFT JOIN cbt USING (t1, t2) LEFT JOIN cut USING (t1)
+           CROSS JOIN vr CROSS JOIN vt),
+         sc AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(1.0 / (1.0 + EXP(-AVG(lr))), 6) AS p_accept
+           FROM s GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, p_accept
+         FROM sc
+         WHERE (((doc_id % 2147483648) * 1103515245 + 12345)
+                 % 2147483648) % 1000000
+               < CAST(ROUND(p_accept * 1000000, 0) AS BIGINT)""",
     "corpus_unimax_alloc" ->
       """WITH t AS (
            SELECT lang, CAST(SUM(LEN(list_filter(
