@@ -40,8 +40,9 @@ object Bench {
       "dedup_minhash_lsh", "dedup_resolve_clusters", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_embedding_cosine",
       "dedup_incremental_update", "sim_lsh_ann", "sim_ivf_ann",
-      "graph_triangles", "graph_kcore_peel", "join_bucketed_colocated",
-      "sql_tpch_q2")
+      "sim_pq_adc", "graph_triangles", "graph_kcore_peel",
+      "join_bucketed_colocated", "sql_tpch_q2",
+      "sink_custom_dsv2_roundtrip")
     val artifactBuild = time {
       artifactTouch.foreach(n => SparkEntry.queries.get(n).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }))
@@ -124,7 +125,9 @@ object Bench {
       "sim_ivf_ann", "corpus_decontaminate", "corpus_pack_batches",
       "text_quality_score", "multimodal_decode_features",
       "stream_tumbling_window", "graph_triangles", "graph_pagerank",
-      "dedup_incremental_update", "graph_kcore_peel")
+      "dedup_incremental_update", "graph_kcore_peel",
+      "dedup_substring_spans", "corpus_ccnet_buckets",
+      "corpus_dsir_weights", "sim_pq_adc", "source_custom_dsv2")
     val hqs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")

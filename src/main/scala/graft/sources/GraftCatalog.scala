@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A CatalogPlugin exposing the graft-log table format through SQL DDL
+  * [EXT] — the last layer of the custom-connector stack: with
+  *   spark.sql.catalog.graftcat = graft.sources.GraftCatalog
+  * the engine's own format drives end to end from plain SQL:
+  *   CREATE NAMESPACE graftcat.db;
+  *   CREATE TABLE graftcat.db.t (id BIGINT, v DOUBLE);
+  *   INSERT INTO graftcat.db.t SELECT ...;   -- manifest-committed
+  *   SELECT ... FROM graftcat.db.t;          -- snapshot-isolated
+  * Layout: one directory per table under the warehouse root
+  * (`warehouse` catalog option), namespace = subdirectory — the same
+  * path a metastore-backed catalog industrializes. A table exists iff
+  * its `_schema` file does (written at CREATE, before any data), so
+  * existence is as atomic as the file create. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(s"/tmp/graft_warehouse/$name")
+    new File(warehouse).mkdirs()
+  }
+  override def name(): String = catName
+
+  private def tableDir(ident: Identifier): File =
+    new File((warehouse +: ident.namespace :+ ident.name).mkString("/"))
+  private def nsDir(ns: Array[String]): File =
+    new File((warehouse +: ns).mkString("/"))
+  private def schemaFile(ident: Identifier): File =
+    new File(tableDir(ident), GraftLog.SchemaFile)
+
+  override def tableExists(ident: Identifier): Boolean =
+    schemaFile(ident).exists()
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val d = nsDir(ns)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(ns)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => new File(f, GraftLog.SchemaFile).exists())
+      .map(f => Identifier.of(ns, f.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftLogTable(tableDir(ident).getPath, StructType(Nil))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft-log tables do not support partition transforms")
+    val dir = tableDir(ident)
+    dir.mkdirs()
+    // schema first (existence marker), then an empty version-0 manifest
+    Files.write(Paths.get(dir.getPath, GraftLog.SchemaFile),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    GraftLog.publish(dir.getPath, Seq.empty, schema)
+    new GraftLogTable(dir.getPath, schema)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-log tables are schema-immutable")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val dir = tableDir(ident).toPath
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    nsDir(to.namespace).mkdirs()
+    Files.move(tableDir(from).toPath, tableDir(to).toPath)
+  }
+
+  // -- namespaces: plain subdirectories of the warehouse root --
+  override def listNamespaces(): Array[Array[String]] =
+    Option(new File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(f => Array(f.getName))
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (!nsDir(ns).isDirectory) throw new NoSuchNamespaceException(ns)
+    Array.empty
+  }
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || nsDir(ns).isDirectory
+  override def loadNamespaceMetadata(
+      ns: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    java.util.Collections.emptyMap()
+  }
+  override def createNamespace(ns: Array[String],
+      metadata: JMap[String, String]): Unit =
+    nsDir(ns).mkdirs()
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+  override def dropNamespace(ns: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = nsDir(ns)
+    if (!d.isDirectory) return false
+    if (!cascade && Option(d.listFiles()).exists(_.nonEmpty))
+      throw new IllegalStateException(s"namespace ${ns.mkString(".")} not empty")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(d.toPath)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+    true
+  }
+}
