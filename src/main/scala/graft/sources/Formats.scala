@@ -167,6 +167,35 @@ object Formats {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("total_value"))
+    }),
+
+    // The custom SQL catalog driven through the driver gate: CREATE
+    // TABLE + two INSERTs through `spark.sql` against GraftCatalog,
+    // then a versioned aggregate — rows from snapshot 0 tagged apart
+    // from the full table, so the oracle checks BOTH the DDL path and
+    // time travel. DDL runs once per session+fixture (the catalog dir
+    // doubles as the marker); repeat runs measure the reads.
+    "sql_catalog_versioned" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graftq",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse",
+        s"/tmp/graft_cat_wh/${new java.io.File(d).getName}")
+      val dir = s"/tmp/graft_cat_wh/${new java.io.File(d).getName}/ns/series"
+      if (GraftLog.committedFiles(dir).isEmpty) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.series")
+        s.sql("CREATE TABLE graftq.ns.series (id BIGINT, bucket INT)")
+        s.sql("""INSERT INTO graftq.ns.series
+                 SELECT id, CAST(id % 97 AS INT) FROM range(0, 4000)""")
+        s.sql("""INSERT INTO graftq.ns.series
+                 SELECT id, CAST(id % 97 AS INT) FROM range(4000, 10000)""")
+      }
+      s.sql("""
+        SELECT v.bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_v0,
+               (SELECT COUNT(*) FROM graftq.ns.series) AS n_total
+        FROM graftq.ns.series VERSION AS OF 0 v
+        GROUP BY v.bucket""")
     })
   )
 
@@ -191,6 +220,12 @@ object Formats {
            CAST(SUM(CAST(((id * 2654435761) % 100000) / 100.0
              AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM range(0, 50000) t(id)
-         GROUP BY tag"""
+         GROUP BY tag""",
+    "sql_catalog_versioned" ->
+      """SELECT CAST(id % 97 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_v0,
+           CAST(10000 AS BIGINT) AS n_total
+         FROM range(0, 4000) t(id)
+         GROUP BY bucket"""
   )
 }

@@ -62,6 +62,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLogTable(tableDir(ident).getPath, StructType(Nil))
   }
 
+  /** SQL time travel: `SELECT ... FROM graftcat.ns.t VERSION AS OF v`
+    * resolves here — the returned table pins every scan to the
+    * manifest snapshot at version `v`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftLogTable(tableDir(ident).getPath, StructType(Nil),
+      asOfVersion = version.toLong)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {

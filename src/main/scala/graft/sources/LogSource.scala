@@ -139,7 +139,8 @@ object GraftLog {
     }
 }
 
-class GraftLogTable(dir: String, writeSchema: StructType)
+class GraftLogTable(dir: String, writeSchema: StructType,
+    asOfVersion: Long = Long.MaxValue)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_log($dir)"
   override def schema(): StructType = {
@@ -157,7 +158,7 @@ class GraftLogTable(dir: String, writeSchema: StructType)
     new ScanBuilder {
       override def build(): Scan = new GraftLogScan(dir, schema(),
         Option(options.get("asOfVersion")).map(_.toLong)
-          .getOrElse(Long.MaxValue))
+          .getOrElse(asOfVersion))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

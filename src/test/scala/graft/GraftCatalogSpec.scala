@@ -63,6 +63,10 @@ class GraftCatalogSpec extends SparkSpec {
         .option("path", dir).option("asOfVersion", "0").load()
       assert(v0.count() == 10)
       assert(spark.table("graftcat.db2.s").count() == 30)
+      // the same snapshot through SQL time-travel syntax
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM graftcat.db2.s VERSION AS OF 0")
+        .head.getLong(0) == 10)
     }
   }
 }
