@@ -122,6 +122,21 @@ object GraftLog {
 
   def nextVersion(dir: String): Long = currentVersion(dir) + 1
 
+  /** Vacuum: delete part files no manifest version references —
+    * orphans from failed/aborted jobs (invisible to readers, but they
+    * hold space). Returns the deleted names. Deleting UNREFERENCED
+    * files only means vacuum can never break a snapshot: time travel
+    * keeps working for every committed version, exactly the
+    * Delta/Iceberg retention contract (where dropping OLD versions,
+    * not orphans, is the destructive variant). */
+  def vacuum(dir: String): Seq[String] = synchronized {
+    val referenced = committedFiles(dir).toSet
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        !referenced.contains(f.getName))
+      .map { f => f.delete(); f.getName }.toSeq
+  }
+
   /** Atomic manifest swap: temp write + rename. The directory is the
     * unit of locking (single-writer per table, as in a metastore CAS). */
   def publish(dir: String, entries: Seq[(Long, String)],

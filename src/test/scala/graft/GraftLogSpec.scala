@@ -96,8 +96,13 @@ class GraftLogSpec extends SparkSpec {
     assert(back.count() == 100,
       "failed job's partial part files must never become visible")
     // Orphan part files may exist on disk — visibility is the manifest's
-    // job, not the directory listing's.
-    assert(graft.sources.GraftLog.committedFiles(dir).size ==
-      back.inputFiles.length || back.count() == 100)
+    // job, not the directory listing's. Vacuum removes exactly the
+    // unreferenced ones and the committed data is untouched.
+    val removed = graft.sources.GraftLog.vacuum(dir)
+    val onDisk = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(onDisk == graft.sources.GraftLog.committedFiles(dir).size,
+      s"vacuum left orphans (removed=$removed)")
+    assert(readBack(dir).count() == 100)
   }
 }
