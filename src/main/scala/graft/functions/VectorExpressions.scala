@@ -110,6 +110,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_minhash"),
       (children: Seq[Expression]) =>
         MinhashSignature(children(0), MinhashKernel.DefaultNumHashes)))
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // internal runtime filters but does not register them as SQL
+    // functions; exposing them makes the classic bloom pre-filter
+    // pattern (build a compact sketch over the small side, broadcast,
+    // prune the big side before any shuffle) declarable as a plain
+    // aggregation + predicate. graft_bloom_agg(xxhash64(x), items,
+    // bits) → binary sketch; graft_might_contain(bf, xxhash64(x)).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getCanonicalName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getCanonicalName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

@@ -178,6 +178,44 @@ object Corpus {
         .agg(count(lit(1)).as("n_shared"))
     }),
 
+    // Decontamination with a BLOOM PRE-FILTER — the shape that wins at
+    // 100 TB: the train-gram set is summarized into one ~100 KB sketch
+    // (graft_bloom_agg, Spark's internal BloomFilterAggregate exposed
+    // through the session extensions) and broadcast into the test-side
+    // scan, so the overwhelmingly-clean test grams die BEFORE the
+    // exact shuffle join instead of hash-partitioning a corpus of
+    // grams. False positives are harmless — the exact gram join still
+    // verifies — so the final rows equal plain corpus_decontaminate
+    // and the oracle is the identical SQL. (Spark's own runtime
+    // filters inject this pattern adaptively; the explicit form
+    // documents and pins it.)
+    "corpus_decontaminate_bloom" -> ((s, d) => {
+      val tk = graft.core.Par.fanout(
+        withSplit(Tables.documents(s, d))
+          .select(col("doc_id"), col("split"), toksOf(col("text")).as("tk")))
+      val grams = tk
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(wordGrams(col("tk"), 5))).as("gram"))
+      // BloomFilterMightContain requires the sketch as a scalar
+      // subquery (it is evaluated once at the driver and shipped as a
+      // literal into every task — the broadcast), so the probe side is
+      // declared in SQL over a view of the gram frame.
+      grams.createOrReplaceTempView("g_decon")
+      s.sql("""
+        WITH train AS (
+          SELECT DISTINCT gram FROM g_decon WHERE split = 'train'),
+        bfq AS (
+          SELECT graft_bloom_agg(xxhash64(gram), 100000L, 800000L) AS bf
+          FROM train)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM (SELECT doc_id, gram FROM g_decon
+              WHERE split = 'test'
+                AND graft_might_contain((SELECT bf FROM bfq),
+                      xxhash64(gram))) t
+        JOIN train USING (gram)
+        GROUP BY t.doc_id""")
+    }),
+
     // Vocabulary top-k: token explode -> partial-combined count ->
     // TakeOrderedAndProject top-20 (the distributed top-k physical op —
     // NOT a no-partition window over the whole vocabulary). The rank is
@@ -641,6 +679,26 @@ object Corpus {
                 ELSE 'test' END AS split
          FROM documents""",
     "corpus_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 AS bucket,
+             list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')
+               AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, bucket,
+             unnest(list_distinct(list_transform(
+               range(1, GREATEST(LEN(tk) - 4, 1) + 1),
+               i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+           FROM toks),
+         train AS (SELECT DISTINCT gram FROM g WHERE bucket < 80),
+         test AS (SELECT doc_id, gram FROM g WHERE bucket >= 90)
+         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM test t JOIN train USING (gram)
+         GROUP BY t.doc_id""",
+    // The bloom pre-filter changes the plan, never the rows: the exact
+    // join verifies every candidate, so the oracle is the same SQL.
+    "corpus_decontaminate_bloom" ->
       """WITH toks AS (
            SELECT doc_id,
              (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 AS bucket,
