@@ -58,6 +58,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata table: `SELECT * FROM graftcat.ns.t$files`
+    // lists the manifest (version, file) — the introspection surface a
+    // maintenance job (vacuum planning, CDF consumers) reads.
+    if (ident.name.endsWith("$files")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$files"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogFilesTable(tableDir(base).getPath)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftLogTable(tableDir(ident).getPath, StructType(Nil))
   }

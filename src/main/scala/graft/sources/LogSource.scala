@@ -117,6 +117,16 @@ object GraftLog {
   def filesAsOf(dir: String, version: Long): Seq[String] =
     committedEntries(dir).filter(_._1 <= version).map(_._2)
 
+  /** Change data feed on an append-only table: the files committed
+    * AFTER `fromVersion` (exclusive) up to `toVersion` (inclusive) ARE
+    * the delta — an incremental consumer reads exactly the new rows,
+    * never rescanning history. */
+  def filesChangedBetween(dir: String, fromVersion: Long,
+      toVersion: Long): Seq[String] =
+    committedEntries(dir)
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .map(_._2)
+
   def currentVersion(dir: String): Long =
     committedEntries(dir).map(_._1).maxOption.getOrElse(-1L)
 
@@ -171,9 +181,14 @@ class GraftLogTable(dir: String, writeSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftLogScan(dir, schema(),
-        Option(options.get("asOfVersion")).map(_.toLong)
-          .getOrElse(asOfVersion))
+      override def build(): Scan = {
+        val hi = Option(options.get("asOfVersion")).map(_.toLong)
+          .getOrElse(asOfVersion)
+        // change feed: rows appended in (changesFromVersion, hi]
+        val lo = Option(options.get("changesFromVersion")).map(_.toLong)
+          .getOrElse(-1L)
+        new GraftLogScan(dir, schema(), hi, lo)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -282,12 +297,15 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
   * version stays reconstructible as long as its files aren't vacuumed
   * (the Delta/Iceberg time-travel contract in miniature). */
 class GraftLogScan(dir: String, schema: StructType,
-    asOfVersion: Long = Long.MaxValue) extends Scan with Batch {
-  private val files = GraftLog.filesAsOf(dir, asOfVersion)
+    asOfVersion: Long = Long.MaxValue,
+    changesFromVersion: Long = -1L) extends Scan with Batch {
+  private val files = GraftLog.filesChangedBetween(
+    dir, changesFromVersion, asOfVersion)
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_log $dir asOf=$asOfVersion files=${files.size}"
+    s"graft_log $dir asOf=$asOfVersion from=$changesFromVersion " +
+      s"files=${files.size}"
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => GraftLogPartition(dir, f)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -295,6 +313,57 @@ class GraftLogScan(dir: String, schema: StructType,
 }
 
 case class GraftLogPartition(dir: String, file: String)
+    extends InputPartition
+
+/** The `t$files` metadata table: one row per committed manifest entry,
+  * (version BIGINT, file STRING). Entries are captured at PLANNING
+  * time — the listing is as snapshot-consistent as any scan. */
+class GraftLogFilesTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_files($dir)"
+  override def schema(): StructType = GraftLogFilesTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val entries = GraftLog.committedEntries(dir)
+        override def readSchema(): StructType = GraftLogFilesTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_files $dir entries=${entries.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogFilesPartition(entries))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogFilesPartition]
+                .entries.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  val (v, f) = it.next()
+                  cur = new GenericInternalRow(
+                    Array[Any](v, UTF8String.fromString(f)))
+                  true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+object GraftLogFilesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("file", StringType, nullable = false)))
+}
+
+case class GraftLogFilesPartition(entries: Seq[(Long, String)])
     extends InputPartition
 
 class GraftLogReaderFactory(schema: StructType)

@@ -67,6 +67,19 @@ class GraftCatalogSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT COUNT(*) FROM graftcat.db2.s VERSION AS OF 0")
         .head.getLong(0) == 10)
+      // change data feed: only the second insert's rows
+      val cdf = spark.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).option("changesFromVersion", "0").load()
+      assert(cdf.count() == 20,
+        "the change feed from version 0 must hold insert 2 alone")
+      // metadata table: one manifest row per committed file, versions 0/1
+      val files = spark.sql(
+        "SELECT version, file FROM graftcat.db2.`s$files`")
+      val versions = files.select("version").collect()
+        .map(_.getLong(0)).toSet
+      assert(versions == Set(0L, 1L), s"got $versions")
+      assert(files.count() ==
+        graft.sources.GraftLog.committedFiles(dir).size)
     }
   }
 }
