@@ -94,6 +94,87 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two `array<bigint>` columns — the
+  * hot kernel of IVF/PQ quantizer training and ADC encoding. The
+  * composed `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, add)`
+  * form walks three interpreted lambda closures per element (the r7
+  * scale probe measured 139 s of IVF training at amplified sf0.1,
+  * dominated by exactly this); one fused codegen loop removes the
+  * per-element interpretation entirely. Pure long arithmetic, so the
+  * result is identical to the composed form and to the DuckDB
+  * `list_reduce` oracle twins — swapping the kernel cannot move a
+  * single centroid. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sqdist requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  // Same contract as DotProduct: length mismatch / null element → NULL.
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+
+  private def mayContainNullElements: Boolean = Seq(left, right).exists {
+    e => e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val nullCheck = if (mayContainNullElements) {
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      } else ""
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Extension installer: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (set by every session builder in this library — Verify, Bench, Probe,
   * tests). Registers `graft_dot` in the session function registry so it
@@ -104,6 +185,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SquaredL2].getCanonicalName, "graft_sqdist"),
+      (children: Seq[Expression]) => SquaredL2(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,

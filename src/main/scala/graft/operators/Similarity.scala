@@ -40,6 +40,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Integer squared-L2 over two `array<bigint>` columns — the codegen'd
+    * [[graft.functions.SquaredL2]] kernel (one fused loop; replaces the
+    * interpreted `aggregate(zip_with(...))` fold that dominated IVF/PQ
+    * training cost at the 8x scale probe). Exact long arithmetic, so
+    * centroids and codes are identical to the composed form and to the
+    * DuckDB `list_reduce` oracles. */
+  def sqdist(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
+
   /** splitmix64 finalizer (public-domain PRNG, Steele et al. 2014) —
     * deterministic hyperplane source with zero driver state beyond the
     * (plane, dim) index. */
@@ -185,16 +194,27 @@ object Similarity {
     // IVF (inverted-file) ANN with a TRAINED coarse quantizer:
     // k = ⌊√n⌋ cells (the classic IVF cell count — probe cost and cell
     // size both ~√n), seeded by every ⌊n/k⌋-th vec_id and refined by two
-    // Lloyd iterations of k-means. Every training step is exact integer
+    // Lloyd iterations of k-means over a BOUNDED deterministic sample:
+    // every m-th vec_id with m = max(1, n / max(2048, 39k)) — the FAISS
+    // train-on-a-sample rule (≈39+ vectors per centroid suffice for a
+    // coarse quantizer), so Lloyd cost is O(sample·k), not O(n·k), and
+    // a 100 TB corpus trains its quantizer on a fixed-size slice
+    // instead of every vector. At the driver fixtures m = 1 (sample =
+    // corpus, results unchanged); the 8x amplified probe trains on
+    // ~1/3 of the corpus. Every training step is exact integer
     // arithmetic — embeddings quantize to round(v·1000)+1000 ∈ [0,2000],
-    // assignment is integer squared-L2 (offset cancels), centroid update
-    // is a non-negative integer floor-division — so the DuckDB oracle
-    // replays the whole training run bit for bit; only the final rerank
-    // uses fp (the strict-fold double dot both engines share). Each
-    // iteration is one broadcast join + one aggregation: the corpus
-    // embeddings never shuffle, and the ~√n-row centroid table is the
-    // only thing that moves. Queries probe their own cell and rerank by
-    // exact dot — the 1/√n scan saving of a production IVF index.
+    // assignment is integer squared-L2 via the codegen'd `graft_sqdist`
+    // kernel, centroid update is a non-negative integer floor-division
+    // — so the DuckDB oracle replays the whole training run (same m,
+    // same sample) bit for bit; only the final rerank uses fp (the
+    // strict-fold double dot both engines share). Each iteration is one
+    // broadcast join + one aggregation: the sampled embeddings never
+    // shuffle, and the ~√n-row centroid table is the only thing that
+    // moves. The one remaining full pass is the final cell assignment —
+    // the index build itself, one O(n·k) scan that production systems
+    // also pay (or approximate with an ANN coarse assigner). Queries
+    // probe their own cell and rerank by exact dot — the 1/√n scan
+    // saving of a production IVF index.
     "sim_ivf_ann" -> ((s, d) => {
       // Cached: the quantized corpus is referenced by all three
       // assignment passes, and the final assignment feeds both the
@@ -206,15 +226,17 @@ object Similarity {
           transform(col("embedding"),
             v => (round(v.cast("double") * 1000) + 1000).cast("long")).as("qv"))
         .cache()
-      // n / k / stride as a 1-row broadcast frame — no driver action.
+      // n / k / stride / sample modulus as a 1-row broadcast frame —
+      // no driver action.
       val stats = Tables.embeddings(s, d)
         .agg(count(lit(1)).as("n"))
         .select(col("n"),
           floor(sqrt(col("n"))).cast("long").as("k"))
-        .select((col("n") / col("k")).cast("long").as("stride"))
-      val qdist = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
+        .select((col("n") / col("k")).cast("long").as("stride"),
+          greatest(lit(1L),
+            floor(col("n") / greatest(lit(2048L), col("k") * lit(39L)))
+              .cast("long")).as("m"))
+      val qdist = (a: Column, b: Column) => sqdist(a, b)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist").asc, col("cent_id"))
       def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
@@ -240,11 +262,16 @@ object Similarity {
       val seeds = emb.crossJoin(broadcast(stats))
         .filter(col("vec_id") % col("stride") === 0)
         .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
+      // Bounded training sample: every m-th vec_id (deterministic, so
+      // the oracle replays the identical slice).
+      val tr = emb.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("m") === 0)
+        .select(col("vec_id"), col("embedding"), col("qv"))
       // The trained index (corpus → cell assignment) is a
       // session+fixture artifact — training runs once at "ingest";
       // repeat runs measure the probe, which is the production shape.
       val assigned = graft.core.ArtifactCache.of(s, d, "ivf_index") {
-        val trained = update(assign(emb, update(assign(emb, seeds))))
+        val trained = update(assign(tr, update(assign(tr, seeds))))
         assign(emb, trained)
           .select(col("vec_id"), col("embedding"), col("cent_id"))
       }
@@ -291,21 +318,29 @@ object Similarity {
           .as("x"))
         .select(col("vec_id"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
         .cache()
+      // Codebook training on a bounded deterministic sample (every m-th
+      // vec_id, m = max(1, n/2048) — 2048 vectors ≫ the 39·16 FAISS
+      // floor for 16 centroids): Lloyd cost stays constant as the
+      // corpus grows; only the one-pass final encoding touches every
+      // vector. m = 1 at the driver fixtures (results unchanged).
       val stats = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
-        .select(floor(col("n") / K).cast("long").as("stride"))
+        .select(floor(col("n") / K).cast("long").as("stride"),
+          greatest(lit(1L), floor(col("n") / lit(2048L)).cast("long"))
+            .as("m"))
       val seeds = subv.crossJoin(broadcast(stats))
         .filter(col("vec_id") % col("stride") === 0 &&
           col("vec_id") < col("stride") * K)
         .select(col("sub"),
           floor(col("vec_id") / col("stride")).cast("long").as("cent_id"),
           col("sqv").as("cq"))
-      val qdist = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
+      val tr = subv.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("m") === 0)
+        .select(col("vec_id"), col("sub"), col("sqv"))
+      val qdist = (a: Column, b: Column) => sqdist(a, b)
       val wA = Window.partitionBy(col("vec_id"), col("sub"))
         .orderBy(col("dist").asc, col("cent_id"))
-      def assign(cents: DataFrame): DataFrame =
-        subv.join(broadcast(cents), "sub")
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+        vecs.join(broadcast(cents), "sub")
           .select(col("vec_id"), col("sub"), col("sqv"), col("cent_id"),
             qdist(col("sqv"), col("cq")).as("dist"))
           .withColumn("arn", row_number().over(wA))
@@ -323,9 +358,9 @@ object Similarity {
       // Codebook + code table are ingest-time artifacts, like the IVF
       // index: trained/encoded once, consumed by every search.
       val cents = graft.core.ArtifactCache.of(s, d, "pq_cents")(
-        update(assign(update(assign(seeds)))))
+        update(assign(tr, update(assign(tr, seeds)))))
       val codes = graft.core.ArtifactCache.of(s, d, "pq_codes")(
-        assign(cents)
+        assign(subv, cents)
           .select(col("vec_id"), col("sub"), col("cent_id").as("code")))
       val dt = subv.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("sub").as("dsub"),
@@ -371,10 +406,13 @@ object Similarity {
     })
   )
 
-  /** One IVF assignment step as a DuckDB CTE: every quantized vector to
-    * its nearest centroid by integer squared-L2, ties to the smallest
-    * cent_id — the exact mirror of the Spark `assign` window. */
-  private def ivfAssignSql(name: String, cents: String): String =
+  /** One IVF assignment step as a DuckDB CTE: every quantized vector of
+    * `src` to its nearest centroid by integer squared-L2, ties to the
+    * smallest cent_id — the exact mirror of the Spark `assign` window
+    * (training iterations read the sampled `tr`, the final index build
+    * reads the full `qv`). */
+  private def ivfAssignSql(name: String, cents: String,
+      src: String = "qv"): String =
     s"""$name AS (
        SELECT vec_id, qv, cent_id FROM (
          SELECT v.vec_id, v.qv, c.cent_id,
@@ -384,7 +422,7 @@ object Similarity {
                  i -> (v.qv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
                     * (v.qv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
                (acc, x) -> acc + x) ASC, c.cent_id) AS arn
-         FROM qv v CROSS JOIN $cents c) t WHERE arn = 1)"""
+         FROM $src v CROSS JOIN $cents c) t WHERE arn = 1)"""
 
   /** One Lloyd update as a DuckDB CTE: per-dimension integer mean
     * (floor division on non-negative sums) reassembled in dimension
@@ -405,7 +443,8 @@ object Similarity {
     * subvector to its nearest same-subspace centroid by integer
     * squared-L2, ties to the smallest cent_id — the per-subspace mirror
     * of [[ivfAssignSql]], against the `sv` subvector CTE. */
-  private def pqAssignSql(name: String, cents: String): String =
+  private def pqAssignSql(name: String, cents: String,
+      src: String = "sv"): String =
     s"""$name AS (
        SELECT vec_id, sub, sqv, cent_id FROM (
          SELECT v.vec_id, v.sub, v.sqv, c.cent_id,
@@ -415,7 +454,7 @@ object Similarity {
                  i -> (v.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
                     * (v.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
                (acc, x) -> acc + x) ASC, c.cent_id) AS arn
-         FROM sv v JOIN $cents c ON v.sub = c.sub) t WHERE arn = 1)"""
+         FROM $src v JOIN $cents c ON v.sub = c.sub) t WHERE arn = 1)"""
 
   /** One per-subspace Lloyd update as a DuckDB CTE — [[ivfUpdateSql]]
     * with the subspace id carried through the group keys. */
@@ -483,12 +522,15 @@ object Similarity {
            FROM scored)
          SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 5""",
     // The oracle replays the integer k-means training run exactly —
-    // quantization, stride seeding, two Lloyd iterations, final
-    // assignment are all integer math, and the fp rerank is the shared
-    // strict left fold — so every step agrees bit-for-bit.
+    // quantization, stride seeding, the bounded training sample
+    // (every m-th vec_id), two Lloyd iterations, final assignment are
+    // all integer math, and the fp rerank is the shared strict left
+    // fold — so every step agrees bit-for-bit.
     "sim_ivf_ann" ->
       s"""WITH st AS (
-           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride
+           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
+             GREATEST(1, COUNT(*) // GREATEST(2048,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
            FROM embeddings),
          qv AS (
            SELECT vec_id, embedding,
@@ -496,12 +538,14 @@ object Similarity {
                i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
                       * 1000) + 1000 AS BIGINT)) AS qv
            FROM embeddings),
+         tr AS (
+           SELECT vec_id, qv FROM qv, st WHERE vec_id % m = 0),
          seeds AS (
            SELECT vec_id AS cent_id, qv AS cq FROM qv, st
            WHERE vec_id % stride = 0),
-         ${ivfAssignSql("a1", "seeds")},
+         ${ivfAssignSql("a1", "seeds", "tr")},
          ${ivfUpdateSql("c1", "a1")},
-         ${ivfAssignSql("a2", "c1")},
+         ${ivfAssignSql("a2", "c1", "tr")},
          ${ivfUpdateSql("c2", "a2")},
          ${ivfAssignSql("a3", "c2")},
          assigned AS (
@@ -527,10 +571,12 @@ object Similarity {
            FROM scored)
          SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 3""",
     // The PQ oracle replays the whole pipeline in integer math:
-    // quantization, subspace split, per-subspace stride seeding, two
-    // Lloyd iterations, encoding, and the ADC table-lookup sum.
+    // quantization, subspace split, per-subspace stride seeding, the
+    // bounded training sample, two Lloyd iterations, encoding, and the
+    // ADC table-lookup sum.
     "sim_pq_adc" ->
-      s"""WITH st AS (SELECT COUNT(*) // 16 AS stride FROM embeddings),
+      s"""WITH st AS (SELECT COUNT(*) // 16 AS stride,
+             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
          qv AS (
            SELECT vec_id,
              list_transform(range(1, len(embedding) + 1),
@@ -541,12 +587,14 @@ object Similarity {
            SELECT vec_id, sub,
              list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
            FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
+         tr AS (
+           SELECT vec_id, sub, sqv FROM sv, st WHERE vec_id % m = 0),
          seeds AS (
            SELECT sub, vec_id // stride AS cent_id, sqv AS cq
            FROM sv, st WHERE vec_id % stride = 0 AND vec_id < stride * 16),
-         ${pqAssignSql("a1", "seeds")},
+         ${pqAssignSql("a1", "seeds", "tr")},
          ${pqUpdateSql("c1", "a1")},
-         ${pqAssignSql("a2", "c1")},
+         ${pqAssignSql("a2", "c1", "tr")},
          ${pqUpdateSql("c2", "a2")},
          ${pqAssignSql("codes", "c2")},
          qs AS (SELECT vec_id AS query_id, sub, sqv

@@ -165,7 +165,11 @@ class SeriesScan(n: Long, slices: Int, lo: Long, hi: Long,
   }
 
   override def description(): String = {
-    val total = math.min(slices.toLong, math.max(1L, n))
+    // Denominator computed the same way the partitioner slices (per =
+    // ceil(n/slices) → ceil(n/per) slices), so kept/total never
+    // misreports pruning when n is not divisible by `slices`.
+    val per = math.max(1L, (n + slices - 1) / slices)
+    val total = math.max(1L, (n + per - 1) / per)
     s"graft_series n=$n span=[$lo,$hi) slices=${kept.size}/$total"
   }
   override def toBatch: Batch = this

@@ -60,13 +60,17 @@ object WarehouseStream {
           array(struct(col("c_val").as("bal"),
             col("c_ts").as("valid_from"),
             lit(OpenValidTo).as("valid_to"), lit(1).as("is_current"))))
-        // Late arrival (change older than the open version): reject —
+        // Late arrival (change NOT newer than the open version): reject —
         // micro-batch boundaries don't respect event time, and
         // without this guard an out-of-order replay would regress the
-        // dimension. This is the standard last-writer-wins-by-event-
-        // time SCD2 policy; convergence to the batch answer depends
-        // on it (asserted in WarehouseStreamSpec).
-        .when(col("c_ts") < col("valid_from"),
+        // dimension. `<=` (not `<`) makes the fold replay-idempotent
+        // under at-least-once foreachBatch recovery: re-applying the
+        // change that opened the current version is a no-op instead of
+        // appending a zero-length history row per replay. This is the
+        // standard last-writer-wins-by-event-time SCD2 policy;
+        // convergence to the batch answer depends on it (asserted in
+        // WarehouseStreamSpec).
+        .when(col("c_ts") <= col("valid_from"),
           array(struct(col("bal"), col("valid_from"), col("valid_to"),
             lit(1).as("is_current"))))
         .otherwise(array( // close the open version, open the new one
