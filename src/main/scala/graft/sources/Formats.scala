@@ -176,28 +176,128 @@ object Formats {
     // time travel. DDL runs once per session+fixture (the catalog dir
     // doubles as the marker); repeat runs measure the reads.
     "sql_catalog_versioned" -> ((s, d) => {
-      s.conf.set("spark.sql.catalog.graftq",
-        "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graftq.warehouse",
-        s"/tmp/graft_cat_wh/${new java.io.File(d).getName}")
-      val dir = s"/tmp/graft_cat_wh/${new java.io.File(d).getName}/ns/series"
-      if (GraftLog.committedFiles(dir).isEmpty) {
-        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
-        s.sql("DROP TABLE IF EXISTS graftq.ns.series")
-        s.sql("CREATE TABLE graftq.ns.series (id BIGINT, bucket INT)")
-        s.sql("""INSERT INTO graftq.ns.series
-                 SELECT id, CAST(id % 97 AS INT) FROM range(0, 4000)""")
-        s.sql("""INSERT INTO graftq.ns.series
-                 SELECT id, CAST(id % 97 AS INT) FROM range(4000, 10000)""")
-      }
+      ensureCatalogSeries(s, d)
       s.sql("""
         SELECT v.bucket,
                CAST(COUNT(*) AS BIGINT) AS n_v0,
                (SELECT COUNT(*) FROM graftq.ns.series) AS n_total
         FROM graftq.ns.series VERSION AS OF 0 v
         GROUP BY v.bucket""")
+    }),
+
+    // Manifest-stats file skipping driven end to end: a range-layout
+    // graft-log table (repartitionByRange at ingest → per-file id
+    // ranges are disjoint) read under a selective range predicate. The
+    // scan plans only the files whose [min, max] overlap the predicate
+    // (GraftLogSpec asserts files=kept/total mechanically); the oracle
+    // checks the VALUES the kept-and-filtered rows produce — a file
+    // wrongly skipped loses rows, a file wrongly kept is filtered
+    // Spark-side, so only under-reads can hash-mismatch. This is the
+    // scan-side half of the format the r7 verdict flagged: pruning a
+    // 100 TB log table to the touched key range at planning time.
+    "sink_custom_dsv2_pruned" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_pruned/${new java.io.File(d).getName}"
+      if (GraftLog.committedFiles(dir).isEmpty)
+        s.read.format("graft.sources.SeriesSource")
+          .option("n", "50000").option("slices", "8").load()
+          .repartitionByRange(8, col("id"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .filter(col("id") >= 40000L && col("id") < 45000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+    }),
+
+    // The change data feed driven through the driver gate: the catalog
+    // table's two committed versions, read incrementally from version 0
+    // — exactly the second INSERT's rows, never a rescan of history.
+    // Oracle = the difference of the two range() twins.
+    "sql_catalog_cdf" -> ((s, d) => {
+      val dir = ensureCatalogSeries(s, d)
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).option("changesFromVersion", "0").load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_changed"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    }),
+
+    // The `t$files` metadata table driven through the driver gate: the
+    // REPARTITION hints in the ensure-DDL make file counts per version
+    // deterministic (1 then 2), and the manifest's per-file row counts
+    // must sum to each insert's row count — gating the stats the scan
+    // pruning above relies on.
+    "sql_catalog_files" -> ((s, d) => {
+      ensureCatalogSeries(s, d)
+      s.sql("""
+        SELECT version, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(rows) AS BIGINT) AS n_rows
+        FROM graftq.ns.`series$files` WHERE action = 'add'
+        GROUP BY version""")
+    }),
+
+    // Table maintenance driven through the driver gate: three appends
+    // → compact (one file serves the snapshot, dataChange=false keeps
+    // the CDF clean) → expire-history vacuum (pre-compaction parts
+    // reclaimed). The query re-reads the maintained table plus its
+    // observable file state; any row lost or doubled by the
+    // rewrite/reclaim cycle is a hash miss against the closed-form
+    // oracle.
+    "sink_log_compact_vacuum" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_compact/${new java.io.File(d).getName}"
+      val compacted = GraftLog.entries(dir).exists(!_.isAdd)
+      if (!compacted) {
+        val root = new java.io.File(dir)
+        if (root.exists())
+          root.listFiles().foreach(_.delete())
+        for (lo <- Seq(0L, 1000L, 3000L))
+          s.range(lo, lo * 2 + 1000)
+            .selectExpr("id", "CAST(id AS DOUBLE) / 2 AS value")
+            .coalesce(1)
+            .write.format("graft.sources.GraftLogSource")
+            .option("path", dir).mode("append").save()
+        GraftLog.compact(dir)
+        // minAgeMs=0 is safe here: the build is single-writer.
+        GraftLog.vacuum(dir, 0L, expireHistory = true)
+      }
+      val liveFiles = GraftLog.entriesAsOf(dir, Long.MaxValue).size
+      val diskParts = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-"))
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
+        .select(col("n_rows"), col("sum_id"),
+          lit(liveFiles).cast("long").as("n_live_files"),
+          lit(diskParts).cast("long").as("n_disk_parts"),
+          lit(GraftLog.currentVersion(dir)).as("current_version"))
     })
   )
+
+  /** Shared ensure-block for the catalog-backed queries: CREATE TABLE +
+    * two INSERTs (REPARTITION-hinted so the per-version file counts are
+    * deterministic: 1 file then 2), once per session+fixture. */
+  private def ensureCatalogSeries(s: SparkSession, d: String): String = {
+    val wh = s"/tmp/graft_cat_wh_v3/${new java.io.File(d).getName}"
+    s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+    val dir = s"$wh/ns/series"
+    if (GraftLog.committedFiles(dir).isEmpty) {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+      s.sql("DROP TABLE IF EXISTS graftq.ns.series")
+      s.sql("CREATE TABLE graftq.ns.series (id BIGINT, bucket INT)")
+      s.sql("""INSERT INTO graftq.ns.series
+               SELECT /*+ REPARTITION(1) */ id, CAST(id % 97 AS INT)
+               FROM range(0, 4000)""")
+      s.sql("""INSERT INTO graftq.ns.series
+               SELECT /*+ REPARTITION(2) */ id, CAST(id % 97 AS INT)
+               FROM range(4000, 10000)""")
+    }
+    dir
+  }
 
   val oracles: Map[String, String] = Map(
     "join_bucketed_colocated" ->
@@ -226,6 +326,32 @@ object Formats {
            CAST(COUNT(*) AS BIGINT) AS n_v0,
            CAST(10000 AS BIGINT) AS n_total
          FROM range(0, 4000) t(id)
-         GROUP BY bucket"""
+         GROUP BY bucket""",
+    "sink_custom_dsv2_pruned" ->
+      """SELECT CAST(id % 97 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(((id * 2654435761) % 100000) / 100.0
+             AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM range(40000, 45000) t(id)
+         GROUP BY bucket""",
+    "sql_catalog_cdf" ->
+      """SELECT CAST(id % 97 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_changed,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id
+         FROM range(4000, 10000) t(id)
+         GROUP BY bucket""",
+    "sql_catalog_files" ->
+      """SELECT CAST(version AS BIGINT) AS version,
+           CAST(n_files AS BIGINT) AS n_files,
+           CAST(n_rows AS BIGINT) AS n_rows
+         FROM (VALUES (0, 1, 4000), (1, 2, 6000))
+           AS t(version, n_files, n_rows)""",
+    "sink_log_compact_vacuum" ->
+      """SELECT CAST(7000 AS BIGINT) AS n_rows,
+           CAST(24496500 AS BIGINT) AS sum_id,
+           CAST(1 AS BIGINT) AS n_live_files,
+           CAST(1 AS BIGINT) AS n_disk_parts,
+           CAST(3 AS BIGINT) AS current_version"""
   )
 }
