@@ -42,7 +42,8 @@ object Bench {
       "dedup_incremental_update", "sim_lsh_ann", "sim_ivf_ann",
       "sim_pq_adc", "graph_triangles", "graph_kcore_peel",
       "join_bucketed_colocated", "sql_tpch_q2",
-      "sink_custom_dsv2_roundtrip")
+      "sink_custom_dsv2_roundtrip", "sink_custom_dsv2_pruned",
+      "sql_catalog_versioned", "sink_log_compact_vacuum")
     val artifactBuild = time {
       artifactTouch.foreach(n => SparkEntry.queries.get(n).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }))
@@ -52,20 +53,32 @@ object Bench {
       val cs = (1 to 5).map(_ => control()).sorted
       cs(cs.length / 2)
     }
-    val controlLog = scala.collection.mutable.Map
+    val controlsPre = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
+    val controlsPost = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    val healthyFlag = scala.collection.mutable.Map.empty[String, Boolean]
     val errors = scala.collection.mutable.Map.empty[String, String]
-    // Two trials per query, plus up to two re-runs of trials whose
-    // control bracket read >3x the healthy baseline (a steal phase): the
-    // reported minimum prefers trials taken under a healthy bracket, so
-    // a query is only ever judged by time measured on honest CPU. A
-    // query that THROWS is recorded in `errors`, never in `queries` — a
-    // regression must not masquerade as a 60 ms speedup (r6 lesson).
+    // Two trials per query; while NO trial has healthy brackets (both
+    // control scans ≤3x baseline — a steal phase), keep retrying up to
+    // 8 total with a short sleep between attempts: steal phases on this
+    // host outlast 4 back-to-back trials, and a minimum taken entirely
+    // under steal is noise. The reported minimum prefers
+    // healthy-bracketed trials, and the per-query `healthy` flag in the
+    // committed record says whether ANY trial earned one — a number
+    // with healthy=false is self-declared unadjudicated (r7: the
+    // driver's record shipped a 31.6 s graph_triangles with no marker
+    // that every trial was steal-poisoned). A query that THROWS is
+    // recorded in `errors`, never in `queries` — a regression must not
+    // masquerade as a 60 ms speedup (r6 lesson).
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       var trials = List.empty[(Double, Double, Double)] // (pre, sec, post)
-      var extra = 0
       var err: Option[String] = None
-      while (err.isEmpty && trials.size < 2 + extra && trials.size < 4) {
+      def healthyOf(ts: List[(Double, Double, Double)]) =
+        ts.filter(tr => tr._1 <= 3 * baseline && tr._3 <= 3 * baseline)
+      while (err.isEmpty && (trials.size < 2 ||
+          (healthyOf(trials).isEmpty && trials.size < 8))) {
+        if (trials.size >= 2) Thread.sleep(3000) // let the phase pass
         val c0 = control()
         val t = time {
           try { fn(spark, sfDir).count(); () } catch {
@@ -77,17 +90,17 @@ object Bench {
         val c1 = control()
         spark.catalog.clearCache()
         trials ::= (c0, t, c1)
-        if ((c0 > 3 * baseline || c1 > 3 * baseline) && extra < 2) extra += 1
       }
-      controlLog(name) = trials.map(_._1).reverse
+      controlsPre(name) = trials.map(_._1).reverse
+      controlsPost(name) = trials.map(_._3).reverse
       err match {
         case Some(m) =>
           System.err.println(s"[bench] $name FAILED: $m")
           errors(name) = m
           None
         case None =>
-          val healthy = trials.filter(tr =>
-            tr._1 <= 3 * baseline && tr._3 <= 3 * baseline)
+          val healthy = healthyOf(trials)
+          healthyFlag(name) = healthy.nonEmpty
           val pool = if (healthy.nonEmpty) healthy else trials
           Some(name -> pool.map(_._2).min)
       }
@@ -104,9 +117,16 @@ object Bench {
       .mkString("{", ",", "}")
     val errsJson = errors.map { case (k, v) => s"\"$k\":" + jstr(v) }
       .mkString("{", ",", "}")
-    val ctrls = controlLog.map { case (k, cs) =>
-      s"\"" + k + "\":" + cs.map(fmt).mkString("[", ",", "]")
+    def ctrlJson(m: scala.collection.Map[String, List[Double]]): String =
+      m.map { case (k, cs) =>
+        s"\"" + k + "\":" + cs.map(fmt).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val ctrls = ctrlJson(controlsPre)
+    val ctrlsPost = ctrlJson(controlsPost)
+    val healthyJson = healthyFlag.map { case (k, v) =>
+      s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
+    val nUnhealthy = healthyFlag.valuesIterator.count(!_)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver captures only the LAST 2000 chars of stdout (measured
     // from BENCH_r01-r05: every round's "tail" is exactly 2000 chars and
@@ -135,12 +155,15 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$hqs,"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"error_names":$errNames,""" +
+        s""""n_unhealthy":$nUnhealthy,""" +
         s""""artifact_build_s":${fmt(artifactBuild)},""" +
         s""""control_baseline":${fmt(baseline)},"sf":"$sfDir"}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errsJson,"artifact_build_s":$artifactBuild,""" +
-        s""""control_baseline":$baseline,"controls":$ctrls,"sf":"$sfDir"}"""
+        s""""control_baseline":$baseline,"controls":$ctrls,""" +
+        s""""controls_post":$ctrlsPost,"healthy":$healthyJson,""" +
+        s""""sf":"$sfDir"}"""
     println(stdoutJson)
     // Default the complete record to a COMMITTED path (ADVICE r6): the
     // driver's stdout capture keeps only the last 2000 chars, so the
