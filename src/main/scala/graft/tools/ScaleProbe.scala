@@ -140,7 +140,12 @@ object ScaleProbe {
       "dedup_substring_spans", "corpus_ccnet_buckets",
       "corpus_dsir_weights", "corpus_hard_negatives",
       "join_asof_nearest", "sim_pq_adc", "corpus_unimax_alloc")
-    for (r <- 1 to 2; n <- heavy) {
+    // Optional focus list (comma-separated query names) for probing a
+    // specific family without paying the full heavy sweep.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val probeSet = only.map(o => heavy.filter(o)).getOrElse(heavy)
+    for (r <- 1 to 2; n <- probeSet) {
       val c = control()
       val t = time {
         val df = graft.SparkEntry.queries(n)(spark, amp)

@@ -76,4 +76,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("decontaminate: gram-keyed plan, tokenization bounded per split") {
+    val p = phys("corpus_decontaminate")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // each split branch tokenizes its own documents scan and nothing
+    // else touches the corpus (the r8 QRepeat profile: the plan is
+    // stable — run-to-run swing is codegen amortization + host steal,
+    // steady-state reps land within 1.2x)
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p.take(800))
+  }
+
+  test("pruned graft-log scan plans only the overlapping files") {
+    val df = SparkEntry.queries("sink_custom_dsv2_pruned")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"scan description must report files=kept/total:\n" +
+      p.take(800))
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"selective predicate must skip manifest-refuted files, " +
+        s"got ${m.get.matched}")
+  }
 }
