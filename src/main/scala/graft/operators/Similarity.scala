@@ -91,6 +91,168 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           srpSignature(col("embedding")).as("sig")))
 
+  /** The trained IVF index — corpus → cell assignment
+    * (vec_id, embedding, cent_id) — as a session+fixture artifact
+    * shared by sim_ivf_ann (cell-probe search), sim_ivfpq_ann (cell
+    * routing for the composed IVF+PQ index), and dedup_semdedup
+    * (cluster-bounded semantic dedup): one coarse quantizer serves
+    * search AND dedup, exactly how a production corpus keeps one
+    * k-means clustering per embedding space.
+    *
+    * Training (see the sim_ivf_ann scaladoc for the full rationale):
+    * k = ⌊√n⌋ cells seeded by every ⌊n/k⌋-th vec_id, two Lloyd
+    * iterations over a bounded deterministic sample (every m-th
+    * vec_id, m = max(1, n / max(2048, 39k)) — the FAISS
+    * train-on-a-sample rule), all in exact integer arithmetic
+    * (round(v·1000)+1000 quantization, codegen'd `graft_sqdist`
+    * assignment, floor-div centroid update) so the DuckDB oracles
+    * replay the run bit for bit. The one full pass is the final cell
+    * assignment — the index build itself. The quantized corpus is
+    * cached because three assignment passes reference it (10 scans
+    * uncached, 1 with it). */
+  private def ivfIndex(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "ivf_index") {
+      val emb = fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"),
+            v => (round(v.cast("double") * 1000) + 1000).cast("long")).as("qv"))
+        .cache()
+      // n / k / stride / sample modulus as a 1-row broadcast frame —
+      // no driver action.
+      val stats = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n"))
+        .select(col("n"),
+          floor(sqrt(col("n"))).cast("long").as("k"))
+        .select((col("n") / col("k")).cast("long").as("stride"),
+          greatest(lit(1L),
+            floor(col("n") / greatest(lit(2048L), col("k") * lit(39L)))
+              .cast("long")).as("m"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist").asc, col("cent_id"))
+      def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+        vecs.join(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("qv"), col("cent_id"),
+            sqdist(col("qv"), col("cq")).as("dist"))
+          .withColumn("arn", row_number().over(wAssign))
+          .filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("qv"), col("cent_id"))
+      // Lloyd update: per-dimension integer mean (floor div — all values
+      // are non-negative, so Spark and DuckDB divisions agree;
+      // floor(a/b) on exact-integer doubles is exact since a ≤ 4e6 ≪
+      // 2^53 and a/b can't round across an integer).
+      def update(assigned: DataFrame): DataFrame =
+        assigned.select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cmean"))
+          .groupBy(col("cent_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cmean")))),
+            x => x.getField("cmean")).as("cq"))
+      val seeds = emb.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("stride") === 0)
+        .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
+      // Bounded training sample: every m-th vec_id (deterministic, so
+      // the oracle replays the identical slice).
+      val tr = emb.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("m") === 0)
+        .select(col("vec_id"), col("embedding"), col("qv"))
+      val trained = update(assign(tr, update(assign(tr, seeds))))
+      assign(emb, trained)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+    }
+
+  private val PqNumSub = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+
+  /** Quantized per-subspace subvectors (vec_id, sub, sqv) — the input
+    * to PQ training, encoding, and the query-side distance tables;
+    * shared by sim_pq_adc and sim_ivfpq_ann as an ingest artifact. */
+  private def pqSubv(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "pq_subv")(
+      fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            v => (round(v.cast("double") * 1000) + 1000).cast("long"))
+            .as("qv"))
+        .select(col("vec_id"), explode(
+          transform(sequence(lit(0), lit(PqNumSub - 1)),
+            i => struct(i.cast("int").as("sub"),
+              slice(col("qv"), i * PqSubDim + 1, lit(PqSubDim)).as("sqv"))))
+          .as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sqv").as("sqv")))
+
+  /** One PQ assignment pass: each (vector, subspace) subvector to its
+    * nearest same-subspace centroid by integer squared-L2 (codegen'd
+    * `graft_sqdist`), ties to the smallest cent_id. */
+  private def pqAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val wA = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist").asc, col("cent_id"))
+    vecs.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"), col("sqv"), col("cent_id"),
+        sqdist(col("sqv"), col("cq")).as("dist"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("sub"), col("sqv"), col("cent_id"))
+  }
+
+  /** One per-subspace Lloyd update: per-dimension integer mean (floor
+    * div on non-negative sums — Spark and DuckDB agree exactly). */
+  private def pqLloydUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("sub"), col("cent_id"),
+        posexplode(col("sqv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("cent_id"), col("pos"))
+      .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cmean"))
+      .groupBy(col("sub"), col("cent_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cmean")))),
+        x => x.getField("cmean")).as("cq"))
+
+  /** The trained PQ codebooks (sub, cent_id, cq). Training runs on a
+    * bounded deterministic sample (every m-th vec_id, m = max(1,
+    * n/2048) — 2048 vectors ≫ the 39·16 FAISS floor for 16 centroids):
+    * Lloyd cost stays constant as the corpus grows; only the one-pass
+    * final encoding touches every vector. m = 1 at the driver fixtures
+    * (results unchanged); the oracle replays the identical slice. */
+  private def pqCents(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "pq_cents") {
+      val subv = pqSubv(s, d)
+      val stats = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+        .select(floor(col("n") / PqK).cast("long").as("stride"),
+          greatest(lit(1L), floor(col("n") / lit(2048L)).cast("long"))
+            .as("m"))
+      val seeds = subv.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("stride") === 0 &&
+          col("vec_id") < col("stride") * PqK)
+        .select(col("sub"),
+          floor(col("vec_id") / col("stride")).cast("long").as("cent_id"),
+          col("sqv").as("cq"))
+      val tr = subv.crossJoin(broadcast(stats))
+        .filter(col("vec_id") % col("m") === 0)
+        .select(col("vec_id"), col("sub"), col("sqv"))
+      pqLloydUpdate(pqAssign(tr, pqLloydUpdate(pqAssign(tr, seeds))))
+    }
+
+  /** The encoded corpus (vec_id, sub, code): every vector as a 4-code
+    * word — 64× smaller than the raw floats, which is what keeps
+    * billion-vector indexes RAM-resident at 100 TB. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "pq_codes")(
+      pqAssign(pqSubv(s, d), pqCents(s, d))
+        .select(col("vec_id"), col("sub"), col("cent_id").as("code")))
+
+  /** Query-side ADC distance table for the 8 fixture query vectors:
+    * (query_id, dsub, dcent, dd) — 64 entries per query, broadcast to
+    * the code scan so each candidate costs 4 lookups + a sum. */
+  private def pqDistTable(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCents(s, d)
+    pqSubv(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("sub").as("dsub"),
+        col("sqv"))
+      .join(broadcast(cents), col("dsub") === cents("sub"))
+      .select(col("query_id"), col("dsub"),
+        col("cent_id").as("dcent"), sqdist(col("sqv"), col("cq")).as("dd"))
+  }
+
   /** Brute-force top-k neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
     val q = queriesDf.select(col("vec_id").as("query_id"),
@@ -216,65 +378,7 @@ object Similarity {
     // probe their own cell and rerank by exact dot — the 1/√n scan
     // saving of a production IVF index.
     "sim_ivf_ann" -> ((s, d) => {
-      // Cached: the quantized corpus is referenced by all three
-      // assignment passes, and the final assignment feeds both the
-      // query set and the probe side — without the cache the whole
-      // training lineage recomputes per reference (10 scans of the
-      // corpus in the uncached plan; 1 with it).
-      val emb = fanout(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"),
-          transform(col("embedding"),
-            v => (round(v.cast("double") * 1000) + 1000).cast("long")).as("qv"))
-        .cache()
-      // n / k / stride / sample modulus as a 1-row broadcast frame —
-      // no driver action.
-      val stats = Tables.embeddings(s, d)
-        .agg(count(lit(1)).as("n"))
-        .select(col("n"),
-          floor(sqrt(col("n"))).cast("long").as("k"))
-        .select((col("n") / col("k")).cast("long").as("stride"),
-          greatest(lit(1L),
-            floor(col("n") / greatest(lit(2048L), col("k") * lit(39L)))
-              .cast("long")).as("m"))
-      val qdist = (a: Column, b: Column) => sqdist(a, b)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist").asc, col("cent_id"))
-      def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-        vecs.join(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("qv"), col("cent_id"),
-            qdist(col("qv"), col("cq")).as("dist"))
-          .withColumn("arn", row_number().over(wAssign))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("qv"), col("cent_id"))
-      // Lloyd update: per-dimension integer mean (floor div — all values
-      // are non-negative, so Spark and DuckDB divisions agree).
-      def update(assigned: DataFrame): DataFrame =
-        assigned.select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy(col("cent_id"), col("pos"))
-          // floor(a/b) on exact-integer doubles is exact (a ≤ 4e6 ≪ 2^53
-          // and a/b can't round across an integer), so both engines
-          // compute the identical floor-div without int-division
-          // semantics entering the picture.
-          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cmean"))
-          .groupBy(col("cent_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cmean")))),
-            x => x.getField("cmean")).as("cq"))
-      val seeds = emb.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("stride") === 0)
-        .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
-      // Bounded training sample: every m-th vec_id (deterministic, so
-      // the oracle replays the identical slice).
-      val tr = emb.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("m") === 0)
-        .select(col("vec_id"), col("embedding"), col("qv"))
-      // The trained index (corpus → cell assignment) is a
-      // session+fixture artifact — training runs once at "ingest";
-      // repeat runs measure the probe, which is the production shape.
-      val assigned = graft.core.ArtifactCache.of(s, d, "ivf_index") {
-        val trained = update(assign(tr, update(assign(tr, seeds))))
-        assign(emb, trained)
-          .select(col("vec_id"), col("embedding"), col("cent_id"))
-      }
+      val assigned = ivfIndex(s, d)
       val q = assigned.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("cent_id").as("q_cent"))
@@ -305,69 +409,8 @@ object Similarity {
     // step bit for bit. At this corpus size ADC scans all codes;
     // production composes it with the IVF cell restriction above.
     "sim_pq_adc" -> ((s, d) => {
-      val NumSub = 4; val SubDim = 16; val K = 16
-      val subv = fanout(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            v => (round(v.cast("double") * 1000) + 1000).cast("long"))
-            .as("qv"))
-        .select(col("vec_id"), explode(
-          transform(sequence(lit(0), lit(NumSub - 1)),
-            i => struct(i.cast("int").as("sub"),
-              slice(col("qv"), i * SubDim + 1, lit(SubDim)).as("sqv"))))
-          .as("x"))
-        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sqv").as("sqv"))
-        .cache()
-      // Codebook training on a bounded deterministic sample (every m-th
-      // vec_id, m = max(1, n/2048) — 2048 vectors ≫ the 39·16 FAISS
-      // floor for 16 centroids): Lloyd cost stays constant as the
-      // corpus grows; only the one-pass final encoding touches every
-      // vector. m = 1 at the driver fixtures (results unchanged).
-      val stats = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
-        .select(floor(col("n") / K).cast("long").as("stride"),
-          greatest(lit(1L), floor(col("n") / lit(2048L)).cast("long"))
-            .as("m"))
-      val seeds = subv.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("stride") === 0 &&
-          col("vec_id") < col("stride") * K)
-        .select(col("sub"),
-          floor(col("vec_id") / col("stride")).cast("long").as("cent_id"),
-          col("sqv").as("cq"))
-      val tr = subv.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("m") === 0)
-        .select(col("vec_id"), col("sub"), col("sqv"))
-      val qdist = (a: Column, b: Column) => sqdist(a, b)
-      val wA = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("dist").asc, col("cent_id"))
-      def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-        vecs.join(broadcast(cents), "sub")
-          .select(col("vec_id"), col("sub"), col("sqv"), col("cent_id"),
-            qdist(col("sqv"), col("cq")).as("dist"))
-          .withColumn("arn", row_number().over(wA))
-          .filter(col("arn") === 1)
-          .select(col("vec_id"), col("sub"), col("sqv"), col("cent_id"))
-      def update(assigned: DataFrame): DataFrame =
-        assigned.select(col("sub"), col("cent_id"),
-            posexplode(col("sqv")).as(Seq("pos", "v")))
-          .groupBy(col("sub"), col("cent_id"), col("pos"))
-          .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cmean"))
-          .groupBy(col("sub"), col("cent_id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("cmean")))),
-            x => x.getField("cmean")).as("cq"))
-      // Codebook + code table are ingest-time artifacts, like the IVF
-      // index: trained/encoded once, consumed by every search.
-      val cents = graft.core.ArtifactCache.of(s, d, "pq_cents")(
-        update(assign(tr, update(assign(tr, seeds)))))
-      val codes = graft.core.ArtifactCache.of(s, d, "pq_codes")(
-        assign(subv, cents)
-          .select(col("vec_id"), col("sub"), col("cent_id").as("code")))
-      val dt = subv.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("sub").as("dsub"),
-          col("sqv"))
-        .join(broadcast(cents), col("dsub") === cents("sub"))
-        .select(col("query_id"), col("dsub"),
-          col("cent_id").as("dcent"), qdist(col("sqv"), col("cq")).as("dd"))
+      val codes = pqCodes(s, d)
+      val dt = pqDistTable(s, d)
       val wR = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_dist").asc, col("vec_id"))
       codes.join(broadcast(dt),
@@ -375,6 +418,44 @@ object Similarity {
         .groupBy(col("query_id"), col("vec_id"))
         .agg(sum(col("dd")).as("adc_dist"))
         .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(wR).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          col("adc_dist"))
+    }),
+
+    // The COMPOSED index — IVFADC (Jégou et al. 2011 §IV): the coarse
+    // quantizer routes each query to its IVF cell and ADC scores only
+    // the codes of that cell's members — the actual architecture FAISS
+    // ships for billion-vector search. Both halves already exist as
+    // ingest artifacts (ivf_index routes, pq_codes scores), so the
+    // search itself is a three-way join: cell-restricted candidates ⋈
+    // their 4-code words ⋈ the broadcast 64-entry distance table.
+    // Per-query cost is |cell| · 4 table lookups ≈ 4√n, versus 4n for
+    // flat ADC and d·n for brute force — and the scan never touches a
+    // float vector, so at 100 TB the working set is the 16-byte code
+    // table, not the 256-byte embeddings. Every ingredient is the same
+    // exact integer math as the two parent queries; the oracle chains
+    // both training replays and agrees bit for bit.
+    "sim_ivfpq_ann" -> ((s, d) => {
+      val cells = ivfIndex(s, d).select(col("vec_id"), col("cent_id"))
+      val codes = pqCodes(s, d)
+      val dt = pqDistTable(s, d)
+      // Query cells: the 8 query vectors' own coarse assignments.
+      val qcell = cells.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("q_cent"))
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id"))
+      val cand = cells.join(broadcast(qcell),
+          col("cent_id") === col("q_cent") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id").as("cq_id"), col("vec_id"))
+        .join(codes, "vec_id")
+      cand.join(broadcast(dt),
+          cand("cq_id") === dt("query_id") &&
+            cand("sub") === dt("dsub") && cand("code") === dt("dcent"))
+        .groupBy(col("cq_id").as("query_id"), col("vec_id"))
+        .agg(sum(col("dd")).as("adc_dist"))
         .withColumn("rank", row_number().over(wR).cast("int"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("vec_id"),
@@ -403,6 +484,39 @@ object Similarity {
         .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
           dot(col("l.embedding"), col("r.embedding")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // bounded by k-means clusters — pairwise cosine is computed ONLY
+    // within each coarse cell of the shared IVF clustering (the paper's
+    // exact trick for web scale: k clusters of ~n/k cut candidate pairs
+    // from n²/2 to n²/2k, and with k = √n cells the per-cell work stays
+    // ~n per cell, never doc×doc). A vector is a semantic duplicate if
+    // some smaller-id vector in its cell reaches the cosine cut; the
+    // min-id keeper is this repo's deterministic stand-in for the
+    // paper's keep-farthest-from-centroid rule (any keeper choice is
+    // one representative per duplicate relation; min-id makes both
+    // engines agree with no fp tie-break). Cut 0.3, not the paper's
+    // ~0.95: the synthetic embeddings are near-uniform (corpus max
+    // cosine ≈ 0.51), so a production cut would select nothing — the
+    // lower cut keeps the result non-vacuous on the identical plan.
+    // Output: per-cluster dedup report (size, dropped, kept) — the
+    // summary a 100 TB dedup job publishes per partition.
+    "dedup_semdedup" -> ((s, d) => {
+      val idx = ivfIndex(s, d)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      val pairs = idx.as("l").join(idx.as("r"),
+          col("l.cent_id") === col("r.cent_id") &&
+            col("l.vec_id") < col("r.vec_id"))
+        .select(col("r.vec_id").as("dup_id"),
+          dot(col("l.embedding"), col("r.embedding")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+      val dropped = pairs.select(col("dup_id")).distinct()
+      idx.join(dropped, idx("vec_id") === dropped("dup_id"), "left")
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          count(col("dup_id")).as("n_dropped"),
+          (count(lit(1)) - count(col("dup_id"))).as("n_kept"))
     })
   )
 
@@ -688,6 +802,126 @@ object Similarity {
     "sim_lsh_bucket_stats" ->
       s"""SELECT ${srpSigSql("embedding")} AS sig,
            CAST(COUNT(*) AS BIGINT) AS n_vectors
-         FROM embeddings GROUP BY 1"""
+         FROM embeddings GROUP BY 1""",
+    // SemDeDup: replay the IVF clustering bit for bit, then the exact
+    // within-cell pair generation, min-id drop rule, and per-cell
+    // aggregate — the whole dedup decision is deterministic on both
+    // engines (integer training + the shared strict-fold double dot).
+    "dedup_semdedup" ->
+      s"""WITH st AS (
+           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
+             GREATEST(1, COUNT(*) // GREATEST(2048,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id, embedding,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * 1000) + 1000 AS BIGINT)) AS qv
+           FROM embeddings),
+         tr AS (
+           SELECT vec_id, qv FROM qv, st WHERE vec_id % m = 0),
+         seeds AS (
+           SELECT vec_id AS cent_id, qv AS cq FROM qv, st
+           WHERE vec_id % stride = 0),
+         ${ivfAssignSql("a1", "seeds", "tr")},
+         ${ivfUpdateSql("c1", "a1")},
+         ${ivfAssignSql("a2", "c1", "tr")},
+         ${ivfUpdateSql("c2", "a2")},
+         ${ivfAssignSql("a3", "c2")},
+         assigned AS (
+           SELECT a3.vec_id, e.embedding, a3.cent_id
+           FROM a3 JOIN embeddings e ON a3.vec_id = e.vec_id),
+         pairs AS (
+           SELECT l.cent_id, r.vec_id AS dup_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(l.embedding) + 1),
+                   i -> CAST(l.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(r.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS cos_sim
+           FROM assigned l JOIN assigned r
+             ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id),
+         dropped AS (
+           SELECT DISTINCT dup_id FROM pairs WHERE cos_sim >= 0.3)
+         SELECT a.cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(dp.dup_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(dp.dup_id) AS BIGINT) AS n_kept
+         FROM assigned a LEFT JOIN dropped dp ON a.vec_id = dp.dup_id
+         GROUP BY a.cent_id""",
+    // IVFADC: chain BOTH training replays (coarse quantizer + PQ
+    // codebooks, uniquely-named CTEs), restrict candidates to the
+    // query's coarse cell, and score by the ADC table-lookup sum —
+    // integer math end to end.
+    "sim_ivfpq_ann" ->
+      s"""WITH ist AS (
+           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
+             GREATEST(1, COUNT(*) // GREATEST(2048,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * 1000) + 1000 AS BIGINT)) AS qv
+           FROM embeddings),
+         itr AS (
+           SELECT vec_id, qv FROM qv, ist WHERE vec_id % m = 0),
+         iseeds AS (
+           SELECT vec_id AS cent_id, qv AS cq FROM qv, ist
+           WHERE vec_id % stride = 0),
+         ${ivfAssignSql("ia1", "iseeds", "itr")},
+         ${ivfUpdateSql("ic1", "ia1")},
+         ${ivfAssignSql("ia2", "ic1", "itr")},
+         ${ivfUpdateSql("ic2", "ia2")},
+         ${ivfAssignSql("ia3", "ic2")},
+         pst AS (SELECT COUNT(*) // 16 AS stride,
+             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
+         sv AS (
+           SELECT vec_id, sub,
+             list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
+           FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
+         ptr AS (
+           SELECT vec_id, sub, sqv FROM sv, pst WHERE vec_id % m = 0),
+         pseeds AS (
+           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
+           FROM sv, pst WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         ${pqAssignSql("pa1", "pseeds", "ptr")},
+         ${pqUpdateSql("pc1", "pa1")},
+         ${pqAssignSql("pa2", "pc1", "ptr")},
+         ${pqUpdateSql("pc2", "pa2")},
+         ${pqAssignSql("codes", "pc2")},
+         qcell AS (SELECT vec_id AS query_id, cent_id AS q_cent
+                   FROM ia3 WHERE vec_id < 8),
+         qs AS (SELECT vec_id AS query_id, sub, sqv
+                FROM sv WHERE vec_id < 8),
+         dt AS (
+           SELECT q.query_id, c.sub, c.cent_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(q.sqv) + 1),
+                 i -> (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
+                    * (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
+               (acc, x) -> acc + x) AS dd
+           FROM qs q JOIN pc2 c ON q.sub = c.sub),
+         cand AS (
+           SELECT qc.query_id, a.vec_id
+           FROM ia3 a JOIN qcell qc
+             ON a.cent_id = qc.q_cent AND a.vec_id <> qc.query_id),
+         adc AS (
+           SELECT cd.query_id, cd.vec_id,
+             CAST(SUM(d.dd) AS BIGINT) AS adc_dist
+           FROM cand cd
+             JOIN codes k ON k.vec_id = cd.vec_id
+             JOIN dt d ON d.query_id = cd.query_id
+               AND k.sub = d.sub AND k.cent_id = d.cent_id
+           GROUP BY cd.query_id, cd.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id, adc_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, vec_id) AS INTEGER) AS rank
+           FROM adc)
+         SELECT query_id, rank, vec_id, adc_dist
+         FROM ranked WHERE rank <= 3"""
   )
 }

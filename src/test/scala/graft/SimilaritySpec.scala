@@ -40,6 +40,45 @@ class SimilaritySpec extends SparkSpec {
       "signatures should spread across multiple buckets")
   }
 
+  test("semdedup: per-cluster accounting is consistent and non-vacuous") {
+    val r = Similarity.queries("dedup_semdedup")(spark, sf0001)
+      .select(col("cent_id"), col("n_vectors"), col("n_dropped"),
+        col("n_kept")).collect()
+    assert(r.nonEmpty)
+    // kept + dropped = size per cluster; never drop a whole cluster
+    // (the min-id member has no smaller-id neighbor, so it survives)
+    r.foreach { row =>
+      assert(row.getLong(1) == row.getLong(2) + row.getLong(3))
+      assert(row.getLong(3) >= 1, s"cluster ${row.getLong(0)} lost all members")
+    }
+    // cluster sizes must sum to the corpus
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(r.map(_.getLong(1)).sum == n)
+  }
+
+  test("ivfpq candidates come from the query's cell; adc ranks ascend") {
+    val res = Similarity.queries("sim_ivfpq_ann")(spark, sf0001).collect()
+    assert(res.nonEmpty)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      // adc_dist non-decreasing in rank; ranks are 1..n without gaps
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val dists = sorted.map(_.getLong(3))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // flat ADC (scans every code) can only be at least as good as the
+    // cell-restricted search per query at rank 1
+    val flat = Similarity.queries("sim_pq_adc")(spark, sf0001)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    byQ.foreach { case (q, rows) =>
+      val best = rows.map(_.getLong(3)).min
+      flat.get(q).foreach(fb => assert(fb <= best,
+        s"query $q: flat ADC best $fb worse than cell-restricted $best"))
+    }
+  }
+
   test("multi-probe ANN candidates are a superset of single-probe's") {
     // Probing the exact bucket plus all hamming-1 neighbors can only
     // widen each query's candidate set, so per query the result count
