@@ -274,6 +274,47 @@ object Formats {
           lit(liveFiles).cast("long").as("n_live_files"),
           lit(diskParts).cast("long").as("n_disk_parts"),
           lit(GraftLog.currentVersion(dir)).as("current_version"))
+    }),
+
+    // Additive schema evolution on the transactional sink: a second
+    // append carries an extra column; the stored schema widens (the new
+    // column nullable), pre-evolution rows read NULL for it, and a
+    // comparison on the added column SKIPS the pre-evolution file
+    // outright at planning time (its rows can never match) — the
+    // Delta-mergeSchema contract a long-lived 100 TB table depends on,
+    // since production schemas never stand still. Closed-form oracle
+    // over both vintages; n_pruned_files pins the evolution-aware skip
+    // inside the driver-gated result itself.
+    "sink_log_schema_evolution" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_evolve/${new java.io.File(d).getName}"
+      val built = GraftLog.currentVersion(dir) == 1L &&
+        GraftLog.storedSchema(dir).exists(_.fieldNames.contains("score"))
+      if (!built) {
+        val root = new java.io.File(dir)
+        if (root.exists()) root.listFiles().foreach(_.delete())
+        s.range(0, 1000).selectExpr("id", "id * 2 AS val")
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("append").save()
+        s.range(1000, 1500)
+          .selectExpr("id", "id * 2 AS val", "id * 3 AS score")
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("append").save()
+      }
+      val back = s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+      val prunedScan = back.filter(col("score") >= 3750L)
+      val prunedFiles = prunedScan.queryExecution.executedPlan.toString
+        .contains("files=1/2")
+      back.agg(count(lit(1)).as("n_rows"),
+          sum(col("id")).as("sum_id"),
+          count(when(col("score").isNull, 1)).as("n_null_score"),
+          sum(col("score")).as("sum_score"))
+        .crossJoin(prunedScan.agg(count(lit(1)).as("n_hi_score")))
+        .select(col("n_rows"), col("sum_id"), col("n_null_score"),
+          col("sum_score"), col("n_hi_score"),
+          lit(prunedFiles).as("old_file_skipped"))
     })
   )
 
@@ -352,6 +393,16 @@ object Formats {
            CAST(24496500 AS BIGINT) AS sum_id,
            CAST(1 AS BIGINT) AS n_live_files,
            CAST(1 AS BIGINT) AS n_disk_parts,
-           CAST(3 AS BIGINT) AS current_version"""
+           CAST(3 AS BIGINT) AS current_version""",
+    // 1500 rows; score exists only for ids 1000..1499 (x3); the
+    // >= 3750 scan matches ids >= 1250 and must have skipped the
+    // pre-evolution file at planning time.
+    "sink_log_schema_evolution" ->
+      """SELECT CAST(1500 AS BIGINT) AS n_rows,
+           CAST(1124250 AS BIGINT) AS sum_id,
+           CAST(1000 AS BIGINT) AS n_null_score,
+           CAST(1874250 AS BIGINT) AS sum_score,
+           CAST(250 AS BIGINT) AS n_hi_score,
+           TRUE AS old_file_skipped"""
   )
 }

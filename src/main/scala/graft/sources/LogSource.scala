@@ -81,40 +81,54 @@ class GraftLogSource extends TableProvider {
 /** One manifest line. `action` is add/remove; `dataChange=false` marks
   * a compaction add (same rows, new layout) so the change data feed
   * skips it; `stats` maps numeric column name → (min, max) in the TSV
-  * cell encoding. Serialized as
-  * `version\taction\tfile\trows\tdataChange\tcol=min,max;...`;
-  * legacy 2-field `version\tfile` lines parse as stat-less adds. */
+  * cell encoding; `cols` is the file's OWN column list (its write
+  * schema) — the per-file schema record that makes additive evolution
+  * readable (a TSV line can't self-describe the way a parquet footer
+  * does). Empty `cols` = pre-evolution entry: the file carries the
+  * full current table schema. Serialized as
+  * `version\taction\tfile\trows\tdataChange\tcol=min,max;...\tc1,c2`;
+  * legacy 2-field `version\tfile` lines parse as stat-less adds and
+  * 6-field lines as cols-less ones. */
 case class LogEntry(version: Long, action: String, file: String,
     rows: Long, dataChange: Boolean,
-    stats: Map[String, (String, String)]) {
+    stats: Map[String, (String, String)],
+    cols: Seq[String] = Seq.empty) {
   def isAdd: Boolean = action == "add"
   def serialize: String = {
     val st = stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }.mkString(";")
-    s"$version\t$action\t$file\t$rows\t${if (dataChange) 1 else 0}\t$st"
+    s"$version\t$action\t$file\t$rows\t${if (dataChange) 1 else 0}\t$st" +
+      s"\t${cols.mkString(",")}"
   }
 }
 
 object LogEntry {
   def add(version: Long, file: String, rows: Long,
       stats: Map[String, (String, String)],
-      dataChange: Boolean = true): LogEntry =
-    LogEntry(version, "add", file, rows, dataChange, stats)
+      dataChange: Boolean = true,
+      cols: Seq[String] = Seq.empty): LogEntry =
+    LogEntry(version, "add", file, rows, dataChange, stats, cols)
   def remove(version: Long, file: String): LogEntry =
     LogEntry(version, "remove", file, -1L, dataChange = false, Map.empty)
 
-  def parse(line: String): LogEntry = line.split("\t", -1) match {
-    case Array(v, f) => // legacy manifest: stat-less add
-      LogEntry(v.toLong, "add", f, -1L, dataChange = true, Map.empty)
-    case Array(v, act, f, rows, dc, st) =>
-      val stats = st.split(";").filter(_.nonEmpty).map { kv =>
+  def parse(line: String): LogEntry = {
+    def parseStats(st: String): Map[String, (String, String)] =
+      st.split(";").filter(_.nonEmpty).map { kv =>
         val eq = kv.indexOf('=')
         val Array(mn, mx) = kv.substring(eq + 1).split(",", 2)
         kv.substring(0, eq) -> (mn, mx)
       }.toMap
-      LogEntry(v.toLong, act, f, rows.toLong, dc == "1", stats)
-    case _ => throw new IllegalArgumentException(
-      s"unparseable graft-log manifest line: $line")
+    line.split("\t", -1) match {
+      case Array(v, f) => // legacy manifest: stat-less add
+        LogEntry(v.toLong, "add", f, -1L, dataChange = true, Map.empty)
+      case Array(v, act, f, rows, dc, st) =>
+        LogEntry(v.toLong, act, f, rows.toLong, dc == "1", parseStats(st))
+      case Array(v, act, f, rows, dc, st, cs) =>
+        LogEntry(v.toLong, act, f, rows.toLong, dc == "1", parseStats(st),
+          cs.split(",").filter(_.nonEmpty).toSeq)
+      case _ => throw new IllegalArgumentException(
+        s"unparseable graft-log manifest line: $line")
+    }
   }
 }
 
@@ -122,6 +136,46 @@ object GraftLog {
   val ManifestFile = "_manifest"
   val SchemaFile = "_schema"
   val EpochsFile = "_epochs"
+
+  /** TSV cell encoding of SQL NULL — a control char no demo string
+    * carries (the codec already bans tabs/newlines in strings). Needed
+    * once schemas evolve: a compacted row may lack a value for a column
+    * added after it was written. */
+  val NullCell = "\u0000"
+
+  /** The stored table schema, if the table exists. */
+  def storedSchema(dir: String): Option[StructType] = {
+    val f = new File(dir, SchemaFile)
+    if (!f.exists()) None
+    else Some(DataType.fromJson(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  /** Additive schema evolution (Delta `mergeSchema` in miniature):
+    * existing columns keep their position and type — changing a
+    * column's type is rejected loudly — and incoming columns not yet in
+    * the table append AT THE END as nullable (rows in pre-evolution
+    * files read NULL for them). An existing column absent from the
+    * incoming write also flips nullable, since the new file's rows have
+    * no value for it. Name-keyed, order-insensitive on the incoming
+    * side; the table's column order only ever grows at the tail, so
+    * positional appends from existing writers keep working. */
+  def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+    val incomingByName = incoming.fields.map(f => f.name -> f).toMap
+    existing.fields.foreach { ef =>
+      incomingByName.get(ef.name).foreach { inf =>
+        require(inf.dataType == ef.dataType,
+          s"graft-log schema evolution cannot change column '${ef.name}' " +
+            s"from ${ef.dataType.simpleString} to ${inf.dataType.simpleString}")
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    val kept = existing.fields.map(f =>
+      if (incomingByName.contains(f.name)) f else f.copy(nullable = true))
+    val added = incoming.fields.filter(f => !existingNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(kept ++ added)
+  }
 
   /** Default vacuum retention: part files younger than this are never
     * deleted, so an in-flight concurrent writer's uncommitted parts
@@ -145,8 +199,11 @@ object GraftLog {
       schema: StructType): Unit = synchronized {
     if (!committedEpochs(dir).contains(epochId)) {
       val v = nextVersion(dir)
+      val merged =
+        storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
       publish(dir, entries(dir) ++
-        files.map(c => LogEntry.add(v, c.file, c.rows, c.stats)), schema)
+        files.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
+          cols = c.cols)), merged)
       val tmp = Paths.get(dir, s"$EpochsFile.tmp.${UUID.randomUUID()}")
       Files.write(tmp, (committedEpochs(dir) + epochId).toSeq.sorted
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -251,17 +308,35 @@ object GraftLog {
     val schema = DataType.fromJson(new String(
       Files.readAllBytes(Paths.get(dir, SchemaFile)),
       StandardCharsets.UTF_8)).asInstanceOf[StructType]
+    val curCols = schema.fieldNames.toSeq
     val outName = s"part-${UUID.randomUUID()}.tsv.gz"
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       new GZIPOutputStream(Files.newOutputStream(Paths.get(dir, outName))),
       StandardCharsets.UTF_8))
     var rows = 0L
+    // Rewrite every live row into the CURRENT column layout: a file
+    // written before an evolution has fewer cells, so its rows pad the
+    // later columns with the null sentinel. Files already in the
+    // current layout stream through unmodified.
     try live.foreach { e =>
+      val fileCols = if (e.cols.nonEmpty) e.cols else curCols
+      val remap: Option[Array[Int]] =
+        if (fileCols == curCols) None
+        else Some(curCols.map(fileCols.indexOf).toArray)
       val in = GraftLogReaderFactory.openLines(dir, e.file)
       try {
         var line = in.readLine()
         while (line != null) {
-          if (line.nonEmpty) { out.write(line); out.write("\n"); rows += 1 }
+          if (line.nonEmpty) {
+            val outLine = remap match {
+              case None => line
+              case Some(idx) =>
+                val cells = line.split("\t", -1)
+                idx.map(i => if (i < 0) NullCell else cells(i))
+                  .mkString("\t")
+            }
+            out.write(outLine); out.write("\n"); rows += 1
+          }
           line = in.readLine()
         }
       } finally in.close()
@@ -282,7 +357,8 @@ object GraftLog {
     val v = nextVersion(dir)
     publish(dir, entries(dir) ++
       live.map(e => LogEntry.remove(v, e.file)) :+
-      LogEntry.add(v, outName, rows, mergedStats, dataChange = false),
+      LogEntry.add(v, outName, rows, mergedStats, dataChange = false,
+        cols = curCols),
       schema)
     live.size
   }
@@ -296,11 +372,16 @@ object GraftLog {
   def append(dir: String, fresh: Seq[GraftLogCommit], schema: StructType,
       truncate: Boolean): Unit = synchronized {
     // Truncate resets history to version 0 — overwrite is a new table
-    // lineage, not an addendum.
+    // lineage, not an addendum. An append with extra columns evolves
+    // the stored schema additively (mergeSchemas); each entry records
+    // its file's own column list so readers decode every vintage.
     val base = if (truncate) Seq.empty else entries(dir)
     val v = if (truncate) 0L else nextVersion(dir)
+    val merged = if (truncate) schema
+      else storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
     publish(dir, base ++
-      fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats)), schema)
+      fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
+        cols = c.cols)), merged)
   }
 
   /** Atomic manifest swap: temp write + rename. The directory is the
@@ -325,11 +406,14 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_log($dir)"
   override def schema(): StructType = {
-    val f = new File(dir, GraftLog.SchemaFile)
-    if (f.exists())
-      DataType.fromJson(new String(Files.readAllBytes(f.toPath),
-        StandardCharsets.UTF_8)).asInstanceOf[StructType]
-    else writeSchema
+    // Reads see the stored schema; a write whose frame carries extra
+    // columns sees the stored⊕incoming merge, so Spark's append
+    // validation admits the widened frame and the commit then persists
+    // the same merge (additive evolution; type changes reject loudly).
+    val stored = GraftLog.storedSchema(dir)
+    if (writeSchema.isEmpty) stored.getOrElse(writeSchema)
+    else stored.map(GraftLog.mergeSchemas(_, writeSchema))
+      .getOrElse(writeSchema)
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -400,7 +484,8 @@ class GraftLogStreamingWrite(dir: String, schema: StructType)
 }
 
 case class GraftLogCommit(file: String, rows: Long,
-    stats: Map[String, (String, String)] = Map.empty)
+    stats: Map[String, (String, String)] = Map.empty,
+    cols: Seq[String] = Seq.empty)
     extends WriterCommitMessage
 
 class GraftLogWriteBuilder(dir: String, schema: StructType,
@@ -459,7 +544,8 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
       private val maxs = Array.fill[Any](numericIdx.length)(null)
       override def write(row: InternalRow): Unit = {
         val cells = schema.fields.zipWithIndex.map { case (f, i) =>
-          f.dataType match {
+          if (row.isNullAt(i)) GraftLog.NullCell
+          else f.dataType match {
             case LongType => row.getLong(i).toString
             case IntegerType => row.getInt(i).toString
             case DoubleType =>
@@ -472,7 +558,7 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
         var s = 0
         while (s < numericIdx.length) {
           val (f, i) = numericIdx(s)
-          val v: Any = f.dataType match {
+          val v: Any = if (row.isNullAt(i)) null else f.dataType match {
             case LongType => row.getLong(i)
             case IntegerType => row.getInt(i)
             case DoubleType => row.getDouble(i)
@@ -498,7 +584,7 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
             numericIdx(s)._1.name ->
               (mins(s).toString, maxs(s).toString)
         }.toMap
-        GraftLogCommit(file, rows, stats)
+        GraftLogCommit(file, rows, stats, schema.fieldNames.toSeq)
       }
       override def abort(): Unit = {
         out.close()
@@ -534,7 +620,7 @@ class GraftLogScan(dir: String, tableSchema: StructType,
       s"pushed=[${pushed.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(e => GraftLogPartition(dir, e.file)).toArray
+    files.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(tableSchema, required)
 }
@@ -571,6 +657,21 @@ object GraftLogScan {
         (new java.math.BigDecimal(mn), new java.math.BigDecimal(mx)) }
     def dec(v: Any): java.math.BigDecimal =
       new java.math.BigDecimal(v.toString)
+    // Evolution-aware skip: a comparison on a column the file PREDATES
+    // can never match (every row reads NULL for it), so the file is
+    // skipped outright — schema evolution gets stats-grade pruning for
+    // free on the new column.
+    val attr = f match {
+      case EqualTo(a, _) => Some(a)
+      case GreaterThan(a, _) => Some(a)
+      case GreaterThanOrEqual(a, _) => Some(a)
+      case LessThan(a, _) => Some(a)
+      case LessThanOrEqual(a, _) => Some(a)
+      case In(a, _) => Some(a)
+      case _ => None
+    }
+    if (attr.exists(a => e.cols.nonEmpty && !e.cols.contains(a)))
+      return false
     f match {
       case EqualTo(a, v) => range(a).forall { case (mn, mx) =>
         dec(v).compareTo(mn) >= 0 && dec(v).compareTo(mx) <= 0 }
@@ -590,7 +691,10 @@ object GraftLogScan {
   }
 }
 
-case class GraftLogPartition(dir: String, file: String)
+/** `cols` = the file's own column list from its manifest entry (empty
+  * for pre-evolution entries: the file carries the full table schema). */
+case class GraftLogPartition(dir: String, file: String,
+    cols: Seq[String] = Seq.empty)
     extends InputPartition
 
 /** The `t$files` metadata table: one row per manifest entry —
@@ -653,11 +757,15 @@ case class GraftLogFilesPartition(entries: Seq[LogEntry])
 
 class GraftLogReaderFactory(tableSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
-  // Projection map: required field → cell index in the TSV line.
-  private val cellIdx = required.fields.map(f =>
-    tableSchema.fieldIndex(f.name))
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[GraftLogPartition]
+    // Projection map: required field → cell index in THIS FILE's line
+    // layout (the entry's own column list; pre-evolution entries carry
+    // the full table schema). -1 = the column post-dates the file: its
+    // rows read NULL, the schema-evolution contract.
+    val fileCols: Seq[String] =
+      if (part.cols.nonEmpty) part.cols else tableSchema.fieldNames.toSeq
+    val cellIdx = required.fields.map(f => fileCols.indexOf(f.name))
     new PartitionReader[InternalRow] {
       private val in = GraftLogReaderFactory.openLines(part.dir, part.file)
       private var current: InternalRow = _
@@ -672,15 +780,18 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType)
         val vals = new Array[Any](required.fields.length)
         var j = 0
         while (j < vals.length) {
-          val cell = cells(cellIdx(j))
-          vals(j) = required.fields(j).dataType match {
-            case LongType => cell.toLong
-            case IntegerType => cell.toInt
-            case DoubleType => cell.toDouble
-            case StringType => UTF8String.fromString(cell)
-            case other => throw new IllegalArgumentException(
-              s"graft-log does not decode $other")
-          }
+          val ci = cellIdx(j)
+          val cell = if (ci < 0) GraftLog.NullCell else cells(ci)
+          vals(j) =
+            if (cell == GraftLog.NullCell) null
+            else required.fields(j).dataType match {
+              case LongType => cell.toLong
+              case IntegerType => cell.toInt
+              case DoubleType => cell.toDouble
+              case StringType => UTF8String.fromString(cell)
+              case other => throw new IllegalArgumentException(
+                s"graft-log does not decode $other")
+            }
           j += 1
         }
         current = new GenericInternalRow(vals)

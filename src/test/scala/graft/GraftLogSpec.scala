@@ -224,4 +224,74 @@ class GraftLogSpec extends SparkSpec {
     assert(!new java.io.File(ghost).exists(),
       "a read must not mkdirs the table directory")
   }
+
+  test("schema evolution: wider append reads old rows as null") {
+    val dir = tmp()
+    spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    spark.range(100, 150)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v", "concat('x', id) AS tag")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val back = readBack(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    assert(back.schema("tag").nullable)
+    assert(back.count() == 150)
+    // pre-evolution rows read NULL for the added column; post rows don't
+    assert(back.filter(col("tag").isNull).agg(count(lit(1)), max(col("id")))
+      .collect()(0).toSeq == Seq(100L, 99L))
+    assert(back.filter(col("tag") === "x120").select(col("id"))
+      .collect().map(_.getLong(0)).toSeq == Seq(120L))
+    // time travel still reads version 0 in its own (narrow-compatible) shape
+    val v0 = spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "0").load()
+    assert(v0.count() == 100 &&
+      v0.filter(col("tag").isNotNull).count() == 0)
+  }
+
+  test("schema evolution: type change rejects loudly") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val e = intercept[Exception] {
+      spark.range(10).selectExpr("id", "concat('s', id) AS v")
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage != null)
+    // table unchanged after the rejected write
+    assert(readBack(dir).count() == 10)
+  }
+
+  test("schema evolution: filter on the added column skips old files") {
+    val dir = tmp()
+    spark.range(100).selectExpr("id")
+      .coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    spark.range(100, 200).selectExpr("id", "id * 10 AS score")
+      .coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    val q = readBack(dir).filter(col("score") >= 1500)
+    // the pre-evolution file can never match a comparison on `score`
+    val desc = q.queryExecution.executedPlan.toString
+    assert(desc.contains("files=1/2"),
+      s"expected evolution-aware file skip (files=1/2) in:\n$desc")
+    assert(q.count() == 50)
+  }
+
+  test("schema evolution: compaction rewrites every vintage into one layout") {
+    val dir = tmp()
+    spark.range(10).selectExpr("id")
+      .coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    spark.range(10, 20).selectExpr("id", "CAST(id AS DOUBLE) / 2 AS v")
+      .coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    val before = readBack(dir).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(graft.sources.GraftLog.compact(dir) == 2)
+    val after = readBack(dir).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must not change row content")
+    assert(graft.sources.GraftLog
+      .entriesAsOf(dir, Long.MaxValue).size == 1)
+    // nulls survive the rewrite: old-vintage rows still read NULL v
+    assert(readBack(dir).filter(col("v").isNull).count() == 10)
+  }
 }
