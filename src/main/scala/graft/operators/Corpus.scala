@@ -664,6 +664,49 @@ object Corpus {
         .filter(expr("cum div step") > expr("(cum - n_tok) div step"))
         .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"),
           col("cum"))
+    }),
+
+    // fastText-style hashed linear classifier (Joulin et al. 2017,
+    // "Bag of Tricks for Efficient Text Classification") — the model
+    // family CCNet and the LLaMA corpus pipeline use as their quality
+    // filter. The Spark-side machinery is the real thing: word unigram
+    // + bigram features through the hashing trick into 2^20 buckets, a
+    // weight per bucket, score = mean feature weight, keep iff score >
+    // 0. The WEIGHTS are a deterministic stub (the shared corpus LCG
+    // maps bucket id → weight in [-1000, 1000]): this container has no
+    // trained model, and a real deployment only swaps that one lambda
+    // for a broadcast weight array. One scan, per-row compute, no
+    // shuffle — classifier inference at 100 TB is embarrassingly
+    // parallel and scan-bound. Feature hashing is an exact integer
+    // char fold both engines replay (regexp char split keeps Spark and
+    // DuckDB agreeing on every codepoint; `split(w, "")` would not:
+    // Java keeps a trailing empty string that DuckDB drops).
+    "corpus_quality_classifier" -> ((s, d) => {
+      val P = 1048573L // feature buckets (prime ~2^20, hashing trick)
+      val charHash = (w: Column) =>
+        aggregate(regexp_extract_all(w, lit("."), lit(0)), lit(0L),
+          (acc, c) => (acc * 31 + coalesce(ascii(c).cast("long"), lit(0L)))
+            % lit(P))
+      val tk = graft.core.Par.fanout(Tables.documents(s, d)
+        .select(col("doc_id"), toksOf(col("text")).as("tk")))
+        .filter(size(col("tk")) >= 1)
+      val weight = (h: Column) =>
+        ((h % M) * A + C) % M % lit(2001L) - lit(1000L)
+      tk.select(col("doc_id"),
+          transform(col("tk"), charHash).as("uh"))
+        .select(col("doc_id"), concat(col("uh"),
+          when(size(col("uh")) >= 2,
+            transform(sequence(lit(1), size(col("uh")) - 1),
+              i => (element_at(col("uh"), i) * 131
+                + element_at(col("uh"), i + 1)) % lit(P)))
+            .otherwise(array().cast("array<long>"))).as("feats"))
+        .select(col("doc_id"),
+          size(col("feats")).as("n_features"),
+          aggregate(transform(col("feats"), weight), lit(0L),
+            (acc, w) => acc + w).as("w_sum"))
+        .withColumn("score_avg",
+          round(col("w_sum").cast("double") / col("n_features"), 6))
+        .withColumn("keep", col("w_sum") > 0)
     })
   )
 
@@ -1121,6 +1164,43 @@ object Corpus {
            FROM t)
          SELECT lang, shard, doc_id, n_tok, cum
          FROM w
-         WHERE cum // step > (cum - n_tok) // step"""
+         WHERE cum // step > (cum - n_tok) // step""",
+    // Exact replay of the hashed-feature classifier: the same char
+    // fold (regexp char split + codepoint), bucket combine, LCG
+    // weight, and integer sum — only the final mean divides.
+    "corpus_quality_classifier" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(text, '\s+'), t -> t <> '') AS tk
+           FROM documents),
+         uh AS (
+           SELECT doc_id,
+             list_transform(tk, w ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(w, '.'),
+                   c -> CAST(unicode(c) AS BIGINT))),
+                 (acc, u) -> (acc * 31 + u) % 1048573)) AS uh
+           FROM tk WHERE LEN(tk) >= 1),
+         feats AS (
+           SELECT doc_id,
+             list_concat(uh,
+               CASE WHEN LEN(uh) >= 2 THEN
+                 list_transform(range(1, LEN(uh)),
+                   i -> (uh[CAST(i AS INTEGER)] * 131
+                     + uh[CAST(i + 1 AS INTEGER)]) % 1048573)
+               ELSE CAST([] AS BIGINT[]) END) AS feats
+           FROM uh),
+         scored AS (
+           SELECT doc_id, CAST(LEN(feats) AS INTEGER) AS n_features,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(feats, h ->
+                 ((h % 2147483648) * 1103515245 + 12345)
+                   % 2147483648 % 2001 - 1000)),
+               (acc, w) -> acc + w) AS BIGINT) AS w_sum
+           FROM feats)
+         SELECT doc_id, n_features, w_sum,
+           ROUND(CAST(w_sum AS DOUBLE) / n_features, 6) AS score_avg,
+           w_sum > 0 AS keep
+         FROM scored"""
   )
 }

@@ -118,6 +118,26 @@ class CorpusSpec extends SparkSpec {
     assert(sm.exceptAll(again).isEmpty && again.exceptAll(sm).isEmpty)
   }
 
+  test("hashed classifier: deterministic, covers all non-empty docs, splits") {
+    import org.apache.spark.sql.functions._
+    val r = Corpus.queries("corpus_quality_classifier")(spark, sf0001)
+    val rows = r.collect()
+    // every non-empty document scored, none duplicated
+    val nDocs = Tables.documents(spark, sf0001)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // keep agrees with the sign of the integer sum; both classes occur
+    rows.foreach(row =>
+      assert(row.getBoolean(4) == (row.getLong(2) > 0)))
+    val kept = rows.count(_.getBoolean(4))
+    assert(kept > 0 && kept < rows.length,
+      s"stub classifier should split the corpus, kept=$kept/${rows.length}")
+    // deterministic: a second run scores identically
+    val again = Corpus.queries("corpus_quality_classifier")(spark, sf0001)
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+  }
+
   test("language weights are a temperature-flattened distribution") {
     val w = Corpus.queries("corpus_lang_weights")(spark, sf001).collect()
     val totalWeight = w.map(_.getAs[Double]("weight")).sum
