@@ -276,6 +276,40 @@ object Formats {
           lit(GraftLog.currentVersion(dir)).as("current_version"))
     }),
 
+    // Z-order layout meets manifest-stats pruning: a 256x256 grid
+    // written range-partitioned by its Morton value, so each part file
+    // covers a compact 2-D tile and gets NARROW min/max on BOTH x and
+    // y — the Delta/Iceberg OPTIMIZE ZORDER layout. A 32x32 tile
+    // predicate (x AND y both selective) then skips most files at
+    // planning time on stats alone; under a linear (single-column)
+    // layout the same predicate prunes on one dimension only. The
+    // kept/total ratio is parsed from the scan's own description and
+    // gated inside the result (<= 25% of files read); row math is
+    // closed-form. At 100 TB this is the difference between reading a
+    // tile and reading a stripe.
+    "sink_log_zorder_pruned" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_zorder/${new java.io.File(d).getName}"
+      if (GraftLog.committedFiles(dir).isEmpty)
+        s.range(0, 65536)
+          .selectExpr("id", "id % 256 AS x", "id DIV 256 AS y")
+          .withColumn("zv",
+            graft.functions.ZOrder.zValue(col("x"), col("y"), 8))
+          .repartitionByRange(16, col("zv"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+      val scan = s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .filter(col("x") >= 64L && col("x") < 96L &&
+          col("y") >= 64L && col("y") < 96L)
+      val desc = scan.queryExecution.executedPlan.toString
+      val pruned = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        .exists(m => m.group(2).toInt == 16 &&
+          m.group(1).toInt * 4 <= m.group(2).toInt)
+      scan.agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
+        .select(col("n_rows"), col("sum_id"),
+          lit(pruned).as("tile_pruned"))
+    }),
+
     // Additive schema evolution on the transactional sink: a second
     // append carries an extra column; the stored schema widens (the new
     // column nullable), pre-evolution rows read NULL for it, and a
@@ -394,6 +428,13 @@ object Formats {
            CAST(1 AS BIGINT) AS n_live_files,
            CAST(1 AS BIGINT) AS n_disk_parts,
            CAST(3 AS BIGINT) AS current_version""",
+    // The 32x32 tile at (64,64): 1024 cells, sum of id = y*256+x over
+    // the tile = 2544*(8192+32); tile_pruned gates that the z-layout
+    // let the scan skip >= 75% of the files.
+    "sink_log_zorder_pruned" ->
+      """SELECT CAST(1024 AS BIGINT) AS n_rows,
+           CAST(20921856 AS BIGINT) AS sum_id,
+           TRUE AS tile_pruned""",
     // 1500 rows; score exists only for ids 1000..1499 (x3); the
     // >= 3750 scan matches ids >= 1250 and must have skipped the
     // pre-evolution file at planning time.
