@@ -147,7 +147,8 @@ object Bench {
       "stream_tumbling_window", "graph_triangles", "graph_pagerank",
       "dedup_incremental_update", "graph_kcore_peel",
       "dedup_substring_spans", "corpus_ccnet_buckets",
-      "corpus_dsir_weights", "sim_pq_adc", "source_custom_dsv2")
+      "corpus_dsir_weights", "sim_pq_adc", "source_custom_dsv2",
+      "dedup_semdedup", "sim_ivfpq_ann", "corpus_quality_classifier")
     val hqs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")

@@ -276,6 +276,40 @@ object Formats {
           lit(GraftLog.currentVersion(dir)).as("current_version"))
     }),
 
+    // Incremental view maintenance off the change data feed: the
+    // consumer pattern the CDF exists for. A per-bucket aggregate is
+    // built once over the v0 snapshot; when v1 commits, the consumer
+    // reads ONLY the delta (changesFromVersion=0 — one new file, never
+    // a history rescan) and folds it into the materialized state by
+    // partial-aggregate merge (counts and sums add). The emitted result
+    // is the merged state; the oracle recomputes from scratch over both
+    // batches, so the check IS the merge-equals-recompute law that
+    // makes incremental maintenance sound. At 100 TB this is the
+    // difference between touching an append's worth of data and the
+    // whole table, every refresh cycle.
+    "sink_log_incremental_agg" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_incr/${new java.io.File(d).getName}"
+      if (GraftLog.currentVersion(dir) != 1L) {
+        val root = new java.io.File(dir)
+        if (root.exists()) root.listFiles().foreach(_.delete())
+        for ((lo, hi) <- Seq((0L, 4000L), (4000L, 6000L)))
+          s.range(lo, hi).selectExpr("id", "id % 10 AS bucket")
+            .coalesce(1)
+            .write.format("graft.sources.GraftLogSource")
+            .option("path", dir).mode("append").save()
+      }
+      def bucketAgg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+      val base = bucketAgg(s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).option("asOfVersion", "0").load())
+      val delta = bucketAgg(s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).option("changesFromVersion", "0").load())
+      base.unionAll(delta)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n"), sum(col("sum_id")).as("sum_id"))
+    }),
+
     // Z-order layout meets manifest-stats pruning: a 256x256 grid
     // written range-partitioned by its Morton value, so each part file
     // covers a compact 2-D tile and gets NARROW min/max on BOTH x and
@@ -428,6 +462,14 @@ object Formats {
            CAST(1 AS BIGINT) AS n_live_files,
            CAST(1 AS BIGINT) AS n_disk_parts,
            CAST(3 AS BIGINT) AS current_version""",
+    // Full recompute over both batches — equality proves the
+    // CDF-driven partial-aggregate merge.
+    "sink_log_incremental_agg" ->
+      """SELECT id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+         FROM range(0, 6000) t(id)
+         GROUP BY bucket""",
     // The 32x32 tile at (64,64): 1024 cells, sum of id = y*256+x over
     // the tile = 2544*(8192+32); tile_pruned gates that the z-layout
     // let the scan skip >= 75% of the files.
