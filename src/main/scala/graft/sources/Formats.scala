@@ -383,14 +383,328 @@ object Formats {
         .select(col("n_rows"), col("sum_id"), col("n_null_score"),
           col("sum_score"), col("n_hi_score"),
           lit(prunedFiles).as("old_file_skipped"))
+    }),
+
+    // The version log as a STREAMING SOURCE — the consumption half of
+    // the lakehouse streaming story (the sink half is epoch-idempotent
+    // streaming writes). A log-to-log pipeline drains the source table
+    // with Trigger.AvailableNow through one checkpoint, run twice
+    // around a compaction + a fresh append: the resumed run delivers
+    // ONLY the appended delta (offsets = table versions, checkpointed
+    // like any Spark source), and the compaction's dataChange=false
+    // rewrite passes through the feed invisibly — no row is ever
+    // delivered twice. The oracle reads the DESTINATION table: an
+    // over-delivery (compaction rows re-sent, resume re-reading
+    // history) or under-delivery (missed version) lands as a count or
+    // sum mismatch. At 100 TB each micro-batch's work is bounded by
+    // the append rate, never the table size. Pipeline runs once per
+    // session; repeat trials measure the destination read.
+    "sink_log_stream_source" -> ((s, d) => {
+      val base = s"/tmp/graft_log_stream/${new java.io.File(d).getName}"
+      val src = s"$base/src"; val dst = s"$base/dst"
+      if (!streamBuilt.contains(base)) {
+        val root = new java.io.File(base)
+        if (root.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(root)
+        }
+        val ckpt = s"$base/ckpt"
+        def runStream(): Unit = {
+          val q = s.readStream.format("graft.sources.GraftLogSource")
+            .option("path", src).load()
+            .writeStream.format("graft.sources.GraftLogSource")
+            .option("path", dst).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.range(0, 3000).selectExpr("id", "id % 10 AS bucket").coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        s.range(3000, 5000).selectExpr("id", "id % 10 AS bucket").coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        runStream()
+        GraftLog.compact(src)
+        s.range(5000, 6000).selectExpr("id", "id % 10 AS bucket").coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        runStream()
+        streamBuilt.add(base)
+      }
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dst).load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+    }),
+
+    // Metadata-only COUNT(*): the manifest's per-file row counts ARE
+    // the answer — the pushed-down aggregate plans a one-row scan that
+    // never opens a data file (`metaCount=` in the scan description,
+    // gated inside the result). The same counts feed `t$files` and the
+    // scan's pruning denominators, so this query cross-checks the
+    // statistics spine of the whole format. At 100 TB this is the
+    // difference between a catalog lookup and a full table scan for
+    // the most common query a pipeline runs.
+    "sink_log_count_meta" -> ((s, d) => {
+      // reuse the pruned fixture table (50k rows, range layout)
+      val dir = s"/tmp/graft_log_pruned/${new java.io.File(d).getName}"
+      if (GraftLog.committedFiles(dir).isEmpty)
+        s.read.format("graft.sources.SeriesSource")
+          .option("n", "50000").option("slices", "8").load()
+          .repartitionByRange(8, col("id"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+      val cnt = s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      val metaOnly = cnt.queryExecution.executedPlan.toString
+        .contains("metaCount=50000")
+      cnt.select(col("n_rows"), col("min_id"), col("max_id"),
+        lit(metaOnly).as("meta_only"))
+    }),
+
+    // Copy-on-write MERGE (Delta MERGE INTO in miniature): an update
+    // batch upserts into a range-layout table, and the manifest stats
+    // double as the merge's file-targeting index — only files whose
+    // [min, max] can contain a matched key rewrite (bounded_rewrite
+    // gates <= half the files), and a second, purely-out-of-range
+    // insert batch rewrites ZERO files (pure_insert_rewrites). The
+    // oracle recomputes the final table from closed form, so a lost
+    // carried row, a missed update, or a dropped insert is a hash
+    // miss; the pre-merge snapshot stays time-travelable. At 100 TB
+    // this bounds MERGE write amplification to the touched key range —
+    // the property that makes daily upserts affordable. Merges run
+    // once per session; repeat trials measure the merged read.
+    "sink_log_merge_cow" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_merge/${new java.io.File(d).getName}"
+      val stats = mergeStats.get(dir) match {
+        case Some(st) => st
+        case None =>
+          val root = new java.io.File(dir)
+          if (root.exists()) root.listFiles().foreach(_.delete())
+          s.range(0, 40000).selectExpr("id", "id AS v")
+            .repartitionByRange(8, col("id"))
+            .write.format("graft.sources.GraftLogSource")
+            .option("path", dir).mode("overwrite").save()
+          val upd = s.range(10000, 12000).selectExpr("id", "-id AS v")
+          val (r1, t1) = GraftLog.mergeUpsert(s, dir, upd, "id")
+          val ins = s.range(40000, 41000).selectExpr("id", "-id AS v")
+          val (r2, _) = GraftLog.mergeUpsert(s, dir, ins, "id")
+          val st = (r1, t1, r2)
+          mergeStats.put(dir, st)
+          st
+      }
+      val (r1, t1, r2) = stats
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v")).as("sum_v"),
+          sum(col("id")).as("sum_id"))
+        .select(col("n_rows"), col("sum_v"), col("sum_id"),
+          lit(r1 > 0 && r1 * 2 <= t1).as("bounded_rewrite"),
+          lit(r2 == 0).as("pure_insert_rewrites_zero"))
+    }),
+
+    // SQL DML on the custom format: `DELETE FROM` through the catalog
+    // lands in the copy-on-write deleteWhere (SupportsDelete) — the
+    // manifest stats bound the rewrite to the files the predicate can
+    // touch, and the `t$files` listing exposes exactly how many files
+    // the delete retired (n_removes, gated <= 2 of the 4-file range
+    // layout). Re-running the DELETE is a no-op: the rewritten file's
+    // refreshed stats no longer overlap the predicate. The oracle
+    // recomputes the surviving rows from closed form.
+    "sql_catalog_delete" -> ((s, d) => {
+      val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+      val dir = s"$wh/ns/del_t"
+      if (GraftLog.committedFiles(dir).isEmpty) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.del_t")
+        s.sql("CREATE TABLE graftq.ns.del_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.del_t
+                 SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 2
+                 FROM range(0, 20000)""")
+        s.sql("""DELETE FROM graftq.ns.del_t
+                 WHERE id >= 2000 AND id < 3000""")
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               (SELECT COUNT(*) <= 2 FROM graftq.ns.`del_t$files`
+                WHERE action = 'remove') AS bounded_rewrite
+        FROM graftq.ns.del_t""")
+    }),
+
+    // SQL DDL schema evolution: ALTER TABLE ADD COLUMN widens the
+    // stored schema (new column nullable), pre-alter rows read NULL,
+    // and a post-alter INSERT populates it — the full DDL lifecycle of
+    // a long-lived table driven from plain SQL against the custom
+    // catalog. Closed-form oracle over both vintages.
+    "sql_catalog_alter_add_col" -> ((s, d) => {
+      val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+      val dir = s"$wh/ns/alter_t"
+      val evolved = GraftLog.storedSchema(dir)
+        .exists(_.fieldNames.contains("score"))
+      if (!evolved) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.alter_t")
+        s.sql("CREATE TABLE graftq.ns.alter_t (id BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.alter_t
+                 SELECT /*+ REPARTITION(1) */ id FROM range(0, 1000)""")
+        s.sql("ALTER TABLE graftq.ns.alter_t ADD COLUMN score BIGINT")
+        s.sql("""INSERT INTO graftq.ns.alter_t
+                 SELECT /*+ REPARTITION(1) */ id, id * 3
+                 FROM range(1000, 1500)""")
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(COUNT(CASE WHEN score IS NULL THEN 1 END) AS BIGINT)
+                 AS n_null_score,
+               CAST(SUM(score) AS BIGINT) AS sum_score
+        FROM graftq.ns.alter_t""")
+    }),
+
+    // Commit-timestamped history + TIMESTAMP AS OF time travel: every
+    // publish stamps its manifest entries with a strictly-monotone
+    // wall-clock, `t$history` exposes one row per version, and a
+    // `TIMESTAMP AS OF <ts-of-v0>` read resolves to snapshot 0 — the
+    // audit-and-as-of surface (Delta DESCRIBE HISTORY) a regulated
+    // 100 TB pipeline queries daily. Wall-clock values are
+    // nondeterministic, so the driver-checked result carries only
+    // their INVARIANTS: per-version add/row counts, stamp
+    // monotonicity, and the as-of resolution landing on the right
+    // snapshot.
+    "sql_catalog_history" -> ((s, d) => {
+      val dir = ensureCatalogSeries(s, d)
+      val ts0 = GraftLog.versionTimestamps(dir).head._2
+      val zone = java.time.ZoneId.of(
+        s.conf.get("spark.sql.session.timeZone"))
+      val lit0 = java.time.Instant.ofEpochMilli(ts0).atZone(zone)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      s.sql(s"""
+        SELECT version, n_adds, rows_added,
+          ts_millis >= COALESCE(
+            LAG(ts_millis) OVER (ORDER BY version), 0) AS ts_monotone,
+          (SELECT COUNT(*) FROM graftq.ns.series
+           TIMESTAMP AS OF '$lit0') = 4000 AS ts_travel_v0
+        FROM graftq.ns.`series$$history`""")
+    }),
+
+    // RESTORE to a historical version: a new commit whose live set
+    // equals the target snapshot — later files removed, since-retired
+    // files re-added — so the rollback is itself ordinary, auditable
+    // history (the mistaken version stays time-travelable; restore is
+    // a redo of an old state, not an undo of the log). The recovery
+    // story every production lake eventually needs after a bad load.
+    // Oracle: the restored table equals insert 1 alone, while
+    // VERSION AS OF 1 still reads both inserts.
+    "sql_catalog_restore" -> ((s, d) => {
+      val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
+      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+      val dir = s"$wh/ns/rest_t"
+      if (GraftLog.currentVersion(dir) != 2L) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.rest_t")
+        s.sql("CREATE TABLE graftq.ns.rest_t (id BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.rest_t
+                 SELECT /*+ REPARTITION(1) */ id FROM range(0, 2000)""")
+        s.sql("""INSERT INTO graftq.ns.rest_t
+                 SELECT /*+ REPARTITION(1) */ id FROM range(2000, 5000)""")
+        GraftLog.restore(dir, 0L)
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               (SELECT COUNT(*) FROM graftq.ns.rest_t VERSION AS OF 1)
+                 AS n_v1
+        FROM graftq.ns.rest_t""")
+    }),
+
+    // Per-file BLOOM pruning for string equality — the index numeric
+    // min/max can't provide: the ingest hash-partitions by `tag`, so
+    // each of the 7 tag values lands wholly in one part file and every
+    // file's manifest bloom provably lacks the other six. A
+    // `tag = 't3'` scan then plans ~1 of 7 files (gated <= 2 inside
+    // the result, parsed from the scan's own description); values are
+    // oracle-checked against the closed form, so a wrongly-pruned file
+    // is a hash miss. At 100 TB this turns point lookups on
+    // dictionary-ish string columns (language, source, shard) from
+    // full scans into single-file reads.
+    "sink_log_bloom_pruned" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_bloom/${new java.io.File(d).getName}"
+      if (GraftLog.committedFiles(dir).isEmpty)
+        s.range(0, 70000)
+          .selectExpr("id", "concat('t', id % 7) AS tag")
+          .repartition(7, col("tag"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+      val scan = s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .filter(col("tag") === "t3")
+      val pruned = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(scan.queryExecution.executedPlan.toString)
+        .exists(m => m.group(2).toInt == 7 && m.group(1).toInt <= 2)
+      scan.agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
+        .select(col("n_rows"), col("sum_id"),
+          lit(pruned).as("bloom_pruned"))
+    }),
+
+    // Copy-on-write DELETE: drop a key range by rewriting only the
+    // stats-affected file subset — files outside the predicate's reach
+    // survive byte-identical (zero write amplification beyond the
+    // touched range). Closed-form oracle over the surviving rows; the
+    // bounded_rewrite gate pins the file-targeting behavior that makes
+    // GDPR-style deletes affordable on a 100 TB table.
+    "sink_log_delete_cow" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_delete/${new java.io.File(d).getName}"
+      val stats = mergeStats.get(dir) match {
+        case Some(st) => st
+        case None =>
+          val root = new java.io.File(dir)
+          if (root.exists()) root.listFiles().foreach(_.delete())
+          s.range(0, 40000).selectExpr("id", "id AS v")
+            .repartitionByRange(8, col("id"))
+            .write.format("graft.sources.GraftLogSource")
+            .option("path", dir).mode("overwrite").save()
+          val (r, t) = GraftLog.deleteRange(s, dir, "id", 5000, 7000)
+          val st = (r, t, 0)
+          mergeStats.put(dir, st)
+          st
+      }
+      val (r, t, _) = stats
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
+        .select(col("n_rows"), col("sum_id"),
+          lit(r > 0 && r * 2 <= t).as("bounded_rewrite"))
     })
   )
+
+  /** Session-lifetime build markers for the maintenance fixtures: the
+    * rewrite sequence must run exactly once per session (its observable
+    * stats feed the result), so a stale /tmp table from a previous
+    * session is wiped and rebuilt rather than trusted. */
+  private val streamBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val mergeStats =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]()
 
   /** Shared ensure-block for the catalog-backed queries: CREATE TABLE +
     * two INSERTs (REPARTITION-hinted so the per-version file counts are
     * deterministic: 1 file then 2), once per session+fixture. */
   private def ensureCatalogSeries(s: SparkSession, d: String): String = {
-    val wh = s"/tmp/graft_cat_wh_v3/${new java.io.File(d).getName}"
+    val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
     s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
     val dir = s"$wh/ns/series"
@@ -486,6 +800,69 @@ object Formats {
            CAST(1000 AS BIGINT) AS n_null_score,
            CAST(1874250 AS BIGINT) AS sum_score,
            CAST(250 AS BIGINT) AS n_hi_score,
-           TRUE AS old_file_skipped"""
+           TRUE AS old_file_skipped""",
+    // Destination of the two-run log-to-log stream: 5000 drained rows
+    // + 1000 resumed-delta rows, each delivered exactly once (the
+    // compaction between runs must contribute nothing).
+    "sink_log_stream_source" ->
+      """SELECT id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+         FROM range(0, 6000) t(id)
+         GROUP BY bucket""",
+    "sink_log_count_meta" ->
+      """SELECT CAST(50000 AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS min_id,
+           CAST(49999 AS BIGINT) AS max_id,
+           TRUE AS meta_only""",
+    // Final table after both merges: updates negate v on [10000,12000),
+    // inserts add [40000,41000) with negative v; ids are untouched.
+    "sink_log_merge_cow" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN (id >= 10000 AND id < 12000) OR id >= 40000
+             THEN -id ELSE id END) AS BIGINT) AS sum_v,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           TRUE AS bounded_rewrite,
+           TRUE AS pure_insert_rewrites_zero
+         FROM range(0, 41000) t(id)""",
+    "sink_log_delete_cow" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           TRUE AS bounded_rewrite
+         FROM range(0, 40000) t(id)
+         WHERE id < 5000 OR id >= 7000""",
+    "sql_catalog_delete" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(id * 2) AS BIGINT) AS sum_v,
+           TRUE AS bounded_rewrite
+         FROM range(0, 20000) t(id)
+         WHERE id < 2000 OR id >= 3000""",
+    "sql_catalog_alter_add_col" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(COUNT(CASE WHEN id < 1000 THEN 1 END) AS BIGINT)
+             AS n_null_score,
+           CAST(SUM(CASE WHEN id >= 1000 THEN id * 3 END) AS BIGINT)
+             AS sum_score
+         FROM range(0, 1500) t(id)""",
+    "sql_catalog_history" ->
+      """SELECT CAST(version AS BIGINT) AS version,
+           CAST(n_adds AS BIGINT) AS n_adds,
+           CAST(rows_added AS BIGINT) AS rows_added,
+           ts_monotone, ts_travel_v0
+         FROM (VALUES (0, 1, 4000, TRUE, TRUE),
+                      (1, 2, 6000, TRUE, TRUE))
+           AS t(version, n_adds, rows_added, ts_monotone, ts_travel_v0)""",
+    "sql_catalog_restore" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_rows,
+           CAST(1999000 AS BIGINT) AS sum_id,
+           CAST(5000 AS BIGINT) AS n_v1""",
+    "sink_log_bloom_pruned" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           TRUE AS bloom_pruned
+         FROM range(0, 70000) t(id)
+         WHERE id % 7 = 3"""
   )
 }

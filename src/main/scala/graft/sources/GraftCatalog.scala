@@ -67,6 +67,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftLogFilesTable(tableDir(base).getPath)
     }
+    // `t$history`: one row per committed version (ts, add/remove/row
+    // counts) — what TIMESTAMP AS OF resolves against.
+    if (ident.name.endsWith("$history")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$history"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogHistoryTable(tableDir(base).getPath)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftLogTable(tableDir(ident).getPath, StructType(Nil))
   }
@@ -78,6 +86,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftLogTable(tableDir(ident).getPath, StructType(Nil),
       asOfVersion = version.toLong)
+  }
+
+  /** `TIMESTAMP AS OF t` time travel: Spark hands the timestamp in
+    * MICROseconds since epoch; it resolves to the newest version whose
+    * commit stamp (manifest `ts`, millis) is at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident).getPath
+    new GraftLogTable(dir, StructType(Nil),
+      asOfVersion = GraftLog.versionAtTimestamp(dir, timestamp / 1000L))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -95,10 +113,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLogTable(dir.getPath, schema)
   }
 
+  /** `ALTER TABLE t ADD COLUMN c <type>` — the DDL face of the
+    * format's additive schema evolution: the stored schema widens with
+    * the new column (always nullable: every pre-alter file predates it
+    * and its rows read NULL, the same contract a widening append
+    * establishes). Anything other than a top-level ADD COLUMN rejects
+    * loudly — type changes and drops would strand the already-written
+    * part files. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-log tables are schema-immutable")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident).getPath
+    val updated = changes.foldLeft(GraftLog.storedSchema(dir).get) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft-log supports only top-level ADD COLUMN")
+        val colName = add.fieldNames()(0)
+        require(!sch.fieldNames.contains(colName),
+          s"column $colName already exists")
+        sch.add(org.apache.spark.sql.types.StructField(
+          colName, add.dataType, nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft-log tables support only ADD COLUMN, got $other")
+    }
+    Files.write(schemaFile(ident).toPath,
+      updated.json.getBytes(StandardCharsets.UTF_8))
+    new GraftLogTable(dir, StructType(Nil))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -10,19 +10,26 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
-  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete,
+  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  AggregateFunc, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
+  Not, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,20 +92,24 @@ class GraftLogSource extends TableProvider {
   * schema) — the per-file schema record that makes additive evolution
   * readable (a TSV line can't self-describe the way a parquet footer
   * does). Empty `cols` = pre-evolution entry: the file carries the
-  * full current table schema. Serialized as
-  * `version\taction\tfile\trows\tdataChange\tcol=min,max;...\tc1,c2`;
-  * legacy 2-field `version\tfile` lines parse as stat-less adds and
-  * 6-field lines as cols-less ones. */
+  * full current table schema. `ts` is the commit wall-clock in epoch
+  * millis, stamped at publish (strictly monotone per table — the axis
+  * `TIMESTAMP AS OF` resolves against); -1 = unstamped/legacy.
+  * Serialized as
+  * `version\taction\tfile\trows\tdataChange\tcol=min,max;...\tc1,c2\tts`;
+  * legacy 2-field `version\tfile` lines parse as stat-less adds,
+  * 6-field as cols-less, 7-field as ts-less ones. */
 case class LogEntry(version: Long, action: String, file: String,
     rows: Long, dataChange: Boolean,
     stats: Map[String, (String, String)],
-    cols: Seq[String] = Seq.empty) {
+    cols: Seq[String] = Seq.empty,
+    ts: Long = -1L) {
   def isAdd: Boolean = action == "add"
   def serialize: String = {
     val st = stats.toSeq.sortBy(_._1)
       .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }.mkString(";")
     s"$version\t$action\t$file\t$rows\t${if (dataChange) 1 else 0}\t$st" +
-      s"\t${cols.mkString(",")}"
+      s"\t${cols.mkString(",")}\t$ts"
   }
 }
 
@@ -126,6 +137,9 @@ object LogEntry {
       case Array(v, act, f, rows, dc, st, cs) =>
         LogEntry(v.toLong, act, f, rows.toLong, dc == "1", parseStats(st),
           cs.split(",").filter(_.nonEmpty).toSeq)
+      case Array(v, act, f, rows, dc, st, cs, ts) =>
+        LogEntry(v.toLong, act, f, rows.toLong, dc == "1", parseStats(st),
+          cs.split(",").filter(_.nonEmpty).toSeq, ts.toLong)
       case _ => throw new IllegalArgumentException(
         s"unparseable graft-log manifest line: $line")
     }
@@ -237,14 +251,21 @@ object GraftLog {
   def committedFiles(dir: String): Seq[String] =
     entriesAsOf(dir, Long.MaxValue).map(_.file)
 
-  /** Live `add` entries visible at `version`: adds with ver ≤ version,
-    * minus files removed at ver ≤ version (compaction retires files
-    * from NEWER snapshots while older snapshots keep seeing them —
-    * the Delta/Iceberg log-replay rule in miniature). */
+  /** Live `add` entries visible at `version`: log replay in commit
+    * order with the LATEST action per file winning — a compaction's
+    * remove retires a file from newer snapshots (older ones keep
+    * seeing it), and a later re-add (RESTORE) resurrects it. This is
+    * the Delta/Iceberg reconciliation rule in miniature; a
+    * remove-is-forever shortcut would silently empty a restored
+    * snapshot. */
   def entriesAsOf(dir: String, version: Long): Seq[LogEntry] = {
-    val upTo = entries(dir).filter(_.version <= version)
-    val removed = upTo.filter(!_.isAdd).map(_.file).toSet
-    upTo.filter(e => e.isAdd && !removed.contains(e.file))
+    val latest =
+      scala.collection.mutable.LinkedHashMap.empty[String, LogEntry]
+    // the manifest appends in commit order, so iteration order IS
+    // version order
+    entries(dir).filter(_.version <= version)
+      .foreach(e => latest(e.file) = e)
+    latest.valuesIterator.filter(_.isAdd).toSeq
   }
 
   def filesAsOf(dir: String, version: Long): Seq[String] =
@@ -363,6 +384,186 @@ object GraftLog {
     live.size
   }
 
+  /** Copy-on-write MERGE (Delta `MERGE INTO` in miniature): upsert a
+    * batch of full-schema rows into the table by KEY, rewriting ONLY
+    * the part files whose manifest [min, max] range on the key can
+    * contain a matched key — the stats written for scan pruning double
+    * as the merge's file-targeting index, which is exactly how Delta
+    * bounds a MERGE's write amplification. Matched rows are replaced
+    * by their update row, unmatched table rows are carried unchanged,
+    * unmatched update rows are inserted. The rewrite is one
+    * distributed full-outer join of the affected files against the
+    * update batch (at 100 TB: affected-side shuffle is bounded by the
+    * touched key range, and a small update batch broadcasts); the
+    * commit publishes remove(affected) + add(rewritten) as one new
+    * version, so readers switch snapshots atomically and time travel
+    * to the pre-merge version keeps working. Merge adds carry
+    * dataChange=true: the CDF re-delivers carried rows from rewritten
+    * files (the append-only feed's documented limit; Delta annotates
+    * per-row change types to avoid this). Returns
+    * (filesRewritten, filesTotal). */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCol: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, when, min => fmin, max => fmax}
+    val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"graft-log table not found at $dir"))
+    require(schema.fieldNames.contains(keyCol), s"no key column $keyCol")
+    val cols = schema.fieldNames.toSeq
+    require(cols.forall(updates.columns.contains),
+      s"merge batch must carry the full table schema ${cols.mkString(",")}")
+    val live = entriesAsOf(dir, Long.MaxValue)
+    val bounds = updates.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
+    if (bounds.isNullAt(0)) return (0, live.size) // empty batch: no-op
+    val (lo, hi) = (new java.math.BigDecimal(bounds.get(0).toString),
+      new java.math.BigDecimal(bounds.get(1).toString))
+    // Stats overlap is conservative: a stat-less entry might hold any
+    // key, so it rewrites. Files outside the update key range are
+    // untouched — the write amplification bound.
+    val affected = live.filter { e =>
+      e.stats.get(keyCol) match {
+        case Some((mn, mx)) =>
+          new java.math.BigDecimal(mx).compareTo(lo) >= 0 &&
+            new java.math.BigDecimal(mn).compareTo(hi) <= 0
+        case None => true
+      }
+    }
+    val cur = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir)
+      .option("pickFiles", affected.map(_.file).mkString(","))
+      .load()
+    val u = updates.select(cols.map(col): _*)
+    val merged = cur.alias("t")
+      .join(u.alias("u"), col(s"t.$keyCol") === col(s"u.$keyCol"),
+        "full_outer")
+      .select(cols.map(f => when(col(s"u.$keyCol").isNotNull,
+        col(s"u.$f")).otherwise(col(s"t.$f")).as(f)): _*)
+    rewriteFiles(spark, dir, affected, merged, schema)
+    (affected.size, live.size)
+  }
+
+  /** Copy-on-write DELETE of the key range [lo, hi): rewrites only the
+    * part files whose stats overlap the range, dropping the in-range
+    * rows; out-of-range files survive untouched (zero write
+    * amplification outside the predicate's reach). Same commit shape
+    * as [[mergeUpsert]]. Returns (filesRewritten, filesTotal). */
+  def deleteRange(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String, lo: Long, hi: Long): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"graft-log table not found at $dir"))
+    val live = entriesAsOf(dir, Long.MaxValue)
+    val dlo = java.math.BigDecimal.valueOf(lo)
+    val dhi = java.math.BigDecimal.valueOf(hi)
+    val affected = live.filter { e =>
+      e.stats.get(keyCol) match {
+        case Some((mn, mx)) =>
+          new java.math.BigDecimal(mx).compareTo(dlo) >= 0 &&
+            new java.math.BigDecimal(mn).compareTo(dhi) < 0
+        case None => true
+      }
+    }
+    if (affected.isEmpty) return (0, live.size)
+    val remaining = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir)
+      .option("pickFiles", affected.map(_.file).mkString(","))
+      .load()
+      .filter(!(col(keyCol) >= lo && col(keyCol) < hi))
+    rewriteFiles(spark, dir, affected, remaining, schema)
+    (affected.size, live.size)
+  }
+
+  /** SQL `DELETE FROM t WHERE ...` lands here (via [[SupportsDelete]]
+    * on the table): a general copy-on-write delete over an arbitrary
+    * conjunction of convertible predicates. File targeting reuses the
+    * scan's conservative stats check — a file rewrites only if EVERY
+    * conjunct may match it — and kept rows are those where the
+    * predicate is not TRUE (false or NULL, the SQL DELETE contract).
+    * Re-running the same DELETE is a cheap no-op: the rewritten files'
+    * refreshed stats no longer overlap the predicate. Returns
+    * (filesRewritten, filesTotal). */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+      filters: Array[Filter]): (Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"graft-log table not found at $dir"))
+    require(filters.forall(convertible),
+      s"unsupported DELETE predicate: ${filters.mkString(", ")}")
+    val live = entriesAsOf(dir, Long.MaxValue)
+    val affected = live.filter(e =>
+      filters.forall(f => GraftLogScan.mayMatch(schema, e, f)))
+    if (affected.isEmpty || filters.isEmpty) return (0, live.size)
+    val cond = filters.map(filterToColumn).reduce(_ && _)
+    val remaining = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir)
+      .option("pickFiles", affected.map(_.file).mkString(","))
+      .load()
+      .filter(!coalesce(cond, lit(false)))
+    rewriteFiles(spark, dir, affected, remaining, schema)
+    (affected.size, live.size)
+  }
+
+  /** The predicate subset [[deleteWhere]] can replay as a Column —
+    * `canDeleteWhere` gates on this, so an inexpressible DELETE fails
+    * at analysis instead of deleting the wrong rows. */
+  def convertible(f: Filter): Boolean = f match {
+    case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
+         LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) |
+         IsNull(_) | IsNotNull(_) => true
+    case And(l, r) => convertible(l) && convertible(r)
+    case Or(l, r) => convertible(l) && convertible(r)
+    case Not(c) => convertible(c)
+    case _ => false
+  }
+
+  private def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => col(a) === lit(v)
+      case GreaterThan(a, v) => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v) => col(a) < lit(v)
+      case LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => col(a).isNull
+      case IsNotNull(a) => col(a).isNotNull
+      case And(l, r) => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r) => filterToColumn(l) || filterToColumn(r)
+      case Not(c) => !filterToColumn(c)
+      case other => throw new IllegalArgumentException(
+        s"inconvertible filter $other")
+    }
+  }
+
+  /** Shared commit tail for copy-on-write maintenance: write the
+    * replacement rows through the normal writer into a scratch log
+    * (full stats/cols commit messages for free), adopt its part files,
+    * and publish remove(old) + add(new) as one version. Zero-row parts
+    * are dropped, not published. */
+  private def rewriteFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String, old: Seq[LogEntry],
+      replacement: org.apache.spark.sql.DataFrame,
+      schema: StructType): Unit = {
+    val scratch = s"$dir/__rewrite-${UUID.randomUUID()}"
+    replacement.write.format("graft.sources.GraftLogSource")
+      .option("path", scratch).mode("overwrite").save()
+    val fresh = entriesAsOf(scratch, Long.MaxValue).filter(_.rows > 0L)
+    fresh.foreach { e =>
+      Files.move(Paths.get(scratch, e.file), Paths.get(dir, e.file))
+    }
+    synchronized {
+      val v = nextVersion(dir)
+      publish(dir, entries(dir) ++
+        old.map(e => LogEntry.remove(v, e.file)) ++
+        fresh.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
+          cols = e.cols)),
+        storedSchema(dir).getOrElse(schema))
+    }
+    Option(new File(scratch).listFiles()).getOrElse(Array.empty)
+      .foreach(_.delete())
+    new File(scratch).delete()
+  }
+
   /** Locked batch commit: read-modify-write of the manifest under the
     * same lock `publishEpoch` holds, so two concurrent same-JVM appends
     * to one table serialize instead of the second publish silently
@@ -385,26 +586,92 @@ object GraftLog {
   }
 
   /** Atomic manifest swap: temp write + rename. The directory is the
-    * unit of locking (single-writer per table, as in a metastore CAS). */
+    * unit of locking (single-writer per table, as in a metastore CAS).
+    * Unstamped entries (ts = -1: this commit's additions) get the
+    * commit wall-clock here, clamped strictly above every existing
+    * stamp so the version→timestamp map stays monotone even when two
+    * commits land in one millisecond — `TIMESTAMP AS OF` then resolves
+    * unambiguously. */
   def publish(dir: String, all: Seq[LogEntry],
       schema: StructType): Unit =
     synchronized {
       ensureDir(dir)
       Files.write(Paths.get(dir, SchemaFile),
         schema.json.getBytes(StandardCharsets.UTF_8))
+      val maxExisting = all.map(_.ts).maxOption.getOrElse(-1L)
+      val now = math.max(System.currentTimeMillis(), maxExisting + 1)
+      val stamped = all.map(e => if (e.ts < 0) e.copy(ts = now) else e)
       val tmp = Paths.get(dir, s"$ManifestFile.tmp.${UUID.randomUUID()}")
-      Files.write(tmp, all.map(_.serialize).mkString("\n")
+      Files.write(tmp, stamped.map(_.serialize).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, Paths.get(dir, ManifestFile),
         StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+
+  /** Commit timestamp of each version: the (shared) stamp its entries
+    * carry. Oldest version first. */
+  def versionTimestamps(dir: String): Seq[(Long, Long)] =
+    entries(dir).groupBy(_.version).view
+      .mapValues(_.map(_.ts).max).toSeq.sortBy(_._1)
+
+  /** `TIMESTAMP AS OF` resolution: the newest version committed at or
+    * before `tsMillis` (Delta semantics). Fails loudly when the
+    * timestamp predates the table. */
+  def versionAtTimestamp(dir: String, tsMillis: Long): Long = {
+    val vts = versionTimestamps(dir)
+    vts.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates every commit of $dir " +
+          s"(earliest: ${vts.headOption.map(_._2).getOrElse(-1L)})"))
+  }
+
+  /** RESTORE to a historical version (Delta `RESTORE TABLE ... VERSION
+    * AS OF` in miniature): publish a NEW version whose live set equals
+    * the target snapshot — files added since the target are removed,
+    * files the target held that were since retired are re-added. The
+    * restore is itself an ordinary commit: history is preserved (the
+    * mistaken writes stay time-travelable — restore is not an undo of
+    * the log, it is a redo of an old state), and re-added files carry
+    * dataChange=true so incremental consumers see the restored rows.
+    * Requires the target's files to still exist (an expire-history
+    * vacuum retires them — the documented trade). Returns
+    * (filesRemoved, filesReAdded). */
+  def restore(dir: String, toVersion: Long): (Int, Int) = synchronized {
+    val cur = entriesAsOf(dir, Long.MaxValue)
+    val target = entriesAsOf(dir, toVersion)
+    val curSet = cur.map(_.file).toSet
+    val tgtSet = target.map(_.file).toSet
+    target.filterNot(e => curSet(e.file)).foreach { e =>
+      require(new File(dir, e.file).exists(),
+        s"cannot restore to version $toVersion: ${e.file} was vacuumed")
+    }
+    val v = nextVersion(dir)
+    val removes = cur.filterNot(e => tgtSet(e.file))
+      .map(e => LogEntry.remove(v, e.file))
+    val readds = target.filterNot(e => curSet(e.file))
+      .map(e => LogEntry.add(v, e.file, e.rows, e.stats,
+        dataChange = true, cols = e.cols))
+    publish(dir, entries(dir) ++ removes ++ readds,
+      storedSchema(dir).getOrElse(StructType(Nil)))
+    (removes.size, readds.size)
+  }
 }
 
 class GraftLogTable(dir: String, writeSchema: StructType,
     asOfVersion: Long = Long.MaxValue)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
   override def name(): String = s"graft_log($dir)"
+
+  // SQL `DELETE FROM t WHERE ...` — copy-on-write, stats-targeted
+  // (see GraftLog.deleteWhere). Inexpressible predicates reject at
+  // analysis via canDeleteWhere.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftLog.convertible)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftLog.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, dir, filters)
   override def schema(): StructType = {
     // Reads see the stored schema; a write whose frame carries extra
     // columns sees the stored⊕incoming merge, so Spark's append
@@ -417,6 +684,7 @@ class GraftLogTable(dir: String, writeSchema: StructType,
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -428,7 +696,11 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     // change feed: rows appended in (changesFromVersion, hi]
     val lo = Option(options.get("changesFromVersion")).map(_.toLong)
       .getOrElse(-1L)
-    new GraftLogScanBuilder(dir, schema(), hi, lo)
+    // maintenance-internal: restrict the scan to named manifest files
+    // (copy-on-write MERGE/DELETE read exactly the files they rewrite)
+    val pick = Option(options.get("pickFiles"))
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+    new GraftLogScanBuilder(dir, schema(), hi, lo, pick)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -441,10 +713,13 @@ class GraftLogTable(dir: String, writeSchema: StructType,
   * file-conservative, not row-exact) and required-column pruning (the
   * reader decodes only projected cells). */
 class GraftLogScanBuilder(dir: String, tableSchema: StructType,
-    asOfVersion: Long, changesFromVersion: Long) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    asOfVersion: Long, changesFromVersion: Long,
+    pickFiles: Option[Set[String]] = None) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var metaCount: Boolean = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftLogScan.usableForSkipping(tableSchema, _))
@@ -455,9 +730,145 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
   // lines and emits zero-column rows without parsing a single cell.
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftLogScan(dir, tableSchema,
-    required, pushed, asOfVersion, changesFromVersion)
+
+  /** Metadata-only aggregates: every manifest `add` carries its file's
+    * exact row count and numeric min/max, so an unfiltered, ungrouped
+    * COUNT(*) / MIN(col) / MAX(col) is a fold over a few manifest
+    * entries — zero data files opened, the same planning-time answer
+    * Delta/Iceberg serve from their stats. Only complete pushdown,
+    * only when every live entry carries the needed stat (legacy
+    * stat-less manifests scan; an all-NULL file has no min/max entry
+    * for that column and correctly blocks the pushdown — its NULLs
+    * don't change MIN/MAX only when other files have values, which
+    * the manifest can't prove), and only with no residual filters
+    * (Spark won't offer the aggregate otherwise; the guard keeps the
+    * invariant local). */
+  private def metaAnswerable(agg: Aggregation): Boolean = {
+    lazy val live =
+      GraftLogCountScan.liveEntries(dir, asOfVersion, changesFromVersion)
+    def statCol(f: AggregateFunc): Option[String] = f match {
+      case m: Min => m.column() match {
+        case fr: NamedReference if fr.fieldNames.length == 1 =>
+          Some(fr.fieldNames()(0))
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case fr: NamedReference if fr.fieldNames.length == 1 =>
+          Some(fr.fieldNames()(0))
+        case _ => None
+      }
+      case _ => None
+    }
+    pushed.isEmpty && pickFiles.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar =>
+          live.forall(_.rows >= 0L)
+        case f @ (_: Min | _: Max) => statCol(f).exists(c =>
+          tableSchema.fields.exists(tf => tf.name == c && (tf.dataType match {
+            case LongType | IntegerType | DoubleType => true
+            case _ => false
+          })) && live.nonEmpty && live.forall(_.stats.contains(c)))
+        case _ => false
+      }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metaAnswerable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (metaAnswerable(agg)) { metaAgg = Some(agg); true } else false
+  }
+  private var metaAgg: Option[Aggregation] = None
+
+  override def build(): Scan = metaAgg match {
+    case Some(agg) =>
+      new GraftLogCountScan(dir, tableSchema, agg, asOfVersion,
+        changesFromVersion)
+    case None => new GraftLogScan(dir, tableSchema,
+      required, pushed, asOfVersion, changesFromVersion, pickFiles)
+  }
 }
+
+/** The scan a pushed-down metadata aggregate builds: one partition,
+  * one row, each value folded from the manifest (COUNT(*) = sum of
+  * row counts, MIN/MAX = fold of per-file stats in the column's own
+  * type) — the table is never touched. `description` reports
+  * `metaCount=` for the plan asserts. */
+class GraftLogCountScan(dir: String, tableSchema: StructType,
+    agg: Aggregation, asOfVersion: Long,
+    changesFromVersion: Long) extends Scan with Batch {
+  private val live = GraftLogCountScan
+    .liveEntries(dir, asOfVersion, changesFromVersion)
+
+  private def colOf(f: AggregateFunc): String = {
+    val fr = (f match {
+      case m: Min => m.column()
+      case m: Max => m.column()
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }).asInstanceOf[NamedReference]
+    fr.fieldNames()(0)
+  }
+  private def dtypeOf(c: String): DataType =
+    tableSchema.fields.find(_.name == c).get.dataType
+  private def asValue(c: String, s: String): Any = dtypeOf(c) match {
+    case LongType => s.toLong
+    case IntegerType => s.toInt
+    case DoubleType => s.toDouble
+    case other => throw new IllegalStateException(s"no stats for $other")
+  }
+  private def fold(c: String, side: Int, pickMin: Boolean): Any = {
+    val vals = live.map(e =>
+      new java.math.BigDecimal(if (side == 0) e.stats(c)._1
+        else e.stats(c)._2))
+    val best = if (pickMin) vals.min else vals.max
+    asValue(c, best.toPlainString)
+  }
+  private val values: Array[Any] = agg.aggregateExpressions.map {
+    case _: CountStar => live.map(_.rows).sum: Any
+    case m: Min => fold(colOf(m), 0, pickMin = true)
+    case m: Max => fold(colOf(m), 1, pickMin = false)
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (f @ (_: Min | _: Max), i) =>
+        StructField(s"agg_$i", dtypeOf(colOf(f)), nullable = false)
+      case (other, _) =>
+        throw new IllegalStateException(s"unexpected $other")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_log $dir metaCount=${values.mkString("|")} files=0/0 " +
+      s"(manifest-only aggregate)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftLogCountPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = new GenericInternalRow(
+            p.asInstanceOf[GraftLogCountPartition].values)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+object GraftLogCountScan {
+  def liveEntries(dir: String, asOfVersion: Long,
+      changesFromVersion: Long): Seq[LogEntry] =
+    if (changesFromVersion >= 0L)
+      GraftLog.changedEntriesBetween(dir, changesFromVersion, asOfVersion)
+    else GraftLog.entriesAsOf(dir, asOfVersion)
+}
+
+case class GraftLogCountPartition(values: Array[Any])
+    extends InputPartition
 
 /** Micro-batch writes through the same part-file + manifest protocol;
   * `commit(epochId, ...)` is idempotent per epoch, so a replayed batch
@@ -542,6 +953,12 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
       }
       private val mins = Array.fill[Any](numericIdx.length)(null)
       private val maxs = Array.fill[Any](numericIdx.length)(null)
+      // Per-string-column bloom (equality pruning index) — one
+      // fixed-size bit array per column, fed as rows stream through.
+      private val stringIdx = schema.fields.zipWithIndex
+        .filter(_._1.dataType == StringType)
+      private val blooms = Array.fill(stringIdx.length)(
+        new Array[Long](GraftLogBloom.Words))
       override def write(row: InternalRow): Unit = {
         val cells = schema.fields.zipWithIndex.map { case (f, i) =>
           if (row.isNullAt(i)) GraftLog.NullCell
@@ -574,6 +991,13 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
           if (maxs(s) == null || lt(maxs(s), v)) maxs(s) = v
           s += 1
         }
+        var b = 0
+        while (b < stringIdx.length) {
+          val (_, i) = stringIdx(b)
+          if (!row.isNullAt(i))
+            GraftLogBloom.add(blooms(b), row.getUTF8String(i).toString)
+          b += 1
+        }
         out.write(cells.mkString("\t")); out.write("\n")
         rows += 1
       }
@@ -584,7 +1008,12 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
             numericIdx(s)._1.name ->
               (mins(s).toString, maxs(s).toString)
         }.toMap
-        GraftLogCommit(file, rows, stats, schema.fieldNames.toSeq)
+        val bloomStats = stringIdx.indices.map { b =>
+          GraftLogBloom.key(stringIdx(b)._1.name) ->
+            (GraftLogBloom.serialize(blooms(b)), "v1")
+        }.toMap
+        GraftLogCommit(file, rows, stats ++ bloomStats,
+          schema.fieldNames.toSeq)
       }
       override def abort(): Unit = {
         out.close()
@@ -605,11 +1034,15 @@ class GraftLogWriterFactory(dir: String, schema: StructType)
 class GraftLogScan(dir: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter],
     asOfVersion: Long = Long.MaxValue,
-    changesFromVersion: Long = -1L) extends Scan with Batch {
-  private val candidates =
-    if (changesFromVersion >= 0L)
-      GraftLog.changedEntriesBetween(dir, changesFromVersion, asOfVersion)
-    else GraftLog.entriesAsOf(dir, asOfVersion)
+    changesFromVersion: Long = -1L,
+    pickFiles: Option[Set[String]] = None) extends Scan with Batch {
+  private val candidates = {
+    val base =
+      if (changesFromVersion >= 0L)
+        GraftLog.changedEntriesBetween(dir, changesFromVersion, asOfVersion)
+      else GraftLog.entriesAsOf(dir, asOfVersion)
+    pickFiles.fold(base)(p => base.filter(e => p(e.file)))
+  }
   private val files = candidates.filter(e =>
     pushed.forall(f => GraftLogScan.mayMatch(tableSchema, e, f)))
   override def readSchema(): StructType = required
@@ -623,25 +1056,84 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     files.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(tableSchema, required)
+  // Streaming read: the version log doubles as the stream's offset
+  // axis. `changesFromVersion` (when set) seeds the stream past
+  // history, the Delta `startingVersion` option.
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftLogMicroBatchStream(dir, tableSchema, required,
+      startVersion = changesFromVersion)
+}
+
+/** Streaming SOURCE over the version log — the consumption half of the
+  * lakehouse streaming story (the sink half is
+  * [[GraftLogStreamingWrite]]). Offsets are table versions; a
+  * micro-batch (start, end] is exactly the dataChange `add` files
+  * committed in that version span — the change-data-feed listing — so
+  * an incremental consumer reads each appended row once, never rescans
+  * history, and a compaction (dataChange=false) passes through the
+  * stream invisibly. Offsets checkpoint as the version number, so a
+  * restarted query resumes from the last committed version (the same
+  * recovery contract as Delta's streaming source). At 100 TB the
+  * per-batch work is bounded by the append rate, not the table size. */
+class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
+    required: StructType, startVersion: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // Trigger.AvailableNow: pin the target offset at query start so the
+  // run drains exactly the versions committed before it began, then
+  // stops — concurrent commits land in the next run.
+  private var pinned: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(GraftLog.currentVersion(dir))
+  override def initialOffset(): StreamOffset = GraftLogOffset(startVersion)
+  override def latestOffset(): StreamOffset =
+    GraftLogOffset(pinned.getOrElse(GraftLog.currentVersion(dir)))
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
+  // rate limiting — a version's files are already batch-sized by the
+  // committing writer, so each micro-batch drains to the pinned/live
+  // head. (A maxVersionsPerBatch limit would slot in here.)
+  override def latestOffset(start: StreamOffset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): StreamOffset =
+    latestOffset()
+  override def deserializeOffset(json: String): StreamOffset =
+    GraftLogOffset(json.toLong)
+  override def commit(end: StreamOffset): Unit = ()
+  override def planInputPartitions(start: StreamOffset,
+      end: StreamOffset): Array[InputPartition] =
+    GraftLog.changedEntriesBetween(dir,
+        start.asInstanceOf[GraftLogOffset].version,
+        end.asInstanceOf[GraftLogOffset].version)
+      .map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogReaderFactory(tableSchema, required)
+  override def stop(): Unit = ()
+}
+
+case class GraftLogOffset(version: Long) extends StreamOffset {
+  override def json(): String = version.toString
 }
 
 object GraftLogScan {
   /** A filter is usable for file skipping when it is a comparison on a
-    * stats-bearing (numeric) top-level column. */
+    * stats-bearing (numeric) top-level column, or an equality/IN on a
+    * string column (pruned by the per-file bloom, when present). */
   def usableForSkipping(schema: StructType, f: Filter): Boolean = {
     def numeric(name: String): Boolean =
       schema.fields.find(_.name == name).exists(_.dataType match {
         case LongType | IntegerType | DoubleType => true
         case _ => false
       })
+    def stringCol(name: String): Boolean =
+      schema.fields.find(_.name == name).exists(_.dataType == StringType)
     f match {
-      case EqualTo(a, v) => numeric(a) && v.isInstanceOf[Number]
+      case EqualTo(a, v) => (numeric(a) && v.isInstanceOf[Number]) ||
+        (stringCol(a) && v.isInstanceOf[String])
       case GreaterThan(a, v) => numeric(a) && v.isInstanceOf[Number]
       case GreaterThanOrEqual(a, v) => numeric(a) && v.isInstanceOf[Number]
       case LessThan(a, v) => numeric(a) && v.isInstanceOf[Number]
       case LessThanOrEqual(a, v) => numeric(a) && v.isInstanceOf[Number]
-      case In(a, vs) => numeric(a) && vs.nonEmpty &&
-        vs.forall(_.isInstanceOf[Number])
+      case In(a, vs) => vs.nonEmpty &&
+        ((numeric(a) && vs.forall(_.isInstanceOf[Number])) ||
+          (stringCol(a) && vs.forall(_.isInstanceOf[String])))
       case _ => false
     }
   }
@@ -673,6 +1165,13 @@ object GraftLogScan {
     if (attr.exists(a => e.cols.nonEmpty && !e.cols.contains(a)))
       return false
     f match {
+      // String equality prunes on the per-file BLOOM (numeric min/max
+      // can't see it): definitely-absent values skip the file; an
+      // entry without a bloom (legacy, or dropped by compaction)
+      // always may match.
+      case EqualTo(a, v: String) => GraftLogBloom.mayContain(e, a, v)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        vs.exists(v => GraftLogBloom.mayContain(e, a, v.toString))
       case EqualTo(a, v) => range(a).forall { case (mn, mx) =>
         dec(v).compareTo(mn) >= 0 && dec(v).compareTo(mx) <= 0 }
       case GreaterThan(a, v) =>
@@ -689,6 +1188,50 @@ object GraftLogScan {
       case _ => true
     }
   }
+}
+
+/** Per-file bloom filter over each STRING column, carried in the
+  * manifest stats map under the reserved key `<col>#bloom` — the
+  * equality-pruning index numeric min/max can't provide (a `tag = 'x'`
+  * predicate skips every file whose bloom provably lacks 'x', before
+  * any I/O; the Delta bloom-index / Parquet bloom idea at manifest
+  * granularity). 4096 bits, k=5 double-hashed probes: ~1% false
+  * positives at ~500 distinct values per file; a high-cardinality
+  * column saturates to all-ones and degrades to may-match — pruning
+  * is only ever conservative. Compaction drops blooms (absent bloom =
+  * may-match, never wrong); the next ingest rebuilds them. */
+object GraftLogBloom {
+  val Bits = 4096
+  val Words: Int = Bits / 64
+  val K = 5
+  def key(col: String): String = s"$col#bloom"
+
+  private def probes(v: String): Array[Int] = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(v, 0xA5A5A5A5)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(v, 0x5A5A5A5A) | 1
+    Array.tabulate(K)(i => math.floorMod(h1 + i * h2, Bits))
+  }
+
+  def add(words: Array[Long], v: String): Unit =
+    probes(v).foreach(b => words(b >> 6) |= 1L << (b & 63))
+
+  def serialize(words: Array[Long]): String =
+    words.map(w => f"$w%016x").mkString
+
+  def deserialize(hex: String): Array[Long] =
+    Array.tabulate(Words)(i =>
+      java.lang.Long.parseUnsignedLong(
+        hex.substring(i * 16, i * 16 + 16), 16))
+
+  /** Conservative membership against an entry's manifest bloom: false
+    * ONLY when a bloom is present and provably lacks the value. */
+  def mayContain(e: LogEntry, col: String, v: String): Boolean =
+    e.stats.get(key(col)) match {
+      case Some((hex, _)) if hex.length == Words * 16 =>
+        val words = deserialize(hex)
+        probes(v).forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
+      case _ => true
+    }
 }
 
 /** `cols` = the file's own column list from its manifest entry (empty
@@ -751,6 +1294,66 @@ object GraftLogFilesTable {
     StructField("rows", LongType, nullable = false),
     StructField("data_change", BooleanType, nullable = false)))
 }
+
+/** The `t$history` metadata table: one row per committed version —
+  * (version, ts_millis, n_adds, n_removes, rows_added) — the audit
+  * surface `TIMESTAMP AS OF` resolves against and a RESTORE consults.
+  * rows_added counts dataChange rows only (what a CDF consumer saw). */
+class GraftLogHistoryTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_history($dir)"
+  override def schema(): StructType = GraftLogHistoryTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[Array[Any]] =
+          GraftLog.entries(dir).groupBy(_.version).toSeq.sortBy(_._1)
+            .map { case (v, es) =>
+              Array[Any](v, es.map(_.ts).max,
+                es.count(_.isAdd).toLong,
+                es.count(!_.isAdd).toLong,
+                es.filter(e => e.isAdd && e.dataChange)
+                  .map(e => math.max(e.rows, 0L)).sum)
+            }
+        override def readSchema(): StructType = GraftLogHistoryTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_history $dir versions=${rows.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogHistoryPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogHistoryPartition].rows.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = new GenericInternalRow(it.next())
+                  true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+object GraftLogHistoryTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ts_millis", LongType, nullable = false),
+    StructField("n_adds", LongType, nullable = false),
+    StructField("n_removes", LongType, nullable = false),
+    StructField("rows_added", LongType, nullable = false)))
+}
+
+case class GraftLogHistoryPartition(rows: Seq[Array[Any]])
+    extends InputPartition
 
 case class GraftLogFilesPartition(entries: Seq[LogEntry])
     extends InputPartition

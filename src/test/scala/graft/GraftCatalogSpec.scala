@@ -82,4 +82,88 @@ class GraftCatalogSpec extends SparkSpec {
         graft.sources.GraftLog.committedFiles(dir).size)
     }
   }
+
+  test("SQL DELETE FROM rewrites only stats-affected files") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db3")
+      spark.sql("CREATE TABLE graftcat.db3.d (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO graftcat.db3.d
+        SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 2
+        FROM range(0, 4000)""")
+      spark.sql("DELETE FROM graftcat.db3.d WHERE id >= 500 AND id < 700")
+      val t = spark.table("graftcat.db3.d")
+      assert(t.count() == 3800)
+      assert(t.filter(col("id") >= 500 && col("id") < 700).count() == 0)
+      assert(t.agg(sum(col("v"))).head.getLong(0) ==
+        2 * ((0L until 4000L).sum - (500L until 700L).sum))
+      // stats targeting: of the 4 range files, at most 2 retired
+      val removes = spark.sql(
+        """SELECT COUNT(*) FROM graftcat.db3.`d$files`
+           WHERE action = 'remove'""").head.getLong(0)
+      assert(removes >= 1 && removes <= 2, s"removes=$removes")
+      // NULL-predicate rows survive (DELETE drops only TRUE rows)
+      spark.sql("ALTER TABLE graftcat.db3.d ADD COLUMN w BIGINT")
+      spark.sql("DELETE FROM graftcat.db3.d WHERE w > 0")
+      assert(spark.table("graftcat.db3.d").count() == 3800,
+        "rows where the predicate is NULL must survive a DELETE")
+    }
+  }
+
+  test("SQL ALTER TABLE ADD COLUMN: old rows read NULL, new insert fills") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db4")
+      spark.sql("CREATE TABLE graftcat.db4.a (id BIGINT)")
+      spark.sql("INSERT INTO graftcat.db4.a SELECT id FROM range(100)")
+      spark.sql("ALTER TABLE graftcat.db4.a ADD COLUMN score BIGINT")
+      spark.sql(
+        "INSERT INTO graftcat.db4.a SELECT id, id * 3 FROM range(100, 150)")
+      val t = spark.table("graftcat.db4.a")
+      assert(t.columns.toSeq == Seq("id", "score"))
+      assert(t.count() == 150)
+      assert(t.filter(col("score").isNull).count() == 100)
+      assert(t.agg(sum(col("score"))).head.getLong(0) ==
+        (100L until 150L).map(_ * 3).sum)
+      // non-additive changes reject loudly
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graftcat.db4.a DROP COLUMN score")
+      }
+      assert(e.getMessage.contains("ADD COLUMN") ||
+        e.getMessage.toLowerCase.contains("unsupported"))
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves commit stamps; $history lists versions") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db5")
+      spark.sql("CREATE TABLE graftcat.db5.h (id BIGINT)")
+      spark.sql("INSERT INTO graftcat.db5.h SELECT id FROM range(10)")
+      spark.sql("INSERT INTO graftcat.db5.h SELECT id FROM range(25)")
+      val hist = spark.sql(
+        """SELECT version, ts_millis, rows_added
+           FROM graftcat.db5.`h$history` ORDER BY version""").collect()
+      assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+      assert(hist.map(_.getLong(2)).toSeq == Seq(10L, 25L))
+      val Seq(ts0, ts1) = hist.map(_.getLong(1)).toSeq
+      assert(ts0 < ts1, "stamps must be strictly monotone")
+      val zone = java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))
+      def fmt(ms: Long): String =
+        java.time.Instant.ofEpochMilli(ms).atZone(zone)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graftcat.db5.h TIMESTAMP AS OF '${fmt(ts0)}'")
+        .head.getLong(0) == 10)
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graftcat.db5.h TIMESTAMP AS OF '${fmt(ts1)}'")
+        .head.getLong(0) == 35)
+      // a timestamp before the first commit fails loudly
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT COUNT(*) FROM graftcat.db5.h TIMESTAMP AS OF '${fmt(ts0 - 1)}'")
+          .collect()
+      }
+      assert(e.getMessage.contains("predates"))
+    }
+  }
 }

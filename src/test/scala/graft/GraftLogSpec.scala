@@ -294,4 +294,159 @@ class GraftLogSpec extends SparkSpec {
     // nulls survive the rewrite: old-vintage rows still read NULL v
     assert(readBack(dir).filter(col("v").isNull).count() == 10)
   }
+
+  test("streaming source: AvailableNow drains committed versions, " +
+      "restart resumes incrementally, compaction is invisible") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp(); val dst = tmp(); val ckpt = tmp()
+    // log-to-log incremental pipeline: the streaming SOURCE feeds the
+    // epoch-idempotent streaming SINK through one checkpoint
+    def runStream(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", src).load()
+        .writeStream.format(Fmt).option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.range(0, 100).selectExpr("id").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    spark.range(100, 150).selectExpr("id").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    runStream()
+    assert(readBack(dst).count() == 150,
+      "first run must drain both committed versions")
+    // compaction (dataChange=false) + one real append; the resumed
+    // stream must deliver ONLY the appended rows
+    assert(graft.sources.GraftLog.compact(src) == 2)
+    spark.range(150, 170).selectExpr("id").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    runStream()
+    val b = readBack(dst)
+    assert(b.count() == 170,
+      s"resume must append the delta only, got ${b.count()}")
+    assert(b.agg(min(col("id")), max(col("id"))).head.toSeq == Seq(0L, 169L))
+    assert(b.select(col("id")).distinct().count() == 170,
+      "no row may be delivered twice across restart + compaction")
+  }
+
+  test("COUNT(*) answers from the manifest without opening a file") {
+    val dir = tmp()
+    series(500).repartition(4)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val cnt = readBack(dir).agg(count(lit(1)).as("n"))
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("metaCount=500"),
+      s"expected a manifest-only count scan in:\n$plan")
+    assert(cnt.head.getLong(0) == 500L)
+    // a filtered count must NOT push: rows are the filter's job
+    val filtered = readBack(dir).filter(col("bucket") === 3)
+      .agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("metaCount"))
+    assert(filtered.head.getLong(0) == 6L) // ids 3,100,...,488: ceil counts
+    // MIN/MAX on numeric columns also answer from the manifest stats
+    val mm = readBack(dir).agg(count(lit(1)), min(col("id")),
+      max(col("id")), min(col("value")))
+    assert(mm.queryExecution.executedPlan.toString.contains("metaCount="))
+    assert(mm.head.toSeq == Seq(500L, 0L, 499L, 0.0))
+    // MIN on a string column has no stats: plans the real scan
+    val ms = readBack(dir).agg(min(col("tag")))
+    assert(!ms.queryExecution.executedPlan.toString.contains("metaCount"))
+    assert(ms.head.getString(0) == "t0")
+  }
+
+  test("copy-on-write merge rewrites only stats-affected files; " +
+      "upserts and inserts land, history survives") {
+    val dir = tmp()
+    spark.range(0, 4000).selectExpr("id", "id AS v")
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val updates = spark.range(1000, 1200).selectExpr("id", "-id AS v")
+      .unionAll(spark.range(4000, 4100).selectExpr("id", "-id AS v"))
+    val (rewritten, total) = graft.sources.GraftLog
+      .mergeUpsert(spark, dir, updates, "id")
+    assert(total == 4)
+    assert(rewritten < total,
+      s"stats must bound the rewrite, got $rewritten/$total")
+    val back = readBack(dir)
+    assert(back.count() == 4100)
+    assert(back.filter(col("id") >= 1000 && col("id") < 1200 &&
+      col("v") =!= -col("id")).count() == 0, "matched rows must update")
+    assert(back.filter(col("id") >= 4000).count() == 100, "inserts land")
+    assert(back.filter(col("id") < 1000 && col("v") =!= col("id"))
+      .count() == 0, "untouched rows survive")
+    // pre-merge snapshot still reconstructible
+    val v0 = spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "0").load()
+    assert(v0.count() == 4000 && v0.filter(col("v") < 0).count() == 0)
+    // a pure insert beyond every file's range rewrites nothing
+    val (r2, _) = graft.sources.GraftLog.mergeUpsert(spark, dir,
+      spark.range(5000, 5100).selectExpr("id", "-id AS v"), "id")
+    assert(r2 == 0, s"pure out-of-range insert must rewrite 0 files, got $r2")
+    assert(readBack(dir).count() == 4200)
+  }
+
+  test("string-equality bloom pruning skips files lacking the value") {
+    val dir = tmp()
+    // hash-partition by tag: each of the 7 tags lands wholly in one
+    // file, so 6 of 7 files provably lack any given tag
+    series(7000).repartition(7, col("tag"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val q = readBack(dir).filter(col("tag") === "t3")
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+      fail(s"no files=kept/total in:\n$desc"))
+    assert(m.group(2).toInt >= 2 && m.group(1).toInt < m.group(2).toInt,
+      s"bloom must skip tag-less files, got files=${m.group(1)}/${m.group(2)}")
+    assert(q.count() == 1000)
+    // a value no file holds prunes the whole scan
+    val none = readBack(dir).filter(col("tag") === "zzz")
+    val m2 = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+      none.queryExecution.executedPlan.toString).get
+    assert(m2.group(1).toInt == 0, s"files=${m2.group(1)}/${m2.group(2)}")
+    assert(none.count() == 0)
+    // IN-list prunes to the union of member-bearing files
+    val in2 = readBack(dir).filter(col("tag").isin("t1", "t5"))
+    assert(in2.count() == 2000)
+  }
+
+  test("restore publishes an old snapshot as new auditable history") {
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    series(300).write.format(Fmt).option("path", dir).mode("append").save()
+    graft.sources.GraftLog.compact(dir) // v2 retires both input files
+    assert(readBack(dir).count() == 400)
+    val v0Files = graft.sources.GraftLog.entriesAsOf(dir, 0L).size
+    val (removed, readded) = graft.sources.GraftLog.restore(dir, 0L)
+    assert(removed == 1 && readded == v0Files,
+      s"expected compacted-file remove + $v0Files v0-file re-adds, " +
+        s"got ($removed, $readded)")
+    assert(readBack(dir).count() == 100, "restored head = snapshot 0")
+    // the pre-restore state remains time-travelable: restore is a redo
+    val v2 = spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "2").load()
+    assert(v2.count() == 400)
+    // commit stamps are strictly monotone across all four versions
+    val ts = graft.sources.GraftLog.versionTimestamps(dir).map(_._2)
+    assert(ts == ts.sorted && ts.distinct.size == ts.size,
+      s"stamps must be strictly monotone, got $ts")
+    // timestamp resolution: the stamp of v1 resolves to v1
+    assert(graft.sources.GraftLog.versionAtTimestamp(dir, ts(1)) == 1L)
+    assert(graft.sources.GraftLog.versionAtTimestamp(dir, ts(1) - 1) == 0L)
+  }
+
+  test("copy-on-write delete drops the range, rewrites a file subset") {
+    val dir = tmp()
+    spark.range(0, 4000).selectExpr("id", "id AS v")
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val (rewritten, total) = graft.sources.GraftLog
+      .deleteRange(spark, dir, "id", 500, 700)
+    assert(total == 4 && rewritten < total)
+    val back = readBack(dir)
+    assert(back.count() == 3800)
+    assert(back.filter(col("id") >= 500 && col("id") < 700).count() == 0)
+    assert(back.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 4000L).sum - (500L until 700L).sum)
+  }
 }
