@@ -631,6 +631,53 @@ object Formats {
         FROM graftq.ns.rest_t""")
     }),
 
+    // OPTIMIZE ZORDER as MAINTENANCE on live data (Delta `OPTIMIZE ...
+    // ZORDER BY` in miniature): the table ingests in id order, so
+    // every part file carries the full x range and scattered y values
+    // — a 2-D tile predicate must read all 16 files (before_full
+    // gate). One optimizeZorder pass rewrites the same rows
+    // range-partitioned by the Morton interleave, published with
+    // dataChange=false (CDF-invisible, history intact), after which
+    // the identical predicate plans <= 4 of 16 files (tile_pruned
+    // gate, parsed from the scan's own description). Values against
+    // the closed form catch any row the rewrite loses or doubles. At
+    // 100 TB this is the nightly layout job that turns exploratory
+    // 2-D slicing from full scans into tile reads.
+    "sink_log_optimize_zorder" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_optz/${new java.io.File(d).getName}"
+      def tileScan() = s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .filter(col("x") >= 64L && col("x") < 96L &&
+          col("y") >= 64L && col("y") < 96L)
+      def kept(): Int = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(tileScan().queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+      val stats = mergeStats.get(dir) match {
+        case Some(st) => st
+        case None =>
+          val root = new java.io.File(dir)
+          if (root.exists()) root.listFiles().foreach(_.delete())
+          s.range(0, 65536)
+            .selectExpr("id", "id % 256 AS x",
+              "((id DIV 256) * 177) % 256 AS y")
+            .repartitionByRange(16, col("id"))
+            .write.format("graft.sources.GraftLogSource")
+            .option("path", dir).mode("overwrite").save()
+          val before = kept()
+          GraftLog.optimizeZorder(s, dir, "x", "y", bits = 8,
+            nFiles = 16)
+          val st = (before, kept(), 0)
+          mergeStats.put(dir, st)
+          st
+      }
+      val (before, after, _) = stats
+      tileScan().agg(count(lit(1)).as("n_rows"),
+          sum(col("id")).as("sum_id"))
+        .select(col("n_rows"), col("sum_id"),
+          lit(before == 16).as("before_full"),
+          lit(after >= 0 && after * 4 <= 16).as("tile_pruned"))
+    }),
+
     // Per-file BLOOM pruning for string equality — the index numeric
     // min/max can't provide: the ingest hash-partitions by `tag`, so
     // each of the 7 tag values lands wholly in one part file and every
@@ -863,6 +910,15 @@ object Formats {
            CAST(SUM(id) AS BIGINT) AS sum_id,
            TRUE AS bloom_pruned
          FROM range(0, 70000) t(id)
-         WHERE id % 7 = 3"""
+         WHERE id % 7 = 3""",
+    "sink_log_optimize_zorder" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           TRUE AS before_full,
+           TRUE AS tile_pruned
+         FROM range(0, 65536) t(id)
+         WHERE (id % 256) >= 64 AND (id % 256) < 96
+           AND (((id // 256) * 177) % 256) >= 64
+           AND (((id // 256) * 177) % 256) < 96"""
   )
 }

@@ -535,15 +535,48 @@ object GraftLog {
     }
   }
 
+  /** OPTIMIZE ZORDER as table maintenance (Delta `OPTIMIZE ... ZORDER
+    * BY (x, y)` in miniature): rewrite the CURRENT snapshot range-
+    * partitioned by the Morton interleave of two numeric columns, so
+    * each new part file covers a compact 2-D tile and its manifest
+    * min/max narrow on BOTH dimensions — a conjunctive 2-D predicate
+    * then skips most files at planning time, where the ingest-order
+    * layout had to read everything. Published as remove(all live) +
+    * add(tiles) with dataChange=false: same rows, new layout — the
+    * change feed and a resumed stream see nothing, and older snapshots
+    * stay time-travelable. This is the layout decision as a MAINTENANCE
+    * op on live data, not an ingest-time choice — at 100 TB it runs
+    * incrementally per partition, amortized like compaction. Returns
+    * the number of files rewritten. */
+  def optimizeZorder(spark: org.apache.spark.sql.SparkSession,
+      dir: String, xCol: String, yCol: String, bits: Int = 8,
+      nFiles: Int = 16): Int = {
+    import org.apache.spark.sql.functions.col
+    val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
+      s"graft-log table not found at $dir"))
+    val live = entriesAsOf(dir, Long.MaxValue)
+    if (live.isEmpty) return 0
+    val replacement = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir).load()
+      .withColumn("__graft_z",
+        graft.functions.ZOrder.zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .drop("__graft_z")
+    rewriteFiles(spark, dir, live, replacement, schema,
+      dataChange = false)
+    live.size
+  }
+
   /** Shared commit tail for copy-on-write maintenance: write the
     * replacement rows through the normal writer into a scratch log
     * (full stats/cols commit messages for free), adopt its part files,
     * and publish remove(old) + add(new) as one version. Zero-row parts
-    * are dropped, not published. */
+    * are dropped, not published. `dataChange = false` marks a pure
+    * layout rewrite (same rows) that the change feed must skip. */
   private def rewriteFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String, old: Seq[LogEntry],
       replacement: org.apache.spark.sql.DataFrame,
-      schema: StructType): Unit = {
+      schema: StructType, dataChange: Boolean = true): Unit = {
     val scratch = s"$dir/__rewrite-${UUID.randomUUID()}"
     replacement.write.format("graft.sources.GraftLogSource")
       .option("path", scratch).mode("overwrite").save()
@@ -556,7 +589,7 @@ object GraftLog {
       publish(dir, entries(dir) ++
         old.map(e => LogEntry.remove(v, e.file)) ++
         fresh.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
-          cols = e.cols)),
+          dataChange = dataChange, cols = e.cols)),
         storedSchema(dir).getOrElse(schema))
     }
     Option(new File(scratch).listFiles()).getOrElse(Array.empty)

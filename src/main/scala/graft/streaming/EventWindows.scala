@@ -113,6 +113,49 @@ object EventWindows {
   def enrichedStream(spark: SparkSession, sfDir: String): DataFrame =
     enriched(eventStream(spark, sfDir), Tables.customer(spark, sfDir))
 
+  /** Stream-STREAM interval join (purchase attribution): each purchase
+    * pairs with the same user's views in the preceding 30 minutes.
+    * The time-range condition is what makes this tractable unbounded:
+    * with both sides watermarked, Spark retains only a 30-minute
+    * (+watermark) band of view state per user and ages the rest out —
+    * the state never grows with stream length, which is the entire
+    * contract of a 100 TB/day attribution join. The same declaration
+    * runs as an ordinary interval self-join in batch (the oracle). */
+  def attribution(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.alias("v").join(purchases.alias("p"),
+        col("v.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("v.ts") &&
+          col("p.ts") <= col("v.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v.event_id").as("view_event"),
+        col("p.event_id").as("purchase_event"),
+        col("p.ts").as("p_ts"), col("p.value").as("p_value"))
+
+  private def viewSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+  private def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+
+  /** Batch form of the attribution rollup (the driver-gated twin):
+    * attributed pairs per purchase hour. */
+  def attributionAgg(events: DataFrame): DataFrame =
+    attribution(viewSide(events), purchaseSide(events))
+      .groupBy(window(col("p_ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("view_event")).as("n_views"),
+        dsum(col("p_value")).as("purchase_value"))
+      .select(col("window.start").as("w_start"), col("n_pairs"),
+        col("n_views"), col("purchase_value"))
+
+  /** The streaming form of the attribution JOIN itself (two readStream
+    * sides, both watermarked, inner join with the time-range bound) —
+    * StreamingSpec drains it and asserts row-identity with the batch
+    * join. */
+  def attributionStream(spark: SparkSession, sfDir: String): DataFrame =
+    attribution(viewSide(eventStream(spark, sfDir)),
+      purchaseSide(eventStream(spark, sfDir)))
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_window" -> ((s, d) => tumbling(Tables.events(s, d))),
     "stream_sliding_window" -> ((s, d) => sliding(Tables.events(s, d))),
@@ -132,7 +175,9 @@ object EventWindows {
               .orderBy(col("ts"), col("event_id"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("event_id"), col("ts"),
-          col("running_total")))
+          col("running_total"))),
+    "stream_stream_join" -> ((s, d) =>
+      attributionAgg(Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +228,20 @@ object EventWindows {
            SUM(value) OVER (PARTITION BY user_id
              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
              AS running_total
-         FROM events WHERE event_type = 'purchase'"""
+         FROM events WHERE event_type = 'purchase'""",
+    "stream_stream_join" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(p.ts AS TIMESTAMP))
+             AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT v.event_id) AS BIGINT) AS n_views,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+             AS purchase_value
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+          AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP)
+                + INTERVAL '30 minutes'
+         GROUP BY 1"""
   )
 }

@@ -410,6 +410,39 @@ class GraftLogSpec extends SparkSpec {
     assert(in2.count() == 2000)
   }
 
+  test("optimize zorder: 2-D tile pruning after a CDF-invisible " +
+      "layout rewrite") {
+    val dir = tmp()
+    // ingest-ordered layout: every file holds the full x range and
+    // scattered y values, so a 2-D tile predicate prunes poorly
+    spark.range(0, 4096)
+      .selectExpr("id", "id % 64 AS x", "((id DIV 64) * 37) % 64 AS y")
+      .repartitionByRange(8, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def keptOf(df: DataFrame): (Int, Int) = {
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    def tile() = readBack(dir).filter(col("x") >= 16 && col("x") < 32 &&
+      col("y") >= 16 && col("y") < 32)
+    val contentBefore = tile().orderBy("id").collect().map(_.toSeq).toSeq
+    val (keptBefore, _) = keptOf(tile())
+    val preVersion = graft.sources.GraftLog.currentVersion(dir)
+    assert(graft.sources.GraftLog
+      .optimizeZorder(spark, dir, "x", "y", bits = 6, nFiles = 8) == 8)
+    val (keptAfter, totalAfter) = keptOf(tile())
+    assert(totalAfter == 8)
+    assert(keptAfter * 2 <= keptBefore && keptAfter * 2 <= totalAfter,
+      s"z-layout must tighten pruning: $keptBefore -> $keptAfter of 8")
+    assert(tile().orderBy("id").collect().map(_.toSeq).toSeq
+      == contentBefore, "layout rewrite must not change rows")
+    // pure layout change: the change feed across the rewrite is empty
+    val cdf = spark.read.format(Fmt).option("path", dir)
+      .option("changesFromVersion", preVersion.toString).load()
+    assert(cdf.count() == 0, "dataChange=false adds must not enter the CDF")
+  }
+
   test("restore publishes an old snapshot as new auditable history") {
     val dir = tmp()
     series(100).write.format(Fmt).option("path", dir).mode("append").save()

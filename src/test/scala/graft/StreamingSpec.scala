@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    val q = EventWindows.attributionStream(spark, sf0001).writeStream
+      .format("memory")
+      .queryName("attrib_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("attrib_test")
+      .select("view_event", "purchase_event", "p_ts", "p_value")
+      .collect().map(_.toSeq).toSet
+    val events = Tables.events(spark, sf0001)
+    val batch = EventWindows.attribution(
+        events.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        events.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-stream join diverged: ${streamed.size} vs ${batch.size} pairs")
+  }
+
   test("stream-static enrichment converges to the batch join's answer") {
     val q = EventWindows.enrichedStream(spark, sf0001).writeStream
       .format("memory")
