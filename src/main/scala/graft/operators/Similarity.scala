@@ -462,6 +462,50 @@ object Similarity {
           col("adc_dist"))
     }),
 
+    // Two-stage retrieval (the production IVFADC serving pattern,
+    // FAISS's search-then-refine): stage 1 shortlists the top-10 per
+    // query by compressed ADC distance — cell-routed, integer math,
+    // never touching a float vector; stage 2 fetches ONLY those ≤80
+    // full vectors and re-ranks by exact dot product. At 100 TB the
+    // full-precision vectors stay in cold storage keyed by vec_id and
+    // the refine step reads 10 rows per query instead of the corpus —
+    // compression pays for the scan, exactness is recovered where it
+    // matters. The oracle replays both stages (the full IVF+PQ
+    // training chain, the ADC shortlist, the fp re-rank fold).
+    "sim_ivfpq_rerank" -> ((s, d) => {
+      val cells = ivfIndex(s, d).select(col("vec_id"), col("cent_id"))
+      val codes = pqCodes(s, d)
+      val dt = pqDistTable(s, d)
+      val qcell = cells.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("q_cent"))
+      val wA = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id"))
+      val cand = cells.join(broadcast(qcell),
+          col("cent_id") === col("q_cent") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id").as("cq_id"), col("vec_id"))
+        .join(codes, "vec_id")
+      val short = cand.join(broadcast(dt),
+          cand("cq_id") === dt("query_id") &&
+            cand("sub") === dt("dsub") && cand("code") === dt("dcent"))
+        .groupBy(col("cq_id").as("query_id"), col("vec_id"))
+        .agg(sum(col("dd")).as("adc_dist"))
+        .withColumn("arank", row_number().over(wA))
+        .filter(col("arank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val emb = fanout(Tables.embeddings(s, d))
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val wE = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      short.join(emb, "vec_id").join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          dot(col("q_emb"), col("embedding")).as("sim"))
+        .withColumn("rank", row_number().over(wE).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+    }),
+
     // Embedding-cosine near-dup pairs: block on the 8-bit SRP signature
     // (256 buckets — the same deterministic hyperplane matrix the ANN
     // index uses), verify by exact dot within buckets. The candidate
@@ -922,6 +966,94 @@ object Similarity {
                ORDER BY adc_dist ASC, vec_id) AS INTEGER) AS rank
            FROM adc)
          SELECT query_id, rank, vec_id, adc_dist
-         FROM ranked WHERE rank <= 3"""
+         FROM ranked WHERE rank <= 3""",
+    // Same training + ADC chain as sim_ivfpq_ann, then the fp refine:
+    // top-10 compressed shortlist, exact-dot re-rank (the shared
+    // strict left fold), top-3.
+    "sim_ivfpq_rerank" ->
+      s"""WITH ist AS (
+           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
+             GREATEST(1, COUNT(*) // GREATEST(2048,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
+           FROM embeddings),
+         qv AS (
+           SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * 1000) + 1000 AS BIGINT)) AS qv
+           FROM embeddings),
+         itr AS (
+           SELECT vec_id, qv FROM qv, ist WHERE vec_id % m = 0),
+         iseeds AS (
+           SELECT vec_id AS cent_id, qv AS cq FROM qv, ist
+           WHERE vec_id % stride = 0),
+         ${ivfAssignSql("ia1", "iseeds", "itr")},
+         ${ivfUpdateSql("ic1", "ia1")},
+         ${ivfAssignSql("ia2", "ic1", "itr")},
+         ${ivfUpdateSql("ic2", "ia2")},
+         ${ivfAssignSql("ia3", "ic2")},
+         pst AS (SELECT COUNT(*) // 16 AS stride,
+             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
+         sv AS (
+           SELECT vec_id, sub,
+             list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
+           FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
+         ptr AS (
+           SELECT vec_id, sub, sqv FROM sv, pst WHERE vec_id % m = 0),
+         pseeds AS (
+           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
+           FROM sv, pst WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         ${pqAssignSql("pa1", "pseeds", "ptr")},
+         ${pqUpdateSql("pc1", "pa1")},
+         ${pqAssignSql("pa2", "pc1", "ptr")},
+         ${pqUpdateSql("pc2", "pa2")},
+         ${pqAssignSql("codes", "pc2")},
+         qcell AS (SELECT vec_id AS query_id, cent_id AS q_cent
+                   FROM ia3 WHERE vec_id < 8),
+         qs AS (SELECT vec_id AS query_id, sub, sqv
+                FROM sv WHERE vec_id < 8),
+         dt AS (
+           SELECT q.query_id, c.sub, c.cent_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(q.sqv) + 1),
+                 i -> (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
+                    * (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
+               (acc, x) -> acc + x) AS dd
+           FROM qs q JOIN pc2 c ON q.sub = c.sub),
+         cand AS (
+           SELECT qc.query_id, a.vec_id
+           FROM ia3 a JOIN qcell qc
+             ON a.cent_id = qc.q_cent AND a.vec_id <> qc.query_id),
+         adc AS (
+           SELECT cd.query_id, cd.vec_id,
+             CAST(SUM(d.dd) AS BIGINT) AS adc_dist
+           FROM cand cd
+             JOIN codes k ON k.vec_id = cd.vec_id
+             JOIN dt d ON d.query_id = cd.query_id
+               AND k.sub = d.sub AND k.cent_id = d.cent_id
+           GROUP BY cd.query_id, cd.vec_id),
+         shortl AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, vec_id) AS arank
+             FROM adc) WHERE arank <= 10),
+         ex AS (
+           SELECT s.query_id, s.vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(ev.embedding) + 1),
+                   i -> CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                        * CAST(ev.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+               (acc, v) -> acc + v) AS sim
+           FROM shortl s
+             JOIN embeddings eq ON eq.vec_id = s.query_id
+             JOIN embeddings ev ON ev.vec_id = s.vec_id),
+         rr AS (
+           SELECT query_id, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+           FROM ex)
+         SELECT query_id, rank, vec_id, sim FROM rr WHERE rank <= 3"""
   )
 }
