@@ -413,19 +413,28 @@ object GraftLog {
     require(cols.forall(updates.columns.contains),
       s"merge batch must carry the full table schema ${cols.mkString(",")}")
     val live = entriesAsOf(dir, Long.MaxValue)
-    val bounds = updates.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
-    if (bounds.isNullAt(0)) return (0, live.size) // empty batch: no-op
-    val (lo, hi) = (new java.math.BigDecimal(bounds.get(0).toString),
-      new java.math.BigDecimal(bounds.get(1).toString))
+    val keyNumeric = schema.fields.find(_.name == keyCol)
+      .exists(_.dataType match {
+        case LongType | IntegerType | DoubleType => true
+        case _ => false
+      })
     // Stats overlap is conservative: a stat-less entry might hold any
-    // key, so it rewrites. Files outside the update key range are
-    // untouched — the write amplification bound.
-    val affected = live.filter { e =>
-      e.stats.get(keyCol) match {
-        case Some((mn, mx)) =>
-          new java.math.BigDecimal(mx).compareTo(lo) >= 0 &&
-            new java.math.BigDecimal(mn).compareTo(hi) <= 0
-        case None => true
+    // key, so it rewrites; a NON-numeric key has no range stats at all,
+    // so every file rewrites (correct, just unbounded — range-stat the
+    // key or use a numeric surrogate to get the amplification bound).
+    // Files outside a numeric update range are untouched.
+    val affected = if (!keyNumeric) live else {
+      val bounds = updates.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
+      if (bounds.isNullAt(0)) return (0, live.size) // empty batch: no-op
+      val (lo, hi) = (new java.math.BigDecimal(bounds.get(0).toString),
+        new java.math.BigDecimal(bounds.get(1).toString))
+      live.filter { e =>
+        e.stats.get(keyCol) match {
+          case Some((mn, mx)) =>
+            new java.math.BigDecimal(mx).compareTo(lo) >= 0 &&
+              new java.math.BigDecimal(mn).compareTo(hi) <= 0
+          case None => true
+        }
       }
     }
     val cur = spark.read.format("graft.sources.GraftLogSource")

@@ -353,6 +353,14 @@ class GraftLogSpec extends SparkSpec {
     val ms = readBack(dir).agg(min(col("tag")))
     assert(!ms.queryExecution.executedPlan.toString.contains("metaCount"))
     assert(ms.head.getString(0) == "t0")
+    // the change-feed listing answers COUNT(*) from the manifest too
+    series(80).coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    val cdfCnt = spark.read.format(Fmt).option("path", dir)
+      .option("changesFromVersion", "0").load().agg(count(lit(1)))
+    assert(cdfCnt.queryExecution.executedPlan.toString
+      .contains("metaCount=80"))
+    assert(cdfCnt.head.getLong(0) == 80L)
   }
 
   test("copy-on-write merge rewrites only stats-affected files; " +
@@ -466,6 +474,24 @@ class GraftLogSpec extends SparkSpec {
     // timestamp resolution: the stamp of v1 resolves to v1
     assert(graft.sources.GraftLog.versionAtTimestamp(dir, ts(1)) == 1L)
     assert(graft.sources.GraftLog.versionAtTimestamp(dir, ts(1) - 1) == 0L)
+  }
+
+  test("merge on a string key rewrites conservatively instead of failing") {
+    val dir = tmp()
+    spark.range(0, 100).selectExpr("concat('k', id) AS k", "id AS v")
+      .coalesce(2)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val upd = spark.range(0, 10)
+      .selectExpr("concat('k', id) AS k", "-id AS v")
+      .unionAll(spark.sql("SELECT 'knew' AS k, CAST(-999 AS BIGINT) AS v"))
+    val (rewritten, total) = graft.sources.GraftLog
+      .mergeUpsert(spark, dir, upd, "k")
+    assert(rewritten == total, "no range stats on a string key: all rewrite")
+    val back = readBack(dir)
+    assert(back.count() == 101)
+    assert(back.filter(col("k") === "knew").count() == 1)
+    assert(back.filter(col("k") === "k5").head.getLong(1) == -5L)
+    assert(back.filter(col("k") === "k50").head.getLong(1) == 50L)
   }
 
   test("copy-on-write delete drops the range, rewrites a file subset") {
