@@ -518,9 +518,7 @@ object Formats {
     // refreshed stats no longer overlap the predicate. The oracle
     // recomputes the surviving rows from closed form.
     "sql_catalog_delete" -> ((s, d) => {
-      val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
-      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+      val wh = catalogWarehouse(s, d)
       val dir = s"$wh/ns/del_t"
       if (GraftLog.committedFiles(dir).isEmpty) {
         s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
@@ -547,9 +545,7 @@ object Formats {
     // a long-lived table driven from plain SQL against the custom
     // catalog. Closed-form oracle over both vintages.
     "sql_catalog_alter_add_col" -> ((s, d) => {
-      val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
-      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+      val wh = catalogWarehouse(s, d)
       val dir = s"$wh/ns/alter_t"
       val evolved = GraftLog.storedSchema(dir)
         .exists(_.fieldNames.contains("score"))
@@ -609,9 +605,7 @@ object Formats {
     // Oracle: the restored table equals insert 1 alone, while
     // VERSION AS OF 1 still reads both inserts.
     "sql_catalog_restore" -> ((s, d) => {
-      val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
-      s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+      val wh = catalogWarehouse(s, d)
       val dir = s"$wh/ns/rest_t"
       if (GraftLog.currentVersion(dir) != 2L) {
         s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
@@ -652,7 +646,7 @@ object Formats {
       def kept(): Int = "files=(\\d+)/(\\d+)".r
         .findFirstMatchIn(tileScan().queryExecution.executedPlan.toString)
         .map(_.group(1).toInt).getOrElse(-1)
-      val stats = mergeStats.get(dir) match {
+      val stats = zorderStats.get(dir) match {
         case Some(st) => st
         case None =>
           val root = new java.io.File(dir)
@@ -666,11 +660,11 @@ object Formats {
           val before = kept()
           GraftLog.optimizeZorder(s, dir, "x", "y", bits = 8,
             nFiles = 16)
-          val st = (before, kept(), 0)
-          mergeStats.put(dir, st)
+          val st = (before, kept())
+          zorderStats.put(dir, st)
           st
       }
-      val (before, after, _) = stats
+      val (before, after) = stats
       tileScan().agg(count(lit(1)).as("n_rows"),
           sum(col("id")).as("sum_id"))
         .select(col("n_rows"), col("sum_id"),
@@ -715,7 +709,7 @@ object Formats {
     // GDPR-style deletes affordable on a 100 TB table.
     "sink_log_delete_cow" -> ((s, d) => {
       val dir = s"/tmp/graft_log_delete/${new java.io.File(d).getName}"
-      val stats = mergeStats.get(dir) match {
+      val stats = deleteStats.get(dir) match {
         case Some(st) => st
         case None =>
           val root = new java.io.File(dir)
@@ -724,12 +718,11 @@ object Formats {
             .repartitionByRange(8, col("id"))
             .write.format("graft.sources.GraftLogSource")
             .option("path", dir).mode("overwrite").save()
-          val (r, t) = GraftLog.deleteRange(s, dir, "id", 5000, 7000)
-          val st = (r, t, 0)
-          mergeStats.put(dir, st)
+          val st = GraftLog.deleteRange(s, dir, "id", 5000, 7000)
+          deleteStats.put(dir, st)
           st
       }
-      val (r, t, _) = stats
+      val (r, t) = stats
       s.read.format("graft.sources.GraftLogSource")
         .option("path", dir).load()
         .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
@@ -744,16 +737,32 @@ object Formats {
     * session is wiped and rebuilt rather than trusted. */
   private val streamBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // (filesRewrittenByUpdate, filesTotal, filesRewrittenByPureInsert)
   private val mergeStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]()
+  // (filesRewritten, filesTotal)
+  private val deleteStats =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int)]()
+  // (tileFilesKeptBeforeOptimize, tileFilesKeptAfter)
+  private val zorderStats =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int)]()
+
+  /** Shared catalog warehouse root for the SQL fixtures (conf set as a
+    * side effect). The version suffix is bumped whenever the on-disk
+    * format changes shape — a stale /tmp cache from an older format
+    * must be ignored, and every fixture must agree on the suffix. */
+  private def catalogWarehouse(s: SparkSession, d: String): String = {
+    val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
+    s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+    wh
+  }
 
   /** Shared ensure-block for the catalog-backed queries: CREATE TABLE +
     * two INSERTs (REPARTITION-hinted so the per-version file counts are
     * deterministic: 1 file then 2), once per session+fixture. */
   private def ensureCatalogSeries(s: SparkSession, d: String): String = {
-    val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
-    s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
+    val wh = catalogWarehouse(s, d)
     val dir = s"$wh/ns/series"
     if (GraftLog.committedFiles(dir).isEmpty) {
       s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")

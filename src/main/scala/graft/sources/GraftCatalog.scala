@@ -131,6 +131,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val colName = add.fieldNames()(0)
         require(!sch.fieldNames.contains(colName),
           s"column $colName already exists")
+        // NOT NULL would be instantly violated: every pre-alter row
+        // reads NULL for the new column — reject rather than silently
+        // downgrade the declared constraint.
+        require(add.isNullable,
+          s"graft-log ADD COLUMN $colName must be nullable: " +
+            "existing rows read NULL for an added column")
         sch.add(org.apache.spark.sql.types.StructField(
           colName, add.dataType, nullable = true))
       case (_, other) => throw new UnsupportedOperationException(

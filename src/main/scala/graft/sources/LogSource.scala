@@ -405,7 +405,8 @@ object GraftLog {
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col, when, min => fmin, max => fmax}
+    import org.apache.spark.sql.functions.{col, lit, when,
+      min => fmin, max => fmax}
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-log table not found at $dir"))
     require(schema.fieldNames.contains(keyCol), s"no key column $keyCol")
@@ -437,15 +438,38 @@ object GraftLog {
         }
       }
     }
+    // A NULL-keyed update row never matches (SQL equality) and inserts
+    // as-is — legal only when the stored key column admits NULLs;
+    // against a non-nullable key it would write a row that violates
+    // the table's own schema, so it rejects (the NOT NULL contract).
+    if (!schema.fields.find(_.name == keyCol).exists(_.nullable))
+      require(updates.filter(col(keyCol).isNull).limit(1).collect().isEmpty,
+        s"merge batch carries a NULL key but table column $keyCol is " +
+          "non-nullable")
+    // A key matched by MORE than one update row would silently
+    // duplicate the table row through the join — reject loudly, the
+    // Delta MERGE multiple-source-rows-matched contract. (NULL-keyed
+    // update rows are exempt: equality never matches them, so each is
+    // an independent insert.)
+    val dup = updates.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"merge batch has duplicate key ${if (dup.isEmpty) "" else dup.head.get(0)}: " +
+        "each key may match at most one update row")
     val cur = spark.read.format("graft.sources.GraftLogSource")
       .option("path", dir)
       .option("pickFiles", affected.map(_.file).mkString(","))
       .load()
+    // The side marker (not the key) discriminates update rows: a
+    // NULL-keyed update row never joins, and keying the when() on
+    // u.key would turn it into an all-NULL row and drop its payload.
     val u = updates.select(cols.map(col): _*)
+      .withColumn("__graft_u", lit(true))
     val merged = cur.alias("t")
       .join(u.alias("u"), col(s"t.$keyCol") === col(s"u.$keyCol"),
         "full_outer")
-      .select(cols.map(f => when(col(s"u.$keyCol").isNotNull,
+      .select(cols.map(f => when(col("__graft_u").isNotNull,
         col(s"u.$f")).otherwise(col(s"t.$f")).as(f)): _*)
     rewriteFiles(spark, dir, affected, merged, schema)
     (affected.size, live.size)
@@ -642,7 +666,15 @@ object GraftLog {
         schema.json.getBytes(StandardCharsets.UTF_8))
       val maxExisting = all.map(_.ts).maxOption.getOrElse(-1L)
       val now = math.max(System.currentTimeMillis(), maxExisting + 1)
-      val stamped = all.map(e => if (e.ts < 0) e.copy(ts = now) else e)
+      // Stamp ONLY this commit's entries (unstamped at the HIGHEST
+      // version). An unstamped entry at an older version is pre-ts
+      // legacy history whose true commit time is unknown — it keeps
+      // ts = -1 (reads as "older than every stamped commit") rather
+      // than being falsely backdated to this commit's wall-clock.
+      val newVersion = all.filter(_.ts < 0).map(_.version).maxOption
+      val stamped = all.map(e =>
+        if (e.ts < 0 && newVersion.contains(e.version)) e.copy(ts = now)
+        else e)
       val tmp = Paths.get(dir, s"$ManifestFile.tmp.${UUID.randomUUID()}")
       Files.write(tmp, stamped.map(_.serialize).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
@@ -785,9 +817,14 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     * the manifest can't prove), and only with no residual filters
     * (Spark won't offer the aggregate otherwise; the guard keeps the
     * invariant local). */
+  // One manifest read serves supportCompletePushDown, pushAggregation,
+  // and the built scan — the metadata path must not parse the manifest
+  // three times per planned query.
+  private lazy val liveForMeta =
+    GraftLogCountScan.liveEntries(dir, asOfVersion, changesFromVersion)
+
   private def metaAnswerable(agg: Aggregation): Boolean = {
-    lazy val live =
-      GraftLogCountScan.liveEntries(dir, asOfVersion, changesFromVersion)
+    val live = liveForMeta
     def statCol(f: AggregateFunc): Option[String] = f match {
       case m: Min => m.column() match {
         case fr: NamedReference if fr.fieldNames.length == 1 =>
@@ -824,8 +861,7 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
 
   override def build(): Scan = metaAgg match {
     case Some(agg) =>
-      new GraftLogCountScan(dir, tableSchema, agg, asOfVersion,
-        changesFromVersion)
+      new GraftLogCountScan(dir, tableSchema, agg, liveForMeta)
     case None => new GraftLogScan(dir, tableSchema,
       required, pushed, asOfVersion, changesFromVersion, pickFiles)
   }
@@ -837,10 +873,7 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
   * type) — the table is never touched. `description` reports
   * `metaCount=` for the plan asserts. */
 class GraftLogCountScan(dir: String, tableSchema: StructType,
-    agg: Aggregation, asOfVersion: Long,
-    changesFromVersion: Long) extends Scan with Batch {
-  private val live = GraftLogCountScan
-    .liveEntries(dir, asOfVersion, changesFromVersion)
+    agg: Aggregation, live: Seq[LogEntry]) extends Scan with Batch {
 
   private def colOf(f: AggregateFunc): String = {
     val fr = (f match {
@@ -1206,14 +1239,22 @@ object GraftLogScan {
     }
     if (attr.exists(a => e.cols.nonEmpty && !e.cols.contains(a)))
       return false
+    // NULL comparison values match nothing (three-valued logic), but
+    // deleteWhere routes raw convertible filters here — treat them as
+    // may-match rather than NPE in the BigDecimal parse; Spark itself
+    // folds such predicates away before pushdown.
     f match {
       // String equality prunes on the per-file BLOOM (numeric min/max
       // can't see it): definitely-absent values skip the file; an
       // entry without a bloom (legacy, or dropped by compaction)
       // always may match.
       case EqualTo(a, v: String) => GraftLogBloom.mayContain(e, a, v)
-      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-        vs.exists(v => GraftLogBloom.mayContain(e, a, v.toString))
+      case In(a, vs) if vs.nonEmpty &&
+          vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        vs.exists(v => v != null && GraftLogBloom.mayContain(e, a, v.toString))
+      case EqualTo(_, null) => true
+      case GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
+           LessThan(_, null) | LessThanOrEqual(_, null) => true
       case EqualTo(a, v) => range(a).forall { case (mn, mx) =>
         dec(v).compareTo(mn) >= 0 && dec(v).compareTo(mx) <= 0 }
       case GreaterThan(a, v) =>
@@ -1225,7 +1266,7 @@ object GraftLogScan {
       case LessThanOrEqual(a, v) =>
         range(a).forall { case (mn, _) => mn.compareTo(dec(v)) <= 0 }
       case In(a, vs) => range(a).forall { case (mn, mx) =>
-        vs.exists(v => dec(v).compareTo(mn) >= 0 &&
+        vs.exists(v => v != null && dec(v).compareTo(mn) >= 0 &&
           dec(v).compareTo(mx) <= 0) }
       case _ => true
     }

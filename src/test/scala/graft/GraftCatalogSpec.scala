@@ -129,6 +129,13 @@ class GraftCatalogSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("ADD COLUMN") ||
         e.getMessage.toLowerCase.contains("unsupported"))
+      // NOT NULL on an added column would be instantly violated by
+      // every pre-alter row — reject, never silently downgrade
+      val e2 = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE graftcat.db4.a ADD COLUMN strict BIGINT NOT NULL")
+      }
+      assert(e2.getMessage.contains("nullable"))
     }
   }
 

@@ -494,6 +494,78 @@ class GraftLogSpec extends SparkSpec {
     assert(back.filter(col("k") === "k50").head.getLong(1) == 50L)
   }
 
+  test("merge NULL/duplicate update keys follow the MERGE contract") {
+    val dir = tmp()
+    // nullable key column (nullif makes the schema admit NULLs)
+    spark.range(0, 100).selectExpr("nullif(id, -1) AS id", "id AS v")
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // a NULL-keyed update row matches nothing and inserts as-is
+    val withNull = spark.sql(
+      "SELECT CAST(NULL AS BIGINT) AS id, CAST(-1 AS BIGINT) AS v")
+      .unionAll(spark.range(5, 6).selectExpr("id", "-id AS v"))
+    graft.sources.GraftLog.mergeUpsert(spark, dir, withNull, "id")
+    val back = readBack(dir)
+    assert(back.count() == 101)
+    assert(back.filter(col("id").isNull).count() == 1)
+    assert(back.filter(col("id").isNull).head.getLong(1) == -1L,
+      "the NULL-keyed insert must keep its payload")
+    assert(back.filter(col("id") === 5).head.getLong(1) == -5L)
+    // duplicate keys in one batch reject loudly
+    val dup = spark.range(7, 8).selectExpr("id", "id AS v")
+      .unionAll(spark.range(7, 8).selectExpr("id", "2 * id AS v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.GraftLog.mergeUpsert(spark, dir, dup, "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // a NULL key against a NON-nullable key column rejects
+    val dir2 = tmp()
+    spark.range(0, 10).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir2).mode("append").save()
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.GraftLog.mergeUpsert(spark, dir2, withNull, "id")
+    }
+    assert(e2.getMessage.contains("non-nullable"))
+  }
+
+  test("DELETE with an IN-list containing NULL targets files safely") {
+    val dir = tmp()
+    spark.range(0, 4000).selectExpr("id", "id AS v")
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    import org.apache.spark.sql.sources.In
+    val (rewritten, total) = graft.sources.GraftLog.deleteWhere(
+      spark, dir, Array(In("id", Array(5L, null))))
+    assert(total == 4 && rewritten <= 1,
+      s"NULL member must not break stats targeting: $rewritten/$total")
+    val back = readBack(dir)
+    assert(back.count() == 3999)
+    assert(back.filter(col("id") === 5).count() == 0)
+  }
+
+  test("legacy ts-less manifest history is not backdated by new commits") {
+    val dir = tmp()
+    series(50).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // rewrite the manifest as a pre-ts 7-field vintage
+    val mPath = java.nio.file.Paths.get(dir, "_manifest")
+    val legacy = new String(java.nio.file.Files.readAllBytes(mPath))
+      .linesIterator.map { l =>
+        val f = l.split("\t", -1); f.take(7).mkString("\t")
+      }.mkString("\n")
+    java.nio.file.Files.write(mPath, legacy.getBytes)
+    assert(graft.sources.GraftLog.versionTimestamps(dir)
+      .forall(_._2 == -1L))
+    // a new append stamps ITSELF, not the legacy version
+    series(20).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val vts = graft.sources.GraftLog.versionTimestamps(dir).toMap
+    assert(vts(0L) == -1L, "legacy version must keep its unknown stamp")
+    assert(vts(1L) > 0L, "the new commit must be stamped")
+    // unknown-age versions read as older than every stamped commit
+    assert(graft.sources.GraftLog.versionAtTimestamp(dir, vts(1L) - 1) == 0L)
+  }
+
   test("copy-on-write delete drops the range, rewrites a file subset") {
     val dir = tmp()
     spark.range(0, 4000).selectExpr("id", "id AS v")
