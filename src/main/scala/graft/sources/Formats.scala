@@ -402,14 +402,7 @@ object Formats {
     "sink_log_stream_source" -> ((s, d) => {
       val base = s"/tmp/graft_log_stream/${new java.io.File(d).getName}"
       val src = s"$base/src"; val dst = s"$base/dst"
-      if (!streamBuilt.contains(base)) {
-        val root = new java.io.File(base)
-        if (root.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
-          }
-          rm(root)
-        }
+      rebuildOnce(streamBuilt, base) {
         val ckpt = s"$base/ckpt"
         def runStream(): Unit = {
           val q = s.readStream.format("graft.sources.GraftLogSource")
@@ -432,7 +425,6 @@ object Formats {
           .write.format("graft.sources.GraftLogSource")
           .option("path", src).mode("append").save()
         runStream()
-        streamBuilt.add(base)
       }
       s.read.format("graft.sources.GraftLogSource")
         .option("path", dst).load()
@@ -481,24 +473,17 @@ object Formats {
     // once per session; repeat trials measure the merged read.
     "sink_log_merge_cow" -> ((s, d) => {
       val dir = s"/tmp/graft_log_merge/${new java.io.File(d).getName}"
-      val stats = mergeStats.get(dir) match {
-        case Some(st) => st
-        case None =>
-          val root = new java.io.File(dir)
-          if (root.exists()) root.listFiles().foreach(_.delete())
-          s.range(0, 40000).selectExpr("id", "id AS v")
-            .repartitionByRange(8, col("id"))
-            .write.format("graft.sources.GraftLogSource")
-            .option("path", dir).mode("overwrite").save()
-          val upd = s.range(10000, 12000).selectExpr("id", "-id AS v")
-          val (r1, t1) = GraftLog.mergeUpsert(s, dir, upd, "id")
-          val ins = s.range(40000, 41000).selectExpr("id", "-id AS v")
-          val (r2, _) = GraftLog.mergeUpsert(s, dir, ins, "id")
-          val st = (r1, t1, r2)
-          mergeStats.put(dir, st)
-          st
+      val (r1, t1, r2) = rebuildOnce(mergeStats, dir) {
+        s.range(0, 40000).selectExpr("id", "id AS v")
+          .repartitionByRange(8, col("id"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+        val upd = s.range(10000, 12000).selectExpr("id", "-id AS v")
+        val (ru, tu) = GraftLog.mergeUpsert(s, dir, upd, "id")
+        val ins = s.range(40000, 41000).selectExpr("id", "-id AS v")
+        val (ri, _) = GraftLog.mergeUpsert(s, dir, ins, "id")
+        (ru, tu, ri)
       }
-      val (r1, t1, r2) = stats
       s.read.format("graft.sources.GraftLogSource")
         .option("path", dir).load()
         .agg(count(lit(1)).as("n_rows"),
@@ -687,25 +672,17 @@ object Formats {
       def kept(): Int = "files=(\\d+)/(\\d+)".r
         .findFirstMatchIn(tileScan().queryExecution.executedPlan.toString)
         .map(_.group(1).toInt).getOrElse(-1)
-      val stats = zorderStats.get(dir) match {
-        case Some(st) => st
-        case None =>
-          val root = new java.io.File(dir)
-          if (root.exists()) root.listFiles().foreach(_.delete())
-          s.range(0, 65536)
-            .selectExpr("id", "id % 256 AS x",
-              "((id DIV 256) * 177) % 256 AS y")
-            .repartitionByRange(16, col("id"))
-            .write.format("graft.sources.GraftLogSource")
-            .option("path", dir).mode("overwrite").save()
-          val before = kept()
-          GraftLog.optimizeZorder(s, dir, "x", "y", bits = 8,
-            nFiles = 16)
-          val st = (before, kept())
-          zorderStats.put(dir, st)
-          st
+      val (before, after) = rebuildOnce(zorderStats, dir) {
+        s.range(0, 65536)
+          .selectExpr("id", "id % 256 AS x",
+            "((id DIV 256) * 177) % 256 AS y")
+          .repartitionByRange(16, col("id"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+        val before = kept()
+        GraftLog.optimizeZorder(s, dir, "x", "y", bits = 8, nFiles = 16)
+        (before, kept())
       }
-      val (before, after) = stats
       tileScan().agg(count(lit(1)).as("n_rows"),
           sum(col("id")).as("sum_id"))
         .select(col("n_rows"), col("sum_id"),
@@ -750,20 +727,13 @@ object Formats {
     // GDPR-style deletes affordable on a 100 TB table.
     "sink_log_delete_cow" -> ((s, d) => {
       val dir = s"/tmp/graft_log_delete/${new java.io.File(d).getName}"
-      val stats = deleteStats.get(dir) match {
-        case Some(st) => st
-        case None =>
-          val root = new java.io.File(dir)
-          if (root.exists()) root.listFiles().foreach(_.delete())
-          s.range(0, 40000).selectExpr("id", "id AS v")
-            .repartitionByRange(8, col("id"))
-            .write.format("graft.sources.GraftLogSource")
-            .option("path", dir).mode("overwrite").save()
-          val st = GraftLog.deleteRange(s, dir, "id", 5000, 7000)
-          deleteStats.put(dir, st)
-          st
+      val (r, t) = rebuildOnce(deleteStats, dir) {
+        s.range(0, 40000).selectExpr("id", "id AS v")
+          .repartitionByRange(8, col("id"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+        GraftLog.deleteRange(s, dir, "id", 5000, 7000)
       }
-      val (r, t) = stats
       s.read.format("graft.sources.GraftLogSource")
         .option("path", dir).load()
         .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
@@ -777,7 +747,27 @@ object Formats {
     * stats feed the result), so a stale /tmp table from a previous
     * session is wiped and rebuilt rather than trusted. */
   private val streamBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new scala.collection.concurrent.TrieMap[String, Unit]()
+
+  /** Once-per-session fixture rebuild: the maintenance sequence's
+    * observable stats feed the driver-checked result, so a stale /tmp
+    * table from a previous session (possibly an older format) is wiped
+    * — recursively, scratch subdirectories included — and rebuilt
+    * rather than trusted. One code path for all four fixtures. */
+  private def rebuildOnce[T](
+      cache: scala.collection.concurrent.TrieMap[String, T],
+      dir: String)(build: => T): T =
+    cache.getOrElseUpdate(dir, {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      val root = new java.io.File(dir)
+      if (root.exists())
+        Option(root.listFiles()).getOrElse(Array.empty).foreach(rm)
+      build
+    })
   // (filesRewrittenByUpdate, filesTotal, filesRewrittenByPureInsert)
   private val mergeStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]()

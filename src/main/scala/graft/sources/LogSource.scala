@@ -27,9 +27,9 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
-  Not, Or}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And,
+  EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+  IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -215,9 +215,13 @@ object GraftLog {
       val v = nextVersion(dir)
       val merged =
         storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
-      publish(dir, entries(dir) ++
-        files.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
-          cols = c.cols)), merged)
+      // An empty epoch records its id (idempotence) but must NOT
+      // rewrite the manifest: a data-less publish would let the
+      // stamping pass touch a pre-ts legacy version.
+      if (files.nonEmpty)
+        publish(dir, entries(dir) ++
+          files.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
+            cols = c.cols)), merged)
       val tmp = Paths.get(dir, s"$EpochsFile.tmp.${UUID.randomUUID()}")
       Files.write(tmp, (committedEpochs(dir) + epochId).toSeq.sorted
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -426,15 +430,23 @@ object GraftLog {
     // Files outside a numeric update range are untouched.
     val affected = if (!keyNumeric) live else {
       val bounds = updates.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
-      if (bounds.isNullAt(0)) return (0, live.size) // empty batch: no-op
-      val (lo, hi) = (new java.math.BigDecimal(bounds.get(0).toString),
-        new java.math.BigDecimal(bounds.get(1).toString))
-      live.filter { e =>
-        e.stats.get(keyCol) match {
-          case Some((mn, mx)) =>
-            new java.math.BigDecimal(mx).compareTo(lo) >= 0 &&
-              new java.math.BigDecimal(mn).compareTo(hi) <= 0
-          case None => true
+      if (bounds.isNullAt(0)) {
+        // min/max ignore NULLs, so null bounds mean EITHER an empty
+        // batch (no-op) OR a batch of only NULL-keyed rows — which
+        // match nothing and must still INSERT (losing them here would
+        // contradict the NULL-key contract above).
+        if (updates.limit(1).collect().isEmpty) return (0, live.size)
+        Seq.empty
+      } else {
+        val (lo, hi) = (new java.math.BigDecimal(bounds.get(0).toString),
+          new java.math.BigDecimal(bounds.get(1).toString))
+        live.filter { e =>
+          e.stats.get(keyCol) match {
+            case Some((mn, mx)) =>
+              new java.math.BigDecimal(mx).compareTo(lo) >= 0 &&
+                new java.math.BigDecimal(mn).compareTo(hi) <= 0
+            case None => true
+          }
         }
       }
     }
@@ -523,9 +535,21 @@ object GraftLog {
     require(filters.forall(convertible),
       s"unsupported DELETE predicate: ${filters.mkString(", ")}")
     val live = entriesAsOf(dir, Long.MaxValue)
+    // The DSv2 contract ANDs the filter array, so an EMPTY array (or a
+    // lone AlwaysTrue — `DELETE FROM t` with no WHERE) is the
+    // unconditional delete: retire every live file in one metadata
+    // commit, no rewrite needed.
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      if (live.nonEmpty) synchronized {
+        val v = nextVersion(dir)
+        publish(dir, entries(dir) ++
+          live.map(e => LogEntry.remove(v, e.file)), schema)
+      }
+      return (live.size, live.size)
+    }
     val affected = live.filter(e =>
       filters.forall(f => GraftLogScan.mayMatch(schema, e, f)))
-    if (affected.isEmpty || filters.isEmpty) return (0, live.size)
+    if (affected.isEmpty) return (0, live.size)
     val cond = filters.map(filterToColumn).reduce(_ && _)
     val remaining = spark.read.format("graft.sources.GraftLogSource")
       .option("path", dir)
@@ -543,6 +567,7 @@ object GraftLog {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
          LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) |
          IsNull(_) | IsNotNull(_) => true
+    case _: AlwaysTrue | _: AlwaysFalse => true
     case And(l, r) => convertible(l) && convertible(r)
     case Or(l, r) => convertible(l) && convertible(r)
     case Not(c) => convertible(c)
@@ -560,6 +585,8 @@ object GraftLog {
       case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
       case IsNull(a) => col(a).isNull
       case IsNotNull(a) => col(a).isNotNull
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
       case And(l, r) => filterToColumn(l) && filterToColumn(r)
       case Or(l, r) => filterToColumn(l) || filterToColumn(r)
       case Not(c) => !filterToColumn(c)
@@ -642,6 +669,11 @@ object GraftLog {
     // lineage, not an addendum. An append with extra columns evolves
     // the stored schema additively (mergeSchemas); each entry records
     // its file's own column list so readers decode every vintage.
+    // An empty non-truncating append is a no-op: republishing the
+    // unchanged entry list would only invite the stamping pass to
+    // touch legacy history (truncate with zero files is a legitimate
+    // empty table and still publishes).
+    if (fresh.isEmpty && !truncate) return
     val base = if (truncate) Seq.empty else entries(dir)
     val v = if (truncate) 0L else nextVersion(dir)
     val merged = if (truncate) schema
@@ -726,8 +758,11 @@ object GraftLog {
     val readds = target.filterNot(e => curSet(e.file))
       .map(e => LogEntry.add(v, e.file, e.rows, e.stats,
         dataChange = true, cols = e.cols))
-    publish(dir, entries(dir) ++ removes ++ readds,
-      storedSchema(dir).getOrElse(StructType(Nil)))
+    // restoring to the current state publishes nothing (a data-less
+    // commit would let the stamping pass touch legacy history)
+    if (removes.nonEmpty || readds.nonEmpty)
+      publish(dir, entries(dir) ++ removes ++ readds,
+        storedSchema(dir).getOrElse(StructType(Nil)))
     (removes.size, readds.size)
   }
 }
@@ -848,10 +883,19 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
           tableSchema.fields.exists(tf => tf.name == c && (tf.dataType match {
             case LongType | IntegerType | DoubleType => true
             case _ => false
-          })) && live.nonEmpty && live.forall(_.stats.contains(c)))
+          })) && live.nonEmpty && live.forall(_.stats.get(c).exists {
+            // NaN/Infinity stats (a NaN first row freezes the writer's
+            // min/max compare) must fall back to the real scan, not
+            // crash planning in the BigDecimal fold below
+            case (mn, mx) => decimalParseable(mn) && decimalParseable(mx)
+          }))
         case _ => false
       }
   }
+
+  private def decimalParseable(s: String): Boolean =
+    try { new java.math.BigDecimal(s); true }
+    catch { case _: NumberFormatException => false }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     metaAnswerable(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -1390,15 +1434,19 @@ class GraftLogHistoryTable(dir: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan with Batch {
-        private val rows: Seq[Array[Any]] =
+        private val rows: Seq[Array[Any]] = {
+          // ts from versionTimestamps — the SAME derivation TIMESTAMP
+          // AS OF resolves against, so audit and resolution can't drift
+          val vts = GraftLog.versionTimestamps(dir).toMap
           GraftLog.entries(dir).groupBy(_.version).toSeq.sortBy(_._1)
             .map { case (v, es) =>
-              Array[Any](v, es.map(_.ts).max,
+              Array[Any](v, vts(v),
                 es.count(_.isAdd).toLong,
                 es.count(!_.isAdd).toLong,
                 es.filter(e => e.isAdd && e.dataChange)
                   .map(e => math.max(e.rows, 0L)).sum)
             }
+        }
         override def readSchema(): StructType = GraftLogHistoryTable.Schema
         override def toBatch: Batch = this
         override def description(): String =

@@ -526,6 +526,31 @@ class GraftLogSpec extends SparkSpec {
       graft.sources.GraftLog.mergeUpsert(spark, dir2, withNull, "id")
     }
     assert(e2.getMessage.contains("non-nullable"))
+    // an ALL-NULL-key batch (nullable table) still inserts every row —
+    // null min/max must not read as "empty batch"
+    val allNull = spark.sql(
+      "SELECT CAST(NULL AS BIGINT) AS id, CAST(-7 AS BIGINT) AS v")
+    val (r3, _) = graft.sources.GraftLog.mergeUpsert(spark, dir, allNull, "id")
+    assert(r3 == 0, "all-NULL keys match nothing: zero files rewrite")
+    assert(readBack(dir).filter(col("id").isNull).count() == 2)
+    // an EMPTY batch is a true no-op
+    val before = readBack(dir).count()
+    graft.sources.GraftLog.mergeUpsert(spark, dir,
+      spark.range(0, 0).selectExpr("id", "id AS v"), "id")
+    assert(readBack(dir).count() == before)
+  }
+
+  test("DELETE with no predicate retires every file (AND of nothing is TRUE)") {
+    val dir = tmp()
+    spark.range(0, 500).selectExpr("id", "id AS v").repartition(3)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val (r, t) = graft.sources.GraftLog.deleteWhere(spark, dir,
+      Array.empty)
+    assert(r == t && t == 3)
+    assert(readBack(dir).count() == 0)
+    // history intact: the pre-delete snapshot still reads
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "0").load().count() == 500)
   }
 
   test("DELETE with an IN-list containing NULL targets files safely") {
