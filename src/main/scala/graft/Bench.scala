@@ -48,7 +48,7 @@ object Bench {
       "sink_log_delete_cow", "sink_log_bloom_pruned",
       "sink_log_optimize_zorder", "sql_catalog_delete",
       "sql_catalog_alter_add_col", "sql_catalog_restore",
-      "corpus_lakehouse_e2e")
+      "corpus_lakehouse_e2e", "sink_log_broadcast_join")
     val artifactBuild = time {
       artifactTouch.foreach(n => SparkEntry.queries.get(n).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }))

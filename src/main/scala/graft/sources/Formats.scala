@@ -610,6 +610,35 @@ object Formats {
         FROM graftq.ns.rest_t""")
     }),
 
+    // Manifest statistics driving the OPTIMIZER: a 25-row graft-log
+    // dimension joined to the customer fact. The scan reports
+    // rows/bytes from the manifest (SupportsReportStatistics), so
+    // Catalyst auto-BROADCASTS the dim side — no hint, no shuffle of
+    // the fact table (auto_broadcast gate parses the executed plan).
+    // Without stats a DSv2 source defaults to "unknown = huge" and
+    // every join pays an exchange; at 100 TB this single integration
+    // decides whether dimension joins move gigabytes or kilobytes.
+    "sink_log_broadcast_join" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_dim/${new java.io.File(d).getName}"
+      if (GraftLog.committedFiles(dir).isEmpty)
+        s.range(0, 25).selectExpr("id AS n_key", "id % 5 AS grp")
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+      val dim = s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+      val q = Tables.customer(s, d)
+        .join(dim, col("c_nationkey") === col("n_key"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"))
+      val bc = q.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      q.select(col("grp"), col("n_cust"), col("sum_bal"),
+        lit(bc).as("auto_broadcast"))
+    }),
+
     // CAPSTONE composition — the corpus pipeline TO the lakehouse
     // format: quality-filter documents, exact-dedup on text (keep the
     // lowest doc_id, count the duplicates), ingest the curated set
@@ -951,6 +980,16 @@ object Formats {
            TRUE AS bloom_pruned
          FROM range(0, 70000) t(id)
          WHERE id % 7 = 3""",
+    // Every nationkey 0..24 exists in the dim, so the join keeps all
+    // customers and grp = c_nationkey % 5.
+    "sink_log_broadcast_join" ->
+      """SELECT c_nationkey % 5 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_bal,
+           TRUE AS auto_broadcast
+         FROM customer
+         GROUP BY 1""",
     "corpus_lakehouse_e2e" ->
       """WITH dd AS (
            SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,

@@ -18,8 +18,8 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
@@ -1154,7 +1154,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter],
     asOfVersion: Long = Long.MaxValue,
     changesFromVersion: Long = -1L,
-    pickFiles: Option[Set[String]] = None) extends Scan with Batch {
+    pickFiles: Option[Set[String]] = None) extends Scan with Batch
+    with SupportsReportStatistics {
   private val candidates = {
     val base =
       if (changesFromVersion >= 0L)
@@ -1181,6 +1182,26 @@ class GraftLogScan(dir: String, tableSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(dir, tableSchema, required,
       startVersion = changesFromVersion)
+
+  /** CBO statistics from the manifest (post-skipping): row counts come
+    * straight from the entries, bytes from the kept files' on-disk
+    * sizes scaled by a gzip-expansion factor. This is what lets
+    * Catalyst auto-broadcast a small log table in a join — without it
+    * every graft-log join side defaults to "unknown = huge" and pays a
+    * shuffle even when one side is a 100-row dimension. Stats shrink
+    * with file skipping, so a selective predicate can also flip a plan
+    * to broadcast (the same leverage Delta gets from its own stats). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val known = files.forall(_.rows >= 0L)
+    private val rowCount = files.map(e => math.max(e.rows, 0L)).sum
+    private val bytes = files.map(e =>
+      new File(dir, e.file).length() * GraftLogScan.GzipExpansion).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      if (known) java.util.OptionalLong.of(rowCount)
+      else java.util.OptionalLong.empty()
+  }
 }
 
 /** Streaming SOURCE over the version log — the consumption half of the
@@ -1232,6 +1253,11 @@ case class GraftLogOffset(version: Long) extends StreamOffset {
 }
 
 object GraftLogScan {
+  /** In-memory expansion guess for gzip'd TSV (decompressed bytes per
+    * on-disk byte) — statistics need only the right order of
+    * magnitude to pick broadcast vs shuffle. */
+  val GzipExpansion = 4L
+
   /** A filter is usable for file skipping when it is a comparison on a
     * stats-bearing (numeric) top-level column, or an equality/IN on a
     * string column (pruned by the per-file bloom, when present). */

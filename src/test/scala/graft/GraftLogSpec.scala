@@ -451,6 +451,24 @@ class GraftLogSpec extends SparkSpec {
     assert(cdf.count() == 0, "dataChange=false adds must not enter the CDF")
   }
 
+  test("manifest statistics let Catalyst auto-broadcast a small table") {
+    val dir = tmp()
+    series(50).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val dim = readBack(dir).select(col("id").as("k"), col("tag"))
+    val fact = spark.range(0, 300000).selectExpr("id % 50 AS k", "id AS v")
+    val q = fact.join(dim, "k").groupBy(col("tag"))
+      .agg(sum(col("v")).as("sv"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"manifest stats must flip the small side to broadcast:\n$plan")
+    assert(q.count() == 7)
+    // reported rows match the manifest exactly
+    val scan = readBack(dir).queryExecution.optimizedPlan.stats
+    assert(scan.rowCount.contains(BigInt(50)),
+      s"CBO must see the manifest row count, got ${scan.rowCount}")
+  }
+
   test("restore publishes an old snapshot as new auditable history") {
     val dir = tmp()
     series(100).write.format(Fmt).option("path", dir).mode("append").save()
