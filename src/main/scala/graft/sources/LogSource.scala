@@ -19,7 +19,8 @@ import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   Statistics, SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, SupportsReportStatistics}
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
+  SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
@@ -825,10 +826,23 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     asOfVersion: Long, changesFromVersion: Long,
     pickFiles: Option[Set[String]] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var metaCount: Boolean = false
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown: the scan plans only a PREFIX of the live files
+    * whose manifest row counts cover the limit — a `LIMIT 10` against
+    * a million-file table opens one file. Spark only offers the limit
+    * when no filter sits above the scan, and keeps applying the exact
+    * row cut itself (partial push), so over-planning is impossible
+    * and under-planning is prevented by requiring known row counts. */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftLogScan.usableForSkipping(tableSchema, _))
@@ -907,7 +921,8 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     case Some(agg) =>
       new GraftLogCountScan(dir, tableSchema, agg, liveForMeta)
     case None => new GraftLogScan(dir, tableSchema,
-      required, pushed, asOfVersion, changesFromVersion, pickFiles)
+      required, pushed, asOfVersion, changesFromVersion, pickFiles,
+      limit)
   }
 }
 
@@ -1154,7 +1169,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     required: StructType, pushed: Array[Filter],
     asOfVersion: Long = Long.MaxValue,
     changesFromVersion: Long = -1L,
-    pickFiles: Option[Set[String]] = None) extends Scan with Batch
+    pickFiles: Option[Set[String]] = None,
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics {
   private val candidates = {
     val base =
@@ -1163,8 +1179,20 @@ class GraftLogScan(dir: String, tableSchema: StructType,
       else GraftLog.entriesAsOf(dir, asOfVersion)
     pickFiles.fold(base)(p => base.filter(e => p(e.file)))
   }
-  private val files = candidates.filter(e =>
-    pushed.forall(f => GraftLogScan.mayMatch(tableSchema, e, f)))
+  private val files = {
+    val kept = candidates.filter(e =>
+      pushed.forall(f => GraftLogScan.mayMatch(tableSchema, e, f)))
+    limit match {
+      // plan the shortest file prefix covering the limit; a file with
+      // an unknown row count (-1, legacy) voids the bound from there on
+      case Some(n) if kept.forall(_.rows >= 0L) =>
+        var acc = 0L
+        kept.takeWhile { e =>
+          val need = acc < n; acc += e.rows; need
+        }
+      case _ => kept
+    }
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =

@@ -451,6 +451,21 @@ class GraftLogSpec extends SparkSpec {
     assert(cdf.count() == 0, "dataChange=false adds must not enter the CDF")
   }
 
+  test("LIMIT pushdown plans only the file prefix covering the limit") {
+    val dir = tmp()
+    for (_ <- 1 to 5)
+      series(100).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    val q = readBack(dir).limit(10)
+    val desc = q.queryExecution.executedPlan.toString
+    assert("files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .exists(m => m.group(1).toInt == 1 && m.group(2).toInt == 5),
+      s"LIMIT 10 over 5x100-row files must plan 1 file:\n$desc")
+    assert(q.count() == 10)
+    // a limit larger than the table still reads everything
+    assert(readBack(dir).limit(1000).count() == 500)
+  }
+
   test("manifest statistics let Catalyst auto-broadcast a small table") {
     val dir = tmp()
     series(50).coalesce(1)
