@@ -810,7 +810,10 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     // (copy-on-write MERGE/DELETE read exactly the files they rewrite)
     val pick = Option(options.get("pickFiles"))
       .map(_.split(",").filter(_.nonEmpty).toSet)
-    new GraftLogScanBuilder(dir, schema(), hi, lo, pick)
+    // streaming admission control: at most this many versions per
+    // micro-batch (throttled backfill)
+    val maxV = Option(options.get("maxVersionsPerBatch")).map(_.toLong)
+    new GraftLogScanBuilder(dir, schema(), hi, lo, pick, maxV)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -824,7 +827,8 @@ class GraftLogTable(dir: String, writeSchema: StructType,
   * reader decodes only projected cells). */
 class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     asOfVersion: Long, changesFromVersion: Long,
-    pickFiles: Option[Set[String]] = None) extends ScanBuilder
+    pickFiles: Option[Set[String]] = None,
+    maxVersionsPerBatch: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
@@ -922,7 +926,7 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
       new GraftLogCountScan(dir, tableSchema, agg, liveForMeta)
     case None => new GraftLogScan(dir, tableSchema,
       required, pushed, asOfVersion, changesFromVersion, pickFiles,
-      limit)
+      limit, maxVersionsPerBatch)
   }
 }
 
@@ -1170,7 +1174,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     asOfVersion: Long = Long.MaxValue,
     changesFromVersion: Long = -1L,
     pickFiles: Option[Set[String]] = None,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    maxVersionsPerBatch: Option[Long] = None) extends Scan with Batch
     with SupportsReportStatistics {
   private val candidates = {
     val base =
@@ -1209,7 +1214,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
   // history, the Delta `startingVersion` option.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(dir, tableSchema, required,
-      startVersion = changesFromVersion)
+      startVersion = changesFromVersion,
+      maxVersionsPerBatch = maxVersionsPerBatch)
 
   /** CBO statistics from the manifest (post-skipping): row counts come
     * straight from the entries, bytes from the kept files' on-disk
@@ -1244,7 +1250,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
   * recovery contract as Delta's streaming source). At 100 TB the
   * per-batch work is bounded by the append rate, not the table size. */
 class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
-    required: StructType, startVersion: Long)
+    required: StructType, startVersion: Long,
+    maxVersionsPerBatch: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow: pin the target offset at query start so the
   // run drains exactly the versions committed before it began, then
@@ -1255,13 +1262,20 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
   override def initialOffset(): StreamOffset = GraftLogOffset(startVersion)
   override def latestOffset(): StreamOffset =
     GraftLogOffset(pinned.getOrElse(GraftLog.currentVersion(dir)))
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no
-  // rate limiting — a version's files are already batch-sized by the
-  // committing writer, so each micro-batch drains to the pinned/live
-  // head. (A maxVersionsPerBatch limit would slot in here.)
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
+  // option("maxVersionsPerBatch", k) caps each micro-batch at k
+  // versions — the throttled-backfill knob (Delta maxFilesPerTrigger):
+  // a consumer starting against years of history drains in bounded
+  // batches instead of one giant first batch, and AvailableNow keeps
+  // scheduling batches until the pinned head is reached. Without the
+  // option each batch drains to the head.
   override def latestOffset(start: StreamOffset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): StreamOffset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): StreamOffset = {
+    val head = pinned.getOrElse(GraftLog.currentVersion(dir))
+    val s = start.asInstanceOf[GraftLogOffset].version
+    GraftLogOffset(maxVersionsPerBatch.fold(head)(k =>
+      math.min(head, s + math.max(1L, k))))
+  }
   override def deserializeOffset(json: String): StreamOffset =
     GraftLogOffset(json.toLong)
   override def commit(end: StreamOffset): Unit = ()

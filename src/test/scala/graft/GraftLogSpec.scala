@@ -451,6 +451,24 @@ class GraftLogSpec extends SparkSpec {
     assert(cdf.count() == 0, "dataChange=false adds must not enter the CDF")
   }
 
+  test("maxVersionsPerBatch throttles the streaming backfill") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp(); val dst = tmp(); val ckpt = tmp()
+    for (lo <- Seq(0, 100, 200))
+      spark.range(lo, lo + 100).selectExpr("id").coalesce(1)
+        .write.format(Fmt).option("path", src).mode("append").save()
+    val q = spark.readStream.format(Fmt).option("path", src)
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.format(Fmt).option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(readBack(dst).count() == 300, "the backfill must still drain fully")
+    // one source version per micro-batch → three destination commits
+    assert(graft.sources.GraftLog.currentVersion(dst) == 2L,
+      "3 source versions at 1/batch must land as 3 sink versions")
+  }
+
   test("LIMIT pushdown plans only the file prefix covering the limit") {
     val dir = tmp()
     for (_ <- 1 to 5)
