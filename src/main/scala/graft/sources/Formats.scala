@@ -524,6 +524,141 @@ object Formats {
         FROM graftq.ns.del_t""")
     }),
 
+    // SQL UPDATE through the catalog: Spark rewrites it into a
+    // group-based copy-on-write ReplaceData plan over the table's
+    // RowLevelOperation, and the manifest stats bound the rewrite the
+    // same way they bound MERGE — the pushed condition reaches the COW
+    // scan as a GROUP filter, so only the files whose [min, max] can
+    // hold a touched id rewrite (gated: <= 2 removes of the 4-file
+    // range layout). The oracle recomputes the updated table from
+    // closed form; the pre-update snapshot stays time-travelable. At
+    // 100 TB this is the difference between an UPDATE that rewrites
+    // the table and one that rewrites the touched key range.
+    "sql_catalog_update" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/upd_t"
+      if (GraftLog.committedFiles(dir).isEmpty) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.upd_t")
+        s.sql("CREATE TABLE graftq.ns.upd_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.upd_t
+                 SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 2
+                 FROM range(0, 20000)""")
+        s.sql("""UPDATE graftq.ns.upd_t SET v = -v
+                 WHERE id >= 2000 AND id < 3000""")
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               (SELECT COUNT(*) <= 2 FROM graftq.ns.`upd_t$files`
+                WHERE action = 'remove') AS bounded_rewrite
+        FROM graftq.ns.upd_t""")
+    }),
+
+    // SQL MERGE INTO through the catalog — the full three-clause Delta
+    // contract driven from plain SQL: matched rows update, unmatched
+    // source rows insert, and target rows absent from the source
+    // delete (condition-gated). The whole merge publishes as ONE
+    // atomic version via the same group-based ReplaceData path as
+    // UPDATE. The oracle recomputes the post-merge table from closed
+    // form, so a lost carried row, missed update, dropped insert, or
+    // over-eager by-source delete is a hash miss.
+    "sql_catalog_merge" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/mrg_t"
+      if (GraftLog.committedFiles(dir).isEmpty) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.mrg_t")
+        s.sql("CREATE TABLE graftq.ns.mrg_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.mrg_t
+                 SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id
+                 FROM range(0, 10000)""")
+        s.sql("""
+          MERGE INTO graftq.ns.mrg_t t
+          USING (SELECT id, -id AS v FROM range(9000, 11000)) s
+          ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+          WHEN NOT MATCHED BY SOURCE AND t.id < 500 THEN DELETE""")
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM graftq.ns.mrg_t""")
+    }),
+
+    // `_file` metadata column (Delta `_metadata.file_path` in
+    // miniature): every row maps to its manifest part file, served by
+    // the reader from partition state — no I/O, no storage, hidden
+    // from SELECT *. On the range-layout fixture the per-file id spans
+    // are disjoint, so span == count for every file — the layout audit
+    // a 100 TB pipeline runs to verify its clustering before relying
+    // on stats pruning, expressed as an ordinary GROUP BY _file.
+    "sink_log_file_meta" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_pruned/${new java.io.File(d).getName}"
+      if (GraftLog.committedFiles(dir).isEmpty)
+        s.read.format("graft.sources.SeriesSource")
+          .option("n", "50000").option("slices", "8").load()
+          .repartitionByRange(8, col("id"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .select(col("id"), col("_file"))
+        .groupBy(col("_file"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("id")) - min(col("id")) + 1).as("span"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n")).as("n_rows"),
+          (sum(when(col("span") === col("n"), 0L).otherwise(1L)) === 0)
+            .as("files_disjoint"))
+    }),
+
+    // SQL stored procedures (Iceberg `CALL catalog.system.proc` on
+    // Spark 4's ProcedureCatalog API): table maintenance driven from
+    // plain SQL — compact 3 small parts into 1, restore the
+    // pre-compaction snapshot as new auditable history, then an
+    // expire-history vacuum reclaims the now-unreferenced compacted
+    // part. Each CALL returns a one-row result with the file counts a
+    // scheduler logs, gated here against closed form; the oracle also
+    // recomputes the table, so any maintenance op corrupting data is a
+    // hash miss. At 100 TB these run daily per table from an
+    // orchestrator speaking SQL — the reason every lakehouse format
+    // grew a procedure surface.
+    "sql_catalog_call_maintenance" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/call_t"
+      val (nc, rm, ra, nv) = rebuildOnce(callStats, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.call_t")
+        s.sql("CREATE TABLE graftq.ns.call_t (id BIGINT)")
+        (0 until 3).foreach(i => s.sql(
+          s"""INSERT INTO graftq.ns.call_t
+              SELECT /*+ REPARTITION(1) */ id
+              FROM range(${i * 1000}, ${i * 1000 + 1000})"""))
+        val c = s.sql(
+          "CALL graftq.system.compact(table => 'ns.call_t')")
+          .head.getInt(0)
+        val r = s.sql(
+          "CALL graftq.system.restore(table => 'ns.call_t', version => 2)")
+          .head
+        val v = s.sql(
+          """CALL graftq.system.vacuum(table => 'ns.call_t',
+             min_age_ms => 0, expire_history => true)""")
+          .head.getInt(0)
+        (c, r.getInt(0), r.getInt(1), v)
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM graftq.ns.call_t""")
+        .selectExpr("n_rows", "sum_id",
+          s"$nc AS files_compacted", s"$rm AS restore_removed",
+          s"$ra AS restore_readded", s"$nv AS vacuum_deleted")
+    }),
+
     // SQL DDL schema evolution: ALTER TABLE ADD COLUMN widens the
     // stored schema (new column nullable), pre-alter rows read NULL,
     // and a post-alter INSERT populates it — the full DDL lifecycle of
@@ -637,6 +772,50 @@ object Formats {
         .contains("BroadcastHashJoin")
       q.select(col("grp"), col("n_cust"), col("sum_bal"),
         lit(bc).as("auto_broadcast"))
+    }),
+
+    // Storage-partitioned join: two graft-log tables identity-
+    // partitioned on the same key join with ZERO exchange — each
+    // table's scan reports KeyGroupedPartitioning from its manifest
+    // partition records (one file group per value, `partitionKey` on
+    // the input partition), so Catalyst aligns the groups instead of
+    // shuffling either side; the group-by on the partition key rides
+    // the same distribution exchange-free. This is the bucketed-join
+    // contract delivered BY THE FORMAT: at 100 TB, co-locating a fact
+    // and its enrichment table by key at WRITE time deletes the
+    // dominant shuffle from every downstream join. The spj_no_shuffle
+    // gate parses the executed plan; the oracle replays the join in
+    // closed form.
+    "sink_log_spj_join" -> ((s, d) => {
+      val base = s"/tmp/graft_log_spj/${new java.io.File(d).getName}"
+      val fa = s"$base/fact"; val di = s"$base/dim"
+      if (GraftLog.committedFiles(fa).isEmpty) {
+        s.range(0, 50000).selectExpr("id", "id % 16 AS k")
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", fa).option("partitionCol", "k")
+          .mode("overwrite").save()
+        s.range(0, 1600).selectExpr("id * 2 AS w", "id % 16 AS k")
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", di).option("partitionCol", "k")
+          .mode("overwrite").save()
+      }
+      // storage-partitioned joins are gated by this conf (off by
+      // default for compatibility); it only affects scans that report
+      // KeyGroupedPartitioning, i.e. partitioned graft-log tables
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val fact = s.read.format("graft.sources.GraftLogSource")
+        .option("path", fa).load()
+      val dim = s.read.format("graft.sources.GraftLogSource")
+        .option("path", di).load().hint("merge")
+      val j = fact.join(dim, "k")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("w")).as("sum_w"))
+      val plan = j.queryExecution.executedPlan.toString
+      val spj = (plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin")) && !plan.contains("Exchange")
+      j.select(col("k"), col("n"), col("sum_id"), col("sum_w"),
+        lit(spj).as("spj_no_shuffle"))
     }),
 
     // CAPSTONE composition — the corpus pipeline TO the lakehouse
@@ -806,6 +985,9 @@ object Formats {
   // (tileFilesKeptBeforeOptimize, tileFilesKeptAfter)
   private val zorderStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int)]()
+  // (filesCompacted, restoreRemoved, restoreReadded, vacuumDeleted)
+  private val callStats =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int, Int, Int)]()
 
   /** Shared catalog warehouse root for the SQL fixtures (conf set as a
     * side effect). The version suffix is bumped whenever the on-disk
@@ -954,6 +1136,41 @@ object Formats {
            TRUE AS bounded_rewrite
          FROM range(0, 20000) t(id)
          WHERE id < 2000 OR id >= 3000""",
+    // Updates negate v (= 2*id) exactly on [2000, 3000).
+    "sql_catalog_update" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(CASE WHEN id >= 2000 AND id < 3000
+             THEN -id * 2 ELSE id * 2 END) AS BIGINT) AS sum_v,
+           TRUE AS bounded_rewrite
+         FROM range(0, 20000) t(id)""",
+    // Post-merge: [0,500) deleted by the by-source clause; [9000,10000)
+    // updated to v=-id; [10000,11000) inserted with v=-id.
+    "sql_catalog_merge" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(CASE WHEN id >= 9000 THEN -id ELSE id END)
+             AS BIGINT) AS sum_v
+         FROM range(0, 11000) t(id) WHERE id >= 500""",
+    "sink_log_file_meta" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files,
+           CAST(50000 AS BIGINT) AS n_rows,
+           TRUE AS files_disjoint""",
+    "sink_log_spj_join" ->
+      """WITH f AS (SELECT id, id % 16 AS k FROM range(0, 50000) t(id)),
+            d AS (SELECT id * 2 AS w, id % 16 AS k
+                  FROM range(0, 1600) t(id))
+         SELECT f.k AS k, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.id) AS BIGINT) AS sum_id,
+           CAST(SUM(d.w) AS BIGINT) AS sum_w,
+           TRUE AS spj_no_shuffle
+         FROM f JOIN d ON f.k = d.k
+         GROUP BY f.k""",
+    "sql_catalog_call_maintenance" ->
+      """SELECT CAST(3000 AS BIGINT) AS n_rows,
+           CAST(4498500 AS BIGINT) AS sum_id,
+           3 AS files_compacted, 1 AS restore_removed,
+           3 AS restore_readded, 1 AS vacuum_deleted""",
     "sql_catalog_alter_add_col" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(id) AS BIGINT) AS sum_id,

@@ -8,7 +8,9 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier,
-  NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+  NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,9 +28,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path a metastore-backed catalog industrializes. A table exists iff
   * its `_schema` file does (written at CREATE, before any data), so
   * existence is as atomic as the file create. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catName: String = _
   private var warehouse: String = _
+
+  /** `CALL graftcat.system.<proc>(...)` — SQL-driven table
+    * maintenance (compact/vacuum/optimize_zorder/restore), the
+    * Iceberg procedure surface on Spark 4's ProcedureCatalog API. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(warehouse, ident)
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(Array(GraftProcedures.Namespace)))
+      GraftProcedures.All.map(n => Identifier.of(ns, n)).toArray
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -102,13 +115,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft-log tables do not support partition transforms")
+    // `PARTITIONED BY (col)` — identity transforms only: the value-
+    // routed writer, manifest partition records, and KeyGrouped scan
+    // reporting (storage-partitioned joins) all key on one column.
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" &&
+          t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        val c = t.references()(0).fieldNames()(0)
+        require(schema.fieldNames.contains(c),
+          s"partition column $c is not in the table schema")
+        Some(c)
+      case other => throw new UnsupportedOperationException(
+        "graft-log supports only PARTITIONED BY (<column>) " +
+          s"(single identity transform), got ${other.mkString(", ")}")
+    }
     val dir = tableDir(ident)
     dir.mkdirs()
     // schema first (existence marker), then an empty version-0 manifest
     Files.write(Paths.get(dir.getPath, GraftLog.SchemaFile),
       schema.json.getBytes(StandardCharsets.UTF_8))
+    partCol.foreach(GraftLog.setPartitionCol(dir.getPath, _))
     GraftLog.publish(dir.getPath, Seq.empty, schema)
     new GraftLogTable(dir.getPath, schema)
   }

@@ -10,9 +10,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete,
-  SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{MetadataColumn,
+  SupportsDelete, SupportsMetadataColumns, SupportsRead,
+  SupportsRowLevelOperations, SupportsWrite, Table, TableCapability,
+  TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution,
+  Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
   AggregateFunc, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.NamedReference
@@ -24,7 +28,9 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition,
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
   SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
-  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RequiresDistributionAndOrdering, RowLevelOperation,
+  RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate,
   Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{
   StreamingDataWriterFactory, StreamingWrite}
@@ -83,7 +89,9 @@ class GraftLogSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftLogTable(GraftLog.dirOf(properties.get("path")), schema)
+    new GraftLogTable(GraftLog.dirOf(properties.get("path")), schema,
+      declaredPartitionCol =
+        Option(properties.get("partitionCol")).filter(_.nonEmpty))
 }
 
 /** One manifest line. `action` is add/remove; `dataChange=false` marks
@@ -151,6 +159,27 @@ object GraftLog {
   val ManifestFile = "_manifest"
   val SchemaFile = "_schema"
   val EpochsFile = "_epochs"
+  val PartitionFile = "_partition"
+
+  /** Identity partition column of the table, if declared (via
+    * `CREATE TABLE ... PARTITIONED BY (col)` or
+    * `option("partitionCol", col)` on the first write). */
+  def partitionColOf(dir: String): Option[String] = {
+    val f = new File(dir, PartitionFile)
+    if (!f.exists()) None
+    else Some(new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+  }
+
+  def setPartitionCol(dir: String, col: String): Unit = {
+    ensureDir(dir)
+    val existing = partitionColOf(dir)
+    require(existing.forall(_ == col),
+      s"table at $dir is already partitioned by ${existing.get}, " +
+        s"cannot repartition by $col")
+    Files.write(Paths.get(dir, PartitionFile),
+      col.getBytes(StandardCharsets.UTF_8))
+  }
 
   /** TSV cell encoding of SQL NULL — a control char no demo string
     * carries (the codec already bans tabs/newlines in strings). Needed
@@ -639,6 +668,12 @@ object GraftLog {
       replacement: org.apache.spark.sql.DataFrame,
       schema: StructType, dataChange: Boolean = true): Unit = {
     val scratch = s"$dir/__rewrite-${UUID.randomUUID()}"
+    // a partitioned table's maintenance rewrite keeps routing rows per
+    // value (the scratch table inherits the declaration), so rewritten
+    // files keep their partition record and SPJ grouping survives
+    // merge/delete — compaction on a partitioned table yields one file
+    // per VALUE, the Iceberg per-partition compaction shape
+    partitionColOf(dir).foreach(setPartitionCol(scratch, _))
     replacement.write.format("graft.sources.GraftLogSource")
       .option("path", scratch).mode("overwrite").save()
     val fresh = entriesAsOf(scratch, Long.MaxValue).filter(_.rows > 0L)
@@ -766,13 +801,73 @@ object GraftLog {
         storedSchema(dir).getOrElse(StructType(Nil)))
     (removes.size, readds.size)
   }
+
+  /** Atomic copy-on-write group replace — the commit shape of a SQL
+    * UPDATE / MERGE INTO rewritten through Spark's group-based
+    * row-level-operation machinery: ONE version removes every file the
+    * operation's scan planned and adds the rewritten parts. Readers
+    * either see the whole pre-op snapshot or the whole post-op one
+    * (snapshot isolation holds across the rewrite), and the pre-op
+    * version stays time-travelable. Zero-row part files (a writer task
+    * that received no rows) are dropped and deleted rather than
+    * published. */
+  def replaceFiles(dir: String, retired: Seq[String],
+      fresh: Seq[GraftLogCommit], schema: StructType): Unit = synchronized {
+    val (kept, empty) = fresh.partition(_.rows > 0L)
+    empty.foreach(c => new File(dir, c.file).delete())
+    if (retired.isEmpty && kept.isEmpty) return
+    val v = nextVersion(dir)
+    val merged =
+      storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
+    publish(dir, entries(dir) ++
+      retired.map(f => LogEntry.remove(v, f)) ++
+      kept.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
+        cols = c.cols)), merged)
+  }
 }
 
 class GraftLogTable(dir: String, writeSchema: StructType,
-    asOfVersion: Long = Long.MaxValue)
+    asOfVersion: Long = Long.MaxValue,
+    declaredPartitionCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
   override def name(): String = s"graft_log($dir)"
+
+  /** The table's identity partition column: declared on this write
+    * (`option("partitionCol", c)` / DDL `PARTITIONED BY (c)`), else
+    * whatever the table already persists. */
+  private def partitionCol: Option[String] =
+    declaredPartitionCol.orElse(GraftLog.partitionColOf(dir))
+
+  override def partitioning(): Array[Transform] =
+    partitionCol.map(c => Expressions.identity(c)).toArray
+
+  /** `_file` metadata column (Delta `_metadata.file_path` / Iceberg
+    * `_file` in miniature): the manifest part file each row was read
+    * from, served by the reader from its partition — no I/O, no
+    * storage. Row-level operations also require it, which keeps their
+    * write plans on Spark's metadata-projection path (the operation
+    * discriminator column is stripped before rows reach the writer). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      // nullable: a MERGE's not-matched inserts carry no source file
+      override def isNullable(): Boolean = true
+      override def comment(): String =
+        "manifest part file this row was read from"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` (and the DELETEs `canDeleteWhere`
+    * rejects) land here: Spark rewrites the command into a group-based
+    * copy-on-write `ReplaceData` plan over this operation. Convertible
+    * DELETEs still take the cheaper metadata path — Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts the rewrite back
+    * through [[SupportsDelete]] when the predicate allows. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftLogRowLevelOperation(dir, schema(), info.command())
 
   // SQL `DELETE FROM t WHERE ...` — copy-on-write, stats-targeted
   // (see GraftLog.deleteWhere). Inexpressible predicates reject at
@@ -817,7 +912,92 @@ class GraftLogTable(dir: String, writeSchema: StructType,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLogWriteBuilder(dir, info.schema(), truncate = false)
+    new GraftLogWriteBuilder(dir, info.schema(), truncate = false,
+      partitionCol = partitionCol.filter(
+        info.schema().fieldNames.contains))
+}
+
+/** Group-based copy-on-write row-level operation [EXT] — what Spark's
+  * analyzer asks a table for when it plans SQL `UPDATE`, `MERGE INTO`,
+  * or a `DELETE` whose predicate the metadata path can't express. The
+  * contract (the one Iceberg implements for its copy-on-write mode):
+  *
+  *  - Spark pushes the command's condition into [[newScanBuilder]]'s
+  *    scan as a GROUP filter: the connector may skip whole files it
+  *    can prove unaffected, but must return every row of each kept
+  *    file — Spark re-applies the condition row-wise inside the
+  *    `ReplaceData` plan and writes back kept files in full (updated
+  *    rows updated, untouched rows copied). `GraftLogScan`'s
+  *    residual-only pushFilters contract is exactly this: skipping is
+  *    file-conservative, rows are never dropped by the reader.
+  *  - The operation instance bridges scan and write: the files the
+  *    scan PLANNED are the groups the write's commit must replace.
+  *    [[GraftLog.replaceFiles]] publishes remove(planned) +
+  *    add(rewritten) as ONE atomic version, so the manifest stats
+  *    bound UPDATE write amplification the same way they bound the
+  *    API-level merge: files whose [min, max] refute the condition
+  *    never rewrite.
+  *
+  * At 100 TB this is the difference between an UPDATE that rewrites a
+  * table and one that rewrites the touched key range — and because the
+  * rewrite is an ordinary commit, time travel, CDF exclusion of
+  * removed files, and snapshot isolation all hold across it. */
+class GraftLogRowLevelOperation(dir: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  /** Files planned by the operation's scan — captured at scan build
+    * time on the driver, consumed by the write's commit. */
+  @volatile private var scannedFiles: Seq[String] = Seq.empty
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft-log copy-on-write $cmd"
+
+  /** Requiring `_file` keeps Spark's ReplaceData write on the
+    * metadata-projection path: without at least one metadata
+    * attribute, Spark 4's group-based rewrite hands the writer RAW
+    * rows still carrying the `__row_operation` discriminator column —
+    * with it, rows are projected back to the data schema before
+    * reaching the writer (the same reason Iceberg's copy-on-write
+    * operation requires `_file`). */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val op = this
+    new GraftLogScanBuilder(dir, tableSchema, Long.MaxValue, -1L) {
+      override def build(): Scan = super.build() match {
+        case s: GraftLogScan =>
+          op.scannedFiles = s.plannedFileNames
+          s
+        case other => other // metadata aggregates never plan here
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          // a partitioned table's COW rewrite keeps routing rows per
+          // value, so the rewritten files keep their partition record
+          // (UPDATE/MERGE do not forfeit storage-partitioned joins)
+          private val pcol = GraftLog.partitionColOf(dir)
+            .filter(info.schema().fieldNames.contains)
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory =
+            new GraftLogWriterFactory(dir, info.schema(), pcol)
+          override def commit(
+              messages: Array[WriterCommitMessage]): Unit =
+            GraftLog.replaceFiles(dir, scannedFiles,
+              GraftLogCommit.all(messages), info.schema())
+          override def abort(
+              messages: Array[WriterCommitMessage]): Unit =
+            GraftLogCommit.all(messages).foreach(c =>
+              new File(dir, c.file).delete())
+        }
+      }
+    }
 }
 
 /** Scan builder with the two pushdowns that make a table format usable
@@ -1011,25 +1191,28 @@ case class GraftLogCountPartition(values: Array[Any])
 /** Micro-batch writes through the same part-file + manifest protocol;
   * `commit(epochId, ...)` is idempotent per epoch, so a replayed batch
   * after restart publishes nothing twice. */
-class GraftLogStreamingWrite(dir: String, schema: StructType)
+class GraftLogStreamingWrite(dir: String, schema: StructType,
+    partitionCol: Option[String] = None)
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new StreamingDataWriterFactory {
-      private val inner = new GraftLogWriterFactory(dir, schema)
+      private val inner = new GraftLogWriterFactory(dir, schema,
+        partitionCol)
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
         inner.createWriter(partitionId, taskId)
     }
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
+      messages: Array[WriterCommitMessage]): Unit = {
+    partitionCol.foreach(GraftLog.setPartitionCol(dir, _))
     GraftLog.publishEpoch(dir, epochId,
-      messages.collect { case c: GraftLogCommit => c }.toSeq, schema)
+      GraftLogCommit.all(messages), schema)
+  }
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case c: GraftLogCommit =>
-      new File(dir, c.file).delete()
-    }
+    GraftLogCommit.all(messages).foreach(c =>
+      new File(dir, c.file).delete())
 }
 
 case class GraftLogCommit(file: String, rows: Long,
@@ -1037,125 +1220,214 @@ case class GraftLogCommit(file: String, rows: Long,
     cols: Seq[String] = Seq.empty)
     extends WriterCommitMessage
 
+/** A partitioned writer task commits SEVERAL files (one per partition
+  * value it saw); an unpartitioned task commits one. */
+case class GraftLogTaskCommit(files: Seq[GraftLogCommit])
+    extends WriterCommitMessage
+
+object GraftLogCommit {
+  /** Every file commit in a message batch, both shapes. */
+  def all(messages: Array[WriterCommitMessage]): Seq[GraftLogCommit] =
+    messages.toSeq.flatMap {
+      case c: GraftLogCommit => Seq(c)
+      case t: GraftLogTaskCommit => t.files
+      case _ => Seq.empty
+    }
+}
+
 class GraftLogWriteBuilder(dir: String, schema: StructType,
-    truncate: Boolean) extends WriteBuilder with SupportsTruncate {
+    truncate: Boolean, partitionCol: Option[String] = None)
+    extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftLogWriteBuilder(dir, schema, truncate = true)
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftLogBatchWrite(
-      dir, schema, truncate)
-    override def toStreaming: StreamingWrite =
-      new GraftLogStreamingWrite(dir, schema)
+    new GraftLogWriteBuilder(dir, schema, truncate = true, partitionCol)
+  override def build(): Write = partitionCol match {
+    // Partitioned table: ask Spark to CLUSTER the incoming rows by the
+    // partition column before they reach the writers — each value then
+    // lands in one task and the per-value file count stays bounded by
+    // the value count, not value count × task count (the same
+    // requirement Iceberg's write distribution mode 'hash' declares).
+    case Some(c) => new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(Array(Expressions.identity(c)))
+      override def requiredOrdering():
+          Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def toBatch: BatchWrite = new GraftLogBatchWrite(
+        dir, schema, truncate, partitionCol)
+      override def toStreaming: StreamingWrite =
+        new GraftLogStreamingWrite(dir, schema, partitionCol)
+    }
+    case None => new Write {
+      override def toBatch: BatchWrite = new GraftLogBatchWrite(
+        dir, schema, truncate, partitionCol)
+      override def toStreaming: StreamingWrite =
+        new GraftLogStreamingWrite(dir, schema, partitionCol)
+    }
   }
 }
 
 class GraftLogBatchWrite(dir: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, partitionCol: Option[String] = None)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftLogWriterFactory(dir, schema)
+    new GraftLogWriterFactory(dir, schema, partitionCol)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftLog.append(dir,
-      messages.collect { case c: GraftLogCommit => c }.toSeq,
-      schema, truncate)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // persist the partition declaration with the first partitioned
+    // commit, so readers (and later writers) resolve it from the table
+    partitionCol.foreach(GraftLog.setPartitionCol(dir, _))
+    GraftLog.append(dir, GraftLogCommit.all(messages), schema, truncate)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case c: GraftLogCommit =>
-      new File(dir, c.file).delete()
-    }
+    GraftLogCommit.all(messages).foreach(c =>
+      new File(dir, c.file).delete())
 }
 
-class GraftLogWriterFactory(dir: String, schema: StructType)
+class GraftLogWriterFactory(dir: String, schema: StructType,
+    partitionCol: Option[String] = None)
     extends DataWriterFactory {
+
+  /** One part file in flight: stream + per-column stats + blooms. The
+    * unit a partitioned task keeps one of PER VALUE it sees. */
+  private class PartFile(partValue: Option[Any]) {
+    val file = s"part-${UUID.randomUUID()}.tsv.gz"
+    private val out = {
+      GraftLog.ensureDir(dir)
+      new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new GZIPOutputStream(
+          Files.newOutputStream(Paths.get(dir, file))),
+        StandardCharsets.UTF_8))
+    }
+    private var rows = 0L
+    // Per-column min/max over the numeric columns, tracked as the
+    // rows stream through — the footer stats a columnar format
+    // collects for free, here paid as two compares per cell.
+    private val numericIdx = schema.fields.zipWithIndex.filter {
+      case (f, _) => f.dataType match {
+        case LongType | IntegerType | DoubleType => true
+        case _ => false
+      }
+    }
+    private val mins = Array.fill[Any](numericIdx.length)(null)
+    private val maxs = Array.fill[Any](numericIdx.length)(null)
+    // Per-string-column bloom (equality pruning index) — one
+    // fixed-size bit array per column, fed as rows stream through.
+    private val stringIdx = schema.fields.zipWithIndex
+      .filter(_._1.dataType == StringType)
+    private val blooms = Array.fill(stringIdx.length)(
+      new Array[Long](GraftLogBloom.Words))
+
+    def write(row: InternalRow): Unit = {
+      val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+        if (row.isNullAt(i)) GraftLog.NullCell
+        else f.dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType =>
+            java.lang.Double.toString(row.getDouble(i))
+          case StringType => row.getUTF8String(i).toString
+          case other => throw new IllegalArgumentException(
+            s"graft-log does not encode $other")
+        }
+      }
+      var s = 0
+      while (s < numericIdx.length) {
+        val (f, i) = numericIdx(s)
+        val v: Any = if (row.isNullAt(i)) null else f.dataType match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case DoubleType => row.getDouble(i)
+          case _ => null
+        }
+        def lt(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long) => x < y
+          case (x: Int, y: Int) => x < y
+          case (x: Double, y: Double) => x < y
+          case _ => false
+        }
+        if (mins(s) == null || lt(v, mins(s))) mins(s) = v
+        if (maxs(s) == null || lt(maxs(s), v)) maxs(s) = v
+        s += 1
+      }
+      var b = 0
+      while (b < stringIdx.length) {
+        val (_, i) = stringIdx(b)
+        if (!row.isNullAt(i))
+          GraftLogBloom.add(blooms(b), row.getUTF8String(i).toString)
+        b += 1
+      }
+      out.write(cells.mkString("\t")); out.write("\n")
+      rows += 1
+    }
+
+    def finish(): GraftLogCommit = {
+      out.close()
+      val stats = numericIdx.indices.collect {
+        case s if mins(s) != null =>
+          numericIdx(s)._1.name ->
+            (mins(s).toString, maxs(s).toString)
+      }.toMap
+      val bloomStats = stringIdx.indices.map { b =>
+        GraftLogBloom.key(stringIdx(b)._1.name) ->
+          (GraftLogBloom.serialize(blooms(b)), "v1")
+      }.toMap
+      // the file's identity-partition value, when this is a
+      // partitioned write — what the scan groups on for SPJ
+      val pvStat = (partitionCol, partValue) match {
+        case (Some(c), Some(v)) =>
+          Map(GraftLogPartValue.key(c) -> GraftLogPartValue.encode(v))
+        case _ => Map.empty[String, (String, String)]
+      }
+      GraftLogCommit(file, rows, stats ++ bloomStats ++ pvStat,
+        schema.fieldNames.toSeq)
+    }
+
+    def abort(): Unit = {
+      out.close()
+      new File(dir, file).delete()
+    }
+  }
+
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val file = s"part-${UUID.randomUUID()}.tsv.gz"
-      private val out = {
-        GraftLog.ensureDir(dir)
-        new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          new GZIPOutputStream(
-            Files.newOutputStream(Paths.get(dir, file))),
-          StandardCharsets.UTF_8))
+      private val partIdx = partitionCol.map(schema.fieldIndex)
+      // Unpartitioned: one eager file per task (the historical shape —
+      // zero-row files are filtered or cleaned by commit paths).
+      // Partitioned: files open lazily per VALUE; the write
+      // distribution clusters values, so a task holds few at once.
+      private val single: PartFile =
+        if (partIdx.isEmpty) new PartFile(None) else null
+      private val perValue =
+        scala.collection.mutable.LinkedHashMap.empty[String, PartFile]
+
+      private def routed(row: InternalRow): PartFile = partIdx match {
+        case None => single
+        case Some(i) =>
+          val v: Any = if (row.isNullAt(i)) null
+            else schema.fields(i).dataType match {
+              case LongType => row.getLong(i)
+              case IntegerType => row.getInt(i)
+              case DoubleType => row.getDouble(i)
+              // copy: the UnsafeRow buffer is reused across rows
+              case StringType => row.getUTF8String(i).copy()
+              case other => throw new IllegalArgumentException(
+                s"graft-log cannot partition by $other")
+            }
+          val (enc, tag) = GraftLogPartValue.encode(v)
+          perValue.getOrElseUpdate(s"$tag:$enc",
+            new PartFile(Some(v)))
       }
-      private var rows = 0L
-      // Per-column min/max over the numeric columns, tracked as the
-      // rows stream through — the footer stats a columnar format
-      // collects for free, here paid as two compares per cell.
-      private val numericIdx = schema.fields.zipWithIndex.filter {
-        case (f, _) => f.dataType match {
-          case LongType | IntegerType | DoubleType => true
-          case _ => false
-        }
-      }
-      private val mins = Array.fill[Any](numericIdx.length)(null)
-      private val maxs = Array.fill[Any](numericIdx.length)(null)
-      // Per-string-column bloom (equality pruning index) — one
-      // fixed-size bit array per column, fed as rows stream through.
-      private val stringIdx = schema.fields.zipWithIndex
-        .filter(_._1.dataType == StringType)
-      private val blooms = Array.fill(stringIdx.length)(
-        new Array[Long](GraftLogBloom.Words))
-      override def write(row: InternalRow): Unit = {
-        val cells = schema.fields.zipWithIndex.map { case (f, i) =>
-          if (row.isNullAt(i)) GraftLog.NullCell
-          else f.dataType match {
-            case LongType => row.getLong(i).toString
-            case IntegerType => row.getInt(i).toString
-            case DoubleType =>
-              java.lang.Double.toString(row.getDouble(i))
-            case StringType => row.getUTF8String(i).toString
-            case other => throw new IllegalArgumentException(
-              s"graft-log does not encode $other")
-          }
-        }
-        var s = 0
-        while (s < numericIdx.length) {
-          val (f, i) = numericIdx(s)
-          val v: Any = if (row.isNullAt(i)) null else f.dataType match {
-            case LongType => row.getLong(i)
-            case IntegerType => row.getInt(i)
-            case DoubleType => row.getDouble(i)
-            case _ => null
-          }
-          def lt(a: Any, b: Any): Boolean = (a, b) match {
-            case (x: Long, y: Long) => x < y
-            case (x: Int, y: Int) => x < y
-            case (x: Double, y: Double) => x < y
-            case _ => false
-          }
-          if (mins(s) == null || lt(v, mins(s))) mins(s) = v
-          if (maxs(s) == null || lt(maxs(s), v)) maxs(s) = v
-          s += 1
-        }
-        var b = 0
-        while (b < stringIdx.length) {
-          val (_, i) = stringIdx(b)
-          if (!row.isNullAt(i))
-            GraftLogBloom.add(blooms(b), row.getUTF8String(i).toString)
-          b += 1
-        }
-        out.write(cells.mkString("\t")); out.write("\n")
-        rows += 1
-      }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        val stats = numericIdx.indices.collect {
-          case s if mins(s) != null =>
-            numericIdx(s)._1.name ->
-              (mins(s).toString, maxs(s).toString)
-        }.toMap
-        val bloomStats = stringIdx.indices.map { b =>
-          GraftLogBloom.key(stringIdx(b)._1.name) ->
-            (GraftLogBloom.serialize(blooms(b)), "v1")
-        }.toMap
-        GraftLogCommit(file, rows, stats ++ bloomStats,
-          schema.fieldNames.toSeq)
-      }
+
+      override def write(row: InternalRow): Unit = routed(row).write(row)
+      override def commit(): WriterCommitMessage =
+        if (partIdx.isEmpty) single.finish()
+        else GraftLogTaskCommit(perValue.values.map(_.finish()).toSeq)
       override def abort(): Unit = {
-        out.close()
-        new File(dir, file).delete()
+        if (single != null) single.abort()
+        perValue.values.foreach(_.abort())
       }
       override def close(): Unit = ()
     }
@@ -1176,7 +1448,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     pickFiles: Option[Set[String]] = None,
     limit: Option[Int] = None,
     maxVersionsPerBatch: Option[Long] = None) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private val candidates = {
     val base =
       if (changesFromVersion >= 0L)
@@ -1198,15 +1471,62 @@ class GraftLogScan(dir: String, tableSchema: StructType,
       case _ => kept
     }
   }
+
+  /** Partition-value file groups, when the planned files can be
+    * grouped soundly: the table declares an identity partition column
+    * and EVERY planned file carries its value record (a compaction or
+    * pre-partitioning file without one disables grouping — correct,
+    * just unco-located). Each group becomes ONE input partition whose
+    * `partitionKey` is the value, and the scan reports
+    * KeyGroupedPartitioning — Catalyst then plans a join of two
+    * alike-partitioned tables with ZERO exchange (storage-partitioned
+    * join), the co-location contract bucketing provides at 100 TB.
+    * The batch path only: a streaming micro-batch reads per file. */
+  private val groups: Option[Seq[(InternalRow, Seq[LogEntry])]] =
+    GraftLog.partitionColOf(dir) match {
+      case Some(c) if limit.isEmpty && files.nonEmpty =>
+        val vals = files.map(e => GraftLogPartValue.of(e, c))
+        if (vals.exists(_.isEmpty)) None
+        else Some(files.zip(vals).groupBy(_._2.get).toSeq
+          .map { case (v, fs) =>
+            (new GenericInternalRow(Array(v)): InternalRow,
+              fs.map(_._1))
+          })
+      case _ => None
+    }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    groups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.identity(
+              GraftLog.partitionColOf(dir).get)), gs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(files.size)
+    }
+  /** The files this scan will read (post stats-skipping) — a row-level
+    * operation's commit removes exactly these groups. */
+  private[sources] def plannedFileNames: Seq[String] = files.map(_.file)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_log $dir asOf=$asOfVersion from=$changesFromVersion " +
       s"files=${files.size}/${candidates.size} " +
+      groups.fold("")(gs => s"partGroups=${gs.size} ") +
       s"pushed=[${pushed.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
+    groups match {
+      case Some(gs) => gs.map { case (key, es) =>
+        GraftLogGroupPartition(dir, key,
+          es.map(e => (e.file, e.cols))): InputPartition
+      }.toArray
+      case None =>
+        files.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(tableSchema, required)
   // Streaming read: the version log doubles as the stream's offset
@@ -1429,11 +1749,61 @@ object GraftLogBloom {
     }
 }
 
+/** Identity-partition value of a part file, carried in the manifest
+  * stats map under the reserved key `<col>#part` — a partitioned
+  * writer routes each row to a per-value file, so every file holds
+  * exactly one partition value and the manifest records which. This is
+  * what lets the scan GROUP files by value and report
+  * KeyGroupedPartitioning to Catalyst (storage-partitioned joins), the
+  * way Iceberg's partition tuples do. Values are base64-wrapped so an
+  * arbitrary string value survives the manifest's `;`/`=`/`,`
+  * delimiters; the tag side records the type. */
+object GraftLogPartValue {
+  def key(col: String): String = s"$col#part"
+  private val B64 = java.util.Base64.getEncoder
+  private val B64D = java.util.Base64.getDecoder
+
+  /** (encoded, tag) for the stats map. */
+  def encode(v: Any): (String, String) = v match {
+    case null => ("", "n")
+    case s: UTF8String => (B64.encodeToString(s.getBytes), "s")
+    case l: Long => (l.toString, "l")
+    case i: Int => (i.toString, "i")
+    case d: Double => (java.lang.Double.toString(d), "d")
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition value type ${other.getClass}")
+  }
+
+  /** The file's partition value (null = the NULL partition), or None
+    * when the entry carries no partition record (pre-partitioning
+    * history, compaction rewrites). */
+  def of(e: LogEntry, col: String): Option[Any] =
+    e.stats.get(key(col)).map {
+      case (_, "n") => null
+      case (enc, "s") => UTF8String.fromBytes(B64D.decode(enc))
+      case (enc, "l") => enc.toLong: Any
+      case (enc, "i") => enc.toInt: Any
+      case (enc, "d") => enc.toDouble: Any
+      case (enc, tag) => throw new IllegalArgumentException(
+        s"unknown partition value tag $tag for $enc")
+    }
+}
+
 /** `cols` = the file's own column list from its manifest entry (empty
   * for pre-evolution entries: the file carries the full table schema). */
 case class GraftLogPartition(dir: String, file: String,
     cols: Seq[String] = Seq.empty)
     extends InputPartition
+
+/** One partition-value GROUP of files — the planning unit of a
+  * partitioned scan. `partitionKey` hands Catalyst the group's value,
+  * which is what makes two alike-partitioned tables join with ZERO
+  * exchange (storage-partitioned join). */
+case class GraftLogGroupPartition(dir: String, key: InternalRow,
+    files: Seq[(String, Seq[String])])
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** The `t$files` metadata table: one row per manifest entry —
   * (version, action, file, rows, data_change) — the introspection
@@ -1559,17 +1929,51 @@ case class GraftLogFilesPartition(entries: Seq[LogEntry])
 
 class GraftLogReaderFactory(tableSchema: StructType, required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[GraftLogPartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case part: GraftLogPartition =>
+        fileReader(part.dir, part.file, part.cols)
+      // a partition-value group: chain its files through one reader
+      case g: GraftLogGroupPartition =>
+        new PartitionReader[InternalRow] {
+          private var i = 0
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (i >= g.files.size) return false
+                val (f, cols) = g.files(i)
+                cur = fileReader(g.dir, f, cols)
+                i += 1
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false // unreachable
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition $other")
+    }
+
+  private def fileReader(dir: String, file: String,
+      partCols: Seq[String]): PartitionReader[InternalRow] = {
     // Projection map: required field → cell index in THIS FILE's line
     // layout (the entry's own column list; pre-evolution entries carry
     // the full table schema). -1 = the column post-dates the file: its
     // rows read NULL, the schema-evolution contract.
     val fileCols: Seq[String] =
-      if (part.cols.nonEmpty) part.cols else tableSchema.fieldNames.toSeq
-    val cellIdx = required.fields.map(f => fileCols.indexOf(f.name))
+      if (partCols.nonEmpty) partCols else tableSchema.fieldNames.toSeq
+    // -2 = the `_file` metadata column: served from the partition,
+    // never parsed from a cell
+    val cellIdx = required.fields.map(f =>
+      if (f.name == "_file" && !fileCols.contains("_file")) -2
+      else fileCols.indexOf(f.name))
+    val fileName = UTF8String.fromString(file)
     new PartitionReader[InternalRow] {
-      private val in = GraftLogReaderFactory.openLines(part.dir, part.file)
+      private val in = GraftLogReaderFactory.openLines(dir, file)
       private var current: InternalRow = _
       override def next(): Boolean = {
         var line = in.readLine()
@@ -1583,6 +1987,8 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType)
         var j = 0
         while (j < vals.length) {
           val ci = cellIdx(j)
+          if (ci == -2) { vals(j) = fileName; j += 1 }
+          else {
           val cell = if (ci < 0) GraftLog.NullCell else cells(ci)
           vals(j) =
             if (cell == GraftLog.NullCell) null
@@ -1595,6 +2001,7 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType)
                 s"graft-log does not decode $other")
             }
           j += 1
+          }
         }
         current = new GenericInternalRow(vals)
         true

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL stored procedures for graft-log table MAINTENANCE [EXT] — the
+  * Iceberg `CALL catalog.system.proc(...)` surface, on Spark 4's
+  * ProcedureCatalog connector API. Maintenance ops (compaction, vacuum,
+  * layout rewrite, restore) are not queries and not DML: a production
+  * pipeline schedules them from plain SQL without linking against the
+  * format's Scala API, which is exactly what CALL provides:
+  *
+  *   CALL graftq.system.compact(table => 'ns.t');
+  *   CALL graftq.system.vacuum(table => 'ns.t', expire_history => true);
+  *   CALL graftq.system.optimize_zorder(table => 'ns.t',
+  *        col_a => 'x', col_b => 'y');
+  *   CALL graftq.system.restore(table => 'ns.t', version => 3);
+  *
+  * Each returns a one-row result (as a [[LocalScan]]) reporting what
+  * the op did — file counts a scheduler can log and alert on. The ops
+  * themselves are the already-committed maintenance primitives on
+  * [[GraftLog]]; CALL adds no new mutation path, only the SQL face.
+  * At 100 TB these run daily per table partition, driven by an
+  * orchestrator speaking SQL to the warehouse — the reason every
+  * lakehouse format grew a procedure surface. */
+object GraftProcedures {
+  val Namespace = "system"
+
+  val All: Seq[String] =
+    Seq("compact", "vacuum", "optimize_zorder", "restore")
+
+  /** One-row, driver-local result set. */
+  private case class ResultScan(schema: StructType,
+      row: Array[Any]) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] =
+      Array(new GenericInternalRow(row))
+  }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def param(name: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** Bound+unbound in one: the parameter list is static per procedure,
+    * so bind() is the identity (Spark still applies coercion and
+    * name-based argument matching against `parameters`). */
+  private abstract class Proc(procName: String,
+      params: Seq[ProcedureParameter], resultSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(args: InternalRow): Array[Any]
+    override def call(args: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](
+        ResultScan(resultSchema, run(args))).iterator()
+  }
+
+  /** `table => 'ns.t'` resolves under the catalog's warehouse root; the
+    * procedure must not invent tables, so a missing table fails. */
+  private def dirOf(warehouse: String, table: String): String = {
+    val dir = (warehouse +: table.split('.').toSeq).mkString("/")
+    require(new java.io.File(dir, GraftLog.SchemaFile).exists(),
+      s"no graft-log table '$table' under $warehouse")
+    dir
+  }
+
+  def load(warehouse: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array(Namespace)),
+      s"procedures live in the '$Namespace' namespace, " +
+        s"got ${ident.namespace.mkString(".")}")
+    ident.name match {
+      case "compact" => new Proc("compact",
+          Seq(param("table", StringType)),
+          StructType(Seq(
+            StructField("files_compacted", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.compact(dirOf(warehouse, args.getString(0))))
+      }
+      case "vacuum" => new Proc("vacuum",
+          Seq(param("table", StringType),
+            param("min_age_ms", LongType,
+              GraftLog.DefaultVacuumRetentionMs.toString),
+            param("expire_history", BooleanType, "false")),
+          StructType(Seq(
+            StructField("files_deleted", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.vacuum(dirOf(warehouse, args.getString(0)),
+            args.getLong(1), args.getBoolean(2)).size)
+      }
+      case "optimize_zorder" => new Proc("optimize_zorder",
+          Seq(param("table", StringType),
+            param("col_a", StringType), param("col_b", StringType)),
+          StructType(Seq(
+            StructField("files_rewritten", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.optimizeZorder(
+            org.apache.spark.sql.SparkSession.active,
+            dirOf(warehouse, args.getString(0)),
+            args.getString(1), args.getString(2)))
+      }
+      case "restore" => new Proc("restore",
+          Seq(param("table", StringType), param("version", LongType)),
+          StructType(Seq(
+            StructField("files_removed", IntegerType, false),
+            StructField("files_readded", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          val (rm, ra) = GraftLog.restore(
+            dirOf(warehouse, args.getString(0)), args.getLong(1))
+          Array(rm, ra)
+        }
+      }
+      case other => throw new RuntimeException(
+        s"[PROCEDURE_NOT_FOUND] unknown procedure $Namespace.$other; " +
+          s"available: ${All.mkString(", ")}")
+    }
+  }
+}

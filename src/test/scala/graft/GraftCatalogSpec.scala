@@ -173,4 +173,191 @@ class GraftCatalogSpec extends SparkSpec {
       assert(e.getMessage.contains("predates"))
     }
   }
+
+  test("SQL UPDATE: copy-on-write, rewrite bounded by manifest stats") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
+      spark.sql("CREATE TABLE graftcat.db6.u (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO graftcat.db6.u
+        SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id
+        FROM range(0, 8000)""")
+      spark.sql(
+        "UPDATE graftcat.db6.u SET v = -v WHERE id >= 1000 AND id < 1500")
+      // values: v negated exactly on [1000, 1500), rows preserved
+      val r = spark.sql(
+        "SELECT COUNT(*), SUM(v), SUM(id) FROM graftcat.db6.u").head
+      assert(r.getLong(0) == 8000)
+      assert(r.getLong(1) == 31996000L - 2 * 624750L)
+      assert(r.getLong(2) == 31996000L)
+      // the pushed condition reached the COW scan as a group filter:
+      // only the file whose [min, max] overlaps [1000, 1500) rewrote
+      val removes = spark.sql(
+        """SELECT COUNT(*) FROM graftcat.db6.`u$files`
+           WHERE action = 'remove'""").head.getLong(0)
+      assert(removes >= 1 && removes <= 2,
+        s"expected a stats-bounded rewrite of <=2 of 4 files, got $removes")
+      // the pre-update snapshot (version 0) is untouched history
+      assert(spark.sql(
+        "SELECT SUM(v) FROM graftcat.db6.u VERSION AS OF 0")
+        .head.getLong(0) == 31996000L)
+    }
+  }
+
+  test("SQL MERGE INTO: matched update, unmatched insert, by-source delete") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
+      spark.sql("CREATE TABLE graftcat.db6.m (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO graftcat.db6.m
+        SELECT /*+ REPARTITION(2) */ id, id FROM range(0, 100)""")
+      spark.sql("""
+        MERGE INTO graftcat.db6.m t
+        USING (SELECT id, -id AS v FROM range(90, 120)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN DELETE""")
+      // [0,5) deleted; [5,90) keep v=id; [90,120) have v=-id
+      val rows = spark.sql(
+        "SELECT id, v FROM graftcat.db6.m ORDER BY id").collect()
+      assert(rows.length == 115)
+      assert(rows.head.getLong(0) == 5)
+      assert(rows.forall(r =>
+        if (r.getLong(0) >= 90) r.getLong(1) == -r.getLong(0)
+        else r.getLong(1) == r.getLong(0)))
+      // merge commits as ONE atomic version; pre-merge state travels
+      val vNow = graft.sources.GraftLog.currentVersion(
+        s"$wh/db6/m")
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graftcat.db6.m VERSION AS OF ${vNow - 1}")
+        .head.getLong(0) == 100)
+    }
+  }
+
+  test("_file metadata column maps every row to its manifest part file") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
+      spark.sql("CREATE TABLE graftcat.db6.f (id BIGINT)")
+      spark.sql("""INSERT INTO graftcat.db6.f
+        SELECT /*+ REPARTITION_BY_RANGE(3, id) */ id FROM range(0, 300)""")
+      // hidden from SELECT *; selectable by name; one file per range
+      assert(spark.table("graftcat.db6.f").columns.toSeq == Seq("id"))
+      val perFile = spark.sql(
+        """SELECT _file, COUNT(*) AS n, MIN(id) AS lo, MAX(id) AS hi
+           FROM graftcat.db6.f GROUP BY _file""").collect()
+      assert(perFile.length == 3)
+      assert(perFile.map(_.getLong(1)).sum == 300)
+      // ranges are disjoint: each file's span holds exactly its count
+      perFile.foreach(r =>
+        assert(r.getLong(3) - r.getLong(2) + 1 == r.getLong(1)))
+      // the names match the live manifest
+      val manifest = graft.sources.GraftLog
+        .committedFiles(s"$wh/db6/f").toSet
+      assert(perFile.map(_.getString(0)).toSet == manifest)
+    }
+  }
+
+  test("CALL procedures drive compact, restore, and vacuum from SQL") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db7")
+      spark.sql("CREATE TABLE graftcat.db7.c (id BIGINT)")
+      (0 until 3).foreach(i => spark.sql(
+        s"""INSERT INTO graftcat.db7.c
+            SELECT /*+ REPARTITION(1) */ id
+            FROM range(${i * 100}, ${i * 100 + 100})"""))
+      // compact: 3 small parts → 1, published as a new version
+      val compacted = spark.sql(
+        "CALL graftcat.system.compact(table => 'db7.c')").head
+      assert(compacted.getInt(0) == 3)
+      assert(spark.sql("SELECT COUNT(*), SUM(id) FROM graftcat.db7.c")
+        .head.getLong(0) == 300)
+      // restore to the pre-compaction snapshot: the compacted file
+      // retires, the 3 original parts re-add — as NEW history
+      val restored = spark.sql(
+        "CALL graftcat.system.restore(table => 'db7.c', version => 2)")
+        .head
+      assert(restored.getInt(0) == 1 && restored.getInt(1) == 3)
+      assert(spark.table("graftcat.db7.c").count() == 300)
+      // expire-history vacuum reclaims the now-unreferenced compacted
+      // part (min_age_ms => 0: test files are seconds old)
+      val deleted = spark.sql(
+        """CALL graftcat.system.vacuum(table => 'db7.c',
+           min_age_ms => 0, expire_history => true)""").head
+      assert(deleted.getInt(0) == 1)
+      assert(spark.table("graftcat.db7.c").count() == 300)
+      // an unknown procedure fails loudly
+      val e = intercept[Exception] {
+        spark.sql("CALL graftcat.system.nope()").collect()
+      }
+      assert(e.getMessage.contains("nope"))
+    }
+  }
+
+  test("CALL optimize_zorder rewrites the layout through SQL") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db7")
+      spark.sql("CREATE TABLE graftcat.db7.z (x BIGINT, y BIGINT)")
+      spark.sql("""INSERT INTO graftcat.db7.z
+        SELECT /*+ REPARTITION(4) */ id % 256 AS x,
+               (id * 177) % 256 AS y
+        FROM range(0, 4096)""")
+      val rewritten = spark.sql(
+        """CALL graftcat.system.optimize_zorder(table => 'db7.z',
+           col_a => 'x', col_b => 'y')""").head.getInt(0)
+      assert(rewritten == 4)
+      assert(spark.sql("SELECT COUNT(*), SUM(x) FROM graftcat.db7.z")
+        .head.getLong(0) == 4096)
+    }
+  }
+
+  test("PARTITIONED BY in DDL: partitioned SQL tables join shuffle-free") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db8")
+      spark.sql("""CREATE TABLE graftcat.db8.pa (id BIGINT, k BIGINT)
+                   PARTITIONED BY (k)""")
+      spark.sql("""CREATE TABLE graftcat.db8.pb (w BIGINT, k BIGINT)
+                   PARTITIONED BY (k)""")
+      spark.sql(
+        "INSERT INTO graftcat.db8.pa SELECT id, id % 4 FROM range(4000)")
+      spark.sql(
+        "INSERT INTO graftcat.db8.pb SELECT id * 3, id % 4 FROM range(400)")
+      val priorB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.sql("""
+          SELECT a.k, COUNT(*) AS n
+          FROM graftcat.db8.pa a JOIN graftcat.db8.pb b ON a.k = b.k
+          GROUP BY a.k""")
+        val rows = j.collect()
+        assert(rows.length == 4)
+        assert(rows.map(_.getLong(1)).sum == 400000L)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          "partitioned DDL tables must storage-partition-join AND " +
+            s"aggregate on the partition key with zero exchange:\n" +
+            plan.take(2000))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorB)
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  test("SQL DELETE with a non-convertible predicate falls back to COW rewrite") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
+      spark.sql("CREATE TABLE graftcat.db6.d (id BIGINT)")
+      spark.sql("""INSERT INTO graftcat.db6.d
+        SELECT /*+ REPARTITION(1) */ id FROM range(0, 700)""")
+      // id % 7 = 3 is not expressible as a pushed Filter — before
+      // SupportsRowLevelOperations this rejected at analysis; now it
+      // rewrites through the group-based ReplaceData path
+      spark.sql("DELETE FROM graftcat.db6.d WHERE id % 7 = 3")
+      val r = spark.sql(
+        "SELECT COUNT(*), SUM(id) FROM graftcat.db6.d").head
+      assert(r.getLong(0) == 600)
+      val all = (0L until 700L)
+      assert(r.getLong(1) == all.filterNot(_ % 7 == 3).sum)
+    }
+  }
 }

@@ -656,4 +656,79 @@ class GraftLogSpec extends SparkSpec {
     assert(back.agg(sum(col("id"))).head.getLong(0) ==
       (0L until 4000L).sum - (500L until 700L).sum)
   }
+
+  test("partitioned write routes per value; equality prunes to one group") {
+    val dir = tmp()
+    spark.range(0, 8000).selectExpr("id", "id % 4 AS k")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    val live = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+    // clustered write distribution → exactly one file per value, each
+    // carrying its partition record
+    assert(live.size == 4, s"expected 4 per-value files, got ${live.size}")
+    val pvs = live.map(e => graft.sources.GraftLogPartValue.of(e, "k"))
+    assert(pvs.forall(_.isDefined))
+    assert(pvs.map(_.get).toSet == Set(0L, 1L, 2L, 3L))
+    val t = readBack(dir)
+    assert(t.count() == 8000)
+    assert(t.agg(sum(col("id"))).head.getLong(0) == (0L until 8000L).sum)
+    // the scan plans one input partition per VALUE GROUP
+    val full = t.groupBy(col("k")).count()
+    full.collect()
+    assert(full.queryExecution.executedPlan.toString
+      .contains("partGroups=4"))
+    // per-file k is constant, so min/max stats prune equality exactly
+    val sel = t.filter(col("k") === 2)
+    assert(sel.count() == 2000)
+    assert(sel.queryExecution.executedPlan.toString.contains("files=1/4"))
+  }
+
+  test("storage-partitioned join: alike-partitioned tables, zero exchange") {
+    val d1 = tmp(); val d2 = tmp()
+    spark.range(0, 8000).selectExpr("id", "id % 8 AS k")
+      .write.format(Fmt).option("path", d1)
+      .option("partitionCol", "k").mode("append").save()
+    spark.range(0, 800).selectExpr("id * 2 AS w", "id % 8 AS k")
+      .write.format(Fmt).option("path", d2)
+      .option("partitionCol", "k").mode("append").save()
+    val priorB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = readBack(d1).join(readBack(d2), "k")
+      // each of t1's 8000 rows matches t2's 100 same-k rows
+      assert(j.count() == 800000L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle-family join:\n${plan.take(1500)}")
+      assert(!plan.contains("Exchange"),
+        "alike-partitioned graft-log tables must join with ZERO " +
+          s"exchange (storage-partitioned join):\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorB)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("partitioned table: COW update keeps partition records and SPJ") {
+    val dir = tmp()
+    spark.range(0, 4000).selectExpr("id", "id % 4 AS k")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    // the maintenance rewrite machinery (shared by COW delete/merge)
+    // must re-route rewritten rows into per-value files
+    graft.sources.GraftLog.deleteRange(spark, dir, "id", 100, 200)
+    val live = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.forall(e =>
+      graft.sources.GraftLogPartValue.of(e, "k").isDefined),
+      "maintenance rewrite must preserve partition records")
+    val t = readBack(dir)
+    assert(t.count() == 3900)
+    val g = t.groupBy(col("k")).count()
+    g.collect()
+    assert(g.queryExecution.executedPlan.toString
+      .contains(s"partGroups=${live.map(e =>
+        graft.sources.GraftLogPartValue.of(e, "k").get).distinct.size}"))
+  }
 }
