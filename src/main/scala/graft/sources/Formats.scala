@@ -818,6 +818,31 @@ object Formats {
         lit(spj).as("spj_no_shuffle"))
     }),
 
+    // Partition-grouped METADATA aggregate: GROUP BY the identity
+    // partition column folds per-group COUNT/MIN/MAX from each value's
+    // manifest entries — one row per partition, ZERO data files opened
+    // (`metaGroups=` in the scan description, gated in the result).
+    // The partition-level dashboard query every warehouse serves from
+    // its catalog; at 100 TB the difference between a manifest read
+    // and a full scan. Reuses the SPJ fact fixture (16 values).
+    "sink_log_groupby_meta" -> ((s, d) => {
+      val fa = s"/tmp/graft_log_spj/${new java.io.File(d).getName}/fact"
+      if (GraftLog.committedFiles(fa).isEmpty)
+        s.range(0, 50000).selectExpr("id", "id % 16 AS k")
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", fa).option("partitionCol", "k")
+          .mode("overwrite").save()
+      val g = s.read.format("graft.sources.GraftLogSource")
+        .option("path", fa).load()
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      val metaOnly = g.queryExecution.executedPlan.toString
+        .contains("metaGroups=16")
+      g.select(col("k"), col("n"), col("min_id"), col("max_id"),
+        lit(metaOnly).as("meta_only"))
+    }),
+
     // CAPSTONE composition — the corpus pipeline TO the lakehouse
     // format: quality-filter documents, exact-dedup on text (keep the
     // lowest doc_id, count the duplicates), ingest the curated set
@@ -1166,6 +1191,13 @@ object Formats {
            TRUE AS spj_no_shuffle
          FROM f JOIN d ON f.k = d.k
          GROUP BY f.k""",
+    "sink_log_groupby_meta" ->
+      """SELECT id % 16 AS k, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id,
+           TRUE AS meta_only
+         FROM range(0, 50000) t(id)
+         GROUP BY 1""",
     "sql_catalog_call_maintenance" ->
       """SELECT CAST(3000 AS BIGINT) AS n_rows,
            CAST(4498500 AS BIGINT) AS sum_id,

@@ -171,12 +171,16 @@ object GraftLog {
       StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
   }
 
-  def setPartitionCol(dir: String, col: String): Unit = {
+  /** `allowChange` = an overwrite (truncate) commit: the table lineage
+    * resets, so redeclaring a different partition column is legal — an
+    * APPEND to an already-partitioned table must keep the layout. */
+  def setPartitionCol(dir: String, col: String,
+      allowChange: Boolean = false): Unit = {
     ensureDir(dir)
     val existing = partitionColOf(dir)
-    require(existing.forall(_ == col),
+    require(allowChange || existing.forall(_ == col),
       s"table at $dir is already partitioned by ${existing.get}, " +
-        s"cannot repartition by $col")
+        s"cannot repartition by $col (overwrite the table to relayout)")
     Files.write(Paths.get(dir, PartitionFile),
       col.getBytes(StandardCharsets.UTF_8))
   }
@@ -965,7 +969,11 @@ class GraftLogRowLevelOperation(dir: String, tableSchema: StructType,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val op = this
-    new GraftLogScanBuilder(dir, tableSchema, Long.MaxValue, -1L) {
+    // the plan hook re-records the group set AFTER runtime group
+    // filtering has narrowed it — the commit must replace exactly the
+    // files the write actually read and rewrote
+    new GraftLogScanBuilder(dir, tableSchema, Long.MaxValue, -1L,
+      cowPlanHook = Some(fs => op.scannedFiles = fs)) {
       override def build(): Scan = super.build() match {
         case s: GraftLogScan =>
           op.scannedFiles = s.plannedFileNames
@@ -1008,7 +1016,8 @@ class GraftLogRowLevelOperation(dir: String, tableSchema: StructType,
 class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     asOfVersion: Long, changesFromVersion: Long,
     pickFiles: Option[Set[String]] = None,
-    maxVersionsPerBatch: Option[Long] = None) extends ScanBuilder
+    maxVersionsPerBatch: Option[Long] = None,
+    cowPlanHook: Option[Seq[String] => Unit] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
@@ -1071,8 +1080,22 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
       }
       case _ => None
     }
-    pushed.isEmpty && pickFiles.isEmpty &&
-      agg.groupByExpressions.isEmpty &&
+    // GROUP BY is answerable from the manifest in exactly one shape:
+    // grouping on the table's identity partition column when every
+    // live file carries its partition record — each file belongs to
+    // one group, so per-group COUNT/MIN/MAX fold over that group's
+    // manifest entries, never opening a file. The partition-level
+    // statistics query every warehouse dashboard runs, served from
+    // the catalog.
+    val groupOk = agg.groupByExpressions.toSeq match {
+      case Seq() => true
+      case Seq(fr: NamedReference) if fr.fieldNames.length == 1 =>
+        GraftLog.partitionColOf(dir).contains(fr.fieldNames()(0)) &&
+          live.nonEmpty && live.forall(e =>
+            GraftLogPartValue.of(e, fr.fieldNames()(0)).isDefined)
+      case _ => false
+    }
+    pushed.isEmpty && pickFiles.isEmpty && groupOk &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar =>
@@ -1106,7 +1129,7 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
       new GraftLogCountScan(dir, tableSchema, agg, liveForMeta)
     case None => new GraftLogScan(dir, tableSchema,
       required, pushed, asOfVersion, changesFromVersion, pickFiles,
-      limit, maxVersionsPerBatch)
+      limit, maxVersionsPerBatch, cowPlanHook)
   }
 }
 
@@ -1117,6 +1140,15 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
   * `metaCount=` for the plan asserts. */
 class GraftLogCountScan(dir: String, tableSchema: StructType,
     agg: Aggregation, live: Seq[LogEntry]) extends Scan with Batch {
+
+  /** GROUP BY on the identity partition column (the only grouping the
+    * builder admits): one output row per partition value, each folded
+    * over that value's manifest entries alone. */
+  private val groupCol: Option[String] =
+    agg.groupByExpressions.toSeq match {
+      case Seq(fr: NamedReference) => Some(fr.fieldNames()(0))
+      case _ => None
+    }
 
   private def colOf(f: AggregateFunc): String = {
     val fr = (f match {
@@ -1134,20 +1166,32 @@ class GraftLogCountScan(dir: String, tableSchema: StructType,
     case DoubleType => s.toDouble
     case other => throw new IllegalStateException(s"no stats for $other")
   }
-  private def fold(c: String, side: Int, pickMin: Boolean): Any = {
-    val vals = live.map(e =>
-      new java.math.BigDecimal(if (side == 0) e.stats(c)._1
+  private def fold(entries: Seq[LogEntry], c: String,
+      pickMin: Boolean): Any = {
+    val vals = entries.map(e =>
+      new java.math.BigDecimal(if (pickMin) e.stats(c)._1
         else e.stats(c)._2))
     val best = if (pickMin) vals.min else vals.max
     asValue(c, best.toPlainString)
   }
-  private val values: Array[Any] = agg.aggregateExpressions.map {
-    case _: CountStar => live.map(_.rows).sum: Any
-    case m: Min => fold(colOf(m), 0, pickMin = true)
-    case m: Max => fold(colOf(m), 1, pickMin = false)
-    case other => throw new IllegalStateException(s"unexpected $other")
+  private def foldAll(entries: Seq[LogEntry]): Array[Any] =
+    agg.aggregateExpressions.map {
+      case _: CountStar => entries.map(_.rows).sum: Any
+      case m: Min => fold(entries, colOf(m), pickMin = true)
+      case m: Max => fold(entries, colOf(m), pickMin = false)
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+  private val resultRows: Seq[Array[Any]] = groupCol match {
+    case None => Seq(foldAll(live))
+    case Some(c) =>
+      live.groupBy(e => GraftLogPartValue.of(e, c).get).toSeq
+        .map { case (v, es) => (v +: foldAll(es)).toArray }
   }
+  // group columns lead the pushed-aggregate output schema (the DSv2
+  // complete-pushdown convention)
   override def readSchema(): StructType = StructType(
+    groupCol.map(c =>
+      StructField(c, dtypeOf(c), nullable = true)).toSeq ++
     agg.aggregateExpressions.zipWithIndex.map {
       case (_: CountStar, i) =>
         StructField(s"agg_$i", LongType, nullable = false)
@@ -1157,21 +1201,26 @@ class GraftLogCountScan(dir: String, tableSchema: StructType,
         throw new IllegalStateException(s"unexpected $other")
     })
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft_log $dir metaCount=${values.mkString("|")} files=0/0 " +
-      s"(manifest-only aggregate)"
+  override def description(): String = groupCol match {
+    case None =>
+      s"graft_log $dir metaCount=${resultRows.head.mkString("|")} " +
+        "files=0/0 (manifest-only aggregate)"
+    case Some(c) =>
+      s"graft_log $dir metaGroups=${resultRows.size} by=$c files=0/0 " +
+        "(manifest-only grouped aggregate)"
+  }
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftLogCountPartition(values))
+    Array(GraftLogCountPartition(resultRows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean =
-            if (emitted) false else { emitted = true; true }
-          override def get(): InternalRow = new GenericInternalRow(
-            p.asInstanceOf[GraftLogCountPartition].values)
+          private val rows = p.asInstanceOf[GraftLogCountPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.size }
+          override def get(): InternalRow =
+            new GenericInternalRow(rows(i))
           override def close(): Unit = ()
         }
     }
@@ -1185,7 +1234,7 @@ object GraftLogCountScan {
     else GraftLog.entriesAsOf(dir, asOfVersion)
 }
 
-case class GraftLogCountPartition(values: Array[Any])
+case class GraftLogCountPartition(rows: Seq[Array[Any]])
     extends InputPartition
 
 /** Micro-batch writes through the same part-file + manifest protocol;
@@ -1240,7 +1289,19 @@ class GraftLogWriteBuilder(dir: String, schema: StructType,
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
     new GraftLogWriteBuilder(dir, schema, truncate = true, partitionCol)
-  override def build(): Write = partitionCol match {
+  override def build(): Write = {
+    // a conflicting partition re-declaration on an APPEND fails at
+    // plan time, before any part file is written (overwrite resets
+    // lineage and may relayout)
+    if (!truncate)
+      GraftLog.partitionColOf(dir).foreach(stored =>
+        require(partitionCol.forall(_ == stored),
+          s"table at $dir is partitioned by $stored; an append " +
+            s"cannot redeclare partitionCol=${partitionCol.get} " +
+            "(overwrite the table to relayout)"))
+    buildWrite()
+  }
+  private def buildWrite(): Write = partitionCol match {
     // Partitioned table: ask Spark to CLUSTER the incoming rows by the
     // partition column before they reach the writers — each value then
     // lands in one task and the per-value file count stays bounded by
@@ -1275,8 +1336,10 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // persist the partition declaration with the first partitioned
-    // commit, so readers (and later writers) resolve it from the table
-    partitionCol.foreach(GraftLog.setPartitionCol(dir, _))
+    // commit, so readers (and later writers) resolve it from the table;
+    // an overwrite resets lineage and may redeclare a different column
+    partitionCol.foreach(
+      GraftLog.setPartitionCol(dir, _, allowChange = truncate))
     GraftLog.append(dir, GraftLogCommit.all(messages), schema, truncate)
   }
 
@@ -1447,9 +1510,12 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     changesFromVersion: Long = -1L,
     pickFiles: Option[Set[String]] = None,
     limit: Option[Int] = None,
-    maxVersionsPerBatch: Option[Long] = None) extends Scan with Batch
+    maxVersionsPerBatch: Option[Long] = None,
+    cowPlanHook: Option[Seq[String] => Unit] = None)
+    extends Scan with Batch
     with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val candidates = {
     val base =
       if (changesFromVersion >= 0L)
@@ -1482,9 +1548,48 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     * alike-partitioned tables with ZERO exchange (storage-partitioned
     * join), the co-location contract bucketing provides at 100 TB.
     * The batch path only: a streaming micro-batch reads per file. */
+  /** RUNTIME group filtering (Iceberg's bounded-MERGE mechanism): a
+    * copy-on-write scan advertises its columns as runtime-filterable;
+    * Spark then runs the command's matching-rows subquery first and
+    * hands back IN-lists of the touched keys, and only files whose
+    * stats admit a touched key rewrite — SQL `MERGE INTO`'s write
+    * amplification becomes stats-bounded at runtime the way the
+    * API-level merge is bounded at plan time (its condition references
+    * the source, so nothing is statically pushable). Inactive on
+    * ordinary reads (`filterAttributes` empty): Spark's own dynamic
+    * pruning composes poorly with KeyGrouped reporting, and ordinary
+    * reads already get static stats skipping. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  /** Exactly ONE attribute: Spark builds the runtime pruning key as
+    * the struct of every advertised attribute, and a struct-IN has no
+    * V1 form the stats skipper can use. Any single column is SOUND as
+    * a group filter — a file whose stats refute every matching-row
+    * value of that column cannot contain a matching row — so pick the
+    * most skippable one: the partition column, else the first numeric
+    * (min/max range stats), else the first string (bloom). */
+  override def filterAttributes(): Array[NamedReference] =
+    if (cowPlanHook.isEmpty) Array.empty
+    else GraftLog.partitionColOf(dir)
+      .filter(tableSchema.fieldNames.contains)
+      .orElse(tableSchema.fields.collectFirst {
+        case f if f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == DoubleType => f.name
+      })
+      .orElse(tableSchema.fields.collectFirst {
+        case f if f.dataType == StringType => f.name
+      })
+      .map(c => Array(Expressions.column(c)))
+      .getOrElse(Array.empty)
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    runtimeFilters =
+      org.apache.spark.sql.GraftPlanShim.predicatesToV1(predicates)
+        .filter(GraftLogScan.usableForSkipping(tableSchema, _))
+
   private val groups: Option[Seq[(InternalRow, Seq[LogEntry])]] =
     GraftLog.partitionColOf(dir) match {
-      case Some(c) if limit.isEmpty && files.nonEmpty =>
+      case Some(c) if limit.isEmpty && files.nonEmpty &&
+          cowPlanHook.isEmpty =>
         val vals = files.map(e => GraftLogPartValue.of(e, c))
         if (vals.exists(_.isEmpty)) None
         else Some(files.zip(vals).groupBy(_._2.get).toSeq
@@ -1525,7 +1630,12 @@ class GraftLogScan(dir: String, tableSchema: StructType,
           es.map(e => (e.file, e.cols))): InputPartition
       }.toArray
       case None =>
-        files.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
+        // runtime filters (COW group filtering) narrow the static set
+        // here, after Spark's matching-rows subquery has executed
+        val planned = files.filter(e => runtimeFilters.forall(f =>
+          GraftLogScan.mayMatch(tableSchema, e, f)))
+        cowPlanHook.foreach(_(planned.map(_.file)))
+        planned.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(tableSchema, required)

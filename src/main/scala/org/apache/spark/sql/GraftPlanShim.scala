@@ -13,4 +13,14 @@ object GraftPlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
       .asInstanceOf[CDataFrame]
+
+  /** V2→V1 predicate conversion for runtime-filter handling
+    * (`SupportsRuntimeV2Filtering.filter` hands V2 Predicates; the
+    * graft-log stats skipper speaks V1 `Filter`). `PredicateUtils` is
+    * `private[sql]`, same story as `Dataset.ofRows` above. */
+  def predicatesToV1(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils
+      .toV1(predicates)
 }

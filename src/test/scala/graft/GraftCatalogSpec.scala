@@ -309,6 +309,35 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE runtime group filter bounds the rewrite to touched files") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db9")
+      spark.sql("CREATE TABLE graftcat.db9.m2 (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO graftcat.db9.m2
+        SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id
+        FROM range(0, 8000)""")
+      // narrow source: keys 1000..1499 live in ONE of the 4 range
+      // files; the runtime matching-rows subquery hands the scan the
+      // touched keys and only that file rewrites
+      spark.sql("""
+        MERGE INTO graftcat.db9.m2 t
+        USING (SELECT id, -id AS v FROM range(1000, 1500)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+      val r = spark.sql(
+        "SELECT COUNT(*), SUM(v) FROM graftcat.db9.m2").head
+      assert(r.getLong(0) == 8000)
+      val base = (0L until 8000L).sum
+      assert(r.getLong(1) == base - 2 * (1000L until 1500L).sum)
+      val removes = spark.sql(
+        """SELECT COUNT(*) FROM graftcat.db9.`m2$files`
+           WHERE action = 'remove'""").head.getLong(0)
+      assert(removes >= 1 && removes <= 2,
+        s"runtime group filtering must bound the MERGE rewrite to " +
+          s"the touched key range, rewrote $removes of 4 files")
+    }
+  }
+
   test("PARTITIONED BY in DDL: partitioned SQL tables join shuffle-free") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db8")

@@ -672,8 +672,9 @@ class GraftLogSpec extends SparkSpec {
     val t = readBack(dir)
     assert(t.count() == 8000)
     assert(t.agg(sum(col("id"))).head.getLong(0) == (0L until 8000L).sum)
-    // the scan plans one input partition per VALUE GROUP
-    val full = t.groupBy(col("k")).count()
+    // the scan plans one input partition per VALUE GROUP (sum is not
+    // metadata-answerable, so this exercises the real grouped scan)
+    val full = t.groupBy(col("k")).agg(sum(col("id")))
     full.collect()
     assert(full.queryExecution.executedPlan.toString
       .contains("partGroups=4"))
@@ -711,6 +712,62 @@ class GraftLogSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write: NULL keys form their own group; overwrite relayouts") {
+    val dir = tmp()
+    spark.range(0, 1000)
+      .selectExpr("id", "CASE WHEN id % 5 = 4 THEN NULL ELSE id % 5 END AS k")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    val live = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+    // 4 value files + the NULL-partition file, each with its record
+    assert(live.size == 5)
+    val pvs = live.map(e => graft.sources.GraftLogPartValue.of(e, "k"))
+    assert(pvs.forall(_.isDefined))
+    assert(pvs.count(_.get == null) == 1)
+    val t = readBack(dir)
+    assert(t.count() == 1000)
+    assert(t.filter(col("k").isNull).count() == 200)
+    // grouping includes the NULL group (sum forces the real scan)
+    val g = t.groupBy(col("k")).agg(sum(col("id")))
+    g.collect()
+    assert(g.queryExecution.executedPlan.toString.contains("partGroups=5"))
+    // an APPEND may not silently relayout — fails before writing
+    val e = intercept[Exception] {
+      spark.range(0, 10).selectExpr("id", "id AS k")
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "id").mode("append").save()
+    }
+    assert(e.getMessage.contains("partitioned by k") ||
+      Option(e.getCause).exists(_.getMessage.contains("partitioned by k")))
+    // an OVERWRITE resets lineage and may redeclare the layout
+    spark.range(0, 100).selectExpr("id", "id % 2 AS k")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "id").mode("overwrite").save()
+    assert(graft.sources.GraftLog.partitionColOf(dir).contains("id"))
+    assert(readBack(dir).count() == 100)
+  }
+
+  test("GROUP BY the partition column answers from the manifest alone") {
+    val dir = tmp()
+    spark.range(0, 8000).selectExpr("id", "id % 4 AS k")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    val g = readBack(dir).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.forall(_._2 == 2000L))
+    assert(rows.map(_._3).toSeq == Seq(7996L, 7997L, 7998L, 7999L))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("metaGroups=4"),
+      "partition-grouped aggregate must fold from the manifest")
+    // the global metadata path still answers ungrouped aggregates
+    val tot = readBack(dir).agg(count(lit(1)))
+    assert(tot.head.getLong(0) == 8000L)
+    assert(tot.queryExecution.executedPlan.toString.contains("metaCount="))
+  }
+
   test("partitioned table: COW update keeps partition records and SPJ") {
     val dir = tmp()
     spark.range(0, 4000).selectExpr("id", "id % 4 AS k")
@@ -725,7 +782,7 @@ class GraftLogSpec extends SparkSpec {
       "maintenance rewrite must preserve partition records")
     val t = readBack(dir)
     assert(t.count() == 3900)
-    val g = t.groupBy(col("k")).count()
+    val g = t.groupBy(col("k")).agg(sum(col("id")))
     g.collect()
     assert(g.queryExecution.executedPlan.toString
       .contains(s"partGroups=${live.map(e =>
