@@ -789,16 +789,15 @@ object Formats {
     "sink_log_spj_join" -> ((s, d) => {
       val base = s"/tmp/graft_log_spj/${new java.io.File(d).getName}"
       val fa = s"$base/fact"; val di = s"$base/dim"
-      if (GraftLog.committedFiles(fa).isEmpty) {
-        s.range(0, 50000).selectExpr("id", "id % 16 AS k")
-          .write.format("graft.sources.GraftLogSource")
-          .option("path", fa).option("partitionCol", "k")
-          .mode("overwrite").save()
+      ensureSpjFact(s, fa)
+      // built independently of the fact: another query
+      // (sink_log_groupby_meta) shares and may have built the fact
+      // first, and a cached fact must not mask a missing dim
+      if (!spjReady(di))
         s.range(0, 1600).selectExpr("id * 2 AS w", "id % 16 AS k")
           .write.format("graft.sources.GraftLogSource")
           .option("path", di).option("partitionCol", "k")
           .mode("overwrite").save()
-      }
       // storage-partitioned joins are gated by this conf (off by
       // default for compatibility); it only affects scans that report
       // KeyGroupedPartitioning, i.e. partitioned graft-log tables
@@ -827,11 +826,7 @@ object Formats {
     // and a full scan. Reuses the SPJ fact fixture (16 values).
     "sink_log_groupby_meta" -> ((s, d) => {
       val fa = s"/tmp/graft_log_spj/${new java.io.File(d).getName}/fact"
-      if (GraftLog.committedFiles(fa).isEmpty)
-        s.range(0, 50000).selectExpr("id", "id % 16 AS k")
-          .write.format("graft.sources.GraftLogSource")
-          .option("path", fa).option("partitionCol", "k")
-          .mode("overwrite").save()
+      ensureSpjFact(s, fa)
       val g = s.read.format("graft.sources.GraftLogSource")
         .option("path", fa).load()
         .groupBy(col("k"))
@@ -1013,6 +1008,26 @@ object Formats {
   // (filesCompacted, restoreRemoved, restoreReadded, vacuumDeleted)
   private val callStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int, Int, Int)]()
+
+  /** A cached SPJ fixture table is trusted only if EVERY live file
+    * carries its partition record — a stale /tmp table from a
+    * pre-partitioning session would silently disable grouping and
+    * fail the metaGroups/spj gates. */
+  private def spjReady(dir: String): Boolean = {
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    live.nonEmpty &&
+      live.forall(e => GraftLogPartValue.of(e, "k").isDefined)
+  }
+
+  /** The k-partitioned 50k-row fact table two queries share
+    * (sink_log_spj_join, sink_log_groupby_meta) — each ensures it
+    * independently, so query execution order can't matter. */
+  private def ensureSpjFact(s: SparkSession, fa: String): Unit =
+    if (!spjReady(fa))
+      s.range(0, 50000).selectExpr("id", "id % 16 AS k")
+        .write.format("graft.sources.GraftLogSource")
+        .option("path", fa).option("partitionCol", "k")
+        .mode("overwrite").save()
 
   /** Shared catalog warehouse root for the SQL fixtures (conf set as a
     * side effect). The version suffix is bumped whenever the on-disk

@@ -1351,6 +1351,8 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
 class GraftLogWriterFactory(dir: String, schema: StructType,
     partitionCol: Option[String] = None)
     extends DataWriterFactory {
+  /** Open per-value part files a single writer task may hold. */
+  private val MaxOpenPartitions = 1000
 
   /** One part file in flight: stream + per-column stats + blooms. The
     * unit a partitioned task keeps one of PER VALUE it sees. */
@@ -1480,8 +1482,19 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
                 s"graft-log cannot partition by $other")
             }
           val (enc, tag) = GraftLogPartValue.encode(v)
-          perValue.getOrElseUpdate(s"$tag:$enc",
-            new PartFile(Some(v)))
+          perValue.getOrElseUpdate(s"$tag:$enc", {
+            // identity partitioning is for low-cardinality keys; a
+            // high-cardinality column would exhaust file handles (one
+            // open gzip stream per value per task) and produce a
+            // file-per-row table. Fail loudly instead of degrading —
+            // bucket or range-partition such keys.
+            require(perValue.size < MaxOpenPartitions,
+              s"partition column ${partitionCol.get} exceeded " +
+                s"$MaxOpenPartitions distinct values in one writer " +
+                "task: identity partitioning needs a low-cardinality " +
+                "key (use a bucketed or range layout instead)")
+            new PartFile(Some(v))
+          })
       }
 
       override def write(row: InternalRow): Unit = routed(row).write(row)
