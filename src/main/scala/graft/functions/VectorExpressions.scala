@@ -220,6 +220,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(children(0), children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL views on GraftCatalog: vanilla Spark has the ViewCatalog API
+    // but no analyzer path that calls it — the Hints-batch rule
+    // intercepts view DDL and substitutes stored view SQL on read
+    // (the wiring Iceberg ships in its own extensions).
+    ext.injectHintResolutionRule(graft.plans.GraftViewRule)
   }
 }
 

@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier,
+  UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView,
+  UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView,
+  LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog,
+  ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.GraftCatalog
+
+/** SQL views on the custom catalog [EXT] — the wiring Spark 4.1 does
+  * NOT ship: the `ViewCatalog` connector API exists, but no analyzer
+  * rule calls it (`ResolveSessionCatalog` rejects every view command
+  * aimed at a non-session catalog, and nothing resolves a stored view
+  * back into a plan). This is exactly the gap Iceberg fills with its
+  * own session extensions, and this rule does the same for
+  * [[GraftCatalog]]:
+  *
+  *  - It is injected as a HINT-resolution rule, the batch that runs
+  *    BEFORE the Resolution batch — the view commands are intercepted
+  *    while their identifiers are still syntactic, winning the race
+  *    against `ResolveSessionCatalog`'s rejection.
+  *  - `CREATE [OR REPLACE] VIEW`, `DROP VIEW`, `SHOW VIEWS`,
+  *    `ALTER VIEW ... SET TBLPROPERTIES`, and `ALTER VIEW ... RENAME`
+  *    rewrite to leaf commands that run against the [[ViewCatalog]].
+  *  - A table reference that names a stored view substitutes the
+  *    view's stored SQL, re-parsed in place (`SubqueryAlias` keeps the
+  *    name for column qualification). Views re-resolve against CURRENT
+  *    table state on every read — the governance property that lets a
+  *    curated interface evolve without rewriting data. Nested views
+  *    substitute recursively across fixed-point passes; a cyclic
+  *    definition is caught by the analyzer's iteration limit.
+  *
+  * View text should qualify table names with the catalog (the stored
+  * SQL is re-parsed in the reader's session context). */
+case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import GraftViews._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case CreateView(UnresolvedIdentifier(parts, _), cols, comment, _,
+        props, Some(text), _, allowExisting, replace, _)
+        if isGraft(spark, parts) =>
+      require(cols.isEmpty,
+        "graft views do not support explicit column lists")
+      GraftCreateViewCommand(parts, text, comment, props,
+        allowExisting, replace)
+
+    case DropView(UnresolvedIdentifier(parts, _), ifExists)
+        if isGraft(spark, parts) =>
+      GraftDropViewCommand(parts, ifExists)
+
+    case ShowViews(UnresolvedNamespace(parts, _), pattern, output)
+        if parts.nonEmpty && isGraft(spark, parts :+ "x") =>
+      GraftShowViewsCommand(parts, pattern, output)
+
+    case SetViewProperties(UnresolvedView(parts, _, _, _), props)
+        if isGraft(spark, parts) &&
+          catalogOf(spark, parts.head).exists(_.viewExists(identOf(parts))) =>
+      GraftSetViewPropertiesCommand(parts, props)
+
+    case RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
+        if isGraft(spark, parts) &&
+          catalogOf(spark, parts.head).exists(_.viewExists(identOf(parts))) =>
+      GraftRenameViewCommand(parts, newName)
+
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length >= 2 &&
+          isGraft(spark, u.multipartIdentifier) &&
+          catalogOf(spark, u.multipartIdentifier.head)
+            .exists(_.viewExists(identOf(u.multipartIdentifier))) =>
+      val cat = catalogOf(spark, u.multipartIdentifier.head).get
+      val v = cat.loadView(identOf(u.multipartIdentifier))
+      SubqueryAlias(u.multipartIdentifier.last,
+        spark.sessionState.sqlParser.parsePlan(v.query()))
+  }
+}
+
+object GraftViews {
+  def catalogOf(spark: SparkSession, name: String): Option[GraftCatalog] =
+    try spark.sessionState.catalogManager.catalog(name) match {
+      case g: GraftCatalog => Some(g)
+      case _ => None
+    } catch { case _: Throwable => None }
+
+  /** `parts` = catalog.namespace....name — ours iff the head names a
+    * registered GraftCatalog and there is at least ns + name. */
+  def isGraft(spark: SparkSession, parts: Seq[String]): Boolean =
+    parts.length >= 3 && catalogOf(spark, parts.head).isDefined
+
+  def identOf(parts: Seq[String]): Identifier =
+    Identifier.of(parts.drop(1).dropRight(1).toArray, parts.last)
+}
+
+case class GraftCreateViewCommand(parts: Seq[String], text: String,
+    comment: Option[String], props: Map[String, String],
+    allowExisting: Boolean, replace: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViews.catalogOf(spark, parts.head).get
+    val ident = GraftViews.identOf(parts)
+    if (cat.viewExists(ident)) {
+      if (replace) cat.dropView(ident)
+      else if (allowExisting) return Nil
+    }
+    // analysis only (the SELECT is lazy): the stored schema is the
+    // view's contract at creation time
+    val schema: StructType = spark.sql(text).schema
+    val cm = spark.sessionState.catalogManager
+    cat.createView(new ViewInfo(ident, text,
+      cm.currentCatalog.name, cm.currentNamespace,
+      schema, schema.fieldNames, Array.empty, Array.empty,
+      {
+        val m = new java.util.HashMap[String, String]()
+        props.foreach { case (k, v) => m.put(k, v) }
+        comment.foreach(m.put(ViewCatalog.PROP_COMMENT, _))
+        m
+      }))
+    Nil
+  }
+}
+
+case class GraftDropViewCommand(parts: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViews.catalogOf(spark, parts.head).get
+    val dropped = cat.dropView(GraftViews.identOf(parts))
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(GraftViews.identOf(parts))
+    Nil
+  }
+}
+
+case class GraftShowViewsCommand(ns: Seq[String],
+    pattern: Option[String], override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViews.catalogOf(spark, ns.head).get
+    cat.listViews(ns.drop(1): _*).toSeq
+      .filter(i => pattern.forall(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(Seq(i.name), p).nonEmpty))
+      .map(i => Row(i.namespace.mkString("."), i.name, false))
+  }
+}
+
+case class GraftSetViewPropertiesCommand(parts: Seq[String],
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViews.catalogOf(spark, parts.head).get
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    cat.alterView(GraftViews.identOf(parts),
+      props.toSeq.map { case (k, v) =>
+        ViewChange.setProperty(k, v) }: _*)
+    Nil
+  }
+}
+
+case class GraftRenameViewCommand(parts: Seq[String],
+    newName: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViews.catalogOf(spark, parts.head).get
+    // the rename target resolves WITHIN the view's catalog (namespace
+    // + name), matching the table-rename convention
+    val to = Identifier.of(newName.dropRight(1).toArray, newName.last)
+    cat.renameView(GraftViews.identOf(parts), to)
+    Nil
+  }
+}

@@ -659,6 +659,38 @@ object Formats {
           s"$ra AS restore_readded", s"$nv AS vacuum_deleted")
     }),
 
+    // SQL views on the custom catalog: vanilla Spark 4.1 has the
+    // ViewCatalog connector API but NO analyzer path that calls it
+    // (ResolveSessionCatalog rejects every view command aimed at a
+    // non-session catalog) — the library ships the missing wiring as a
+    // Hints-batch extension rule, the same approach Iceberg takes.
+    // A view is a stored QUERY re-resolved at read time: the second
+    // INSERT lands after the view exists and still shows through —
+    // the governance property that lets a curated interface evolve
+    // without rewriting a byte of data. Closed-form oracle.
+    "sql_catalog_view" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/vbase"
+      if (GraftLog.committedFiles(dir).isEmpty) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.vbase")
+        s.sql("CREATE TABLE graftq.ns.vbase (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.vbase
+                 SELECT /*+ REPARTITION(2) */ id, id * 3
+                 FROM range(0, 4000)""")
+        s.sql("""CREATE OR REPLACE VIEW graftq.ns.v_even AS
+                 SELECT id, v FROM graftq.ns.vbase WHERE id % 2 = 0""")
+        s.sql("""INSERT INTO graftq.ns.vbase
+                 SELECT /*+ REPARTITION(1) */ id, id * 3
+                 FROM range(4000, 5000)""")
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM graftq.ns.v_even""")
+    }),
+
     // SQL DDL schema evolution: ALTER TABLE ADD COLUMN widens the
     // stored schema (new column nullable), pre-alter rows read NULL,
     // and a post-alter INSERT populates it — the full DDL lifecycle of
@@ -1213,6 +1245,13 @@ object Formats {
            TRUE AS meta_only
          FROM range(0, 50000) t(id)
          GROUP BY 1""",
+    // The view filters to even ids over ALL 5000 rows (the post-view
+    // insert shows through), v = 3*id.
+    "sql_catalog_view" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(id * 3) AS BIGINT) AS sum_v
+         FROM range(0, 5000) t(id) WHERE id % 2 = 0""",
     "sql_catalog_call_maintenance" ->
       """SELECT CAST(3000 AS BIGINT) AS n_rows,
            CAST(4498500 AS BIGINT) AS sum_id,

@@ -6,10 +6,11 @@ import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
-  NoSuchTableException, TableAlreadyExistsException}
+  NoSuchTableException, NoSuchViewException, TableAlreadyExistsException,
+  ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier,
   NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table,
-  TableCatalog, TableChange}
+  TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -29,7 +30,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * its `_schema` file does (written at CREATE, before any data), so
   * existence is as atomic as the file create. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
   private var catName: String = _
   private var warehouse: String = _
 
@@ -191,6 +192,131 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     nsDir(to.namespace).mkdirs()
     Files.move(tableDir(from).toPath, tableDir(to).toPath)
+  }
+
+  // -- SQL views (ViewCatalog): `CREATE VIEW graftcat.ns.v AS ...` --
+  // Persisted as a `<name>.view` metadata file in the namespace
+  // directory (base64-wrapped fields, one per line — the SQL text and
+  // aliases are arbitrary strings). A view is a stored QUERY, resolved
+  // and re-planned at read time against current table state, which is
+  // exactly what makes it the governance surface of a warehouse: the
+  // curated interface can evolve without rewriting a byte of data.
+
+  private def viewFile(ident: Identifier): File =
+    new File(nsDir(ident.namespace), s"${ident.name}.view")
+  private val B64 = java.util.Base64.getEncoder
+  private val B64D = java.util.Base64.getDecoder
+  private def enc(s: String): String =
+    B64.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def dec(s: String): String =
+    new String(B64D.decode(s), StandardCharsets.UTF_8)
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewFile(ident).exists()
+
+  override def listViews(ns: String*): Array[Identifier] = {
+    val d = nsDir(ns.toArray)
+    if (!d.isDirectory) throw new NoSuchNamespaceException(ns.toArray)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".view"))
+      .map(f => Identifier.of(ns.toArray,
+        f.getName.stripSuffix(".view")))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    writeView(ident, info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments,
+      scala.jdk.CollectionConverters.MapHasAsScala(
+        info.properties).asScala.toMap)
+    loadView(ident)
+  }
+
+  private def writeView(ident: Identifier, sql: String,
+      curCat: String, curNs: Array[String], schema: StructType,
+      qCols: Array[String], aliases: Array[String],
+      comments: Array[String], props: Map[String, String]): Unit = {
+    val lines = Seq(
+      s"sql=${enc(sql)}",
+      s"catalog=${enc(curCat)}",
+      s"namespace=${curNs.map(enc).mkString(",")}",
+      s"schema=${enc(schema.json)}",
+      s"qcols=${qCols.map(enc).mkString(",")}",
+      s"aliases=${aliases.map(enc).mkString(",")}",
+      s"comments=${Option(comments).getOrElse(Array.empty[String])
+        .map(c => enc(Option(c).getOrElse(""))).mkString(",")}") ++
+      props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"prop.${enc(k)}=${enc(v)}" }
+    Files.write(viewFile(ident).toPath,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readView(ident: Identifier): Map[String, String] = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    new String(Files.readAllBytes(viewFile(ident).toPath),
+      StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val m = readView(ident)
+    def arr(k: String): Array[String] =
+      m.getOrElse(k, "").split(",").filter(_.nonEmpty).map(dec)
+    new View {
+      override def name(): String =
+        (catName +: ident.namespace :+ ident.name).mkString(".")
+      override def query(): String = dec(m("sql"))
+      override def currentCatalog(): String = dec(m("catalog"))
+      override def currentNamespace(): Array[String] = arr("namespace")
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(dec(m("schema")))
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = arr("qcols")
+      override def columnAliases(): Array[String] = arr("aliases")
+      override def columnComments(): Array[String] = arr("comments")
+      override def properties(): JMap[String, String] = {
+        val p = new java.util.HashMap[String, String]()
+        m.foreach { case (k, v) =>
+          if (k.startsWith("prop.")) p.put(dec(k.drop(5)), dec(v)) }
+        p
+      }
+    }
+  }
+
+  override def alterView(ident: Identifier,
+      changes: ViewChange*): View = {
+    val v = loadView(ident)
+    val props = scala.collection.mutable.Map[String, String]() ++
+      scala.jdk.CollectionConverters.MapHasAsScala(v.properties()).asScala
+    changes.foreach {
+      case s: ViewChange.SetProperty => props(s.property) = s.value
+      case r: ViewChange.RemoveProperty => props.remove(r.property)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported view change $other")
+    }
+    writeView(ident, v.query(), v.currentCatalog(),
+      v.currentNamespace(), v.schema(), v.queryColumnNames(),
+      v.columnAliases(), v.columnComments(), props.toMap)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewFile(ident).delete()
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to) || tableExists(to))
+      throw new ViewAlreadyExistsException(to)
+    nsDir(to.namespace).mkdirs()
+    Files.move(viewFile(from).toPath, viewFile(to).toPath)
   }
 
   // -- namespaces: plain subdirectories of the warehouse root --

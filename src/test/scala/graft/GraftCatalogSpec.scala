@@ -372,6 +372,36 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL views: create, query, rename, alter property, drop") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbv")
+      spark.sql("CREATE TABLE graftcat.dbv.base (id BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.dbv.base SELECT id, id * 2 FROM range(100)")
+      spark.sql("""CREATE VIEW graftcat.dbv.evens AS
+        SELECT id, v FROM graftcat.dbv.base WHERE id % 2 = 0""")
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.dbv.evens")
+        .head.getLong(0) == 50)
+      // a view is a stored QUERY: later inserts show through
+      spark.sql(
+        "INSERT INTO graftcat.dbv.base SELECT id, 0 FROM range(100, 110)")
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.dbv.evens")
+        .head.getLong(0) == 55)
+      // listing sees it
+      val vs = spark.sql("SHOW VIEWS IN graftcat.dbv")
+        .select("viewName").collect().map(_.getString(0))
+      assert(vs.contains("evens"))
+      spark.sql("ALTER VIEW graftcat.dbv.evens SET TBLPROPERTIES ('o'='x')")
+      spark.sql("ALTER VIEW graftcat.dbv.evens RENAME TO dbv.evens2")
+      assert(spark.sql("SELECT SUM(v) FROM graftcat.dbv.evens2")
+        .head.getLong(0) == (0 until 100 by 2).map(_ * 2).sum)
+      spark.sql("DROP VIEW graftcat.dbv.evens2")
+      assert(!spark.sql("SHOW VIEWS IN graftcat.dbv")
+        .select("viewName").collect().map(_.getString(0))
+        .contains("evens2"))
+    }
+  }
+
   test("SQL DELETE with a non-convertible predicate falls back to COW rewrite") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
