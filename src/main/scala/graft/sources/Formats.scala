@@ -691,6 +691,77 @@ object Formats {
         FROM graftq.ns.v_even""")
     }),
 
+    // CHECK constraints on the custom format (Delta's constraint
+    // surface): ALTER TABLE ADD CONSTRAINT stores the predicate in the
+    // table metadata, the table reports it ENFORCED through
+    // Table.constraints(), and SPARK ITSELF injects the violation
+    // check into every subsequent write plan — the engine enforces,
+    // the format only remembers. The fixture proves the loop: a
+    // violating INSERT throws and leaves no trace (manifest-gated
+    // atomicity), a conforming one lands; the oracle recomputes the
+    // final table, so a leaked violating row is a hash miss. At 100 TB
+    // this is the write-time data contract that keeps a curated table
+    // trustworthy without audit scans.
+    "sql_catalog_constraint" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/ck_t"
+      val rejected = rebuildOnce(ckStats, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.ck_t")
+        s.sql("CREATE TABLE graftq.ns.ck_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.ck_t
+                 SELECT /*+ REPARTITION(2) */ id, id FROM range(0, 3000)""")
+        s.sql("""ALTER TABLE graftq.ns.ck_t
+                 ADD CONSTRAINT v_nonneg CHECK (v >= 0)""")
+        val r = try {
+          s.sql("""INSERT INTO graftq.ns.ck_t
+                   SELECT id, -1 FROM range(0, 10)""")
+          false
+        } catch { case _: Exception => true }
+        s.sql("""INSERT INTO graftq.ns.ck_t
+                 SELECT /*+ REPARTITION(1) */ id, id
+                 FROM range(3000, 3500)""")
+        r
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(v) AS BIGINT) AS sum_v
+        FROM graftq.ns.ck_t""")
+        .selectExpr("n_rows", "sum_id", "sum_v",
+          s"$rejected AS violation_rejected")
+    }),
+
+    // Column DEFAULT values: `v BIGINT DEFAULT 42` rides the schema's
+    // field metadata (which the format's schema JSON persists
+    // byte-for-byte) and Spark fills omitted columns engine-side at
+    // INSERT — the catalog only announces the capability. Inserts
+    // omitting v, passing it, and naming DEFAULT explicitly all land;
+    // closed-form oracle.
+    "sql_catalog_default" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/def_t"
+      if (GraftLog.committedFiles(dir).isEmpty) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.def_t")
+        s.sql(
+          "CREATE TABLE graftq.ns.def_t (id BIGINT, v BIGINT DEFAULT 42)")
+        s.sql("""INSERT INTO graftq.ns.def_t (id)
+                 SELECT /*+ REPARTITION(1) */ id FROM range(0, 2000)""")
+        s.sql("""INSERT INTO graftq.ns.def_t
+                 SELECT /*+ REPARTITION(1) */ id, id * 5
+                 FROM range(2000, 2500)""")
+        s.sql("INSERT INTO graftq.ns.def_t (id, v) VALUES (9000, DEFAULT)")
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(v) AS BIGINT) AS sum_v,
+               CAST(COUNT(CASE WHEN v = 42 THEN 1 END) AS BIGINT)
+                 AS n_default
+        FROM graftq.ns.def_t""")
+    }),
+
     // SQL DDL schema evolution: ALTER TABLE ADD COLUMN widens the
     // stored schema (new column nullable), pre-alter rows read NULL,
     // and a post-alter INSERT populates it — the full DDL lifecycle of
@@ -1040,6 +1111,9 @@ object Formats {
   // (filesCompacted, restoreRemoved, restoreReadded, vacuumDeleted)
   private val callStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int, Int, Int)]()
+  // violating insert rejected by the CHECK constraint?
+  private val ckStats =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
 
   /** A cached SPJ fixture table is trusted only if EVERY live file
     * carries its partition record — a stale /tmp table from a
@@ -1252,6 +1326,24 @@ object Formats {
            CAST(SUM(id) AS BIGINT) AS sum_id,
            CAST(SUM(id * 3) AS BIGINT) AS sum_v
          FROM range(0, 5000) t(id) WHERE id % 2 = 0""",
+    // 3500 conforming rows (v = id); the 10-row violating insert must
+    // have been rejected wholesale.
+    "sql_catalog_constraint" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(id) AS BIGINT) AS sum_v,
+           TRUE AS violation_rejected
+         FROM range(0, 3500) t(id)""",
+    // 2000 defaulted rows (v=42) + 500 explicit (v=5*id) + one
+    // explicit-DEFAULT row (id=9000, v=42).
+    "sql_catalog_default" ->
+      """SELECT CAST(2501 AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(id) FROM range(0, 2500) t(id)) + 9000
+             AS BIGINT) AS sum_id,
+           CAST(2000 * 42 +
+             (SELECT SUM(id * 5) FROM range(2000, 2500) t(id)) + 42
+             AS BIGINT) AS sum_v,
+           CAST(2001 AS BIGINT) AS n_default""",
     "sql_catalog_call_maintenance" ->
       """SELECT CAST(3000 AS BIGINT) AS n_rows,
            CAST(4498500 AS BIGINT) AS sum_id,

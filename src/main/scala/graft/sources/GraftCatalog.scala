@@ -53,6 +53,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   override def name(): String = catName
 
+  /** Announces CHECK-constraint and column-DEFAULT DDL support —
+    * without these the analyzer rejects `ALTER TABLE ... ADD
+    * CONSTRAINT` / `DEFAULT` clauses before they reach the catalog.
+    * Defaults ride the schema's field METADATA (Spark encodes them
+    * there and fills omitted columns engine-side at INSERT), which the
+    * format's schema JSON already persists byte-for-byte. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.Set.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def tableDir(ident: Identifier): File =
     new File((warehouse +: ident.namespace :+ ident.name).mkString("/"))
   private def nsDir(ns: Array[String]): File =
@@ -168,6 +182,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "existing rows read NULL for an added column")
         sch.add(org.apache.spark.sql.types.StructField(
           colName, add.dataType, nullable = true))
+      // `ALTER TABLE t ADD CONSTRAINT name CHECK (...)` — stored in the
+      // table's `_constraints` file and reported ENFORCED via
+      // Table.constraints(), so Spark's own write path validates every
+      // subsequent INSERT/UPDATE/MERGE. Spark validates existing rows
+      // at ALTER time before this change reaches the catalog.
+      case (sch, add: TableChange.AddConstraint) =>
+        add.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            GraftLog.addConstraint(dir, c.name, c.predicateSql())
+            sch
+          case other => throw new UnsupportedOperationException(
+            s"graft-log supports only CHECK constraints, got $other")
+        }
+      case (sch, drop: TableChange.DropConstraint) =>
+        GraftLog.dropConstraint(dir, drop.name, drop.ifExists)
+        sch
       case (_, other) => throw new UnsupportedOperationException(
         s"graft-log tables support only ADD COLUMN, got $other")
     }

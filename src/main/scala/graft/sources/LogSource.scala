@@ -171,6 +171,50 @@ object GraftLog {
       StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
   }
 
+  val ConstraintsFile = "_constraints"
+
+  /** Stored CHECK constraints: (name, predicate SQL), one per line as
+    * `name=base64(sql)`. Reported through `Table.constraints()`, which
+    * is what makes Spark's own write path ENFORCE them — every INSERT
+    * / UPDATE / MERGE write plan gains a violation check, the Delta
+    * CHECK-constraint contract with the engine doing the work. */
+  def constraintsOf(dir: String): Seq[(String, String)] = {
+    val f = new File(dir, ConstraintsFile)
+    if (!f.exists()) Seq.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> new String(
+          java.util.Base64.getDecoder.decode(l.substring(i + 1)),
+          StandardCharsets.UTF_8)
+      }.toSeq
+  }
+
+  private def writeConstraints(dir: String,
+      cs: Seq[(String, String)]): Unit = {
+    ensureDir(dir)
+    Files.write(Paths.get(dir, ConstraintsFile),
+      cs.map { case (n, sql) =>
+        s"$n=${java.util.Base64.getEncoder.encodeToString(
+          sql.getBytes(StandardCharsets.UTF_8))}"
+      }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  def addConstraint(dir: String, name: String, sql: String): Unit =
+    synchronized {
+      require(!constraintsOf(dir).exists(_._1 == name),
+        s"constraint $name already exists on $dir")
+      writeConstraints(dir, constraintsOf(dir) :+ (name -> sql))
+    }
+
+  def dropConstraint(dir: String, name: String,
+      ifExists: Boolean): Unit = synchronized {
+    val cs = constraintsOf(dir)
+    require(ifExists || cs.exists(_._1 == name),
+      s"no constraint $name on $dir")
+    writeConstraints(dir, cs.filterNot(_._1 == name))
+  }
+
   /** `allowChange` = an overwrite (truncate) commit: the table lineage
     * resets, so redeclaring a different partition column is legal — an
     * APPEND to an already-partitioned table must keep the layout. */
@@ -846,6 +890,18 @@ class GraftLogTable(dir: String, writeSchema: StructType,
 
   override def partitioning(): Array[Transform] =
     partitionCol.map(c => Expressions.identity(c)).toArray
+
+  /** Stored CHECK constraints, reported ENFORCED — Spark's write path
+    * then injects the violation check into every INSERT/UPDATE/MERGE
+    * plan against this table (the engine enforces; the format only
+    * remembers). */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftLog.constraintsOf(dir).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** `_file` metadata column (Delta `_metadata.file_path` / Iceberg
     * `_file` in miniature): the manifest part file each row was read

@@ -402,6 +402,60 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: enforced on writes, validated on ALTER") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbc")
+      spark.sql("CREATE TABLE graftcat.dbc.c (id BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.dbc.c SELECT id, id FROM range(100)")
+      spark.sql(
+        "ALTER TABLE graftcat.dbc.c ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+      // a violating INSERT must fail, and the failed write must be
+      // invisible (manifest-gated atomicity)
+      val e = intercept[Exception] {
+        spark.sql(
+          "INSERT INTO graftcat.dbc.c SELECT id, -1 FROM range(5)")
+      }
+      assert(e.getMessage.contains("v_nonneg") ||
+        e.getMessage.toUpperCase.contains("CHECK"))
+      assert(spark.table("graftcat.dbc.c").count() == 100)
+      // a conforming INSERT lands
+      spark.sql(
+        "INSERT INTO graftcat.dbc.c SELECT id, 0 FROM range(5)")
+      assert(spark.table("graftcat.dbc.c").count() == 105)
+      // adding a constraint existing rows violate must fail
+      val e2 = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE graftcat.dbc.c ADD CONSTRAINT big CHECK (id >= 50)")
+      }
+      assert(e2.getMessage.toUpperCase.contains("CHECK") ||
+        e2.getMessage.contains("big"))
+      // after DROP CONSTRAINT the violating insert succeeds
+      spark.sql("ALTER TABLE graftcat.dbc.c DROP CONSTRAINT v_nonneg")
+      spark.sql(
+        "INSERT INTO graftcat.dbc.c SELECT id, -7 FROM range(2)")
+      assert(spark.table("graftcat.dbc.c").count() == 107)
+    }
+  }
+
+  test("column DEFAULT values: omitted columns fill engine-side") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbd")
+      spark.sql(
+        "CREATE TABLE graftcat.dbd.d (id BIGINT, v BIGINT DEFAULT 42)")
+      spark.sql("INSERT INTO graftcat.dbd.d (id) SELECT id FROM range(10)")
+      spark.sql("INSERT INTO graftcat.dbd.d VALUES (100, 7)")
+      spark.sql(
+        "INSERT INTO graftcat.dbd.d (id, v) VALUES (101, DEFAULT)")
+      val rows = spark.sql(
+        "SELECT id, v FROM graftcat.dbd.d ORDER BY id").collect()
+      assert(rows.length == 12)
+      assert(rows.take(10).forall(_.getLong(1) == 42L))
+      assert(rows(10).getLong(1) == 7L)
+      assert(rows(11).getLong(1) == 42L)
+    }
+  }
+
   test("SQL DELETE with a non-convertible predicate falls back to COW rewrite") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
