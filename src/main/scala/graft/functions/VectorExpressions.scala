@@ -225,6 +225,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // intercepts view DDL and substitutes stored view SQL on read
     // (the wiring Iceberg ships in its own extensions).
     ext.injectHintResolutionRule(graft.plans.GraftViewRule)
+    // Table-valued function over the custom DSv2 source:
+    // `SELECT * FROM graft_series(n[, slices])` resolves straight to a
+    // SeriesTable relation — the whole pushdown stack (filter → slice
+    // pruning, column pruning, limit, CBO stats) applies exactly as it
+    // does to the reader-API path, now addressable from plain SQL.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_series"),
+      new ExpressionInfo(
+        classOf[graft.sources.SeriesTable].getCanonicalName,
+        "graft_series"),
+      (args: Seq[Expression]) => {
+        def longOf(e: Expression, what: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v, _) => v.toString.toLong
+          case other => throw new IllegalArgumentException(
+            s"graft_series $what must be a literal, got $other")
+        }
+        require(args.nonEmpty && args.length <= 2,
+          "usage: graft_series(n[, slices])")
+        val n = longOf(args(0), "n")
+        val slices =
+          if (args.length > 1) longOf(args(1), "slices").toInt else 8
+        org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation.create(
+            new graft.sources.SeriesTable(n, slices), None, None)
+      }))
   }
 }
 

@@ -920,6 +920,20 @@ object Formats {
         lit(spj).as("spj_no_shuffle"))
     }),
 
+    // Table-valued function over the custom DSv2 source: the extension
+    // registers `graft_series(n[, slices])` so the source is
+    // addressable from plain SQL, and the relation it resolves to is
+    // the SAME SeriesTable the reader API builds — filter-driven slice
+    // pruning and column pruning apply identically (SeriesSourceSpec
+    // pins the pruning; the oracle pins the values).
+    "sql_tvf_series" -> ((s, _) => {
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id
+        FROM graft_series(12345, 8)
+        WHERE id >= 12000""")
+    }),
+
     // Partition-grouped METADATA aggregate: GROUP BY the identity
     // partition column folds per-group COUNT/MIN/MAX from each value's
     // manifest entries — one row per partition, ZERO data files opened
@@ -1312,6 +1326,10 @@ object Formats {
            TRUE AS spj_no_shuffle
          FROM f JOIN d ON f.k = d.k
          GROUP BY f.k""",
+    "sql_tvf_series" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id
+         FROM range(0, 12345) t(id) WHERE id >= 12000""",
     "sink_log_groupby_meta" ->
       """SELECT id % 16 AS k, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(id) AS BIGINT) AS min_id,

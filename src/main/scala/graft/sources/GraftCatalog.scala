@@ -180,6 +180,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.isNullable,
           s"graft-log ADD COLUMN $colName must be nullable: " +
             "existing rows read NULL for an added column")
+        // pre-alter rows would read NULL, not the default — rejecting
+        // beats silently dropping the declared default (defaults ARE
+        // supported at CREATE TABLE, where no earlier rows exist)
+        require(add.defaultValue() == null,
+          s"graft-log ADD COLUMN $colName cannot carry a DEFAULT: " +
+            "pre-alter rows read NULL, not the default " +
+            "(declare defaults at CREATE TABLE)")
         sch.add(org.apache.spark.sql.types.StructField(
           colName, add.dataType, nullable = true))
       // `ALTER TABLE t ADD CONSTRAINT name CHECK (...)` — stored in the

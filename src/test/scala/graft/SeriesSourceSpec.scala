@@ -75,4 +75,19 @@ class SeriesSourceSpec extends SparkSpec {
     assert(df.count() ==
       spark.range(1000).filter(col("id") % 97 === 5).count())
   }
+
+  test("SQL TVF graft_series resolves to the source with pruning intact") {
+    val df = spark.sql(
+      "SELECT id FROM graft_series(1000, 8) WHERE id >= 900")
+    assert(df.count() == 100)
+    // the same slice pruning the reader-API path gets: the pushed
+    // range keeps 1 of 8 slices
+    assert(df.queryExecution.executedPlan.toString.contains("slices=1/8"))
+    // literal-only arguments are the contract
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_series(rand())").collect()
+    }
+    assert(e.getMessage.contains("literal") ||
+      e.getMessage.contains("graft_series"))
+  }
 }
