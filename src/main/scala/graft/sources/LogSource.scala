@@ -1030,11 +1030,19 @@ class GraftLogRowLevelOperation(dir: String, tableSchema: StructType,
     // files the write actually read and rewrote
     new GraftLogScanBuilder(dir, tableSchema, Long.MaxValue, -1L,
       cowPlanHook = Some(fs => op.scannedFiles = fs)) {
+      // defensive: a metadata-aggregate scan would bypass the file
+      // bookkeeping the COW commit depends on (Spark never pushes
+      // aggregates into a ReplaceData scan, but the invariant is
+      // load-bearing enough to enforce locally)
+      override def supportCompletePushDown(
+          agg: Aggregation): Boolean = false
+      override def pushAggregation(agg: Aggregation): Boolean = false
       override def build(): Scan = super.build() match {
         case s: GraftLogScan =>
           op.scannedFiles = s.plannedFileNames
           s
-        case other => other // metadata aggregates never plan here
+        case other => throw new IllegalStateException(
+          s"row-level operation scan must be a GraftLogScan, got $other")
       }
     }
   }

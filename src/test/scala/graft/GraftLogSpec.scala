@@ -712,6 +712,34 @@ class GraftLogSpec extends SparkSpec {
     }
   }
 
+  test("SPJ with mismatched partition value sets stays correct") {
+    val d1 = tmp(); val d2 = tmp()
+    // t1 holds k = 0..7, t2 only k = 0..3 — Spark either aligns the
+    // missing groups (pushPartValues) or falls back to a shuffle; both
+    // must produce the exact inner-join result
+    spark.range(0, 1600).selectExpr("id", "id % 8 AS k")
+      .write.format(Fmt).option("path", d1)
+      .option("partitionCol", "k").mode("append").save()
+    spark.range(0, 400).selectExpr("id * 2 AS w", "id % 4 AS k")
+      .write.format(Fmt).option("path", d2)
+      .option("partitionCol", "k").mode("append").save()
+    val priorB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = readBack(d1).join(readBack(d2), "k")
+      // t1 rows with k in 0..3: 200 per k x 100 t2 rows per k
+      assert(j.count() == 4L * 200 * 100)
+      val perK = j.groupBy(col("k")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perK.keySet == Set(0L, 1L, 2L, 3L))
+      assert(perK.values.forall(_ == 20000L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorB)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("partitioned write: NULL keys form their own group; overwrite relayouts") {
     val dir = tmp()
     spark.range(0, 1000)
