@@ -51,10 +51,11 @@ object GraftProcedures {
   /** Bound+unbound in one: the parameter list is static per procedure,
     * so bind() is the identity (Spark still applies coercion and
     * name-based argument matching against `parameters`). */
-  private abstract class Proc(procName: String,
+  private abstract class Proc(procName: String, procDesc: String,
       params: Seq[ProcedureParameter], resultSchema: StructType)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
+    override def description(): String = procDesc
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] = params.toArray
     override def isDeterministic: Boolean = false
@@ -79,6 +80,8 @@ object GraftProcedures {
         s"got ${ident.namespace.mkString(".")}")
     ident.name match {
       case "compact" => new Proc("compact",
+          "rewrite the live snapshot's small part files into one, " +
+            "published as a new version (history stays time-travelable)",
           Seq(param("table", StringType)),
           StructType(Seq(
             StructField("files_compacted", IntegerType, false)))) {
@@ -86,6 +89,8 @@ object GraftProcedures {
           Array(GraftLog.compact(dirOf(warehouse, args.getString(0))))
       }
       case "vacuum" => new Proc("vacuum",
+          "delete unreferenced part files older than min_age_ms; " +
+            "expire_history keeps only the current snapshot's files",
           Seq(param("table", StringType),
             param("min_age_ms", LongType,
               GraftLog.DefaultVacuumRetentionMs.toString),
@@ -97,6 +102,8 @@ object GraftProcedures {
             args.getLong(1), args.getBoolean(2)).size)
       }
       case "optimize_zorder" => new Proc("optimize_zorder",
+          "rewrite the live snapshot range-partitioned by the Morton " +
+            "interleave of (col_a, col_b) for 2-D stats pruning",
           Seq(param("table", StringType),
             param("col_a", StringType), param("col_b", StringType)),
           StructType(Seq(
@@ -108,6 +115,8 @@ object GraftProcedures {
             args.getString(1), args.getString(2)))
       }
       case "restore" => new Proc("restore",
+          "publish a historical snapshot as NEW auditable history " +
+            "(the mistaken versions stay time-travelable)",
           Seq(param("table", StringType), param("version", LongType)),
           StructType(Seq(
             StructField("files_removed", IntegerType, false),

@@ -292,6 +292,19 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHOW PROCEDURES lists the maintenance surface; DESCRIBE explains") {
+    withCatalog {
+      val names = spark.sql("SHOW PROCEDURES IN graftcat.system")
+        .select("procedure_name").collect().map(_.getString(0)).toSet
+      assert(names == Set("compact", "vacuum", "optimize_zorder",
+        "restore"))
+      val desc = spark.sql("DESCRIBE PROCEDURE graftcat.system.vacuum")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("vacuum") && desc.contains("min_age_ms"),
+        s"description should name the op and its knobs:\n$desc")
+    }
+  }
+
   test("CALL optimize_zorder rewrites the layout through SQL") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db7")
