@@ -432,6 +432,56 @@ object Formats {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
     }),
 
+    // Streaming CDC APPLY — the closing loop of the change-data story:
+    // a DERIVED table maintained by streaming the source table's
+    // version feed through foreachBatch + copy-on-write MERGE (the
+    // Delta "CDC to downstream table" pattern). Run 1 bootstraps the
+    // derived table from the initial snapshot; a second source commit
+    // carries updates AND inserts; run 2 resumes from the checkpoint,
+    // receives exactly the delta, and merges it — latest-wins. The
+    // oracle recomputes the final derived state in closed form, so a
+    // replayed row, missed update, or dropped insert is a hash miss.
+    // At 100 TB per-run work is bounded by the append rate (the
+    // version feed), and the merge rewrite by the touched key range
+    // (manifest stats) — a derived table maintained at delta cost.
+    "sink_log_stream_cdc_apply" -> ((s, d) => {
+      val base = s"/tmp/graft_log_cdc/${new java.io.File(d).getName}"
+      val src = s"$base/src"; val dst = s"$base/dst"
+      rebuildOnce(cdcBuilt, base) {
+        val ckpt = s"$base/ckpt"
+        def runApply(): Unit = {
+          val q = s.readStream.format("graft.sources.GraftLogSource")
+            .option("path", src).load()
+            .writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              if (GraftLog.storedSchema(dst).isEmpty)
+                batch.write.format("graft.sources.GraftLogSource")
+                  .option("path", dst).mode("append").save()
+              else { GraftLog.mergeUpsert(s, dst, batch, "id"); () }
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.range(0, 2000).selectExpr("id", "id AS v").coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        runApply()
+        // the second commit UPDATES [500, 700) and INSERTS [2000, 2500)
+        s.range(500, 700).selectExpr("id", "-id AS v")
+          .union(s.range(2000, 2500).selectExpr("id", "-id AS v"))
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        runApply()
+      }
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dst).load()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("id")).as("sum_id"), sum(col("v")).as("sum_v"))
+    }),
+
     // Metadata-only COUNT(*): the manifest's per-file row counts ARE
     // the answer — the pushed-down aggregate plans a one-row scan that
     // never opens a data file (`metaCount=` in the scan description,
@@ -1093,6 +1143,8 @@ object Formats {
     * session is wiped and rebuilt rather than trusted. */
   private val streamBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
+  private val cdcBuilt =
+    new scala.collection.concurrent.TrieMap[String, Unit]()
 
   /** Once-per-session fixture rebuild: the maintenance sequence's
     * observable stats feed the driver-checked result, so a stale /tmp
@@ -1330,6 +1382,14 @@ object Formats {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(id) AS BIGINT) AS sum_id
          FROM range(0, 12345) t(id) WHERE id >= 12000""",
+    // Derived table after both runs: ids 0..2500, v = -id on the
+    // updated range [500,700) and on the inserted range [2000,2500).
+    "sink_log_stream_cdc_apply" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(CASE WHEN (id >= 500 AND id < 700) OR id >= 2000
+             THEN -id ELSE id END) AS BIGINT) AS sum_v
+         FROM range(0, 2500) t(id)""",
     "sink_log_groupby_meta" ->
       """SELECT id % 16 AS k, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(id) AS BIGINT) AS min_id,

@@ -412,56 +412,87 @@ object GraftLog {
       Files.readAllBytes(Paths.get(dir, SchemaFile)),
       StandardCharsets.UTF_8)).asInstanceOf[StructType]
     val curCols = schema.fieldNames.toSeq
-    val outName = s"part-${UUID.randomUUID()}.tsv.gz"
-    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new GZIPOutputStream(Files.newOutputStream(Paths.get(dir, outName))),
-      StandardCharsets.UTF_8))
-    var rows = 0L
-    // Rewrite every live row into the CURRENT column layout: a file
-    // written before an evolution has fewer cells, so its rows pad the
-    // later columns with the null sentinel. Files already in the
-    // current layout stream through unmodified.
-    try live.foreach { e =>
-      val fileCols = if (e.cols.nonEmpty) e.cols else curCols
-      val remap: Option[Array[Int]] =
-        if (fileCols == curCols) None
-        else Some(curCols.map(fileCols.indexOf).toArray)
-      val in = GraftLogReaderFactory.openLines(dir, e.file)
-      try {
-        var line = in.readLine()
-        while (line != null) {
-          if (line.nonEmpty) {
-            val outLine = remap match {
-              case None => line
-              case Some(idx) =>
-                val cells = line.split("\t", -1)
-                idx.map(i => if (i < 0) NullCell else cells(i))
-                  .mkString("\t")
-            }
-            out.write(outLine); out.write("\n"); rows += 1
-          }
-          line = in.readLine()
-        }
-      } finally in.close()
-    } finally out.close()
-    val mergedStats =
-      if (live.exists(_.stats.isEmpty)) Map.empty[String, (String, String)]
-      else {
-        val num = (s: String) => new java.math.BigDecimal(s)
-        schema.fields.collect {
-          case f if live.forall(_.stats.contains(f.name)) =>
-            val mn = live.map(_.stats(f.name)._1)
-              .reduce((a, b) => if (num(a).compareTo(num(b)) <= 0) a else b)
-            val mx = live.map(_.stats(f.name)._2)
-              .reduce((a, b) => if (num(a).compareTo(num(b)) >= 0) a else b)
-            f.name -> (mn, mx)
-        }.toMap
+    // Partition-aware: a partitioned table compacts PER VALUE (one
+    // output file per partition-value group, its partition record and
+    // grouped stats intact), so nightly compaction never forfeits
+    // storage-partitioned joins — the Iceberg per-partition compaction
+    // shape. An unpartitioned table (or one with pre-partitioning
+    // files whose grouping is unknowable) compacts to one file.
+    val groups: Seq[(Option[(String, Any)], Seq[LogEntry])] =
+      partitionColOf(dir) match {
+        case Some(c) if live.forall(e =>
+            GraftLogPartValue.of(e, c).isDefined) =>
+          live.groupBy(e => GraftLogPartValue.of(e, c).get).toSeq
+            .map { case (v, es) => (Some(c -> v), es) }
+        case _ => Seq((None, live))
       }
+    // nothing to do when every group is already a single file
+    if (groups.forall(_._2.size <= 1)) return 0
+
+    def writeGroup(entries: Seq[LogEntry],
+        pv: Option[(String, Any)]): LogEntry = {
+      val outName = s"part-${UUID.randomUUID()}.tsv.gz"
+      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new GZIPOutputStream(
+          Files.newOutputStream(Paths.get(dir, outName))),
+        StandardCharsets.UTF_8))
+      var rows = 0L
+      // Rewrite every live row into the CURRENT column layout: a file
+      // written before an evolution has fewer cells, so its rows pad
+      // the later columns with the null sentinel. Files already in the
+      // current layout stream through unmodified.
+      try entries.foreach { e =>
+        val fileCols = if (e.cols.nonEmpty) e.cols else curCols
+        val remap: Option[Array[Int]] =
+          if (fileCols == curCols) None
+          else Some(curCols.map(fileCols.indexOf).toArray)
+        val in = GraftLogReaderFactory.openLines(dir, e.file)
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              val outLine = remap match {
+                case None => line
+                case Some(idx) =>
+                  val cells = line.split("\t", -1)
+                  idx.map(i => if (i < 0) NullCell else cells(i))
+                    .mkString("\t")
+              }
+              out.write(outLine); out.write("\n"); rows += 1
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+      } finally out.close()
+      val mergedStats =
+        if (entries.exists(_.stats.isEmpty))
+          Map.empty[String, (String, String)]
+        else {
+          val num = (s: String) => new java.math.BigDecimal(s)
+          schema.fields.collect {
+            case f if entries.forall(_.stats.contains(f.name)) =>
+              val mn = entries.map(_.stats(f.name)._1)
+                .reduce((a, b) =>
+                  if (num(a).compareTo(num(b)) <= 0) a else b)
+              val mx = entries.map(_.stats(f.name)._2)
+                .reduce((a, b) =>
+                  if (num(a).compareTo(num(b)) >= 0) a else b)
+              f.name -> (mn, mx)
+          }.toMap
+        }
+      val pvStat = pv.fold(Map.empty[String, (String, String)]) {
+        case (c, v) => Map(GraftLogPartValue.key(c) ->
+          GraftLogPartValue.encode(v))
+      }
+      LogEntry.add(-1L, outName, rows, mergedStats ++ pvStat,
+        dataChange = false, cols = curCols)
+    }
+
+    val fresh = groups.map { case (pv, es) => writeGroup(es, pv) }
     val v = nextVersion(dir)
     publish(dir, entries(dir) ++
-      live.map(e => LogEntry.remove(v, e.file)) :+
-      LogEntry.add(v, outName, rows, mergedStats, dataChange = false,
-        cols = curCols),
+      live.map(e => LogEntry.remove(v, e.file)) ++
+      fresh.map(_.copy(version = v)),
       schema)
     live.size
   }

@@ -712,6 +712,36 @@ class GraftLogSpec extends SparkSpec {
     }
   }
 
+  test("compaction on a partitioned table preserves the per-value layout") {
+    val dir = tmp()
+    // three appends x 4 values = 12 small per-value files
+    for (lo <- Seq(0L, 4000L, 8000L))
+      spark.range(lo, lo + 4000).selectExpr("id", "id % 4 AS k")
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "k").mode("append").save()
+    assert(graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .size == 12)
+    assert(graft.sources.GraftLog.compact(dir) == 12)
+    val live = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+    // one file per VALUE, each keeping its partition record — nightly
+    // compaction must not forfeit storage-partitioned joins
+    assert(live.size == 4)
+    assert(live.forall(e =>
+      graft.sources.GraftLogPartValue.of(e, "k").isDefined))
+    val t = readBack(dir)
+    assert(t.count() == 12000)
+    assert(t.agg(sum(col("id"))).head.getLong(0) == (0L until 12000L).sum)
+    val g = t.groupBy(col("k")).agg(sum(col("id")))
+    g.collect()
+    assert(g.queryExecution.executedPlan.toString.contains("partGroups=4"))
+    // per-value compaction is idempotent
+    assert(graft.sources.GraftLog.compact(dir) == 0)
+    // the change feed sees nothing across the compaction
+    assert(graft.sources.GraftLog.changedEntriesBetween(dir,
+      graft.sources.GraftLog.currentVersion(dir) - 1,
+      Long.MaxValue).isEmpty)
+  }
+
   test("SPJ with mismatched partition value sets stays correct") {
     val d1 = tmp(); val d2 = tmp()
     // t1 holds k = 0..7, t2 only k = 0..3 — Spark either aligns the
