@@ -723,6 +723,16 @@ object GraftLog {
     import org.apache.spark.sql.functions.col
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-log table not found at $dir"))
+    // An identity-partitioned table's layout is owned by the partition
+    // column: the partitioned write's clustered distribution would
+    // re-shuffle the Morton range layout away and silently produce
+    // per-value files instead of 2-D tiles. Reject rather than degrade
+    // (z-order the table before partitioning it, or choose one layout
+    // — the same restriction Delta places on partition columns).
+    require(partitionColOf(dir).isEmpty,
+      s"cannot OPTIMIZE ZORDER an identity-partitioned table " +
+        s"(partitioned by ${partitionColOf(dir).getOrElse("")}): the " +
+        "partition layout owns file placement")
     val live = entriesAsOf(dir, Long.MaxValue)
     if (live.isEmpty) return 0
     val replacement = spark.read.format("graft.sources.GraftLogSource")

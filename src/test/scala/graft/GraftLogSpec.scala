@@ -742,6 +742,17 @@ class GraftLogSpec extends SparkSpec {
       Long.MaxValue).isEmpty)
   }
 
+  test("OPTIMIZE ZORDER rejects identity-partitioned tables loudly") {
+    val dir = tmp()
+    spark.range(0, 100).selectExpr("id", "id % 4 AS k")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    val e = intercept[Exception] {
+      graft.sources.GraftLog.optimizeZorder(spark, dir, "id", "k")
+    }
+    assert(e.getMessage.contains("partition layout owns"))
+  }
+
   test("SPJ with mismatched partition value sets stays correct") {
     val d1 = tmp(); val d2 = tmp()
     // t1 holds k = 0..7, t2 only k = 0..3 — Spark either aligns the
