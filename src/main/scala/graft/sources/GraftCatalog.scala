@@ -130,6 +130,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // a VIEW with this name would shadow the new table at read time
+    // (view resolution substitutes before table lookup) — reject the
+    // collision at creation, the same contract createView enforces in
+    // the other direction
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     // `PARTITIONED BY (col)` — identity transforms only: the value-
     // routed writer, manifest partition records, and KeyGrouped scan
     // reporting (storage-partitioned joins) all key on one column.

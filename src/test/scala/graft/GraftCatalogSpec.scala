@@ -412,6 +412,19 @@ class GraftCatalogSpec extends SparkSpec {
       assert(!spark.sql("SHOW VIEWS IN graftcat.dbv")
         .select("viewName").collect().map(_.getString(0))
         .contains("evens2"))
+      // name-space collision contract: a table cannot take a view's
+      // name (the view would shadow it), nor a view a table's
+      spark.sql("""CREATE VIEW graftcat.dbv.taken AS
+        SELECT id FROM graftcat.dbv.base""")
+      val e1 = intercept[Exception] {
+        spark.sql("CREATE TABLE graftcat.dbv.taken (id BIGINT)")
+      }
+      assert(e1.getMessage.contains("taken"))
+      val e2 = intercept[Exception] {
+        spark.sql("""CREATE VIEW graftcat.dbv.base AS
+          SELECT 1 AS one""")
+      }
+      assert(e2.getMessage.contains("base"))
     }
   }
 
