@@ -742,6 +742,60 @@ class GraftLogSpec extends SparkSpec {
       Long.MaxValue).isEmpty)
   }
 
+  test("streaming writes route per partition value too") {
+    val src = tmp(); val dst = tmp(); val ckpt = tmp()
+    spark.range(0, 1200).selectExpr("id", "id % 3 AS k").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val q = spark.readStream.format(Fmt).option("path", src).load()
+      .writeStream.format(Fmt)
+      .option("path", dst).option("partitionCol", "k")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val live = graft.sources.GraftLog.entriesAsOf(dst, Long.MaxValue)
+    assert(live.nonEmpty)
+    assert(live.forall(e =>
+      graft.sources.GraftLogPartValue.of(e, "k").isDefined),
+      "streaming epoch commits must carry partition records")
+    assert(live.map(e =>
+      graft.sources.GraftLogPartValue.of(e, "k").get).toSet ==
+      Set(0L, 1L, 2L))
+    assert(readBack(dst).count() == 1200)
+  }
+
+  test("SQL UPDATE on a partitioned table keeps the layout and SPJ") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-spj-upd-wh").toString
+    spark.conf.set("spark.sql.catalog.graftpu", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftpu.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftpu.db")
+    spark.sql("""CREATE TABLE graftpu.db.t (id BIGINT, k BIGINT,
+      v BIGINT) PARTITIONED BY (k)""")
+    spark.sql(
+      "INSERT INTO graftpu.db.t SELECT id, id % 4, id FROM range(2000)")
+    val dir = s"$wh/db/t"
+    // the COW rewrite routes per value: the rewritten files keep their
+    // partition records and grouping stays intact
+    spark.sql("UPDATE graftpu.db.t SET v = -v WHERE k = 2")
+    def readBack(d: String) = spark.read.format(Fmt)
+      .option("path", d).load()
+    val live = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.forall(e =>
+      graft.sources.GraftLogPartValue.of(e, "k").isDefined),
+      "COW update must preserve partition records")
+    val t = readBack(dir)
+    assert(t.count() == 2000)
+    assert(t.filter(col("k") === 2).agg(sum(col("v"))).head.getLong(0) ==
+      -(2L until 2000L by 4).sum)
+    assert(t.filter(col("k") === 1).agg(sum(col("v"))).head.getLong(0) ==
+      (1L until 2000L by 4).sum)
+    val g = t.groupBy(col("k")).agg(sum(col("id")))
+    g.collect()
+    assert(g.queryExecution.executedPlan.toString
+      .contains("partGroups=4"))
+  }
+
   test("OPTIMIZE ZORDER rejects identity-partitioned tables loudly") {
     val dir = tmp()
     spark.range(0, 100).selectExpr("id", "id % 4 AS k")
