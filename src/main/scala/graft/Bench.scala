@@ -53,7 +53,10 @@ object Bench {
       "sql_catalog_constraint", "sql_catalog_default",
       "sink_log_stream_cdc_apply",
       "sql_catalog_alter_add_col", "sql_catalog_restore",
-      "corpus_lakehouse_e2e", "sink_log_broadcast_join")
+      "corpus_lakehouse_e2e", "sink_log_broadcast_join",
+      // LM + DSIR model chains: ArtifactCache'd (r8 regression fix) —
+      // touching one query per pair builds the shared artifact here
+      "corpus_lm_score", "corpus_dsir_weights")
     val artifactBuild = time {
       artifactTouch.foreach(n => SparkEntry.queries.get(n).foreach(fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }))

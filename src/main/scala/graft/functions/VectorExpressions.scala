@@ -266,4 +266,10 @@ object GraftExtensions {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // storage-partitioned joins: deliberate session-wide (only
+      // affects scans reporting KeyGroupedPartitioning, i.e.
+      // partitioned graft-log tables) — set here, not ad hoc inside
+      // individual queries, so no query runs under an
+      // order-dependent planner conf
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
 }

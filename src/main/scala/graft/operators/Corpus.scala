@@ -68,7 +68,10 @@ object Corpus {
   private val phonePat = "[0-9]{3}-[0-9]{4}"
 
   /** Bigram language-model scoring (the CCNet-style perplexity quality
-    * signal), shared by corpus_lm_score and corpus_ccnet_buckets: train
+    * signal), shared by corpus_lm_score and corpus_ccnet_buckets —
+    * materialized ONCE per fixture through [[graft.core.ArtifactCache]]
+    * (the ingest-time-artifact convention; previously each query
+    * retrained the model from scratch, VERDICT r8 regression #2): train
     * add-1-smoothed bigram statistics on the corpus itself and score
     * every document by its average negative log-probability. Counts are
     * three partial-combined aggregates over ONE bigram explode; the
@@ -77,7 +80,12 @@ object Corpus {
     * every ln argument is an exact integer-valued double, and the
     * per-doc average is compared under the gate's 1e-6 tolerance (fp
     * summation order may differ). */
-  private def lmScored(s: SparkSession, d: String): DataFrame = {
+  private def lmScored(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "corpus_lm_scored") {
+      lmScoredBuild(s, d)
+    }
+
+  private def lmScoredBuild(s: SparkSession, d: String): DataFrame = {
     val tk = graft.core.Par.fanout(Tables.documents(s, d)
       .select(col("doc_id"), toksOf(col("text")).as("tk")))
     val vocab = tk.select(explode(col("tk")).as("tok"))
@@ -101,13 +109,21 @@ object Corpus {
   }
 
   /** DSIR scoring (Xie et al. 2023), shared by corpus_dsir_weights and
-    * corpus_dsir_resample: per document, the average bigram
+    * corpus_dsir_resample — materialized ONCE per fixture through
+    * [[graft.core.ArtifactCache]] like the LM model above (the
+    * four-model chain was the board's most expensive non-graph
+    * rebuild): per document, the average bigram
     * log-likelihood ratio of the target distribution (the English
     * subset) vs the raw corpus, both add-1 smoothed. One bigram explode
     * feeds all four count models (raw / target × bigram /
     * unigram-context); the dictionary-sized models join back on gram
     * keys — the corpus never re-scans. */
-  private def dsirScored(s: SparkSession, d: String): DataFrame = {
+  private def dsirScored(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "corpus_dsir_scored") {
+      dsirScoredBuild(s, d)
+    }
+
+  private def dsirScoredBuild(s: SparkSession, d: String): DataFrame = {
     val tk = graft.core.Par.fanout(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), toksOf(col("text")).as("tk")))
     val bigrams = tk.filter(size(col("tk")) >= 2)

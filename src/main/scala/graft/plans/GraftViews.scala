@@ -38,8 +38,10 @@ import graft.sources.GraftCatalog
   *    substitute recursively across fixed-point passes; a cyclic
   *    definition is caught by the analyzer's iteration limit.
   *
-  * View text should qualify table names with the catalog (the stored
-  * SQL is re-parsed in the reader's session context). */
+  * Unqualified table names in the view body resolve against the
+  * DEFINITION context (the creator's current catalog/namespace,
+  * persisted with the view and re-applied at substitution) — the same
+  * contract Spark's own View node and the Iceberg view spec honor. */
 case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftViews._
 
@@ -77,8 +79,17 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .exists(_.viewExists(identOf(u.multipartIdentifier))) =>
       val cat = catalogOf(spark, u.multipartIdentifier.head).get
       val v = cat.loadView(identOf(u.multipartIdentifier))
+      // Restore the DEFINITION context (Spark's View node / Iceberg
+      // view-spec contract): unqualified table names in the stored SQL
+      // must resolve against the catalog/namespace current at CREATE
+      // VIEW time, not whatever the reader's session happens to have —
+      // otherwise the same view can silently read a different
+      // same-named table. The persisted currentCatalog/currentNamespace
+      // qualify every under-qualified relation before substitution.
       SubqueryAlias(u.multipartIdentifier.last,
-        spark.sessionState.sqlParser.parsePlan(v.query()))
+        qualifyRelations(spark,
+          spark.sessionState.sqlParser.parsePlan(v.query()),
+          v.currentCatalog(), v.currentNamespace()))
   }
 }
 
@@ -87,7 +98,36 @@ object GraftViews {
     try spark.sessionState.catalogManager.catalog(name) match {
       case g: GraftCatalog => Some(g)
       case _ => None
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only: a missing catalog is "not ours", but an OOM or
+      // linkage error during plugin load must propagate, not masquerade
+      // as a resolution miss downstream
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** True iff `name` resolves to ANY registered catalog — used to
+    * decide whether a 2-part identifier's head is a catalog or a
+    * namespace in the definition catalog. */
+  private def isAnyCatalog(spark: SparkSession, name: String): Boolean =
+    try { spark.sessionState.catalogManager.catalog(name); true }
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Qualify under-qualified table references in a re-parsed view body
+    * with the view's persisted definition context: a 1-part name gets
+    * the stored catalog + namespace, a 2-part name whose head is not a
+    * registered catalog gets the stored catalog. Descends into subquery
+    * expressions so scalar/IN subqueries inside the view body resolve
+    * in the same context. */
+  def qualifyRelations(spark: SparkSession, plan: LogicalPlan,
+      cat: String, ns: Array[String]): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        r.copy(multipartIdentifier =
+          (cat +: ns :+ r.multipartIdentifier.head).toSeq)
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
+          !isAnyCatalog(spark, r.multipartIdentifier.head) =>
+        r.copy(multipartIdentifier = cat +: r.multipartIdentifier)
+    }
 
   /** `parts` = catalog.namespace....name — ours iff the head names a
     * registered GraftCatalog and there is at least ns + name. */

@@ -952,8 +952,10 @@ object Formats {
           .option("path", di).option("partitionCol", "k")
           .mode("overwrite").save()
       // storage-partitioned joins are gated by this conf (off by
-      // default for compatibility); it only affects scans that report
-      // KeyGroupedPartitioning, i.e. partitioned graft-log tables
+      // default for compatibility); the shared session builder sets it
+      // deliberately session-wide — this set only covers a session
+      // built elsewhere, and matches the builder value, so it never
+      // flips the conf mid-run
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       val fact = s.read.format("graft.sources.GraftLogSource")
         .option("path", fa).load()

@@ -153,11 +153,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val dir = tableDir(ident)
     dir.mkdirs()
-    // schema first (existence marker), then an empty version-0 manifest
-    Files.write(Paths.get(dir.getPath, GraftLog.SchemaFile),
+    // the schema file IS the existence marker; an empty table needs no
+    // commit (version -1, empty snapshot) — the first INSERT claims
+    // `_commit.0`
+    GraftLog.atomicWrite(Paths.get(dir.getPath, GraftLog.SchemaFile),
       schema.json.getBytes(StandardCharsets.UTF_8))
     partCol.foreach(GraftLog.setPartitionCol(dir.getPath, _))
-    GraftLog.publish(dir.getPath, Seq.empty, schema)
     new GraftLogTable(dir.getPath, schema)
   }
 
@@ -213,7 +214,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (_, other) => throw new UnsupportedOperationException(
         s"graft-log tables support only ADD COLUMN, got $other")
     }
-    Files.write(schemaFile(ident).toPath,
+    GraftLog.atomicWrite(schemaFile(ident).toPath,
       updated.json.getBytes(StandardCharsets.UTF_8))
     new GraftLogTable(dir, StructType(Nil))
   }
@@ -294,7 +295,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(c => enc(Option(c).getOrElse(""))).mkString(",")}") ++
       props.toSeq.sortBy(_._1).map { case (k, v) =>
         s"prop.${enc(k)}=${enc(v)}" }
-    Files.write(viewFile(ident).toPath,
+    // atomic publish, matching the manifest/schema path — a crash
+    // mid-write must not leave a truncated .view file
+    GraftLog.atomicWrite(viewFile(ident).toPath,
       lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
   }
 

@@ -161,6 +161,19 @@ object GraftLog {
   val EpochsFile = "_epochs"
   val PartitionFile = "_partition"
 
+  /** Temp-file + atomic-rename publish for every metadata file (schema,
+    * partition declaration, constraints, views) — the same contract the
+    * manifest swap honors: a crash mid-write can never leave a
+    * truncated metadata file that later fails to parse or silently
+    * drops state. */
+  def atomicWrite(path: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+    val tmp = path.resolveSibling(
+      s"${path.getFileName}.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Identity partition column of the table, if declared (via
     * `CREATE TABLE ... PARTITIONED BY (col)` or
     * `option("partitionCol", col)` on the first write). */
@@ -193,7 +206,7 @@ object GraftLog {
   private def writeConstraints(dir: String,
       cs: Seq[(String, String)]): Unit = {
     ensureDir(dir)
-    Files.write(Paths.get(dir, ConstraintsFile),
+    atomicWrite(Paths.get(dir, ConstraintsFile),
       cs.map { case (n, sql) =>
         s"$n=${java.util.Base64.getEncoder.encodeToString(
           sql.getBytes(StandardCharsets.UTF_8))}"
@@ -225,7 +238,7 @@ object GraftLog {
     require(allowChange || existing.forall(_ == col),
       s"table at $dir is already partitioned by ${existing.get}, " +
         s"cannot repartition by $col (overwrite the table to relayout)")
-    Files.write(Paths.get(dir, PartitionFile),
+    atomicWrite(Paths.get(dir, PartitionFile),
       col.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -290,16 +303,14 @@ object GraftLog {
   def publishEpoch(dir: String, epochId: Long, files: Seq[GraftLogCommit],
       schema: StructType): Unit = synchronized {
     if (!committedEpochs(dir).contains(epochId)) {
-      val v = nextVersion(dir)
       val merged =
         storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
-      // An empty epoch records its id (idempotence) but must NOT
-      // rewrite the manifest: a data-less publish would let the
-      // stamping pass touch a pre-ts legacy version.
+      // An empty epoch records its id (idempotence) but commits no
+      // version — a data-less commit would only pad the log.
       if (files.nonEmpty)
-        publish(dir, entries(dir) ++
+        commitNew(dir, merged)(v =>
           files.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
-            cols = c.cols)), merged)
+            cols = c.cols)))
       val tmp = Paths.get(dir, s"$EpochsFile.tmp.${UUID.randomUUID()}")
       Files.write(tmp, (committedEpochs(dir) + epochId).toSeq.sorted
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -321,34 +332,141 @@ object GraftLog {
 
   def ensureDir(dir: String): String = { new File(dir).mkdirs(); dir }
 
-  /** All manifest entries (adds and removes), oldest version first. */
-  def entries(dir: String): Seq[LogEntry] = {
+  // ---- log storage: commit files + checkpoints ---------------------
+  // The metadata plane is a sequence of per-version COMMIT files plus
+  // periodic reconciled CHECKPOINTS — the Delta/Iceberg shape,
+  // replacing the earlier single flat `_manifest` that was re-read and
+  // re-written in full on every operation (O(history) planning, and a
+  // read-modify-write race across processes):
+  //
+  //   _commit.<v>      that version's entries, one file per commit.
+  //                    CLAIMED with a hard-link CAS — link(2) fails
+  //                    EEXIST atomically, so of two PROCESSES racing
+  //                    version v exactly one wins and the loser
+  //                    retries at v+1; no commit can silently drop
+  //                    another (optimistic concurrency without
+  //                    conflict validation, the early-Delta level; a
+  //                    production deployment swaps the link CAS for a
+  //                    metastore compare-and-swap).
+  //   _checkpoint.<v>  the reconciled live `add` set as of v, written
+  //                    every [[CheckpointInterval]] commits (header
+  //                    line carries the running max commit stamp).
+  //                    Snapshot planning reads O(live + tail): the
+  //                    newest checkpoint at-or-below the target
+  //                    version plus the ≤interval commits after it —
+  //                    never the full history. Checkpoints are KEPT,
+  //                    so time travel to ANY version is also
+  //                    O(live + interval).
+  //   _manifest        the legacy flat file, read-only compatibility:
+  //                    parsed as the base segment below every commit
+  //                    file; new commits never rewrite it.
+
+  val CommitPrefix = "_commit."
+  val CheckpointPrefix = "_checkpoint."
+
+  /** Commits between reconciled checkpoints (Delta checkpoints every
+    * 10 commits for the same reason: bound the replay tail). */
+  val CheckpointInterval = 10
+
+  private def versionedName(prefix: String, v: Long): String =
+    f"$prefix$v%020d"
+
+  /** (version, file) pairs for a metadata prefix, version-ascending.
+    * Listing only — no file content is read here, which is what keeps
+    * [[currentVersion]] an O(1)-reads operation. */
+  private def listVersioned(dir: String,
+      prefix: String): Seq[(Long, File)] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) &&
+        !f.getName.contains(".tmp."))
+      .map(f => f.getName.substring(prefix.length).toLong -> f)
+      .sortBy(_._1).toSeq
+
+  private def readEntryLines(f: File): Seq[LogEntry] =
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(LogEntry.parse).toSeq
+
+  /** The legacy flat manifest, if present — the base history segment
+    * of a table written before the commit-file layout. */
+  private def legacyEntries(dir: String): Seq[LogEntry] = {
     val m = new File(dir, ManifestFile)
-    if (!m.exists()) Seq.empty
-    else new String(Files.readAllBytes(m.toPath), StandardCharsets.UTF_8)
-      .linesIterator.filter(_.nonEmpty).map(LogEntry.parse).toSeq
+    if (!m.exists()) Seq.empty else readEntryLines(m)
   }
+
+  private case class Checkpoint(version: Long, maxTs: Long,
+      live: Seq[LogEntry])
+
+  private def readCheckpoint(v: Long, f: File): Checkpoint = {
+    val text = new String(Files.readAllBytes(f.toPath),
+      StandardCharsets.UTF_8)
+    val lines = text.linesIterator.toSeq
+    // header: `#checkpoint v=<v> maxTs=<t>` — maxTs is the max commit
+    // stamp across ALL history at-or-below v (including entries the
+    // reconciliation dropped): the clamp base that keeps the
+    // version→timestamp map strictly monotone across checkpoints
+    val maxTs = lines.headOption.filter(_.startsWith("#checkpoint"))
+      .flatMap(_.split("maxTs=").lift(1)).map(_.trim.toLong)
+      .getOrElse(-1L)
+    Checkpoint(v, maxTs,
+      lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(LogEntry.parse))
+  }
+
+  /** FULL history (every add and remove, oldest version first) — the
+    * introspection path: `t$files`, `t$history`, TIMESTAMP-AS-OF
+    * resolution, vacuum's referenced set. Snapshot PLANNING never
+    * calls this; it goes through [[snapshotAsOf]]'s checkpoint+tail
+    * read. */
+  def entries(dir: String): Seq[LogEntry] =
+    legacyEntries(dir) ++ listVersioned(dir, CommitPrefix)
+      .flatMap { case (_, f) => readEntryLines(f) }
 
   /** Live data files at the current version (removes applied). */
   def committedFiles(dir: String): Seq[String] =
     entriesAsOf(dir, Long.MaxValue).map(_.file)
 
-  /** Live `add` entries visible at `version`: log replay in commit
+  /** A snapshot plan plus its read provenance — which checkpoint
+    * seeded it and how many segment files (legacy manifest + commit
+    * files) were parsed. GraftLogSpec asserts planning stays
+    * O(live + tail) once checkpoints exist, whatever the table's
+    * commit count. */
+  case class SnapshotPlan(entries: Seq[LogEntry],
+      checkpointVersion: Option[Long], segmentsRead: Int)
+
+  /** Live `add` entries visible at `version`: seed from the newest
+    * checkpoint at-or-below it, then replay the commit tail in version
     * order with the LATEST action per file winning — a compaction's
     * remove retires a file from newer snapshots (older ones keep
-    * seeing it), and a later re-add (RESTORE) resurrects it. This is
-    * the Delta/Iceberg reconciliation rule in miniature; a
-    * remove-is-forever shortcut would silently empty a restored
-    * snapshot. */
-  def entriesAsOf(dir: String, version: Long): Seq[LogEntry] = {
+    * seeing it), and a later re-add (RESTORE) resurrects it. The
+    * Delta/Iceberg reconciliation rule; a remove-is-forever shortcut
+    * would silently empty a restored snapshot. */
+  def snapshotAsOf(dir: String, version: Long): SnapshotPlan = {
+    val ckpt = listVersioned(dir, CheckpointPrefix)
+      .filter(_._1 <= version).lastOption
+      .map { case (v, f) => readCheckpoint(v, f) }
     val latest =
       scala.collection.mutable.LinkedHashMap.empty[String, LogEntry]
-    // the manifest appends in commit order, so iteration order IS
-    // version order
-    entries(dir).filter(_.version <= version)
-      .foreach(e => latest(e.file) = e)
-    latest.valuesIterator.filter(_.isAdd).toSeq
+    ckpt.foreach(_.live.foreach(e => latest(e.file) = e))
+    val floor = ckpt.map(_.version).getOrElse(-1L)
+    var segs = 0
+    if (ckpt.isEmpty) {
+      val leg = legacyEntries(dir)
+      if (leg.nonEmpty) segs += 1
+      leg.filter(_.version <= version).foreach(e => latest(e.file) = e)
+    }
+    listVersioned(dir, CommitPrefix)
+      .filter { case (v, _) => v > floor && v <= version }
+      .foreach { case (_, f) =>
+        segs += 1
+        readEntryLines(f).foreach(e => latest(e.file) = e)
+      }
+    SnapshotPlan(latest.valuesIterator.filter(_.isAdd).toSeq,
+      ckpt.map(_.version), segs)
   }
+
+  def entriesAsOf(dir: String, version: Long): Seq[LogEntry] =
+    snapshotAsOf(dir, version).entries
 
   def filesAsOf(dir: String, version: Long): Seq[String] =
     entriesAsOf(dir, version).map(_.file)
@@ -356,18 +474,143 @@ object GraftLog {
   /** Change data feed on an append-only table: the data-changing files
     * committed AFTER `fromVersion` (exclusive) up to `toVersion`
     * (inclusive) ARE the delta — an incremental consumer reads exactly
-    * the new rows, never rescanning history. Compaction adds carry
-    * dataChange=false and are excluded (same rows, new layout), so a
-    * feed spanning a compaction never double-counts. */
+    * the new rows, never rescanning history. Only the commit files in
+    * the span are opened (O(span), not O(history) — what keeps a
+    * streaming source's per-batch planning bounded by the append
+    * rate). Compaction adds carry dataChange=false and are excluded
+    * (same rows, new layout), so a feed spanning a compaction never
+    * double-counts. */
   def changedEntriesBetween(dir: String, fromVersion: Long,
-      toVersion: Long): Seq[LogEntry] =
-    entries(dir).filter(e => e.isAdd && e.dataChange &&
+      toVersion: Long): Seq[LogEntry] = {
+    val leg = legacyEntries(dir).filter(e =>
       e.version > fromVersion && e.version <= toVersion)
+    val tail = listVersioned(dir, CommitPrefix)
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .flatMap { case (_, f) => readEntryLines(f) }
+    (leg ++ tail).filter(e => e.isAdd && e.dataChange)
+  }
 
-  def currentVersion(dir: String): Long =
-    entries(dir).map(_.version).maxOption.getOrElse(-1L)
+  /** Newest committed version — filename listing only for commit-file
+    * tables; a legacy flat manifest is parsed only when no commit
+    * file supersedes it. */
+  def currentVersion(dir: String): Long = {
+    val cv = listVersioned(dir, CommitPrefix).lastOption
+      .map(_._1).getOrElse(-1L)
+    val kv = listVersioned(dir, CheckpointPrefix).lastOption
+      .map(_._1).getOrElse(-1L)
+    val lv = if (cv < 0 && kv < 0)
+      legacyEntries(dir).map(_.version).maxOption.getOrElse(-1L)
+    else -1L
+    math.max(math.max(cv, kv), lv)
+  }
 
   def nextVersion(dir: String): Long = currentVersion(dir) + 1
+
+  /** Max commit stamp across all known history — the clamp base that
+    * keeps version→timestamp strictly monotone. O(tail): the latest
+    * checkpoint's header covers everything at-or-below it. */
+  private def maxTsKnown(dir: String): Long = {
+    val ckpt = listVersioned(dir, CheckpointPrefix).lastOption
+    val floor = ckpt.map(_._1).getOrElse(-1L)
+    val base = ckpt.map { case (v, f) => readCheckpoint(v, f).maxTs }
+    val tailTs = listVersioned(dir, CommitPrefix)
+      .filter(_._1 > floor)
+      .flatMap { case (_, f) => readEntryLines(f) }.map(_.ts)
+    val legTs = if (ckpt.isEmpty) legacyEntries(dir).map(_.ts)
+      else Seq.empty
+    (base.toSeq ++ tailTs ++ legTs).maxOption.getOrElse(-1L)
+  }
+
+  /** Optimistic cross-process commit: serialize the next version's
+    * entries to a temp file and CLAIM `_commit.<v>` with a hard link —
+    * link(2) fails EEXIST atomically, so two processes racing the same
+    * version cannot drop each other's commit; the loser re-reads the
+    * log head and retries at the next version. Unstamped entries get
+    * the commit wall-clock, clamped strictly above every known stamp
+    * (`TIMESTAMP AS OF` resolves unambiguously even when two commits
+    * land in one millisecond). Same-JVM writers also serialize on the
+    * object lock — cheaper than churning the retry loop. Every
+    * [[CheckpointInterval]]-th commit also writes a reconciled
+    * checkpoint. Returns the committed version. */
+  def commitNew(dir: String, schema: StructType)(
+      mk: Long => Seq[LogEntry]): Long = synchronized {
+    commitNewUnlocked(dir, schema)(mk)
+  }
+
+  /** The lock-free body — `private[graft]` so the concurrency spec can
+    * drive two racing committers through the file CAS alone. `mk`
+    * may be invoked more than once (once per claimed version). */
+  private[graft] def commitNewUnlocked(dir: String, schema: StructType)(
+      mk: Long => Seq[LogEntry]): Long = {
+    ensureDir(dir)
+    atomicWrite(Paths.get(dir, SchemaFile),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    var attempts = 0
+    while (attempts < 64) {
+      val v = currentVersion(dir) + 1
+      // an empty entry list is legal exactly once: the version-0
+      // commit of a truncate-to-empty (overwrite with zero rows)
+      val es = mk(v)
+      val now = math.max(System.currentTimeMillis(), maxTsKnown(dir) + 1)
+      val stamped = es.map(e => if (e.ts < 0) e.copy(ts = now) else e)
+      val tmp = Paths.get(dir,
+        s"$CommitPrefix$v.tmp.${UUID.randomUUID()}")
+      Files.write(tmp, stamped.map(_.serialize).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(
+          Paths.get(dir, versionedName(CommitPrefix, v)), tmp)
+        Files.delete(tmp)
+        maybeCheckpoint(dir, v)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // another writer claimed v first — its commit stands; retry
+          Files.delete(tmp)
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"graft-log commit to $dir lost the version race $attempts times")
+  }
+
+  private def maybeCheckpoint(dir: String, v: Long): Unit = {
+    val last = listVersioned(dir, CheckpointPrefix).lastOption
+      .map(_._1).getOrElse(-1L)
+    if (v - last >= CheckpointInterval) writeCheckpoint(dir, v)
+  }
+
+  /** Reconciled snapshot checkpoint at `v`: the live add set (original
+    * versions and stamps preserved) under a max-stamp header.
+    * Idempotent — deterministic content, atomic replace — so two
+    * processes checkpointing the same version is harmless. */
+  def writeCheckpoint(dir: String, v: Long): Unit = {
+    val live = entriesAsOf(dir, v)
+    val content = (s"#checkpoint v=$v maxTs=${maxTsKnown(dir)}" +:
+      live.map(_.serialize)).mkString("\n")
+    atomicWrite(Paths.get(dir, versionedName(CheckpointPrefix, v)),
+      content.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** CREATE TABLE: persist the schema — the table-existence marker.
+    * An empty table needs no commit (version -1, empty snapshot). */
+  def create(dir: String, schema: StructType): Unit = {
+    ensureDir(dir)
+    atomicWrite(Paths.get(dir, SchemaFile),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Overwrite semantics: a truncate resets the table to a NEW lineage
+    * (version 0) — all commit files, checkpoints, and any legacy
+    * manifest are retired. */
+  private def resetLineage(dir: String): Unit = {
+    ensureDir(dir)
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(CommitPrefix) ||
+        f.getName.startsWith(CheckpointPrefix) ||
+        f.getName == ManifestFile)
+      .foreach(_.delete())
+  }
 
   /** Vacuum: delete unreferenced part files — orphans from
     * failed/aborted jobs (invisible to readers, but they hold space).
@@ -489,11 +732,9 @@ object GraftLog {
     }
 
     val fresh = groups.map { case (pv, es) => writeGroup(es, pv) }
-    val v = nextVersion(dir)
-    publish(dir, entries(dir) ++
+    commitNew(dir, schema)(v =>
       live.map(e => LogEntry.remove(v, e.file)) ++
-      fresh.map(_.copy(version = v)),
-      schema)
+        fresh.map(_.copy(version = v)))
     live.size
   }
 
@@ -649,11 +890,9 @@ object GraftLog {
     // unconditional delete: retire every live file in one metadata
     // commit, no rewrite needed.
     if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
-      if (live.nonEmpty) synchronized {
-        val v = nextVersion(dir)
-        publish(dir, entries(dir) ++
-          live.map(e => LogEntry.remove(v, e.file)), schema)
-      }
+      if (live.nonEmpty)
+        commitNew(dir, schema)(v =>
+          live.map(e => LogEntry.remove(v, e.file)))
       return (live.size, live.size)
     }
     val affected = live.filter(e =>
@@ -769,76 +1008,32 @@ object GraftLog {
     fresh.foreach { e =>
       Files.move(Paths.get(scratch, e.file), Paths.get(dir, e.file))
     }
-    synchronized {
-      val v = nextVersion(dir)
-      publish(dir, entries(dir) ++
-        old.map(e => LogEntry.remove(v, e.file)) ++
+    commitNew(dir, storedSchema(dir).getOrElse(schema))(v =>
+      old.map(e => LogEntry.remove(v, e.file)) ++
         fresh.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
-          dataChange = dataChange, cols = e.cols)),
-        storedSchema(dir).getOrElse(schema))
-    }
+          dataChange = dataChange, cols = e.cols)))
     Option(new File(scratch).listFiles()).getOrElse(Array.empty)
       .foreach(_.delete())
     new File(scratch).delete()
   }
 
-  /** Locked batch commit: read-modify-write of the manifest under the
-    * same lock `publishEpoch` holds, so two concurrent same-JVM appends
-    * to one table serialize instead of the second publish silently
-    * dropping the first commit's files. (Cross-process writers need an
-    * external lock or metastore CAS — single-writer-per-table is this
-    * demo format's documented contract, as in early Delta.) */
+  /** Batch commit. Truncate resets history to a NEW lineage (version
+    * 0) — overwrite is a new table, not an addendum. An append with
+    * extra columns evolves the stored schema additively
+    * ([[mergeSchemas]]); each entry records its file's own column list
+    * so readers decode every vintage. An empty non-truncating append
+    * is a no-op; a truncate with zero files is a legitimate empty
+    * table (empty version-0 commit). */
   def append(dir: String, fresh: Seq[GraftLogCommit], schema: StructType,
       truncate: Boolean): Unit = synchronized {
-    // Truncate resets history to version 0 — overwrite is a new table
-    // lineage, not an addendum. An append with extra columns evolves
-    // the stored schema additively (mergeSchemas); each entry records
-    // its file's own column list so readers decode every vintage.
-    // An empty non-truncating append is a no-op: republishing the
-    // unchanged entry list would only invite the stamping pass to
-    // touch legacy history (truncate with zero files is a legitimate
-    // empty table and still publishes).
     if (fresh.isEmpty && !truncate) return
-    val base = if (truncate) Seq.empty else entries(dir)
-    val v = if (truncate) 0L else nextVersion(dir)
     val merged = if (truncate) schema
       else storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
-    publish(dir, base ++
+    if (truncate) resetLineage(dir)
+    commitNew(dir, merged)(v =>
       fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
-        cols = c.cols)), merged)
+        cols = c.cols)))
   }
-
-  /** Atomic manifest swap: temp write + rename. The directory is the
-    * unit of locking (single-writer per table, as in a metastore CAS).
-    * Unstamped entries (ts = -1: this commit's additions) get the
-    * commit wall-clock here, clamped strictly above every existing
-    * stamp so the version→timestamp map stays monotone even when two
-    * commits land in one millisecond — `TIMESTAMP AS OF` then resolves
-    * unambiguously. */
-  def publish(dir: String, all: Seq[LogEntry],
-      schema: StructType): Unit =
-    synchronized {
-      ensureDir(dir)
-      Files.write(Paths.get(dir, SchemaFile),
-        schema.json.getBytes(StandardCharsets.UTF_8))
-      val maxExisting = all.map(_.ts).maxOption.getOrElse(-1L)
-      val now = math.max(System.currentTimeMillis(), maxExisting + 1)
-      // Stamp ONLY this commit's entries (unstamped at the HIGHEST
-      // version). An unstamped entry at an older version is pre-ts
-      // legacy history whose true commit time is unknown — it keeps
-      // ts = -1 (reads as "older than every stamped commit") rather
-      // than being falsely backdated to this commit's wall-clock.
-      val newVersion = all.filter(_.ts < 0).map(_.version).maxOption
-      val stamped = all.map(e =>
-        if (e.ts < 0 && newVersion.contains(e.version)) e.copy(ts = now)
-        else e)
-      val tmp = Paths.get(dir, s"$ManifestFile.tmp.${UUID.randomUUID()}")
-      Files.write(tmp, stamped.map(_.serialize).mkString("\n")
-        .getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(dir, ManifestFile),
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-    }
 
   /** Commit timestamp of each version: the (shared) stamp its entries
     * carry. Oldest version first. */
@@ -877,18 +1072,15 @@ object GraftLog {
       require(new File(dir, e.file).exists(),
         s"cannot restore to version $toVersion: ${e.file} was vacuumed")
     }
-    val v = nextVersion(dir)
-    val removes = cur.filterNot(e => tgtSet(e.file))
-      .map(e => LogEntry.remove(v, e.file))
-    val readds = target.filterNot(e => curSet(e.file))
-      .map(e => LogEntry.add(v, e.file, e.rows, e.stats,
-        dataChange = true, cols = e.cols))
-    // restoring to the current state publishes nothing (a data-less
-    // commit would let the stamping pass touch legacy history)
-    if (removes.nonEmpty || readds.nonEmpty)
-      publish(dir, entries(dir) ++ removes ++ readds,
-        storedSchema(dir).getOrElse(StructType(Nil)))
-    (removes.size, readds.size)
+    val toRemove = cur.filterNot(e => tgtSet(e.file))
+    val toReadd = target.filterNot(e => curSet(e.file))
+    // restoring to the current state commits nothing
+    if (toRemove.nonEmpty || toReadd.nonEmpty)
+      commitNew(dir, storedSchema(dir).getOrElse(StructType(Nil)))(v =>
+        toRemove.map(e => LogEntry.remove(v, e.file)) ++
+          toReadd.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
+            dataChange = true, cols = e.cols)))
+    (toRemove.size, toReadd.size)
   }
 
   /** Atomic copy-on-write group replace — the commit shape of a SQL
@@ -905,13 +1097,12 @@ object GraftLog {
     val (kept, empty) = fresh.partition(_.rows > 0L)
     empty.foreach(c => new File(dir, c.file).delete())
     if (retired.isEmpty && kept.isEmpty) return
-    val v = nextVersion(dir)
     val merged =
       storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
-    publish(dir, entries(dir) ++
+    commitNew(dir, merged)(v =>
       retired.map(f => LogEntry.remove(v, f)) ++
-      kept.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
-        cols = c.cols)), merged)
+        kept.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
+          cols = c.cols)))
   }
 }
 
@@ -1012,10 +1203,19 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     new GraftLogScanBuilder(dir, schema(), hi, lo, pick, maxV)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // A write to a partitioned table MUST carry the partition column:
+    // silently dropping it would commit record-less files that disable
+    // KeyGrouped scan grouping for the whole table (and the next
+    // compaction would then merge every partition into one file).
+    // Loud at plan time, like the append-redeclaration check below.
+    partitionCol.foreach(c =>
+      require(info.schema().fieldNames.contains(c),
+        s"write to table at $dir partitioned by $c must include the " +
+          s"partition column (got ${info.schema().fieldNames.mkString(", ")})"))
     new GraftLogWriteBuilder(dir, info.schema(), truncate = false,
-      partitionCol = partitionCol.filter(
-        info.schema().fieldNames.contains))
+      partitionCol = partitionCol)
+  }
 }
 
 /** Group-based copy-on-write row-level operation [EXT] — what Spark's
@@ -1756,7 +1956,7 @@ class GraftLogScan(dir: String, tableSchema: StructType,
         planned.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(tableSchema, required)
+    new GraftLogReaderFactory(tableSchema, required, columnar = true)
   // Streaming read: the version log doubles as the stream's offset
   // axis. `changesFromVersion` (when set) seeds the stream past
   // history, the Delta `startingVersion` option.
@@ -2155,8 +2355,147 @@ case class GraftLogHistoryPartition(rows: Seq[Array[Any]])
 case class GraftLogFilesPartition(entries: Seq[LogEntry])
     extends InputPartition
 
-class GraftLogReaderFactory(tableSchema: StructType, required: StructType)
+class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** (dir, chained files with their own column layouts) of a planned
+    * input partition — one file, or a partition-value group read
+    * through one reader. */
+  private def filesOf(
+      p: InputPartition): (String, Seq[(String, Seq[String])]) = p match {
+    case part: GraftLogPartition => (part.dir, Seq((part.file, part.cols)))
+    case g: GraftLogGroupPartition => (g.dir, g.files)
+    case other => throw new IllegalArgumentException(
+      s"unexpected partition $other")
+  }
+
+  /** Projection map: required field → cell index in THIS FILE's line
+    * layout (the entry's own column list; pre-evolution entries carry
+    * the full table schema). -1 = the column post-dates the file: its
+    * rows read NULL, the schema-evolution contract. -2 = the `_file`
+    * metadata column: served from the partition, never parsed. */
+  private def cellIndexOf(partCols: Seq[String]): (Array[Int], Int) = {
+    val fileCols: Seq[String] =
+      if (partCols.nonEmpty) partCols else tableSchema.fieldNames.toSeq
+    (required.fields.map(f =>
+      if (f.name == "_file" && !fileCols.contains("_file")) -2
+      else fileCols.indexOf(f.name)), fileCols.length)
+  }
+
+  /** Vectorized read path — the contract Parquet's vectorized reader
+    * honors and the repo's own SeriesSource demonstrates: rows
+    * materialize 4096 at a time into `OnHeapColumnVector`s and reach
+    * the engine as ColumnarBatch (the plan shows BatchScan →
+    * ColumnarToRow), so whole-stage codegen consumes columns without
+    * per-row iterator/GenericInternalRow overhead. Decoding walks tab
+    * positions in place and materializes ONLY projected cells — column
+    * pruning skips both the parse and the allocation. Batch reads only;
+    * the row reader below serves streaming and the API fallback. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[
+      org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+    val (dir, files) = filesOf(p)
+    // per-field decode tag bound once: 0=long 1=int 2=double 3=string
+    val tag: Array[Int] = required.fields.map(_.dataType match {
+      case LongType => 0
+      case IntegerType => 1
+      case DoubleType => 2
+      case StringType => 3
+      case other => throw new IllegalArgumentException(
+        s"graft-log does not decode $other")
+    })
+    val BatchRows = 4096
+    new PartitionReader[ColumnarBatch] {
+      private var fi = 0
+      private var in: BufferedReader = _
+      private var idx: Array[Int] = _
+      private var nameBytes: Array[Byte] = _
+      private var bounds: Array[Int] = new Array[Int](2)
+      private var nCells = 0
+      private var batch: ColumnarBatch = _
+
+      private def openNext(): Boolean = {
+        if (fi >= files.size) return false
+        val (f, cols) = files(fi); fi += 1
+        in = GraftLogReaderFactory.openLines(dir, f)
+        val (ix, nc) = cellIndexOf(cols)
+        idx = ix; nCells = math.max(nc, 1)
+        if (bounds.length < nCells + 2)
+          bounds = new Array[Int](nCells + 2)
+        nameBytes = f.getBytes(StandardCharsets.UTF_8)
+        true
+      }
+
+      /** Next non-empty line across the chained files; null = done.
+        * `idx`/`nameBytes` always describe the line just returned. */
+      private def readLineChained(): String = {
+        while (true) {
+          if (in == null && !openNext()) return null
+          val l = in.readLine()
+          if (l == null) { in.close(); in = null }
+          else if (l.nonEmpty) return l
+        }
+        null // unreachable
+      }
+
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        var line = readLineChained()
+        if (line == null) return false
+        val vecs = required.fields.map(f =>
+          new OnHeapColumnVector(BatchRows, f.dataType))
+        var r = 0
+        while (r < BatchRows && line != null) {
+          // tab walk: cell ci spans (bounds(ci), bounds(ci+1))
+          var nt = 0; var i = 0
+          bounds(0) = -1
+          val len = line.length
+          while (i < len && nt < nCells) {
+            if (line.charAt(i) == '\t') { nt += 1; bounds(nt) = i }
+            i += 1
+          }
+          bounds(nt + 1) = len
+          val cellCount = nt + 1
+          var j = 0
+          while (j < tag.length) {
+            val ci = idx(j)
+            if (ci == -2) vecs(j).putByteArray(r, nameBytes)
+            else if (ci < 0 || ci >= cellCount) vecs(j).putNull(r)
+            else {
+              val s = bounds(ci) + 1; val e = bounds(ci + 1)
+              if (e - s == 1 && line.charAt(s) == '\u0000')
+                vecs(j).putNull(r) // the null sentinel cell
+              else tag(j) match {
+                case 0 => vecs(j).putLong(r,
+                  java.lang.Long.parseLong(line, s, e, 10))
+                case 1 => vecs(j).putInt(r,
+                  java.lang.Integer.parseInt(line, s, e, 10))
+                case 2 => vecs(j).putDouble(r,
+                  java.lang.Double.parseDouble(line.substring(s, e)))
+                case _ => vecs(j).putByteArray(r,
+                  line.substring(s, e).getBytes(StandardCharsets.UTF_8))
+              }
+            }
+            j += 1
+          }
+          r += 1
+          if (r < BatchRows) line = readLineChained()
+        }
+        batch = new ColumnarBatch(vecs.toArray[ColumnVector], r)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = {
+        if (batch != null) { batch.close(); batch = null }
+        if (in != null) { in.close(); in = null }
+      }
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case part: GraftLogPartition =>

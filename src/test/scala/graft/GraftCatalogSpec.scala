@@ -499,4 +499,71 @@ class GraftCatalogSpec extends SparkSpec {
       assert(r.getLong(1) == all.filterNot(_ % 7 == 3).sum)
     }
   }
+
+  test("views resolve unqualified names in their DEFINITION context") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.defctx")
+      spark.sql("CREATE TABLE graftcat.defctx.src (id BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.defctx.src SELECT id FROM range(7)")
+      // a session-catalog temp view with the SAME bare name — the trap:
+      // if the stored view re-resolved in the READER's context, `src`
+      // would silently bind to this 1-row decoy instead of the
+      // definition-time table
+      spark.range(1).selectExpr("id + 1000 AS id")
+        .createOrReplaceTempView("src")
+      val prevCat = spark.catalog.currentCatalog()
+      val prevDb = spark.catalog.currentDatabase
+      try {
+        // define the view with graftcat.defctx CURRENT, body unqualified
+        spark.sql("USE graftcat.defctx")
+        spark.sql(
+          "CREATE VIEW graftcat.defctx.v AS SELECT COUNT(*) AS n FROM src")
+        // read it back from a DIFFERENT current context
+        spark.sql(s"USE $prevCat.$prevDb")
+        assert(spark.sql("SELECT n FROM graftcat.defctx.v")
+          .head.getLong(0) == 7,
+          "view body must resolve `src` against the definition " +
+            "catalog/namespace, not the reader's current context")
+      } finally {
+        spark.sql(s"USE $prevCat.$prevDb")
+        spark.catalog.dropTempView("src")
+      }
+    }
+  }
+
+  test("partition-column-less append can never commit record-less files") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db7")
+      spark.sql("""CREATE TABLE graftcat.db7.p (id BIGINT, k BIGINT)
+        PARTITIONED BY (k)""")
+      spark.sql(
+        "INSERT INTO graftcat.db7.p SELECT id, id % 4 FROM range(40)")
+      val dir = s"$wh/db7/p"
+      // an append whose FRAME omits the partition column: Spark's
+      // output resolution pads the nullable column before the write
+      // builder sees the schema, so the rows route to the NULL
+      // partition WITH a partition record — and the plan-time guard in
+      // newWriteBuilder rejects any path that would reach the writer
+      // without the column. Either way, no record-less file can commit.
+      spark.range(5).selectExpr("id")
+        .write.format("graft.sources.GraftLogSource")
+        .option("path", dir).mode("append").save()
+      assert(spark.table("graftcat.db7.p").count() == 45)
+      // EVERY live file carries its partition record — the invariant
+      // KeyGrouped scan grouping depends on
+      val live = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+      assert(live.nonEmpty && live.forall(e =>
+        graft.sources.GraftLogPartValue.of(e, "k").isDefined),
+        s"a live file lost its partition record: $live")
+      // and the scan still groups by partition value (NULL is a group)
+      val plan = spark.table("graftcat.db7.p")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("graft_log"), plan)
+      val scanDesc = spark.table("graftcat.db7.p")
+        .queryExecution.executedPlan.collectLeaves().mkString
+      assert(scanDesc.contains("partGroups="),
+        s"partition grouping disabled: $scanDesc")
+    }
+  }
 }

@@ -623,13 +623,17 @@ class GraftLogSpec extends SparkSpec {
     val dir = tmp()
     series(50).coalesce(1)
       .write.format(Fmt).option("path", dir).mode("append").save()
-    // rewrite the manifest as a pre-ts 7-field vintage
+    // demote the commit file to a pre-ts 7-field flat `_manifest` —
+    // a genuine legacy-vintage table (flat manifest, no commit files)
+    val cPath = java.nio.file.Paths.get(dir,
+      f"_commit.${0L}%020d")
     val mPath = java.nio.file.Paths.get(dir, "_manifest")
-    val legacy = new String(java.nio.file.Files.readAllBytes(mPath))
+    val legacy = new String(java.nio.file.Files.readAllBytes(cPath))
       .linesIterator.map { l =>
         val f = l.split("\t", -1); f.take(7).mkString("\t")
       }.mkString("\n")
     java.nio.file.Files.write(mPath, legacy.getBytes)
+    java.nio.file.Files.delete(cPath)
     assert(graft.sources.GraftLog.versionTimestamps(dir)
       .forall(_._2 == -1L))
     // a new append stamps ITSELF, not the legacy version
@@ -910,5 +914,83 @@ class GraftLogSpec extends SparkSpec {
     assert(g.queryExecution.executedPlan.toString
       .contains(s"partGroups=${live.map(e =>
         graft.sources.GraftLogPartValue.of(e, "k").get).distinct.size}"))
+  }
+
+  test("checkpointed log plans O(live + tail) across 100+ commits") {
+    import graft.sources.{GraftLog, LogEntry}
+    val dir = tmp()
+    // three real data commits (versions 0-2), then a long metadata
+    // churn: 110 add+remove commit pairs of phantom files — the
+    // unbounded-history shape a streaming sink's per-epoch commits
+    // produce. Planning must NOT pay for that history.
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    series(50).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    series(25).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val schema = readBack(dir).schema
+    (0 until 110).foreach { i =>
+      GraftLog.commitNew(dir, schema)(v =>
+        Seq(LogEntry.add(v, s"phantom-$i", 0L, Map.empty)))
+      GraftLog.commitNew(dir, schema)(v =>
+        Seq(LogEntry.remove(v, s"phantom-$i")))
+    }
+    assert(GraftLog.currentVersion(dir) == 222L)
+    val plan = GraftLog.snapshotAsOf(dir, Long.MaxValue)
+    assert(plan.checkpointVersion.isDefined,
+      "223 commits must have produced a checkpoint")
+    assert(plan.segmentsRead <= GraftLog.CheckpointInterval,
+      s"planning read ${plan.segmentsRead} log segments — " +
+        "O(history), not O(live + tail)")
+    assert(plan.entries.map(_.rows).sum == 175L)
+    assert(readBack(dir).count() == 175)
+    // time travel BELOW the first checkpoint still replays correctly
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "1").load().count() == 150)
+    // ... and to a mid-history version above one checkpoint but below
+    // the newest (checkpoints are KEPT, so this is also O(live+tail))
+    val mid = GraftLog.snapshotAsOf(dir, 100L)
+    assert(mid.checkpointVersion.exists(_ <= 100L))
+    assert(mid.segmentsRead <= GraftLog.CheckpointInterval)
+    assert(mid.entries.map(_.rows).sum == 175L)
+  }
+
+  test("two cross-process committers racing one version both survive") {
+    import graft.sources.{GraftLog, LogEntry}
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val dir = tmp()
+    series(10).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val schema = readBack(dir).schema
+    // Both committers read the log head BEFORE either claims the
+    // version (the latch releases only when both are inside mk), so
+    // both attempt `_commit.1` — the hard-link CAS lets exactly one
+    // win and the loser must retry at version 2, not silently drop.
+    // commitNewUnlocked bypasses the JVM object lock: this is the
+    // separate-process code path.
+    val latch = new CountDownLatch(2)
+    def committer(tag: String): Thread = {
+      val t = new Thread(() => {
+        GraftLog.commitNewUnlocked(dir, schema) { v =>
+          if (latch.getCount > 0) {
+            latch.countDown(); latch.await(10, TimeUnit.SECONDS)
+          }
+          Seq(LogEntry.add(v, s"part-race-$tag", 1L, Map.empty))
+        }
+        ()
+      })
+      t.start(); t
+    }
+    val ts = Seq(committer("a"), committer("b"))
+    ts.foreach(_.join(30000))
+    val es = GraftLog.entries(dir)
+    assert(es.exists(_.file == "part-race-a") &&
+      es.exists(_.file == "part-race-b"),
+      s"a racing commit was dropped: ${es.map(_.file)}")
+    assert(es.filter(_.file.startsWith("part-race-"))
+      .map(_.version).distinct.size == 2,
+      "the two commits must land at distinct versions")
+    assert(GraftLog.currentVersion(dir) == 2L)
   }
 }

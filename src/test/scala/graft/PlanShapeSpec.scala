@@ -98,4 +98,18 @@ class PlanShapeSpec extends SparkSpec {
       s"selective predicate must skip manifest-refuted files, " +
         s"got ${m.get.matched}")
   }
+
+  test("graft-log batch scan is columnar: BatchScan feeds ColumnarToRow") {
+    // the r8→r9 payload fix: graft-log reads materialize 4096-row
+    // ColumnarBatches (the parquet/SeriesSource vectorized contract),
+    // not per-row GenericInternalRows — the executed plan must show
+    // the scan consumed through a ColumnarToRow transition
+    val df = SparkEntry.queries("sink_custom_dsv2_pruned")(spark, sf001)
+    // materialize first: AQE inserts the columnar transitions per
+    // stage, so only the final plan shows them
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"),
+      s"graft-log batch scan must be vectorized:\n${p.take(1200)}")
+  }
 }
