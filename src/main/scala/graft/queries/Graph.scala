@@ -102,6 +102,19 @@ object Graph {
         .filter(col("support") >= 2)
         .select(col("pa"), col("pb")))
 
+  /** Broadcast hint gated on the session's broadcast switch: with
+    * `spark.sql.autoBroadcastJoinThreshold = -1` (the operational
+    * lever for "the adjacency outgrew the executors" at 100× scale)
+    * the hint is DROPPED and every adjacency-sized join falls back to
+    * sort-merge on its keys — same plan shape, orientation still
+    * bounds the wedge intermediate. GraphSpec pins row-identical
+    * triangle counts on that path so the documented fallback cannot
+    * bit-rot. Scalar/1-row frames stay unconditionally hinted. */
+  private def bcast(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .trim == "-1") df
+    else broadcast(df)
+
   /** Degree of every endpoint over the distinct edge set. */
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("pa").as("v"))
@@ -133,13 +146,13 @@ object Graph {
     "graph_triangles" -> ((s, d) => {
       val o = oriented(s, d)
       // wedges (a→lo, a→hi in rank order), closed by one packed-key probe
-      val wedges = o.as("x").join(broadcast(o).as("y"),
+      val wedges = o.as("x").join(bcast(s, o).as("y"),
           col("x.src") === col("y.src") && col("x.rk") < col("y.rk"))
         .select(col("x.src").as("a"), col("x.dst").as("lo"),
           col("y.dst").as("hi"),
           (shiftleft(col("x.dst"), 31) + col("y.dst")).as("ekey"))
       wedges
-        .join(broadcast(o.select(
+        .join(bcast(s, o.select(
           (shiftleft(col("src"), 31) + col("dst")).as("ekey"))), Seq("ekey"))
         // credit each triangle to all three corners
         .select(explode(array(col("a"), col("lo"), col("hi"))).as("part"))
@@ -168,7 +181,7 @@ object Graph {
       for (_ <- 1 to 3) {
         val perNode = ranks.join(deg, ranks("v") === deg("u"))
           .select(ranks("v").as("cu"), (col("r") / col("deg")).as("c"))
-        val contrib = dir.join(broadcast(perNode), col("u") === col("cu"))
+        val contrib = dir.join(bcast(s, perNode), col("u") === col("cu"))
           .groupBy(col("v"))
           .agg(sum(col("c").cast("decimal(18,10)")).as("srank"))
         ranks = contrib.crossJoin(broadcast(n))
@@ -203,14 +216,14 @@ object Graph {
       var e = e0
       for (_ <- 1 to 3) {
         e = e
-          .join(broadcast(surv.withColumnRenamed("v", "pa")), "pa")
-          .join(broadcast(surv.withColumnRenamed("v", "pb")), "pb")
+          .join(bcast(s, surv.withColumnRenamed("v", "pa")), "pa")
+          .join(bcast(s, surv.withColumnRenamed("v", "pb")), "pb")
           .localCheckpoint()
         surv = degrees(e).filter(col("deg") >= k).select(col("v"))
       }
       val ef = e
-        .join(broadcast(surv.withColumnRenamed("v", "pa")), "pa")
-        .join(broadcast(surv.withColumnRenamed("v", "pb")), "pb")
+        .join(bcast(s, surv.withColumnRenamed("v", "pa")), "pa")
+        .join(bcast(s, surv.withColumnRenamed("v", "pb")), "pb")
       degrees(ef).select(col("v").as("part"), col("deg").as("core_deg"))
     }),
 
@@ -229,9 +242,9 @@ object Graph {
         .union(e.select(col("pb").as("u"), col("pa").as("v")))
       val adj = dir.groupBy(col("u"))
         .agg(collect_set(col("v")).as("nbrs"), count(lit(1)).as("deg"))
-      e.join(broadcast(adj.select(col("u").as("pa"),
+      e.join(bcast(s, adj.select(col("u").as("pa"),
           col("nbrs").as("na"), col("deg").as("da"))), "pa")
-        .join(broadcast(adj.select(col("u").as("pb"),
+        .join(bcast(s, adj.select(col("u").as("pb"),
           col("nbrs").as("nb"), col("deg").as("db"))), "pb")
         .select(col("pa"), col("pb"),
           size(array_intersect(col("na"), col("nb"))).as("inter"),
@@ -265,8 +278,8 @@ object Graph {
       val item = op.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
       val total = op.agg(countDistinct(col("o")).as("n_orders"))
       pairs
-        .join(broadcast(item.select(col("p").as("pa"), col("n_item").as("n_a"))), "pa")
-        .join(broadcast(item.select(col("p").as("pb"), col("n_item").as("n_b"))), "pb")
+        .join(bcast(s, item.select(col("p").as("pa"), col("n_item").as("n_a"))), "pa")
+        .join(bcast(s, item.select(col("p").as("pb"), col("n_item").as("n_b"))), "pb")
         .crossJoin(broadcast(total))
         .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
           (col("n_ab").cast("double") * col("n_orders") /

@@ -289,6 +289,11 @@ object GraftLog {
     * reclaimed by the next vacuum after the horizon passes). */
   val DefaultVacuumRetentionMs: Long = 10L * 60 * 1000
 
+  /** Cap on the driver-side distinct-key probe set a string-keyed
+    * MERGE builds for bloom file-targeting — beyond it, the batch
+    * rewrites conservatively (it would admit most files anyway). */
+  val MaxMergeProbeKeys = 10000
+
   def committedEpochs(dir: String): Set[Long] = {
     val f = new File(dir, EpochsFile)
     if (!f.exists()) Set.empty
@@ -741,9 +746,11 @@ object GraftLog {
   /** Copy-on-write MERGE (Delta `MERGE INTO` in miniature): upsert a
     * batch of full-schema rows into the table by KEY, rewriting ONLY
     * the part files whose manifest [min, max] range on the key can
-    * contain a matched key — the stats written for scan pruning double
-    * as the merge's file-targeting index, which is exactly how Delta
-    * bounds a MERGE's write amplification. Matched rows are replaced
+    * contain a matched key — numeric keys by the manifest [min, max]
+    * range, string keys by the per-file blooms — so the stats written
+    * for scan pruning double as the merge's file-targeting index,
+    * which is exactly how Delta bounds a MERGE's write amplification.
+    * Matched rows are replaced
     * by their update row, unmatched table rows are carried unchanged,
     * unmatched update rows are inserted. The rewrite is one
     * distributed full-outer join of the affected files against the
@@ -774,22 +781,71 @@ object GraftLog {
         case _ => false
       })
     // Stats overlap is conservative: a stat-less entry might hold any
-    // key, so it rewrites; a NON-numeric key has no range stats at all,
-    // so every file rewrites (correct, just unbounded — range-stat the
-    // key or use a numeric surrogate to get the amplification bound).
-    // Files outside a numeric update range are untouched.
-    val affected = if (!keyNumeric) live else {
-      val bounds = updates.agg(fmin(col(keyCol)), fmax(col(keyCol))).head()
-      if (bounds.isNullAt(0)) {
-        // min/max ignore NULLs, so null bounds mean EITHER an empty
-        // batch (no-op) OR a batch of only NULL-keyed rows — which
-        // match nothing and must still INSERT (losing them here would
-        // contradict the NULL-key contract above).
+    // key, so it rewrites. Numeric keys bound by manifest [min, max]
+    // range; STRING keys bound by the per-file blooms the scan side
+    // already consults — a file whose bloom provably lacks EVERY
+    // update key cannot hold a matched row and is never rewritten
+    // (the string-keyed analogue of the range bound; bloomless
+    // entries — legacy, or post-compaction — rewrite conservatively).
+    val affected = if (!keyNumeric) {
+      // The probe set is driver-side, so it is capped: a batch with
+      // more distinct keys than the cap rewrites everything — such a
+      // batch admits most files through the blooms anyway.
+      val keys = updates.select(col(keyCol))
+        .filter(col(keyCol).isNotNull).distinct()
+        .limit(MaxMergeProbeKeys + 1).collect().map(_.get(0).toString)
+      if (keys.length > MaxMergeProbeKeys) live
+      else if (keys.isEmpty) {
+        // EITHER an empty batch (no-op) OR only NULL-keyed rows —
+        // which match nothing and must still INSERT (losing them here
+        // would contradict the NULL-key contract below).
         if (updates.limit(1).collect().isEmpty) return (0, live.size)
         Seq.empty
+      } else live.filter(e => keys.exists(k =>
+        GraftLogBloom.mayContain(e, keyCol, k)))
+    } else {
+      // Per-KEY file targeting, not per-batch-range: a CDC batch
+      // typically mixes a narrow update window with above-max inserts,
+      // and its GLOBAL [min, max] then spans half the table even
+      // though the actual keys touch one file. Probing each file's
+      // range with the batch's distinct key SET (driver-capped, like
+      // the string bloom probe) admits only files that can really
+      // hold a matched key. Over the cap, fall back to the global
+      // range overlap.
+      val keyRows = updates.select(col(keyCol))
+        .filter(col(keyCol).isNotNull).distinct()
+        .limit(MaxMergeProbeKeys + 1).collect()
+      if (keyRows.isEmpty) {
+        // EITHER an empty batch (no-op) OR only NULL-keyed rows —
+        // which match nothing and must still INSERT (losing them here
+        // would contradict the NULL-key contract above).
+        if (updates.limit(1).collect().isEmpty) return (0, live.size)
+        Seq.empty
+      } else if (keyRows.length <= MaxMergeProbeKeys) {
+        val keys: Array[AnyRef] = keyRows.map(r =>
+          new java.math.BigDecimal(r.get(0).toString): AnyRef)
+        java.util.Arrays.sort(keys)
+        live.filter { e =>
+          e.stats.get(keyCol) match {
+            case Some((mn, mx)) =>
+              val lo = new java.math.BigDecimal(mn)
+              val hi = new java.math.BigDecimal(mx)
+              // any key in [lo, hi]? first key >= lo decides
+              val i = {
+                val p = java.util.Arrays.binarySearch(keys, lo)
+                if (p >= 0) p else -(p + 1)
+              }
+              i < keys.length &&
+                keys(i).asInstanceOf[java.math.BigDecimal]
+                  .compareTo(hi) <= 0
+            case None => true
+          }
+        }
       } else {
-        val (lo, hi) = (new java.math.BigDecimal(bounds.get(0).toString),
-          new java.math.BigDecimal(bounds.get(1).toString))
+        val lo = keyRows.map(r =>
+          new java.math.BigDecimal(r.get(0).toString)).min
+        val hi = keyRows.map(r =>
+          new java.math.BigDecimal(r.get(0).toString)).max
         live.filter { e =>
           e.stats.get(keyCol) match {
             case Some((mn, mx)) =>

@@ -527,17 +527,22 @@ class GraftLogSpec extends SparkSpec {
     assert(graft.sources.GraftLog.versionAtTimestamp(dir, ts(1) - 1) == 0L)
   }
 
-  test("merge on a string key rewrites conservatively instead of failing") {
+  test("merge on a string key rewrites only the bloom-admitted subset") {
     val dir = tmp()
+    // ids 0-49 land in one part file, 50-99 in the other — the second
+    // file's bloom provably lacks every update key, so a string-keyed
+    // merge must leave it untouched (the bloom is the string analogue
+    // of the numeric range bound; r8 rewrote every file here)
     spark.range(0, 100).selectExpr("concat('k', id) AS k", "id AS v")
-      .coalesce(2)
+      .repartitionByRange(2, col("v"))
       .write.format(Fmt).option("path", dir).mode("append").save()
     val upd = spark.range(0, 10)
       .selectExpr("concat('k', id) AS k", "-id AS v")
       .unionAll(spark.sql("SELECT 'knew' AS k, CAST(-999 AS BIGINT) AS v"))
     val (rewritten, total) = graft.sources.GraftLog
       .mergeUpsert(spark, dir, upd, "k")
-    assert(rewritten == total, "no range stats on a string key: all rewrite")
+    assert(total == 2 && rewritten == 1,
+      s"blooms must refute the untouched file: rewrote $rewritten/$total")
     val back = readBack(dir)
     assert(back.count() == 101)
     assert(back.filter(col("k") === "knew").count() == 1)

@@ -44,6 +44,27 @@ class GraphSpec extends SparkSpec {
     assert(got == bruteTriCounts)
   }
 
+  test("triangles: the non-broadcast (100x adjacency) fallback is row-identical") {
+    // the documented scale path: once the adjacency outgrows a
+    // broadcast, the SAME wedge plan runs with the hints dropped
+    // (sort-merge on src and ekey) — flipping the session's broadcast
+    // switch must change only the join strategy, never a row
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = runQ("graph_triangles")
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteTriCounts,
+        "hint-free triangle plan diverged from the broadcast plan")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"broadcast disabled yet a broadcast join survived:\n${p.take(800)}")
+      assert(p.contains("SortMergeJoin"),
+        s"expected the documented sort-merge fallback:\n${p.take(800)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("graph_census invariants hold vs the independent edge set") {
     val row = runQ("graph_census").collect().head
     val (nNodes, nEdges, nWedges, maxDeg) =
