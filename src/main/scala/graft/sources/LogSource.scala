@@ -636,6 +636,15 @@ object GraftLog {
       (if (expireHistory) entriesAsOf(dir, Long.MaxValue)
        else entries(dir).filter(_.isAdd)).map(_.file).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // Stale metadata temps from crashed writers: a CAS loser deletes
+    // its temp commit file, but a crash between write and link leaves
+    // one (same for an interrupted atomicWrite). Invisible to readers
+    // (the `.tmp.` infix is filtered at listing), reclaimed here past
+    // the same retention horizon that protects in-flight writers.
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.contains(".tmp.") &&
+        f.lastModified() <= cutoff)
+      .foreach(_.delete())
     Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-") &&
         !referenced.contains(f.getName) && f.lastModified() <= cutoff)
