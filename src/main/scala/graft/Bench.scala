@@ -51,7 +51,7 @@ object Bench {
       "sql_catalog_call_maintenance", "sink_log_spj_join",
       "sink_log_groupby_meta", "sql_catalog_view",
       "sql_catalog_constraint", "sql_catalog_default",
-      "sink_log_stream_cdc_apply",
+      "sink_log_stream_cdc_apply", "sink_log_delete_dv",
       "sql_catalog_alter_add_col", "sql_catalog_restore",
       "corpus_lakehouse_e2e", "sink_log_broadcast_join",
       // LM + DSIR model chains: ArtifactCache'd (r8 regression fix) —

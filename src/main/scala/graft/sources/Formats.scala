@@ -1136,6 +1136,46 @@ object Formats {
         .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
         .select(col("n_rows"), col("sum_id"),
           lit(r > 0 && r * 2 <= t).as("bounded_rewrite"))
+    }),
+
+    // Merge-on-read DELETE via deletion vectors (Delta DV / Iceberg v2
+    // position deletes): two stacked deletes record deleted row
+    // POSITIONS in sidecar DVs and commit metadata-only versions —
+    // ZERO part files rewrite (gated on the live file set being
+    // bit-identical), both decode paths skip DV'd ordinals, and the
+    // stacked deletes merge into one DV per touched file. COUNT stays
+    // manifest-exact (rows minus DV cardinality). At 100 TB this is
+    // what makes frequent small erasure deletes affordable: write
+    // cost O(deleted positions), not O(affected file bytes). The
+    // oracle recomputes the surviving rows from closed form.
+    "sink_log_delete_dv" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_dv/${new java.io.File(d).getName}"
+      val (dv1, dv2, noRewrite, dvFiles) = rebuildOnce(dvStats, dir) {
+        s.range(0, 40000).selectExpr("id", "id AS v")
+          .repartitionByRange(8, col("id"))
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("overwrite").save()
+        val before = GraftLog.entriesAsOf(dir, Long.MaxValue)
+          .map(_.file).toSet
+        val (_, _, a) = GraftLog.deleteWhereMoR(s, dir, Array(
+          org.apache.spark.sql.sources.And(
+            org.apache.spark.sql.sources.GreaterThanOrEqual("id", 5000L),
+            org.apache.spark.sql.sources.LessThan("id", 6000L))))
+        val (_, _, b) = GraftLog.deleteWhereMoR(s, dir, Array(
+          org.apache.spark.sql.sources.And(
+            org.apache.spark.sql.sources.GreaterThanOrEqual("id", 5500L),
+            org.apache.spark.sql.sources.LessThan("id", 7000L))))
+        val after = GraftLog.entriesAsOf(dir, Long.MaxValue)
+        (a, b, after.map(_.file).toSet == before,
+          after.count(e => GraftLog.dvOf(e).isDefined))
+      }
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"))
+        .select(col("n_rows"), col("sum_id"),
+          lit(dv1 && dv2).as("used_dv"),
+          lit(noRewrite).as("zero_files_rewritten"),
+          lit(dvFiles >= 1 && dvFiles <= 2).as("dv_bounded"))
     })
   )
 
@@ -1170,6 +1210,10 @@ object Formats {
   // (filesRewrittenByUpdate, filesTotal, filesRewrittenByPureInsert)
   private val mergeStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]()
+  // (usedDv1, usedDv2, zeroFilesRewritten, dvFileCount)
+  private val dvStats =
+    new scala.collection.concurrent.TrieMap[
+      String, (Boolean, Boolean, Boolean, Int)]()
   // (filesRewritten, filesTotal)
   private val deleteStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int)]()
@@ -1341,6 +1385,16 @@ object Formats {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(id) AS BIGINT) AS sum_id,
            TRUE AS bounded_rewrite
+         FROM range(0, 40000) t(id)
+         WHERE id < 5000 OR id >= 7000""",
+    // Stacked MoR deletes remove [5000, 6000) then [5500, 7000):
+    // survivors are ids outside [5000, 7000).
+    "sink_log_delete_dv" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           TRUE AS used_dv,
+           TRUE AS zero_files_rewritten,
+           TRUE AS dv_bounded
          FROM range(0, 40000) t(id)
          WHERE id < 5000 OR id >= 7000""",
     "sql_catalog_delete" ->

@@ -131,6 +131,20 @@ object LogEntry {
   def remove(version: Long, file: String): LogEntry =
     LogEntry(version, "remove", file, -1L, dataChange = false, Map.empty)
 
+  /** Deletion-vector (re)assignment for a live part file (Delta DV /
+    * Iceberg position-delete shape): the log replay annotates the
+    * file's current `add` with the descriptor instead of replacing it.
+    * `descriptor` = (dv file name, deleted-position count); None
+    * clears. `dataChange=false`: same layout, fewer visible rows —
+    * the append-only change feed cannot express row deletes (the
+    * documented CDF limit, as before). */
+  def dv(version: Long, file: String,
+      descriptor: Option[(String, Long)]): LogEntry =
+    LogEntry(version, "dv", file,
+      descriptor.map(_._2).getOrElse(0L), dataChange = false,
+      Map(GraftLog.DvKey -> (descriptor.map(_._1).getOrElse(""),
+        descriptor.map(_._2.toString).getOrElse("0"))))
+
   def parse(line: String): LogEntry = {
     def parseStats(st: String): Map[String, (String, String)] =
       st.split(";").filter(_.nonEmpty).map { kv =>
@@ -294,6 +308,31 @@ object GraftLog {
     * rewrites conservatively (it would admit most files anyway). */
   val MaxMergeProbeKeys = 10000
 
+  // ---- deletion vectors (merge-on-read DELETE) ---------------------
+  /** Reserved stats key carrying a live add's deletion-vector
+    * descriptor: (dv file name, deleted-position count). Snapshot
+    * replay bakes it into the add entry, so checkpoints persist DV
+    * state for free and every reader sees it on the entry it plans. */
+  val DvKey = "__dv"
+
+  /** The entry's DV descriptor, if one is assigned (empty name =
+    * cleared). */
+  def dvOf(e: LogEntry): Option[(String, Long)] =
+    e.stats.get(DvKey).filter(_._1.nonEmpty)
+      .map { case (f, c) => (f, c.toLong) }
+
+  /** Visible rows of a live entry: physical rows minus DV'd positions
+    * (unknown counts stay unknown). */
+  def effectiveRows(e: LogEntry): Long =
+    if (e.rows < 0L) e.rows else e.rows - dvOf(e).map(_._2).getOrElse(0L)
+
+  /** Cap on the driver-held position set a merge-on-read DELETE may
+    * accumulate per call — beyond it the delete falls back to the
+    * copy-on-write rewrite (a bigger delete rewrites less than it
+    * would spend on oversized DVs; Delta bounds DV growth the same
+    * way before compacting them away). */
+  val MaxDvPositions = 100000
+
   def committedEpochs(dir: String): Set[Long] = {
     val f = new File(dir, EpochsFile)
     if (!f.exists()) Set.empty
@@ -446,6 +485,25 @@ object GraftLog {
     * seeing it), and a later re-add (RESTORE) resurrects it. The
     * Delta/Iceberg reconciliation rule; a remove-is-forever shortcut
     * would silently empty a restored snapshot. */
+  /** Replay one entry into the latest-action-per-file map. A `dv`
+    * entry never replaces the file's add — it re-annotates the live
+    * add's [[DvKey]] descriptor (or clears it), and is ignored for a
+    * file that is not currently live. A fresh add naturally resets DV
+    * state (its stats carry no [[DvKey]]). */
+  private def applyEntry(
+      latest: scala.collection.mutable.LinkedHashMap[String, LogEntry],
+      e: LogEntry): Unit =
+    if (e.action == "dv")
+      latest.get(e.file).filter(_.isAdd).foreach { add =>
+        val base = add.stats - DvKey
+        latest(e.file) = dvOf(e) match {
+          case Some((f, c)) =>
+            add.copy(stats = base + (DvKey -> (f, c.toString)))
+          case None => add.copy(stats = base)
+        }
+      }
+    else latest(e.file) = e
+
   def snapshotAsOf(dir: String, version: Long): SnapshotPlan = {
     val ckpt = listVersioned(dir, CheckpointPrefix)
       .filter(_._1 <= version).lastOption
@@ -458,13 +516,13 @@ object GraftLog {
     if (ckpt.isEmpty) {
       val leg = legacyEntries(dir)
       if (leg.nonEmpty) segs += 1
-      leg.filter(_.version <= version).foreach(e => latest(e.file) = e)
+      leg.filter(_.version <= version).foreach(e => applyEntry(latest, e))
     }
     listVersioned(dir, CommitPrefix)
       .filter { case (v, _) => v > floor && v <= version }
       .foreach { case (_, f) =>
         segs += 1
-        readEntryLines(f).foreach(e => latest(e.file) = e)
+        readEntryLines(f).foreach(e => applyEntry(latest, e))
       }
     SnapshotPlan(latest.valuesIterator.filter(_.isAdd).toSeq,
       ckpt.map(_.version), segs)
@@ -636,6 +694,17 @@ object GraftLog {
       (if (expireHistory) entriesAsOf(dir, Long.MaxValue)
        else entries(dir).filter(_.isAdd)).map(_.file).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // DV sidecars follow the part-file rules: referenced = every DV
+    // named anywhere in the kept history (current snapshot only under
+    // expireHistory), aged orphans and superseded DVs reclaimed.
+    val refDv =
+      (if (expireHistory) entriesAsOf(dir, Long.MaxValue)
+       else entries(dir)).flatMap(e =>
+        e.stats.get(DvKey).map(_._1).filter(_.nonEmpty)).toSet
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("dv-") &&
+        !refDv.contains(f.getName) && f.lastModified() <= cutoff)
+      .foreach(_.delete())
     // Stale metadata temps from crashed writers: a CAS loser deletes
     // its temp commit file, but a crash between write and link leaves
     // one (same for an interrupted atomicWrite). Invisible to readers
@@ -703,11 +772,24 @@ object GraftLog {
         val remap: Option[Array[Int]] =
           if (fileCols == curCols) None
           else Some(curCols.map(fileCols.indexOf).toArray)
+        // materialize the file's deletion vector: DV'd ordinals are
+        // dropped here and the compacted output carries no DV — the
+        // maintenance pass that keeps DVs from accumulating (Delta's
+        // PURGE inside OPTIMIZE)
+        val dvArr = GraftLog.dvOf(e)
+          .map { case (f, _) => GraftLogDv.read(dir, f) }
+          .getOrElse(Array.empty[Long])
+        var dvPtr = 0
+        var ord = -1L
         val in = GraftLogReaderFactory.openLines(dir, e.file)
         try {
           var line = in.readLine()
           while (line != null) {
             if (line.nonEmpty) {
+              ord += 1
+              if (dvPtr < dvArr.length && dvArr(dvPtr) == ord)
+                dvPtr += 1
+              else {
               val outLine = remap match {
                 case None => line
                 case Some(idx) =>
@@ -716,13 +798,21 @@ object GraftLog {
                     .mkString("\t")
               }
               out.write(outLine); out.write("\n"); rows += 1
+              }
             }
             line = in.readLine()
           }
         } finally in.close()
       } finally out.close()
+      // An input with a deletion vector may have LOST its extremum:
+      // folding its pre-delete min/max would stamp stale stats on the
+      // compacted file, where (the DV gone) the metadata aggregate
+      // path would serve them as exact. No stats = the scan reads the
+      // file — conservative, never wrong; the partition record below
+      // is layout metadata and stays either way.
       val mergedStats =
-        if (entries.exists(_.stats.isEmpty))
+        if (entries.exists(_.stats.isEmpty) ||
+            entries.exists(e => GraftLog.dvOf(e).isDefined))
           Map.empty[String, (String, String)]
         else {
           val num = (s: String) => new java.math.BigDecimal(s)
@@ -973,6 +1063,72 @@ object GraftLog {
     (affected.size, live.size)
   }
 
+  /** Merge-on-read DELETE via deletion vectors (Delta DV / Iceberg v2
+    * position-delete shape) [EXT]: instead of rewriting every affected
+    * part file copy-on-write, record the DELETED ROW POSITIONS
+    * per file in a sidecar `dv-*.bin` and commit one metadata version
+    * of `dv` entries — write amplification drops from O(affected
+    * bytes) to O(deleted positions), which is what makes frequent
+    * small deletes (GDPR erasure, late-data retractions) affordable on
+    * a 100 TB table. Readers skip DV'd positions during the scan
+    * (both decoders), COUNT pushdown subtracts DV cardinality
+    * exactly, MIN/MAX pushdown disables itself on DV'd files (stats
+    * may be stale), and compaction materializes the deletes and drops
+    * the DVs. Positions are collected on the driver and capped at
+    * [[MaxDvPositions]] — a larger delete falls back to the
+    * copy-on-write rewrite (returned flag says which path ran).
+    * A repeated delete is a cheap no-op: already-deleted rows are
+    * invisible to the position scan. Returns
+    * (filesTouched, filesTotal, usedDv). */
+  def deleteWhereMoR(spark: org.apache.spark.sql.SparkSession,
+      dir: String, filters: Array[Filter],
+      maxPositions: Int = MaxDvPositions): (Int, Int, Boolean) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val schema = storedSchema(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-log table not found at $dir"))
+    require(filters.nonEmpty && filters.forall(convertible),
+      s"unsupported MoR DELETE predicate: ${filters.mkString(", ")}")
+    val live = entriesAsOf(dir, Long.MaxValue)
+    val affected = live.filter(e =>
+      filters.forall(f => GraftLogScan.mayMatch(schema, e, f)))
+    if (affected.isEmpty) return (0, live.size, true)
+    val cond = filters.map(filterToColumn).reduce(_ && _)
+    // position scan: the `_pos` metadata column is the row's physical
+    // ordinal within its part file (stable across DV state — already
+    // deleted ordinals are skipped by the reader, so re-deletes are
+    // no-ops and unions with the existing DV are disjoint-safe)
+    val hits = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir)
+      .option("pickFiles", affected.map(_.file).mkString(","))
+      .load()
+      .filter(coalesce(cond, lit(false)))
+      .select(org.apache.spark.sql.functions.col("_file"),
+        org.apache.spark.sql.functions.col("_pos"))
+      .limit(maxPositions + 1)
+      .collect()
+    if (hits.length > maxPositions) {
+      // too many positions for a healthy DV — the COW rewrite IS the
+      // bounded path here
+      val (r, t) = deleteWhere(spark, dir, filters)
+      return (r, t, false)
+    }
+    if (hits.isEmpty) return (0, live.size, true)
+    val byFile = hits.groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+    val touched = affected.filter(e => byFile.contains(e.file))
+    commitNew(dir, schema) { v =>
+      touched.map { e =>
+        val merged = (dvOf(e).map { case (f, _) =>
+          GraftLogDv.read(dir, f) }.getOrElse(Array.empty[Long]) ++
+          byFile(e.file)).distinct.sorted
+        LogEntry.dv(v, e.file,
+          Some((GraftLogDv.write(dir, merged), merged.length.toLong)))
+      }
+    }
+    (touched.size, live.size, true)
+  }
+
   /** The predicate subset [[deleteWhere]] can replay as a Column —
     * `canDeleteWhere` gates on this, so an inexpressible DELETE fails
     * at analysis instead of deleting the wrong rows. */
@@ -1139,12 +1295,24 @@ object GraftLog {
     }
     val toRemove = cur.filterNot(e => tgtSet(e.file))
     val toReadd = target.filterNot(e => curSet(e.file))
+    // deletion-vector state is part of the snapshot: a file live in
+    // both versions whose DV differs gets a dv entry resetting it to
+    // the target's descriptor (re-adds restore theirs through the
+    // annotated stats they carry). Target DV files must still exist.
+    val curDv = cur.map(e => e.file -> dvOf(e)).toMap
+    val dvFixes = target.filter(e => curSet(e.file))
+      .filter(e => dvOf(e) != curDv(e.file))
+    (toReadd ++ dvFixes).foreach(e => dvOf(e).foreach { case (f, _) =>
+      require(new File(dir, f).exists(),
+        s"cannot restore to version $toVersion: DV $f was vacuumed")
+    })
     // restoring to the current state commits nothing
-    if (toRemove.nonEmpty || toReadd.nonEmpty)
+    if (toRemove.nonEmpty || toReadd.nonEmpty || dvFixes.nonEmpty)
       commitNew(dir, storedSchema(dir).getOrElse(StructType(Nil)))(v =>
         toRemove.map(e => LogEntry.remove(v, e.file)) ++
           toReadd.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
-            dataChange = true, cols = e.cols)))
+            dataChange = true, cols = e.cols)) ++
+          dvFixes.map(e => LogEntry.dv(v, e.file, dvOf(e))))
     (toRemove.size, toReadd.size)
   }
 
@@ -1214,6 +1382,16 @@ class GraftLogTable(dir: String, writeSchema: StructType,
       override def isNullable(): Boolean = true
       override def comment(): String =
         "manifest part file this row was read from"
+    },
+    new MetadataColumn {
+      // physical row ordinal within `_file` — (_file, _pos) is the
+      // row's stable address, the coordinate a deletion vector records
+      // (Iceberg's position delete / Delta's DV row index)
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable(): Boolean = true
+      override def comment(): String =
+        "row ordinal within its part file"
     })
 
   /** SQL `UPDATE` / `MERGE INTO` (and the DELETEs `canDeleteWhere`
@@ -1470,7 +1648,12 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
       agg.aggregateExpressions.forall {
         case _: CountStar =>
           live.forall(_.rows >= 0L)
-        case f @ (_: Min | _: Max) => statCol(f).exists(c =>
+        // a deletion vector may have removed the extremum, so manifest
+        // min/max are stale on DV'd files: COUNT stays exact
+        // (rows - dv cardinality); MIN/MAX falls back to the scan
+        case f @ (_: Min | _: Max) =>
+          live.forall(e => GraftLog.dvOf(e).isEmpty) &&
+          statCol(f).exists(c =>
           tableSchema.fields.exists(tf => tf.name == c && (tf.dataType match {
             case LongType | IntegerType | DoubleType => true
             case _ => false
@@ -1546,7 +1729,8 @@ class GraftLogCountScan(dir: String, tableSchema: StructType,
   }
   private def foldAll(entries: Seq[LogEntry]): Array[Any] =
     agg.aggregateExpressions.map {
-      case _: CountStar => entries.map(_.rows).sum: Any
+      case _: CountStar =>
+        entries.map(GraftLog.effectiveRows).sum: Any
       case m: Min => fold(entries, colOf(m), pickMin = true)
       case m: Max => fold(entries, colOf(m), pickMin = false)
       case other => throw new IllegalStateException(s"unexpected $other")
@@ -1915,7 +2099,7 @@ class GraftLogScan(dir: String, tableSchema: StructType,
       case Some(n) if kept.forall(_.rows >= 0L) =>
         var acc = 0L
         kept.takeWhile { e =>
-          val need = acc < n; acc += e.rows; need
+          val need = acc < n; acc += GraftLog.effectiveRows(e); need
         }
       case _ => kept
     }
@@ -2010,7 +2194,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     groups match {
       case Some(gs) => gs.map { case (key, es) =>
         GraftLogGroupPartition(dir, key,
-          es.map(e => (e.file, e.cols))): InputPartition
+          es.map(e => (e.file, e.cols,
+            GraftLog.dvOf(e).map(_._1)))): InputPartition
       }.toArray
       case None =>
         // runtime filters (COW group filtering) narrow the static set
@@ -2018,7 +2203,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
         val planned = files.filter(e => runtimeFilters.forall(f =>
           GraftLogScan.mayMatch(tableSchema, e, f)))
         cowPlanHook.foreach(_(planned.map(_.file)))
-        planned.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
+        planned.map(e => GraftLogPartition(dir, e.file, e.cols,
+          GraftLog.dvOf(e).map(_._1))).toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(tableSchema, required, columnar = true)
@@ -2040,7 +2226,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     * to broadcast (the same leverage Delta gets from its own stats). */
   override def estimateStatistics(): Statistics = new Statistics {
     private val known = files.forall(_.rows >= 0L)
-    private val rowCount = files.map(e => math.max(e.rows, 0L)).sum
+    private val rowCount =
+      files.map(e => math.max(GraftLog.effectiveRows(e), 0L)).sum
     private val bytes = files.map(e =>
       new File(dir, e.file).length() * GraftLogScan.GzipExpansion).sum
     override def sizeInBytes(): java.util.OptionalLong =
@@ -2242,6 +2429,29 @@ object GraftLogBloom {
     }
 }
 
+/** Deletion-vector sidecar codec: a sorted array of deleted row
+  * ordinals (position within the part file, counting non-empty lines)
+  * as raw 8-byte big-endian longs in a `dv-<uuid>.bin` file. Readers
+  * walk it with a single pointer while streaming the file (positions
+  * arrive in order), so the skip costs O(1) per row. A production
+  * format would use a compressed bitmap (Delta DVs are roaring
+  * bitmaps); the protocol shape — sidecar + manifest descriptor +
+  * reader-side skip + compaction materialization — is the same. */
+object GraftLogDv {
+  def write(dir: String, positions: Array[Long]): String = {
+    val name = s"dv-${UUID.randomUUID()}.bin"
+    val bb = java.nio.ByteBuffer.allocate(positions.length * 8)
+    positions.foreach(bb.putLong)
+    Files.write(Paths.get(dir, name), bb.array())
+    name
+  }
+  def read(dir: String, name: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(
+      Files.readAllBytes(Paths.get(dir, name)))
+    Array.fill(bb.remaining() / 8)(bb.getLong)
+  }
+}
+
 /** Identity-partition value of a part file, carried in the manifest
   * stats map under the reserved key `<col>#part` — a partitioned
   * writer routes each row to a per-value file, so every file holds
@@ -2285,7 +2495,7 @@ object GraftLogPartValue {
 /** `cols` = the file's own column list from its manifest entry (empty
   * for pre-evolution entries: the file carries the full table schema). */
 case class GraftLogPartition(dir: String, file: String,
-    cols: Seq[String] = Seq.empty)
+    cols: Seq[String] = Seq.empty, dvFile: Option[String] = None)
     extends InputPartition
 
 /** One partition-value GROUP of files — the planning unit of a
@@ -2293,7 +2503,7 @@ case class GraftLogPartition(dir: String, file: String,
   * which is what makes two alike-partitioned tables join with ZERO
   * exchange (storage-partitioned join). */
 case class GraftLogGroupPartition(dir: String, key: InternalRow,
-    files: Seq[(String, Seq[String])])
+    files: Seq[(String, Seq[String], Option[String])])
     extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -2427,9 +2637,10 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
   /** (dir, chained files with their own column layouts) of a planned
     * input partition — one file, or a partition-value group read
     * through one reader. */
-  private def filesOf(
-      p: InputPartition): (String, Seq[(String, Seq[String])]) = p match {
-    case part: GraftLogPartition => (part.dir, Seq((part.file, part.cols)))
+  private def filesOf(p: InputPartition):
+      (String, Seq[(String, Seq[String], Option[String])]) = p match {
+    case part: GraftLogPartition =>
+      (part.dir, Seq((part.file, part.cols, part.dvFile)))
     case g: GraftLogGroupPartition => (g.dir, g.files)
     case other => throw new IllegalArgumentException(
       s"unexpected partition $other")
@@ -2439,12 +2650,14 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
     * layout (the entry's own column list; pre-evolution entries carry
     * the full table schema). -1 = the column post-dates the file: its
     * rows read NULL, the schema-evolution contract. -2 = the `_file`
-    * metadata column: served from the partition, never parsed. */
+    * metadata column, -3 = the `_pos` row ordinal: both served by the
+    * reader, never parsed from a cell. */
   private def cellIndexOf(partCols: Seq[String]): (Array[Int], Int) = {
     val fileCols: Seq[String] =
       if (partCols.nonEmpty) partCols else tableSchema.fieldNames.toSeq
     (required.fields.map(f =>
       if (f.name == "_file" && !fileCols.contains("_file")) -2
+      else if (f.name == "_pos" && !fileCols.contains("_pos")) -3
       else fileCols.indexOf(f.name)), fileCols.length)
   }
 
@@ -2482,27 +2695,40 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
       private var bounds: Array[Int] = new Array[Int](2)
       private var nCells = 0
       private var batch: ColumnarBatch = _
+      // deletion-vector walk state: `ord` is the row's physical
+      // ordinal in its file (the `_pos` value); positions arrive in
+      // order, so the sorted DV is consumed with one pointer
+      private var dvArr: Array[Long] = Array.empty
+      private var dvPtr = 0
+      private var ord = -1L
 
       private def openNext(): Boolean = {
         if (fi >= files.size) return false
-        val (f, cols) = files(fi); fi += 1
+        val (f, cols, dv) = files(fi); fi += 1
         in = GraftLogReaderFactory.openLines(dir, f)
         val (ix, nc) = cellIndexOf(cols)
         idx = ix; nCells = math.max(nc, 1)
         if (bounds.length < nCells + 2)
           bounds = new Array[Int](nCells + 2)
         nameBytes = f.getBytes(StandardCharsets.UTF_8)
+        dvArr = dv.map(GraftLogDv.read(dir, _)).getOrElse(Array.empty)
+        dvPtr = 0; ord = -1L
         true
       }
 
-      /** Next non-empty line across the chained files; null = done.
-        * `idx`/`nameBytes` always describe the line just returned. */
+      /** Next non-DV'd, non-empty line across the chained files; null
+        * = done. `idx`/`nameBytes`/`ord` always describe the line just
+        * returned. */
       private def readLineChained(): String = {
         while (true) {
           if (in == null && !openNext()) return null
           val l = in.readLine()
           if (l == null) { in.close(); in = null }
-          else if (l.nonEmpty) return l
+          else if (l.nonEmpty) {
+            ord += 1
+            if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) dvPtr += 1
+            else return l
+          }
         }
         null // unreachable
       }
@@ -2529,6 +2755,7 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
           while (j < tag.length) {
             val ci = idx(j)
             if (ci == -2) vecs(j).putByteArray(r, nameBytes)
+            else if (ci == -3) vecs(j).putLong(r, ord)
             else if (ci < 0 || ci >= cellCount) vecs(j).putNull(r)
             else {
               val s = bounds(ci) + 1; val e = bounds(ci + 1)
@@ -2564,7 +2791,7 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case part: GraftLogPartition =>
-        fileReader(part.dir, part.file, part.cols)
+        fileReader(part.dir, part.file, part.cols, part.dvFile)
       // a partition-value group: chain its files through one reader
       case g: GraftLogGroupPartition =>
         new PartitionReader[InternalRow] {
@@ -2574,8 +2801,8 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
             while (true) {
               if (cur == null) {
                 if (i >= g.files.size) return false
-                val (f, cols) = g.files(i)
-                cur = fileReader(g.dir, f, cols)
+                val (f, cols, dv) = g.files(i)
+                cur = fileReader(g.dir, f, cols, dv)
                 i += 1
               }
               if (cur.next()) return true
@@ -2591,26 +2818,40 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
     }
 
   private def fileReader(dir: String, file: String,
-      partCols: Seq[String]): PartitionReader[InternalRow] = {
+      partCols: Seq[String],
+      dvFile: Option[String]): PartitionReader[InternalRow] = {
     // Projection map: required field → cell index in THIS FILE's line
     // layout (the entry's own column list; pre-evolution entries carry
     // the full table schema). -1 = the column post-dates the file: its
     // rows read NULL, the schema-evolution contract.
     val fileCols: Seq[String] =
       if (partCols.nonEmpty) partCols else tableSchema.fieldNames.toSeq
-    // -2 = the `_file` metadata column: served from the partition,
-    // never parsed from a cell
+    // -2 = the `_file` metadata column, -3 = the `_pos` row ordinal:
+    // served by the reader, never parsed from a cell
     val cellIdx = required.fields.map(f =>
       if (f.name == "_file" && !fileCols.contains("_file")) -2
+      else if (f.name == "_pos" && !fileCols.contains("_pos")) -3
       else fileCols.indexOf(f.name))
     val fileName = UTF8String.fromString(file)
+    val dvArr: Array[Long] =
+      dvFile.map(GraftLogDv.read(dir, _)).getOrElse(Array.empty)
     new PartitionReader[InternalRow] {
       private val in = GraftLogReaderFactory.openLines(dir, file)
       private var current: InternalRow = _
+      private var dvPtr = 0
+      private var ord = -1L
       override def next(): Boolean = {
-        var line = in.readLine()
-        while (line != null && line.isEmpty) line = in.readLine()
-        if (line == null) return false
+        var line: String = null
+        var found = false
+        while (!found) {
+          line = in.readLine()
+          if (line == null) return false
+          if (line.nonEmpty) {
+            ord += 1
+            if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) dvPtr += 1
+            else found = true
+          }
+        }
         val cells = line.split("\t", -1)
         // Decode ONLY the projected columns — column pruning's payoff
         // in a row format is skipped parsing (a columnar format would
@@ -2620,6 +2861,7 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         while (j < vals.length) {
           val ci = cellIdx(j)
           if (ci == -2) { vals(j) = fileName; j += 1 }
+          else if (ci == -3) { vals(j) = java.lang.Long.valueOf(ord); j += 1 }
           else {
           val cell = if (ci < 0) GraftLog.NullCell else cells(ci)
           vals(j) =

@@ -1025,6 +1025,134 @@ class GraftLogSpec extends SparkSpec {
     assert(viaRows.exists(_.split("\\|")(1) == "NULL"))
   }
 
+  test("MoR delete: deletion vector hides rows without rewriting files") {
+    import graft.sources.GraftLog
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, And}
+    val dir = tmp()
+    spark.range(0, 4000).selectExpr("id", "id AS v")
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val filesBefore = GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .map(_.file).toSet
+    val (touched, total, usedDv) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(And(GreaterThanOrEqual("id", 500L), LessThan("id", 700L))))
+    assert(usedDv && total == 4 && touched == 1,
+      s"expected a 1-file DV commit, got ($touched, $total, $usedDv)")
+    // the POINT of merge-on-read: zero part files rewritten
+    val after = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(after.map(_.file).toSet == filesBefore,
+      "MoR delete must not rewrite any part file")
+    assert(after.count(e => GraftLog.dvOf(e).isDefined) == 1)
+    val back = readBack(dir)
+    assert(back.count() == 3800)
+    assert(back.filter(col("id") >= 500 && col("id") < 700).count() == 0)
+    assert(back.agg(sum(col("v"))).head.getLong(0) ==
+      (0L until 4000L).sum - (500L until 700L).sum)
+    // time travel to the pre-delete version still sees every row
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "0").load().count() == 4000)
+    // a second delete stacks: positions merge into one DV per file
+    val (t2, _, dv2) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(And(GreaterThanOrEqual("id", 600L), LessThan("id", 900L))))
+    assert(dv2 && t2 == 1)
+    assert(readBack(dir).count() == 3600)
+    assert(GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .count(e => GraftLog.dvOf(e).isDefined) == 1,
+      "re-delete must merge into the file's single DV")
+  }
+
+  test("MoR delete: oversized position set falls back to COW rewrite") {
+    import graft.sources.GraftLog
+    import org.apache.spark.sql.sources.LessThan
+    val dir = tmp()
+    spark.range(0, 4000).selectExpr("id", "id AS v")
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val before = GraftLog.entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
+    val (touched, _, usedDv) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(LessThan("id", 2000L)), maxPositions = 100)
+    assert(!usedDv, "2000 positions over a 100 cap must go copy-on-write")
+    assert(touched >= 1)
+    val after = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(after.map(_.file).toSet != before, "COW fallback rewrites")
+    assert(after.forall(e => GraftLog.dvOf(e).isEmpty))
+    assert(readBack(dir).count() == 2000)
+  }
+
+  test("DVs and the statistics spine: exact COUNT, honest MIN, compaction purge") {
+    import graft.sources.GraftLog
+    import org.apache.spark.sql.sources.LessThan
+    val dir = tmp()
+    spark.range(0, 2000).selectExpr("id", "id AS v")
+      .repartitionByRange(2, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // delete the MINIMUM rows — the manifest min is now stale
+    val (_, _, dv) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(LessThan("id", 10L)))
+    assert(dv)
+    // COUNT(*) still answers from the manifest, minus DV cardinality
+    val cnt = readBack(dir).agg(count(lit(1)))
+    assert(cnt.head.getLong(0) == 1990)
+    assert(cnt.queryExecution.executedPlan.toString.contains(
+      "metaCount=1990"), "COUNT must stay metadata-only and exact")
+    // MIN must NOT be served from the stale manifest stats
+    val mn = readBack(dir).agg(min(col("id")))
+    assert(mn.head.getLong(0) == 10L,
+      "MIN over a DV'd file must come from the scan, not stale stats")
+    assert(!mn.queryExecution.executedPlan.toString.contains("metaCount"),
+      "MIN/MAX pushdown must disable itself on DV'd files")
+    // compaction materializes the deletes and purges the DV
+    assert(GraftLog.compact(dir) == 2)
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size == 1 && live.forall(e => GraftLog.dvOf(e).isEmpty))
+    assert(readBack(dir).count() == 1990)
+    assert(readBack(dir).agg(min(col("id"))).head.getLong(0) == 10L)
+  }
+
+  test("restore drives deletion-vector state both directions") {
+    import graft.sources.GraftLog
+    import org.apache.spark.sql.sources.LessThan
+    val dir = tmp()
+    spark.range(0, 1000).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    val (_, _, dv) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(LessThan("id", 100L)))                                 // v1
+    assert(dv && readBack(dir).count() == 900)
+    // back to the pre-delete state: the DV clears
+    GraftLog.restore(dir, 0L)                                      // v2
+    assert(readBack(dir).count() == 1000)
+    assert(GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .forall(e => GraftLog.dvOf(e).isEmpty))
+    // forward again: the DV re-applies
+    GraftLog.restore(dir, 1L)                                      // v3
+    assert(readBack(dir).count() == 900)
+    assert(readBack(dir).filter(col("id") < 100).count() == 0)
+  }
+
+  test("vacuum reclaims superseded DVs, keeps the live one") {
+    import graft.sources.GraftLog
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan, And}
+    val dir = tmp()
+    spark.range(0, 1000).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def del(lo: Long, hi: Long) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(And(GreaterThanOrEqual("id", lo), LessThan("id", hi))))
+    del(0, 50); del(50, 100) // second delete supersedes the first DV
+    def dvFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("dv-")).map(_.getName).toSet
+    assert(dvFiles.size == 2)
+    val liveDv = GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .flatMap(e => GraftLog.dvOf(e)).map(_._1).toSet
+    assert(liveDv.size == 1)
+    // default vacuum keeps history (time travel to v1 needs DV #1);
+    // expire-history vacuum reclaims the superseded sidecar
+    GraftLog.vacuum(dir, minAgeMs = 0L)
+    assert(dvFiles.size == 2)
+    GraftLog.vacuum(dir, minAgeMs = 0L, expireHistory = true)
+    assert(dvFiles == liveDv, "superseded DV must be reclaimed")
+    assert(readBack(dir).count() == 900)
+  }
+
   test("two cross-process committers racing one version both survive") {
     import graft.sources.{GraftLog, LogEntry}
     import java.util.concurrent.{CountDownLatch, TimeUnit}
