@@ -1404,14 +1404,25 @@ class GraftLogTable(dir: String, writeSchema: StructType,
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new GraftLogRowLevelOperation(dir, schema(), info.command())
 
-  // SQL `DELETE FROM t WHERE ...` — copy-on-write, stats-targeted
-  // (see GraftLog.deleteWhere). Inexpressible predicates reject at
-  // analysis via canDeleteWhere.
+  // SQL `DELETE FROM t WHERE ...` — stats-targeted copy-on-write by
+  // default; `SET spark.graft.log.deleteMode=mor` switches to the
+  // deletion-vector path (metadata-only commit, zero file rewrites,
+  // automatic COW fallback past the position cap — see
+  // GraftLog.deleteWhereMoR). Inexpressible predicates reject at
+  // analysis via canDeleteWhere. An unconditional `DELETE FROM t`
+  // stays the pure-metadata retire-every-file commit either way.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GraftLog.convertible)
-  override def deleteWhere(filters: Array[Filter]): Unit =
-    GraftLog.deleteWhere(
-      org.apache.spark.sql.SparkSession.active, dir, filters)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val mor = s.conf.getOption("spark.graft.log.deleteMode")
+      .exists(_.trim.equalsIgnoreCase("mor"))
+    val unconditional =
+      filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])
+    if (mor && !unconditional) {
+      GraftLog.deleteWhereMoR(s, dir, filters); ()
+    } else GraftLog.deleteWhere(s, dir, filters)
+  }
   override def schema(): StructType = {
     // Reads see the stored schema; a write whose frame carries extra
     // columns sees the stored⊕incoming merge, so Spark's append

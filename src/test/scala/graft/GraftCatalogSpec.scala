@@ -532,6 +532,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL DELETE under deleteMode=mor commits a DV, rewrites nothing") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dvdb")
+      spark.sql("CREATE TABLE graftcat.dvdb.t (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO graftcat.dvdb.t
+        SELECT /*+ REPARTITION_BY_RANGE(4, id) */ id, id * 3
+        FROM range(0, 8000)""")
+      val dir = s"$wh/dvdb/t"
+      val before = graft.sources.GraftLog
+        .entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
+      spark.conf.set("spark.graft.log.deleteMode", "mor")
+      try
+        spark.sql(
+          "DELETE FROM graftcat.dvdb.t WHERE id >= 1000 AND id < 1500")
+      finally spark.conf.unset("spark.graft.log.deleteMode")
+      val after = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+      assert(after.map(_.file).toSet == before,
+        "MoR SQL DELETE must not rewrite part files")
+      assert(after.count(e => graft.sources.GraftLog.dvOf(e).isDefined) == 1)
+      assert(spark.table("graftcat.dvdb.t").count() == 7500)
+      assert(spark.sql(
+        "SELECT SUM(v) AS s FROM graftcat.dvdb.t").head.getLong(0) ==
+        3L * ((0L until 8000L).sum - (1000L until 1500L).sum))
+      // the DV commit shows up in the files introspection surface
+      assert(spark.sql("""SELECT COUNT(*) FROM graftcat.dvdb.`t$files`
+        WHERE action = 'dv'""").head.getLong(0) == 1L)
+      // and the default mode still rewrites copy-on-write
+      spark.sql(
+        "DELETE FROM graftcat.dvdb.t WHERE id >= 2000 AND id < 2100")
+      assert(graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+        .map(_.file).toSet != before)
+      assert(spark.table("graftcat.dvdb.t").count() == 7400)
+    }
+  }
+
   test("partition-column-less append can never commit record-less files") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db7")
