@@ -239,6 +239,49 @@ object Formats {
         GROUP BY version""")
     }),
 
+    // Named refs (Iceberg tags) + log expiration through the driver
+    // gate: `first_batch` pins version 0 and reads by NAME; the log
+    // then expires everything a checkpoint subsumes and the CURRENT
+    // snapshot still answers exactly (expire is metadata-only). Gated
+    // booleans: the sub-horizon tag read must fail loudly afterwards,
+    // and expiration must actually delete log segments.
+    "sql_catalog_refs" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/refs_t"
+      val (tagN, expired, horizonLoud) = rebuildOnce(refStats, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.refs_t")
+        s.sql("CREATE TABLE graftq.ns.refs_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.refs_t
+                 SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 3000)""")
+        s.sql("""CALL graftq.system.set_ref(table => 'ns.refs_t',
+                 name => 'first_batch', version => 0)""")
+        // 12 more commits so a checkpoint lands, then expire behind it
+        (0 until 12).foreach(i => s.sql(
+          s"INSERT INTO graftq.ns.refs_t SELECT $i + 10000, 0" +
+            " FROM range(1)"))
+        val n = s.sql("""SELECT COUNT(*) FROM graftq.ns.refs_t
+                         VERSION AS OF 'first_batch'""").head.getLong(0)
+        val del = s.sql("""CALL graftq.system.expire_log(
+          table => 'ns.refs_t', before_version => 11)""").head.getInt(0)
+        val loud =
+          try {
+            s.sql("""SELECT COUNT(*) FROM graftq.ns.refs_t
+                     VERSION AS OF 'first_batch'""").collect(); false
+          } catch {
+            case e: Exception =>
+              Option(e.getMessage).exists(_.contains("expired"))
+          }
+        (n, del > 0, loud)
+      }
+      s.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          "CAST(SUM(id) AS BIGINT) AS sum_id FROM graftq.ns.refs_t")
+        .select(col("n_rows"), col("sum_id"),
+          lit(tagN == 3000L).as("tag_read_pinned_v0"),
+          lit(expired).as("log_expired"),
+          lit(horizonLoud).as("horizon_fails_loudly"))
+    }),
+
     // Table maintenance driven through the driver gate: three appends
     // → compact (one file serves the snapshot, dataChange=false keeps
     // the CDF clean) → expire-history vacuum (pre-compaction parts
@@ -1210,6 +1253,10 @@ object Formats {
   // (filesRewrittenByUpdate, filesTotal, filesRewrittenByPureInsert)
   private val mergeStats =
     new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]()
+  // (tagReadRows, logExpired, horizonFailsLoudly)
+  private val refStats =
+    new scala.collection.concurrent.TrieMap[
+      String, (Long, Boolean, Boolean)]()
   // (usedDv1, usedDv2, zeroFilesRewritten, dvFileCount)
   private val dvStats =
     new scala.collection.concurrent.TrieMap[
@@ -1326,6 +1373,15 @@ object Formats {
            CAST(n_rows AS BIGINT) AS n_rows
          FROM (VALUES (0, 1, 4000), (1, 2, 6000))
            AS t(version, n_files, n_rows)""",
+    // 3000 original rows + 12 single-row appends of (10000+i, 0).
+    "sql_catalog_refs" ->
+      """SELECT CAST(3012 AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(id) FROM range(0, 3000) t(id)) +
+                (SELECT SUM(id + 10000) FROM range(0, 12) t(id))
+             AS BIGINT) AS sum_id,
+           TRUE AS tag_read_pinned_v0,
+           TRUE AS log_expired,
+           TRUE AS horizon_fails_loudly""",
     "sink_log_compact_vacuum" ->
       """SELECT CAST(7000 AS BIGINT) AS n_rows,
            CAST(24496500 AS BIGINT) AS sum_id,

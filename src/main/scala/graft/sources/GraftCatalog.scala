@@ -109,11 +109,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL time travel: `SELECT ... FROM graftcat.ns.t VERSION AS OF v`
     * resolves here — the returned table pins every scan to the
-    * manifest snapshot at version `v`. */
+    * manifest snapshot at version `v`. A non-numeric argument is a
+    * NAMED REF (`VERSION AS OF 'gold'`, the Iceberg tag idea),
+    * resolved against the table's `_refs` file. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftLogTable(tableDir(ident).getPath, StructType(Nil),
-      asOfVersion = version.toLong)
+    val dir = tableDir(ident).getPath
+    new GraftLogTable(dir, StructType(Nil),
+      asOfVersion = GraftLog.resolveVersion(dir, version))
   }
 
   /** `TIMESTAMP AS OF t` time travel: Spark hands the timestamp in

@@ -505,6 +505,14 @@ object GraftLog {
     else latest(e.file) = e
 
   def snapshotAsOf(dir: String, version: Long): SnapshotPlan = {
+    // Horizon guard: replaying a version below everything the
+    // retained log covers (history expired by [[expireLog]]) must
+    // fail loudly, not return a silently empty snapshot.
+    val oldest = oldestReplayableVersion(dir)
+    if (oldest > 0L && version < oldest)
+      throw new IllegalArgumentException(
+        s"version $version of $dir predates the retained log " +
+          s"(oldest replayable: $oldest — history was expired)")
     val ckpt = listVersioned(dir, CheckpointPrefix)
       .filter(_._1 <= version).lastOption
       .map { case (v, f) => readCheckpoint(v, f) }
@@ -655,6 +663,98 @@ object GraftLog {
       content.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Expire log segments (Delta's log retention / Iceberg's
+    * expire-snapshots for the metadata side): delete every commit
+    * file at-or-below the newest checkpoint at-or-below
+    * `beforeVersion` — that checkpoint subsumes them for planning any
+    * version from its own upward — plus all older checkpoints and the
+    * legacy flat manifest. This BOUNDS total log size forever:
+    * retained metadata is one checkpoint (O(live files)) plus the
+    * commit tail. The trade is documented and loud: time travel below
+    * the pivot checkpoint now throws (see [[snapshotAsOf]]'s horizon
+    * guard) instead of silently replaying an empty history. Part
+    * files are untouched — vacuum owns data retention, and its
+    * referenced set reads checkpoints too, so pre-horizon LIVE files
+    * survive. Returns the number of metadata files deleted. */
+  def expireLog(dir: String, beforeVersion: Long): Int = synchronized {
+    val ckpts = listVersioned(dir, CheckpointPrefix)
+    ckpts.filter(_._1 <= beforeVersion).lastOption match {
+      case None => 0
+      case Some((pivot, _)) =>
+        val commits = listVersioned(dir, CommitPrefix)
+          .filter(_._1 <= pivot)
+        val older = ckpts.filter(_._1 < pivot)
+        val legacy =
+          Option(new File(dir, ManifestFile)).filter(_.exists()).toSeq
+        (commits.map(_._2) ++ older.map(_._2) ++ legacy)
+          .foreach(_.delete())
+        commits.size + older.size + legacy.size
+    }
+  }
+
+  /** Oldest version the retained log can still reconstruct: 0 while
+    * the full history (legacy manifest or `_commit.0`) survives, else
+    * the oldest remaining checkpoint. -1 = empty table (no horizon
+    * to violate). */
+  def oldestReplayableVersion(dir: String): Long = {
+    val hasFull = new File(dir, ManifestFile).exists() ||
+      listVersioned(dir, CommitPrefix).headOption.exists(_._1 == 0L)
+    if (hasFull) 0L
+    else {
+      val floors = listVersioned(dir, CheckpointPrefix).map(_._1) ++
+        listVersioned(dir, CommitPrefix).map(_._1)
+      floors.minOption.getOrElse(-1L)
+    }
+  }
+
+  // ---- named refs (tags): human-named pins into the version log ----
+  // `VERSION AS OF 'gold'` instead of a raw number — the Iceberg
+  // tag/ref idea. Stored as one `_refs` file (name=version lines),
+  // atomically replaced under the object lock; a ref must point at a
+  // committed version at creation time, and expiring the log past a
+  // ref's version makes reads through it fail loudly like any other
+  // sub-horizon time travel.
+  val RefsFile = "_refs"
+
+  def refs(dir: String): Map[String, Long] = {
+    val f = new File(dir, RefsFile)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.lastIndexOf('=')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
+  }
+
+  def setRef(dir: String, name: String, version: Long): Unit =
+    synchronized {
+      require(name.nonEmpty && !name.forall(_.isDigit) &&
+        !name.contains("=") && !name.contains("\n"),
+        s"invalid ref name '$name' (non-numeric, no '=' or newline)")
+      val cur = currentVersion(dir)
+      require(version >= 0 && version <= cur,
+        s"ref '$name' must point at a committed version 0..$cur, " +
+          s"got $version")
+      writeRefs(dir, refs(dir) + (name -> version))
+    }
+
+  def dropRef(dir: String, name: String): Unit = synchronized {
+    writeRefs(dir, refs(dir) - name)
+  }
+
+  private def writeRefs(dir: String, rs: Map[String, Long]): Unit =
+    atomicWrite(Paths.get(dir, RefsFile),
+      rs.toSeq.sortBy(_._1).map { case (n, v) => s"$n=$v" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  /** Resolve a `VERSION AS OF` argument: a number is a version, any
+    * other string is a ref name (fails loudly when absent). */
+  def resolveVersion(dir: String, spec: String): Long =
+    if (spec.nonEmpty && spec.forall(_.isDigit)) spec.toLong
+    else refs(dir).getOrElse(spec, throw new IllegalArgumentException(
+      s"no ref '$spec' on the table at $dir " +
+        s"(known: ${refs(dir).keys.toSeq.sorted.mkString(", ")})"))
+
   /** CREATE TABLE: persist the schema — the table-existence marker.
     * An empty table needs no commit (version -1, empty snapshot). */
   def create(dir: String, schema: StructType): Unit = {
@@ -690,16 +790,20 @@ object GraftLog {
     * Returns the deleted names. */
   def vacuum(dir: String, minAgeMs: Long = DefaultVacuumRetentionMs,
       expireHistory: Boolean = false): Seq[String] = synchronized {
+    val ckptLive =
+      if (expireHistory) Seq.empty
+      else listVersioned(dir, CheckpointPrefix)
+        .flatMap { case (v, f) => readCheckpoint(v, f).live }
     val referenced =
       (if (expireHistory) entriesAsOf(dir, Long.MaxValue)
-       else entries(dir).filter(_.isAdd)).map(_.file).toSet
+       else entries(dir).filter(_.isAdd) ++ ckptLive).map(_.file).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     // DV sidecars follow the part-file rules: referenced = every DV
     // named anywhere in the kept history (current snapshot only under
     // expireHistory), aged orphans and superseded DVs reclaimed.
     val refDv =
       (if (expireHistory) entriesAsOf(dir, Long.MaxValue)
-       else entries(dir)).flatMap(e =>
+       else entries(dir) ++ ckptLive).flatMap(e =>
         e.stats.get(DvKey).map(_._1).filter(_.nonEmpty)).toSet
     Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("dv-") &&
@@ -1442,8 +1546,9 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     require(new File(dir, GraftLog.SchemaFile).exists(),
       s"graft-log table not found at $dir (no ${GraftLog.SchemaFile}; " +
         "reads never create tables — check the path)")
-    val hi = Option(options.get("asOfVersion")).map(_.toLong)
-      .getOrElse(asOfVersion)
+    // numeric = a version; anything else = a named ref (tag)
+    val hi = Option(options.get("asOfVersion"))
+      .map(GraftLog.resolveVersion(dir, _)).getOrElse(asOfVersion)
     // change feed: rows appended in (changesFromVersion, hi]
     val lo = Option(options.get("changesFromVersion")).map(_.toLong)
       .getOrElse(-1L)

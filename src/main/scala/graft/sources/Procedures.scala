@@ -32,7 +32,8 @@ object GraftProcedures {
   val Namespace = "system"
 
   val All: Seq[String] =
-    Seq("compact", "vacuum", "optimize_zorder", "restore")
+    Seq("compact", "vacuum", "optimize_zorder", "restore",
+      "set_ref", "drop_ref", "expire_log", "delete_mor")
 
   /** One-row, driver-local result set. */
   private case class ResultScan(schema: StructType,
@@ -125,6 +126,65 @@ object GraftProcedures {
           val (rm, ra) = GraftLog.restore(
             dirOf(warehouse, args.getString(0)), args.getLong(1))
           Array(rm, ra)
+        }
+      }
+      case "set_ref" => new Proc("set_ref",
+          "pin a human-named ref (tag) at a committed version; read " +
+            "it back with VERSION AS OF 'name'",
+          Seq(param("table", StringType), param("name", StringType),
+            param("version", LongType)),
+          StructType(Seq(
+            StructField("version", LongType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          GraftLog.setRef(dirOf(warehouse, args.getString(0)),
+            args.getString(1), args.getLong(2))
+          Array(args.getLong(2))
+        }
+      }
+      case "drop_ref" => new Proc("drop_ref",
+          "drop a named ref (the pinned version stays time-travelable " +
+            "by number until the log is expired)",
+          Seq(param("table", StringType), param("name", StringType)),
+          StructType(Seq(
+            StructField("dropped", BooleanType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          GraftLog.dropRef(dirOf(warehouse, args.getString(0)),
+            args.getString(1))
+          Array(true)
+        }
+      }
+      case "expire_log" => new Proc("expire_log",
+          "delete commit files subsumed by the newest checkpoint at or " +
+            "below before_version — bounds metadata size; time travel " +
+            "below the retained horizon then fails loudly",
+          Seq(param("table", StringType),
+            param("before_version", LongType)),
+          StructType(Seq(
+            StructField("segments_deleted", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.expireLog(dirOf(warehouse, args.getString(0)),
+            args.getLong(1)))
+      }
+      case "delete_mor" => new Proc("delete_mor",
+          "merge-on-read DELETE of a [lo, hi) key range via deletion " +
+            "vectors: metadata-only commit, zero part-file rewrites " +
+            "(falls back to copy-on-write past the position cap)",
+          Seq(param("table", StringType), param("key_col", StringType),
+            param("lo", LongType), param("hi", LongType)),
+          StructType(Seq(
+            StructField("files_touched", IntegerType, false),
+            StructField("files_total", IntegerType, false),
+            StructField("used_dv", BooleanType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          import org.apache.spark.sql.sources.{And, GreaterThanOrEqual,
+            LessThan}
+          val (t, n, dv) = GraftLog.deleteWhereMoR(
+            org.apache.spark.sql.SparkSession.active,
+            dirOf(warehouse, args.getString(0)),
+            Array(And(
+              GreaterThanOrEqual(args.getString(1), args.getLong(2)),
+              LessThan(args.getString(1), args.getLong(3)))))
+          Array(t, n, dv)
         }
       }
       case other => throw new RuntimeException(

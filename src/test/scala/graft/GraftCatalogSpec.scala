@@ -297,7 +297,7 @@ class GraftCatalogSpec extends SparkSpec {
       val names = spark.sql("SHOW PROCEDURES IN graftcat.system")
         .select("procedure_name").collect().map(_.getString(0)).toSet
       assert(names == Set("compact", "vacuum", "optimize_zorder",
-        "restore"))
+        "restore", "set_ref", "drop_ref", "expire_log", "delete_mor"))
       val desc = spark.sql("DESCRIBE PROCEDURE graftcat.system.vacuum")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("vacuum") && desc.contains("min_age_ms"),
@@ -564,6 +564,51 @@ class GraftCatalogSpec extends SparkSpec {
       assert(graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
         .map(_.file).toSet != before)
       assert(spark.table("graftcat.dvdb.t").count() == 7400)
+    }
+  }
+
+  test("refs + log expiration + MoR delete through the SQL procedure surface") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.refdb")
+      spark.sql("CREATE TABLE graftcat.refdb.t (id BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.refdb.t SELECT id, id FROM range(100)")  // v0
+      spark.sql(
+        "INSERT INTO graftcat.refdb.t SELECT id, id FROM range(50)")   // v1
+      // tag version 0 and read it back by NAME
+      assert(spark.sql("""CALL graftcat.system.set_ref(
+        table => 'refdb.t', name => 'gold', version => 0)""")
+        .head.getLong(0) == 0L)
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM graftcat.refdb.t VERSION AS OF 'gold'")
+        .head.getLong(0) == 100)
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM graftcat.refdb.t VERSION AS OF 1")
+        .head.getLong(0) == 150)
+      // MoR delete through CALL: zero rewrites, rows hidden
+      val r = spark.sql("""CALL graftcat.system.delete_mor(
+        table => 'refdb.t', key_col => 'id', lo => 10, hi => 20)""")
+        .head
+      assert(r.getBoolean(2), "expected the DV path")
+      assert(spark.table("graftcat.refdb.t").count() == 130)
+      // drive past a checkpoint, expire, and confirm the horizon
+      (0 until 12).foreach(i => spark.sql(
+        s"INSERT INTO graftcat.refdb.t SELECT id + ${1000 + i}, 0 " +
+          "FROM range(1)"))
+      val deleted = spark.sql("""CALL graftcat.system.expire_log(
+        table => 'refdb.t', before_version => 12)""").head.getInt(0)
+      assert(deleted > 0)
+      // the tag below the horizon now fails loudly — resolution works,
+      // replay refuses
+      val e = intercept[Exception] {
+        spark.sql(
+          "SELECT COUNT(*) FROM graftcat.refdb.t VERSION AS OF 'gold'")
+          .collect()
+      }
+      assert(e.getMessage.contains("expired"),
+        s"sub-horizon tag read must fail loudly, got: ${e.getMessage}")
+      // the current snapshot is untouched
+      assert(spark.table("graftcat.refdb.t").count() == 142)
     }
   }
 

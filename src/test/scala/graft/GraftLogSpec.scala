@@ -1153,6 +1153,70 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 900)
   }
 
+  test("expireLog bounds the metadata; sub-horizon travel fails loudly") {
+    import graft.sources.{GraftLog, LogEntry}
+    val dir = tmp()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    series(60).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save() // v1
+    val schema = readBack(dir).schema
+    // churn to version 25 (phantoms add+remove inside one commit, so
+    // no snapshot ever plans them): checkpoints land every 10 commits
+    (2 to 25).foreach { i =>
+      GraftLog.commitNew(dir, schema)(v =>
+        Seq(LogEntry.add(v, s"ph-$i", 0L, Map.empty),
+          LogEntry.remove(v, s"ph-$i")))
+    }
+    def segs = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("_commit."))
+    val before = segs
+    val deleted = GraftLog.expireLog(dir, 20L)
+    assert(deleted > 0 && segs < before,
+      s"expiration must delete commit files (deleted=$deleted)")
+    val pivot = GraftLog.oldestReplayableVersion(dir)
+    assert(pivot > 0L)
+    // current state and post-pivot travel still replay exactly
+    assert(readBack(dir).count() == 160)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", pivot.toString).load().count() == 160)
+    // BELOW the horizon: loud failure, never a silent empty snapshot
+    val e = intercept[IllegalArgumentException] {
+      GraftLog.entriesAsOf(dir, 0L)
+    }
+    assert(e.getMessage.contains("expired"))
+    // vacuum after expiration must keep the live files the checkpoint
+    // references even though their add entries are gone from the log
+    GraftLog.vacuum(dir, minAgeMs = 0L)
+    assert(readBack(dir).count() == 160,
+      "vacuum deleted live files referenced only via the checkpoint")
+  }
+
+  test("named refs: VERSION AS OF a tag through option and resolution") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    series(60).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save() // v1
+    GraftLog.setRef(dir, "gold", 0L)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "gold").load().count() == 100)
+    // refs pin versions, numbers still work, unknown refs fail loudly
+    assert(GraftLog.resolveVersion(dir, "1") == 1L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("asOfVersion", "silver").load().count()
+    }
+    assert(e.getMessage.contains("no ref 'silver'"))
+    // a ref cannot point past the head, and dropping one removes it
+    intercept[IllegalArgumentException] {
+      GraftLog.setRef(dir, "future", 7L)
+    }
+    GraftLog.dropRef(dir, "gold")
+    assert(GraftLog.refs(dir).isEmpty)
+  }
+
   test("two cross-process committers racing one version both survive") {
     import graft.sources.{GraftLog, LogEntry}
     import java.util.concurrent.{CountDownLatch, TimeUnit}
