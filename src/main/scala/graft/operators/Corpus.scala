@@ -159,6 +159,63 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("lr")).as("avg_log_ratio"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016): learn
+    * `nMerges` merges over the corpus word-frequency table. Each
+    * iteration aggregates adjacent-pair counts from the CURRENT symbol
+    * sequences (vocab-sized, never corpus-sized: the corpus collapses
+    * to word frequencies once, up front), takes the (count desc, pair
+    * asc) argmax — the convergence-style bounded driver read, a 1-row
+    * aggregate per iteration like dedup_resolve_clusters — and applies
+    * the merge with a left fold that replaces the accumulator's tail
+    * when it completes the pair, which is exactly the greedy
+    * left-to-right scan (BpeTrainSpec pins the equivalence against an
+    * in-memory reference trainer). Returns the learned merge list and
+    * the final per-word symbol sequences. */
+  def bpeTrain(s: SparkSession, d: String,
+      nMerges: Int): (Seq[(String, String)], DataFrame) = {
+    var words = Tables.documents(s, d)
+      .select(explode(toksOf(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      // truncate lineage each round (stays distributed — the vocab
+      // never visits the driver): the plan would otherwise nest one
+      // fold per learned merge (fine at 8, quadratic at 50k)
+      words = words.localCheckpoint()
+      // size >= 2: sequence(1, 0) DESCENDS in Spark (step defaults to
+      // -1), so a fully-merged single-symbol word must not explode
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            j => struct(element_at(col("syms"), j).as("a"),
+              element_at(col("syms"), j + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (pa, pb) = (top(0).getString(0), top(0).getString(1))
+        merges += ((pa, pb))
+        words = words.withColumn("syms",
+          aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, sym) => when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(pa) && sym === lit(pb),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(pa + pb))))
+              .otherwise(concat(acc, array(sym)))))
+      }
+      i += 1
+    }
+    (merges.toSeq, words)
+  }
+
   val queries: Map[String, Q] = Map(
     // Deterministic train/valid/test assignment. Pure projection — no
     // shuffle, no state; the split of any document is recomputable by
@@ -723,10 +780,89 @@ object Corpus {
         .withColumn("score_avg",
           round(col("w_sum").cast("double") / col("n_features"), 6))
         .withColumn("keep", col("w_sum") > 0)
+    }),
+
+    // BPE trainer statistic (Sennrich et al. 2016 §3.2): a byte-pair
+    // tokenizer's first merge is the most frequent ADJACENT symbol pair
+    // over the word-frequency table — this query surfaces that table's
+    // head (top-20 character pairs weighted by word frequency, the
+    // exact ranking the first merge consumes; BpeTrainSpec drives the
+    // full iterative merge loop on this statistic). Scale shape: the
+    // corpus collapses to a word-frequency dictionary FIRST (the one
+    // big shuffle, map-side combined), pairs explode from the
+    // dictionary (vocab-sized, not corpus-sized), and the pair-count
+    // table is at most alphabet² rows — the final window ranks a frame
+    // countable on one hand at any corpus size.
+    "corpus_bpe_pair_counts" -> ((s, d) => {
+      val wf = Tables.documents(s, d)
+        .select(explode(toksOf(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("w")) >= 2)
+      val pc = wf.select(col("freq"),
+          explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      val w = Window.partitionBy(lit(1))
+        .orderBy(col("n").desc, col("pair"))
+      pc.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("pair"), col("n"))
+    }),
+
+    // Deterministic training-order shuffle: every epoch-level data
+    // loader needs a reproducible global permutation of the corpus
+    // that interleaves sources (no "all of source A, then all of B" —
+    // gradient quality dies on ordered data). The key is md5 of a
+    // salted doc_id — identical bytes in any engine, so a resumed or
+    // re-run job replays the exact order. Scale shape: a global sort
+    // by hash key IS the operator (range-partitioned sort, the one
+    // thing a training-order shuffle fundamentally requires); the
+    // consecutive ordinal here uses the engine-independent
+    // single-partition window form our rank queries share — a 100 TB
+    // run materializes ordinals with per-range counts + prefix
+    // offsets at write time instead (two metadata-sized passes).
+    "corpus_train_order" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+      val w = Window.partitionBy(lit(1)).orderBy(col("shuffle_key"))
+      keyed.withColumn("ord", row_number().over(w).cast("long"))
+        .withColumn("batch_id",
+          floor((col("ord") - 1) / 64).cast("long"))
+        .select(col("doc_id"), col("source"), col("shuffle_key"),
+          col("ord"), col("batch_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_bpe_pair_counts" ->
+      """WITH tk AS (
+           SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+             x -> x <> '')) AS w
+           FROM documents),
+         wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM tk WHERE LENGTH(w) >= 2 GROUP BY w),
+         p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, freq
+               FROM wf, unnest(range(1, LENGTH(w))) AS u(i)),
+         pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+                FROM p GROUP BY pair),
+         r AS (SELECT pair, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair)
+                   AS INTEGER) AS rank
+               FROM pc)
+         SELECT rank, pair, n FROM r WHERE rank <= 20""",
+    "corpus_train_order" ->
+      """WITH k AS (
+           SELECT doc_id, source,
+             md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+           FROM documents)
+         SELECT doc_id, source, shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key) AS BIGINT)
+             AS ord,
+           CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key) - 1) // 64
+             AS BIGINT) AS batch_id
+         FROM k""",
     "corpus_split_assign" ->
       """SELECT doc_id,
            CAST((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) % 100 AS INTEGER)

@@ -282,6 +282,38 @@ object Formats {
           lit(horizonLoud).as("horizon_fails_loudly"))
     }),
 
+    // The `t$partitions` metadata table (Iceberg's `partitions`): live
+    // per-partition file/row counts — what a compaction policy reads to
+    // find fragmented or skewed partitions. Fixture: a partitioned
+    // table, two single-task appends (deterministic file counts: one
+    // file per value per append), then a MoR delete of ids [0, 300) so
+    // the row counts must be EFFECTIVE rows (DV-deleted rows excluded,
+    // zero files rewritten). Closed-form oracle.
+    "sql_catalog_partitions_meta" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/pmeta_t"
+      rebuildOnce(partsMetaBuilt, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.pmeta_t")
+        s.sql("""CREATE TABLE graftq.ns.pmeta_t (id BIGINT, k STRING)
+                 PARTITIONED BY (k)""")
+        s.sql("""INSERT INTO graftq.ns.pmeta_t
+                 SELECT /*+ REPARTITION(1) */ id,
+                   CASE WHEN id % 3 = 0 THEN 'a'
+                        WHEN id % 3 = 1 THEN 'b' ELSE 'c' END
+                 FROM range(0, 3000)""")
+        s.sql("""INSERT INTO graftq.ns.pmeta_t
+                 SELECT /*+ REPARTITION(1) */ id + 3000,
+                   CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+                 FROM range(0, 1000)""")
+        s.sql("""CALL graftq.system.delete_mor(table => 'ns.pmeta_t',
+                 key_col => 'id', lo => 0, hi => 300)""").collect()
+        true
+      }
+      s.sql("""SELECT part_value, n_files, n_rows
+               FROM graftq.ns.`pmeta_t$partitions`""")
+    }),
+
     // Table maintenance driven through the driver gate: three appends
     // → compact (one file serves the snapshot, dataChange=false keeps
     // the CDF clean) → expire-history vacuum (pre-compaction parts
@@ -1257,6 +1289,8 @@ object Formats {
   private val refStats =
     new scala.collection.concurrent.TrieMap[
       String, (Long, Boolean, Boolean)]()
+  private val partsMetaBuilt =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
   // (usedDv1, usedDv2, zeroFilesRewritten, dvFileCount)
   private val dvStats =
     new scala.collection.concurrent.TrieMap[
@@ -1373,6 +1407,13 @@ object Formats {
            CAST(n_rows AS BIGINT) AS n_rows
          FROM (VALUES (0, 1, 4000), (1, 2, 6000))
            AS t(version, n_files, n_rows)""",
+    // a: 1000 + 500 rows in 2 files, b: 1000 + 500 in 2, c: 1000 in 1;
+    // the [0, 300) MoR delete removes 100 rows from each of a/b/c.
+    "sql_catalog_partitions_meta" ->
+      """SELECT part_value, CAST(n_files AS BIGINT) AS n_files,
+           CAST(n_rows AS BIGINT) AS n_rows
+         FROM (VALUES ('a', 2, 1400), ('b', 2, 1400), ('c', 1, 900))
+           AS t(part_value, n_files, n_rows)""",
     // 3000 original rows + 12 single-row appends of (10000+i, 0).
     "sql_catalog_refs" ->
       """SELECT CAST(3012 AS BIGINT) AS n_rows,

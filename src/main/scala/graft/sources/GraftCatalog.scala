@@ -103,6 +103,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftLogHistoryTable(tableDir(base).getPath)
     }
+    // `t$partitions`: one row per live identity-partition value with
+    // file/row counts — the layout surface compaction policy reads.
+    if (ident.name.endsWith("$partitions")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$partitions"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogPartitionsTable(tableDir(base).getPath)
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftLogTable(tableDir(ident).getPath, StructType(Nil))
   }

@@ -2740,6 +2740,76 @@ object GraftLogHistoryTable {
     StructField("rows_added", LongType, nullable = false)))
 }
 
+/** The `t$partitions` metadata table (Iceberg's `partitions`): one row
+  * per live identity-partition value — (part_value, n_files, n_rows) —
+  * the layout surface a maintenance policy reads (which partitions are
+  * fragmented enough to compact, how skewed the value distribution
+  * is). Rows count EFFECTIVE rows (DV-deleted rows excluded), files
+  * are the CURRENT snapshot only — `t$files` keeps the full ledger.
+  * part_value is NULL for the NULL partition, for files predating the
+  * partition declaration (honest: those files also fall out of
+  * storage-partitioned grouping), and for every file of an
+  * unpartitioned table (one summary row, like Iceberg). */
+class GraftLogPartitionsTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_partitions($dir)"
+  override def schema(): StructType = GraftLogPartitionsTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[Array[Any]] = {
+          val partCol = GraftLog.partitionColOf(dir)
+          val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+          live.groupBy(e => partCol.flatMap(c =>
+              GraftLogPartValue.of(e, c)).map {
+                case null => null
+                case v => v.toString
+              }.orNull)
+            .toSeq
+            .sortBy { case (pv, _) => (pv == null, Option(pv).getOrElse("")) }
+            .map { case (pv, es) =>
+              Array[Any](
+                Option(pv).map(UTF8String.fromString).orNull,
+                es.size.toLong,
+                es.map(GraftLog.effectiveRows).sum)
+            }
+        }
+        override def readSchema(): StructType =
+          GraftLogPartitionsTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_partitions $dir groups=${rows.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogHistoryPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogHistoryPartition].rows.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = new GenericInternalRow(it.next())
+                  true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+object GraftLogPartitionsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("part_value", StringType, nullable = true),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+}
+
 case class GraftLogHistoryPartition(rows: Seq[Array[Any]])
     extends InputPartition
 

@@ -138,6 +138,85 @@ class CorpusSpec extends SparkSpec {
     assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
   }
 
+  /** In-memory reference BPE trainer: the textbook greedy algorithm
+    * (pair counts over the word-frequency table, (count desc, pair asc)
+    * argmax, left-to-right merge scan) that the distributed
+    * [[Corpus.bpeTrain]] must reproduce exactly. */
+  private def refBpe(wordFreq: Map[String, Long],
+      nMerges: Int): (Seq[(String, String)], Map[String, Seq[String]]) = {
+    var syms: Map[String, Seq[String]] =
+      wordFreq.keysIterator.map(w => w -> w.map(_.toString)).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, ss) <- syms; i <- 0 until ss.length - 1)
+        counts((ss(i), ss(i + 1))) =
+          counts.getOrElse((ss(i), ss(i + 1)), 0L) + wordFreq(w)
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq
+          .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+        merges += ((a, b))
+        syms = syms.map { case (w, ss) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == a && ss(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          w -> out.toSeq
+        }
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  test("distributed BPE training replays the reference merge sequence") {
+    val wordFreq = Tables.documents(spark, sf0001)
+      .select(explode(Corpus.toksOf(col("text"))).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (refMerges, refSyms) = refBpe(wordFreq, 8)
+    val (gotMerges, words) = Corpus.bpeTrain(spark, sf0001, 8)
+    assert(gotMerges == refMerges,
+      s"merge sequences diverge:\n got $gotMerges\n ref $refMerges")
+    // and the merged symbol sequences agree word-for-word
+    val gotSyms = words.select(col("w"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(gotSyms == refSyms)
+  }
+
+  test("the pair-count query's rank-1 pair IS the first BPE merge") {
+    val top = Corpus.queries("corpus_bpe_pair_counts")(spark, sf0001)
+      .filter(col("rank") === 1).head
+    val (merges, _) = Corpus.bpeTrain(spark, sf0001, 1)
+    assert(top.getString(1) == merges.head._1 + merges.head._2,
+      s"rank-1 pair ${top.getString(1)} != first merge ${merges.head}")
+  }
+
+  test("training order is a deterministic interleaving permutation") {
+    val o = Corpus.queries("corpus_train_order")(spark, sf001)
+    val n = Tables.documents(spark, sf001).count()
+    val ords = o.agg(countDistinct(col("ord")).as("d"),
+      min(col("ord")).as("lo"), max(col("ord")).as("hi")).head
+    assert(ords.getLong(0) == n && ords.getLong(1) == 1L &&
+      ords.getLong(2) == n, "ord must be a 1..N permutation")
+    // interleaving: no FULL batch of 64 drawn from a single source
+    // (md5 keys are uniform; a one-source batch at 20 sources has
+    // probability ~20^-62) and full batches average several sources
+    val perBatch = o.groupBy("batch_id")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("source")).as("ns"))
+      .filter(col("sz") === 64)
+    assert(perBatch.filter(col("ns") === 1).isEmpty,
+      "a full batch drawn from one source is not an interleave")
+    assert(perBatch.agg(avg(col("ns"))).head.getDouble(0) > 5.0)
+    // byte-identical on a rerun — the property training resume needs
+    val again = Corpus.queries("corpus_train_order")(spark, sf001)
+    assert(o.exceptAll(again).isEmpty && again.exceptAll(o).isEmpty)
+  }
+
   test("language weights are a temperature-flattened distribution") {
     val w = Corpus.queries("corpus_lang_weights")(spark, sf001).collect()
     val totalWeight = w.map(_.getAs[Double]("weight")).sum
