@@ -282,6 +282,52 @@ object Formats {
           lit(horizonLoud).as("horizon_fails_loudly"))
     }),
 
+    // Write-audit-publish through the driver gate: an INSERT staged
+    // under a WAP id is visible to the audit session (5000 rows) but
+    // NOT to ordinary readers (4000) until CALL publish_staged makes
+    // it one ordinary commit; a second publish fails loudly. The
+    // final SELECT runs against the published table; the booleans
+    // gate each leg of the audit lifecycle.
+    "sql_catalog_wap" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/wap_t"
+      val (auditN, baseN, pubOnce) = rebuildOnce(wapStats, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.wap_t")
+        s.sql("CREATE TABLE graftq.ns.wap_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.wap_t
+                 SELECT id, id FROM range(0, 4000)""")
+        s.conf.set(GraftLog.WapConf, "r9audit")
+        val a =
+          try {
+            s.sql("""INSERT INTO graftq.ns.wap_t
+                     SELECT id + 4000, 1 FROM range(0, 1000)""")
+            s.sql("SELECT COUNT(*) FROM graftq.ns.wap_t")
+              .head.getLong(0)
+          } finally s.conf.unset(GraftLog.WapConf)
+        val base = s.sql("SELECT COUNT(*) FROM graftq.ns.wap_t")
+          .head.getLong(0)
+        s.sql("""CALL graftq.system.publish_staged(
+          table => 'ns.wap_t', wap_id => 'r9audit')""").collect()
+        val once =
+          try {
+            s.sql("""CALL graftq.system.publish_staged(
+              table => 'ns.wap_t', wap_id => 'r9audit')""").collect()
+            false
+          } catch {
+            case e: Exception =>
+              Option(e.getMessage).exists(_.contains("no staged"))
+          }
+        (a, base, once)
+      }
+      s.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          "CAST(SUM(v) AS BIGINT) AS sum_v FROM graftq.ns.wap_t")
+        .select(col("n_rows"), col("sum_v"),
+          lit(auditN == 5000L).as("audit_saw_staged"),
+          lit(baseN == 4000L).as("staged_invisible"),
+          lit(pubOnce).as("publish_exactly_once"))
+    }),
+
     // The `t$partitions` metadata table (Iceberg's `partitions`): live
     // per-partition file/row counts — what a compaction policy reads to
     // find fragmented or skewed partitions. Fixture: a partitioned
@@ -1291,6 +1337,10 @@ object Formats {
       String, (Long, Boolean, Boolean)]()
   private val partsMetaBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
+  // (auditRowsSeen, baseRowsWhileStaged, secondPublishFailedLoudly)
+  private val wapStats =
+    new scala.collection.concurrent.TrieMap[
+      String, (Long, Long, Boolean)]()
   // (usedDv1, usedDv2, zeroFilesRewritten, dvFileCount)
   private val dvStats =
     new scala.collection.concurrent.TrieMap[
@@ -1407,6 +1457,15 @@ object Formats {
            CAST(n_rows AS BIGINT) AS n_rows
          FROM (VALUES (0, 1, 4000), (1, 2, 6000))
            AS t(version, n_files, n_rows)""",
+    // 4000 committed rows (v = id) + 1000 published-after-audit rows
+    // (v = 1): sum_v = sum(0..3999) + 1000.
+    "sql_catalog_wap" ->
+      """SELECT CAST(4000 + 1000 AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(id) FROM range(0, 4000) t(id)) + 1000
+             AS BIGINT) AS sum_v,
+           TRUE AS audit_saw_staged,
+           TRUE AS staged_invisible,
+           TRUE AS publish_exactly_once""",
     // a: 1000 + 500 rows in 2 files, b: 1000 + 500 in 2, c: 1000 in 1;
     // the [0, 300) MoR delete removes 100 rows from each of a/b/c.
     "sql_catalog_partitions_meta" ->

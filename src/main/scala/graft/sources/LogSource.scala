@@ -755,6 +755,106 @@ object GraftLog {
       s"no ref '$spec' on the table at $dir " +
         s"(known: ${refs(dir).keys.toSeq.sorted.mkString(", ")})"))
 
+  // ---- write-audit-publish (WAP) staging -------------------------
+  // Iceberg's stage-then-publish pattern: with `spark.graft.log.wapId`
+  // set, an INSERT writes its part files but records their entries in
+  // a `_staged.<id>` side file instead of committing — invisible to
+  // every ordinary reader. A session with the SAME wap id set reads
+  // the current snapshot PLUS the staged overlay (the audit), and
+  // `CALL system.publish_staged` turns the staged entries into one
+  // ordinary commit, atomically and exactly once. The pipeline shape
+  // this exists for: ingest a batch, run quality/dedup/contamination
+  // checks against the audit view, and only then make it visible to
+  // training jobs — a bad batch is dropped without ever having been
+  // live, and no reader ever sees a half-audited table.
+  val WapConf = "spark.graft.log.wapId"
+  val StagedPrefix = "_staged."
+
+  /** The session's active WAP id, when one is set and non-empty. */
+  def activeWapId(): Option[String] =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+      .flatMap(s => Option(s.conf.get(WapConf, null)))
+      .filter(_.nonEmpty)
+
+  private def stagedFile(dir: String, id: String): File = {
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit ||
+        c == '-' || c == '_'),
+      s"invalid wap id '$id' (letters, digits, '-', '_' only)")
+    new File(dir, StagedPrefix + id)
+  }
+
+  def listStagedIds(dir: String): Seq[String] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(StagedPrefix))
+      .map(_.stripPrefix(StagedPrefix)).sorted.toSeq
+
+  def stagedEntries(dir: String, id: String): Seq[LogEntry] = {
+    val f = stagedFile(dir, id)
+    if (!f.exists()) Seq.empty else readEntryLines(f)
+  }
+
+  /** Stage an append under `id`: entries accumulate in the staged
+    * side file (several writes may stage under one audit id) with a
+    * placeholder version; part files are already in the table dir but
+    * unreferenced by any commit. Staged writes may not evolve the
+    * schema — the evolution would be visible to non-audit readers
+    * before publish, breaking the whole point. */
+  def stageAppend(dir: String, id: String, fresh: Seq[GraftLogCommit],
+      schema: StructType): Unit = synchronized {
+    if (fresh.isEmpty) return
+    storedSchema(dir).foreach { stored =>
+      require(mergeSchemas(stored, schema) == stored,
+        s"staged write under wap id '$id' would evolve the schema of " +
+          s"$dir — publish-time evolution is not supported; evolve " +
+          "with an ordinary write first")
+    }
+    val entries = stagedEntries(dir, id) ++
+      fresh.map(c => LogEntry.add(-1L, c.file, c.rows, c.stats,
+        cols = c.cols))
+    atomicWrite(stagedFile(dir, id).toPath,
+      entries.map(_.serialize).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Publish a staged audit as ONE ordinary commit (re-versioned
+    * entries), then retire the staged file — exactly once: a second
+    * publish of the same id fails loudly on the missing file. Returns
+    * (publishedVersion, nFiles). */
+  def publishStaged(dir: String, id: String): (Long, Int) = synchronized {
+    val es = stagedEntries(dir, id)
+    require(es.nonEmpty,
+      s"no staged write under wap id '$id' at $dir " +
+        s"(staged: ${listStagedIds(dir).mkString(", ")})")
+    es.foreach(e => require(new File(dir, e.file).exists(),
+      s"cannot publish '$id': staged part ${e.file} is missing"))
+    var published = -1L
+    commitNew(dir, storedSchema(dir).getOrElse(StructType(Nil))) { v =>
+      published = v
+      // ts stays -1: commitNew stamps its monotonic commit time — the
+      // PUBLISH instant is the version's timestamp (audit time is not)
+      es.map(e => e.copy(version = v, ts = -1L))
+    }
+    stagedFile(dir, id).delete()
+    (published, es.size)
+  }
+
+  /** Abandon a staged audit: delete its part files and the side file.
+    * Returns the number of part files deleted. */
+  def dropStaged(dir: String, id: String): Int = synchronized {
+    val es = stagedEntries(dir, id)
+    es.foreach(e => new File(dir, e.file).delete())
+    stagedFile(dir, id).delete()
+    es.size
+  }
+
+  /** Loud guard for operations that cannot be staged: running them
+    * with a WAP id set would either commit visibly mid-audit or
+    * silently bypass the staging the session asked for. */
+  def requireNoWap(op: String): Unit = activeWapId().foreach(id =>
+    throw new IllegalStateException(
+      s"$op cannot run while $WapConf='$id' is set — only appends " +
+        "stage; publish or drop the audit (or unset the conf) first"))
+
   /** CREATE TABLE: persist the schema — the table-existence marker.
     * An empty table needs no commit (version -1, empty snapshot). */
   def create(dir: String, schema: StructType): Unit = {
@@ -794,9 +894,14 @@ object GraftLog {
       if (expireHistory) Seq.empty
       else listVersioned(dir, CheckpointPrefix)
         .flatMap { case (v, f) => readCheckpoint(v, f).live }
+    // staged (write-audit-publish) part files are referenced by their
+    // `_staged.<id>` side file, not by any commit — a pending audit
+    // must survive vacuum under BOTH modes or publish would break
+    val staged = listStagedIds(dir).flatMap(stagedEntries(dir, _))
     val referenced =
-      (if (expireHistory) entriesAsOf(dir, Long.MaxValue)
-       else entries(dir).filter(_.isAdd) ++ ckptLive).map(_.file).toSet
+      ((if (expireHistory) entriesAsOf(dir, Long.MaxValue)
+        else entries(dir).filter(_.isAdd) ++ ckptLive) ++ staged)
+        .map(_.file).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     // DV sidecars follow the part-file rules: referenced = every DV
     // named anywhere in the kept history (current snapshot only under
@@ -969,6 +1074,7 @@ object GraftLog {
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String): (Int, Int) = {
+    requireNoWap("MERGE")
     import org.apache.spark.sql.functions.{col, lit, when,
       min => fmin, max => fmax}
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
@@ -1103,6 +1209,7 @@ object GraftLog {
     * as [[mergeUpsert]]. Returns (filesRewritten, filesTotal). */
   def deleteRange(spark: org.apache.spark.sql.SparkSession, dir: String,
       keyCol: String, lo: Long, hi: Long): (Int, Int) = {
+    requireNoWap("DELETE")
     import org.apache.spark.sql.functions.col
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-log table not found at $dir"))
@@ -1138,6 +1245,7 @@ object GraftLog {
     * (filesRewritten, filesTotal). */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       filters: Array[Filter]): (Int, Int) = {
+    requireNoWap("DELETE")
     import org.apache.spark.sql.functions.{coalesce, lit}
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-log table not found at $dir"))
@@ -1187,6 +1295,7 @@ object GraftLog {
   def deleteWhereMoR(spark: org.apache.spark.sql.SparkSession,
       dir: String, filters: Array[Filter],
       maxPositions: Int = MaxDvPositions): (Int, Int, Boolean) = {
+    requireNoWap("DELETE")
     import org.apache.spark.sql.functions.{coalesce, lit}
     val schema = storedSchema(dir).getOrElse(
       throw new IllegalArgumentException(
@@ -1431,6 +1540,7 @@ object GraftLog {
     * published. */
   def replaceFiles(dir: String, retired: Seq[String],
       fresh: Seq[GraftLogCommit], schema: StructType): Unit = synchronized {
+    requireNoWap("row-level rewrite")
     val (kept, empty) = fresh.partition(_.rows > 0L)
     empty.foreach(c => new File(dir, c.file).delete())
     if (retired.isEmpty && kept.isEmpty) return
@@ -1559,7 +1669,17 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     // streaming admission control: at most this many versions per
     // micro-batch (throttled backfill)
     val maxV = Option(options.get("maxVersionsPerBatch")).map(_.toLong)
-    new GraftLogScanBuilder(dir, schema(), hi, lo, pick, maxV)
+    // write-audit-publish AUDIT read: with a wap id (read option, or
+    // the session conf the staging write used), the scan folds the
+    // staged-but-unpublished entries in on top of the snapshot — the
+    // view quality checks validate before a publish. Batch reads
+    // only; the change feed keeps its committed-versions contract.
+    val overlay = Option(options.get("wapId"))
+      .orElse(GraftLog.activeWapId())
+      .filter(_ => lo < 0L)
+      .map(GraftLog.stagedEntries(dir, _)).getOrElse(Seq.empty)
+    new GraftLogScanBuilder(dir, schema(), hi, lo, pick, maxV,
+      stagedOverlay = overlay)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1681,7 +1801,8 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     asOfVersion: Long, changesFromVersion: Long,
     pickFiles: Option[Set[String]] = None,
     maxVersionsPerBatch: Option[Long] = None,
-    cowPlanHook: Option[Seq[String] => Unit] = None) extends ScanBuilder
+    cowPlanHook: Option[Seq[String] => Unit] = None,
+    stagedOverlay: Seq[LogEntry] = Seq.empty) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
@@ -1786,10 +1907,16 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
   private def decimalParseable(s: String): Boolean =
     try { new java.math.BigDecimal(s); true }
     catch { case _: NumberFormatException => false }
+  // An audit (write-audit-publish) read folds STAGED entries into the
+  // scan; the metadata-aggregate fast path reasons only about
+  // committed state, so it stands down for the (rare) audit read
+  // rather than answer from half the data.
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    metaAnswerable(agg)
+    stagedOverlay.isEmpty && metaAnswerable(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (metaAnswerable(agg)) { metaAgg = Some(agg); true } else false
+    if (stagedOverlay.isEmpty && metaAnswerable(agg)) {
+      metaAgg = Some(agg); true
+    } else false
   }
   private var metaAgg: Option[Aggregation] = None
 
@@ -1798,7 +1925,7 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
       new GraftLogCountScan(dir, tableSchema, agg, liveForMeta)
     case None => new GraftLogScan(dir, tableSchema,
       required, pushed, asOfVersion, changesFromVersion, pickFiles,
-      limit, maxVersionsPerBatch, cowPlanHook)
+      limit, maxVersionsPerBatch, cowPlanHook, stagedOverlay)
   }
 }
 
@@ -2005,12 +2132,31 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
     new GraftLogWriterFactory(dir, schema, partitionCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // persist the partition declaration with the first partitioned
-    // commit, so readers (and later writers) resolve it from the table;
-    // an overwrite resets lineage and may redeclare a different column
-    partitionCol.foreach(
-      GraftLog.setPartitionCol(dir, _, allowChange = truncate))
-    GraftLog.append(dir, GraftLogCommit.all(messages), schema, truncate)
+    // write-audit-publish: with a WAP id set on the session, an
+    // APPEND stages instead of committing (part files written,
+    // entries parked in the `_staged.<id>` side file — invisible
+    // until `CALL system.publish_staged`). An overwrite cannot stage
+    // (truncation is a visible lineage reset) — loud, not silent.
+    GraftLog.activeWapId() match {
+      case Some(id) if !truncate =>
+        // the partition DECLARATION (layout metadata, no rows) still
+        // persists — entries staged with `#part` records must match
+        // the declaration readers resolve after publish
+        partitionCol.foreach(
+          GraftLog.setPartitionCol(dir, _, allowChange = false))
+        GraftLog.stageAppend(dir, id, GraftLogCommit.all(messages),
+          schema)
+      case wap =>
+        wap.foreach(_ => GraftLog.requireNoWap("overwrite"))
+        // persist the partition declaration with the first partitioned
+        // commit, so readers (and later writers) resolve it from the
+        // table; an overwrite resets lineage and may redeclare a
+        // different column
+        partitionCol.foreach(
+          GraftLog.setPartitionCol(dir, _, allowChange = truncate))
+        GraftLog.append(dir, GraftLogCommit.all(messages), schema,
+          truncate)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2194,7 +2340,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     pickFiles: Option[Set[String]] = None,
     limit: Option[Int] = None,
     maxVersionsPerBatch: Option[Long] = None,
-    cowPlanHook: Option[Seq[String] => Unit] = None)
+    cowPlanHook: Option[Seq[String] => Unit] = None,
+    stagedOverlay: Seq[LogEntry] = Seq.empty)
     extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2203,7 +2350,7 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     val base =
       if (changesFromVersion >= 0L)
         GraftLog.changedEntriesBetween(dir, changesFromVersion, asOfVersion)
-      else GraftLog.entriesAsOf(dir, asOfVersion)
+      else GraftLog.entriesAsOf(dir, asOfVersion) ++ stagedOverlay
     pickFiles.fold(base)(p => base.filter(e => p(e.file)))
   }
   private val files = {

@@ -33,7 +33,8 @@ object GraftProcedures {
 
   val All: Seq[String] =
     Seq("compact", "vacuum", "optimize_zorder", "restore",
-      "set_ref", "drop_ref", "expire_log", "delete_mor")
+      "set_ref", "drop_ref", "expire_log", "delete_mor",
+      "publish_staged", "drop_staged")
 
   /** One-row, driver-local result set. */
   private case class ResultScan(schema: StructType,
@@ -186,6 +187,30 @@ object GraftProcedures {
               LessThan(args.getString(1), args.getLong(3)))))
           Array(t, n, dv)
         }
+      }
+      case "publish_staged" => new Proc("publish_staged",
+          "publish a write-audit-publish staging (writes made with " +
+            "spark.graft.log.wapId set) as one ordinary commit — " +
+            "exactly once, loud on an unknown or already-published id",
+          Seq(param("table", StringType), param("wap_id", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, false),
+            StructField("n_files", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          val (v, n) = GraftLog.publishStaged(
+            dirOf(warehouse, args.getString(0)), args.getString(1))
+          Array(v, n)
+        }
+      }
+      case "drop_staged" => new Proc("drop_staged",
+          "abandon a write-audit-publish staging: delete its part " +
+            "files and the staged side file (the failed-audit exit)",
+          Seq(param("table", StringType), param("wap_id", StringType)),
+          StructType(Seq(
+            StructField("files_deleted", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.dropStaged(
+            dirOf(warehouse, args.getString(0)), args.getString(1)))
       }
       case other => throw new RuntimeException(
         s"[PROCEDURE_NOT_FOUND] unknown procedure $Namespace.$other; " +

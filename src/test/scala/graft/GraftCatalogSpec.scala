@@ -297,7 +297,8 @@ class GraftCatalogSpec extends SparkSpec {
       val names = spark.sql("SHOW PROCEDURES IN graftcat.system")
         .select("procedure_name").collect().map(_.getString(0)).toSet
       assert(names == Set("compact", "vacuum", "optimize_zorder",
-        "restore", "set_ref", "drop_ref", "expire_log", "delete_mor"))
+        "restore", "set_ref", "drop_ref", "expire_log", "delete_mor",
+        "publish_staged", "drop_staged"))
       val desc = spark.sql("DESCRIBE PROCEDURE graftcat.system.vacuum")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("vacuum") && desc.contains("min_age_ms"),
@@ -609,6 +610,41 @@ class GraftCatalogSpec extends SparkSpec {
         s"sub-horizon tag read must fail loudly, got: ${e.getMessage}")
       // the current snapshot is untouched
       assert(spark.table("graftcat.refdb.t").count() == 142)
+    }
+  }
+
+  test("write-audit-publish through SQL: conf-gated staging, CALL publish") {
+    import graft.sources.GraftLog
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.wapdb")
+      spark.sql("CREATE TABLE graftcat.wapdb.t (id BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.wapdb.t SELECT id, id FROM range(100)")
+      spark.conf.set(GraftLog.WapConf, "batch7")
+      try {
+        spark.sql(
+          "INSERT INTO graftcat.wapdb.t SELECT id + 100, 0 FROM range(50)")
+        // audit view: committed + staged; quality checks run here
+        assert(spark.sql("SELECT COUNT(*) FROM graftcat.wapdb.t")
+          .head.getLong(0) == 150)
+        // SQL DELETE mid-audit refuses (cannot stage row-level ops)
+        val e = intercept[Exception] {
+          spark.sql("DELETE FROM graftcat.wapdb.t WHERE id < 10")
+        }
+        assert(e.getMessage != null)
+      } finally spark.conf.unset(GraftLog.WapConf)
+      // other sessions (no wap conf): only the committed 100 rows
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.wapdb.t")
+        .head.getLong(0) == 100)
+      val r = spark.sql("""CALL graftcat.system.publish_staged(
+        table => 'wapdb.t', wap_id => 'batch7')""").head
+      assert(r.getInt(1) >= 1)
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.wapdb.t")
+        .head.getLong(0) == 150)
+      // the pre-publish snapshot stays addressable by version
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graftcat.wapdb.t VERSION AS OF ${r.getLong(0) - 1}")
+        .head.getLong(0) == 100)
     }
   }
 

@@ -1217,6 +1217,72 @@ class GraftLogSpec extends SparkSpec {
     assert(GraftLog.refs(dir).isEmpty)
   }
 
+  test("write-audit-publish: staged appends invisible until published") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir)
+      .mode("append").save() // v0, committed
+    spark.conf.set(GraftLog.WapConf, "audit1")
+    try {
+      series(60).write.format(Fmt).option("path", dir)
+        .mode("append").save() // STAGED, not committed
+      // the audit session reads snapshot + staged overlay
+      assert(readBack(dir).count() == 160)
+      // row-level mutations refuse to run mid-audit (they cannot
+      // stage — silent immediate commit would break the pattern)
+      intercept[IllegalStateException] {
+        GraftLog.deleteRange(spark, dir, "id", 0L, 10L)
+      }
+    } finally spark.conf.unset(GraftLog.WapConf)
+    // no commit happened; an ordinary reader sees only v0
+    assert(GraftLog.currentVersion(dir) == 0L)
+    assert(readBack(dir).count() == 100)
+    // explicit audit read via option, without the session conf
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("wapId", "audit1").load().count() == 160)
+    // vacuum keeps staged parts (referenced by the side file only)
+    GraftLog.vacuum(dir, minAgeMs = 0L)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("wapId", "audit1").load().count() == 160,
+      "vacuum reclaimed staged part files")
+    // publish: ONE ordinary commit, then everyone sees 160
+    val (v, n) = GraftLog.publishStaged(dir, "audit1")
+    assert(v == 1L && n >= 1)
+    assert(readBack(dir).count() == 160)
+    // exactly-once: a second publish of the same id fails loudly
+    intercept[IllegalArgumentException] {
+      GraftLog.publishStaged(dir, "audit1")
+    }
+    // the published version is an ordinary commit: time travel below
+    // it still sees 100, and the change feed carries the new rows
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "0").load().count() == 100)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("changesFromVersion", "0").load().count() == 60)
+  }
+
+  test("drop_staged abandons a failed audit and reclaims its files") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    spark.conf.set(GraftLog.WapConf, "bad-batch")
+    try series(40).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    finally spark.conf.unset(GraftLog.WapConf)
+    val partsBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val dropped = GraftLog.dropStaged(dir, "bad-batch")
+    assert(dropped >= 1)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-")) == partsBefore - dropped)
+    assert(readBack(dir).count() == 100)
+    assert(GraftLog.listStagedIds(dir).isEmpty)
+    intercept[IllegalArgumentException] {
+      GraftLog.publishStaged(dir, "bad-batch")
+    }
+  }
+
   test("two cross-process committers racing one version both survive") {
     import graft.sources.{GraftLog, LogEntry}
     import java.util.concurrent.{CountDownLatch, TimeUnit}
