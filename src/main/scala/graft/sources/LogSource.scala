@@ -825,6 +825,18 @@ object GraftLog {
     require(es.nonEmpty,
       s"no staged write under wap id '$id' at $dir " +
         s"(staged: ${listStagedIds(dir).mkString(", ")})")
+    // Crash recovery: a publish that committed but died before
+    // retiring the side file must NOT double-commit on retry. Every
+    // staged file already live in the snapshot = the commit landed;
+    // retire the stale staging and say so instead of re-adding.
+    val live = entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
+    if (es.forall(e => live(e.file))) {
+      stagedFile(dir, id).delete()
+      throw new IllegalStateException(
+        s"wap id '$id' at $dir was already published (a crashed " +
+          "publish left its staging behind — now retired); " +
+          "re-publishing would duplicate the rows")
+    }
     es.foreach(e => require(new File(dir, e.file).exists(),
       s"cannot publish '$id': staged part ${e.file} is missing"))
     var published = -1L

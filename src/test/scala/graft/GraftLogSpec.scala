@@ -1261,6 +1261,28 @@ class GraftLogSpec extends SparkSpec {
       .option("changesFromVersion", "0").load().count() == 60)
   }
 
+  test("a crashed publish cannot double-commit on retry") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    spark.conf.set(GraftLog.WapConf, "crashy")
+    try series(50).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    finally spark.conf.unset(GraftLog.WapConf)
+    // simulate the crash window: commit lands, side-file delete lost
+    val staged = new java.io.File(dir, GraftLog.StagedPrefix + "crashy")
+    val bytes = java.nio.file.Files.readAllBytes(staged.toPath)
+    GraftLog.publishStaged(dir, "crashy")
+    java.nio.file.Files.write(staged.toPath, bytes) // resurrect staging
+    val e = intercept[IllegalStateException] {
+      GraftLog.publishStaged(dir, "crashy")
+    }
+    assert(e.getMessage.contains("already published"))
+    assert(!staged.exists(), "the stale staging must be retired")
+    assert(readBack(dir).count() == 150, "rows must not duplicate")
+  }
+
   test("drop_staged abandons a failed audit and reclaims its files") {
     import graft.sources.GraftLog
     val dir = tmp()
