@@ -648,6 +648,42 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("t$partitions: one summary row unpartitioned; WAP keeps SPJ records") {
+    import graft.sources.GraftLog
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.pm")
+      // unpartitioned table: one NULL-valued summary row (Iceberg shape)
+      spark.sql("CREATE TABLE graftcat.pm.flat (id BIGINT)")
+      spark.sql("INSERT INTO graftcat.pm.flat SELECT id FROM range(10)")
+      val flat = spark.sql(
+        "SELECT part_value, n_rows FROM graftcat.pm.`flat$partitions`")
+        .collect()
+      assert(flat.length == 1 && flat(0).isNullAt(0) &&
+        flat(0).getLong(1) == 10L)
+      // partitioned table: a STAGED append carries partition records,
+      // so after publish the new files group with the old ones
+      spark.sql("""CREATE TABLE graftcat.pm.p (id BIGINT, k STRING)
+        PARTITIONED BY (k)""")
+      spark.sql("""INSERT INTO graftcat.pm.p
+        SELECT /*+ REPARTITION(1) */ id,
+          CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(100)""")
+      spark.conf.set(GraftLog.WapConf, "pwap")
+      try spark.sql("""INSERT INTO graftcat.pm.p
+        SELECT /*+ REPARTITION(1) */ id + 100,
+          CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(40)""")
+      finally spark.conf.unset(GraftLog.WapConf)
+      spark.sql("""CALL graftcat.system.publish_staged(
+        table => 'pm.p', wap_id => 'pwap')""").collect()
+      val parts = spark.sql(
+        """SELECT part_value, n_files, n_rows
+           FROM graftcat.pm.`p$partitions`""").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(parts == Set(("x", 2L, 70L), ("y", 2L, 70L)),
+        s"published staged files must keep partition records: " +
+          parts.mkString(", "))
+    }
+  }
+
   test("partition-column-less append can never commit record-less files") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db7")
