@@ -112,4 +112,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ColumnarToRow"),
       s"graft-log batch scan must be vectorized:\n${p.take(1200)}")
   }
+
+  test("bpe pair counts: dictionary-sized plan, corpus shuffles once") {
+    val p = phys("corpus_bpe_pair_counts")
+    // the corpus collapses through partial-combined hash aggregates
+    // (word freq, then pair counts) — no sort-based fallback, no join
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      p.take(800))
+    // exactly two key shuffles: words, then pairs (the final top-20
+    // window runs on the alphabet-squared-bounded pair table)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n" +
+      p.take(1200))
+  }
+
+  test("train order: one global range sort, no join, no aggregate") {
+    // a training-order shuffle IS a global sort by the md5 key — the
+    // plan must be exactly that (single-partition window at test
+    // scale; the sort is the scale-out path) with nothing else bolted
+    // on: no join, no per-doc aggregate, one scan of documents
+    val p = phys("corpus_train_order")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      p.take(800))
+    assert("Scan parquet".r.findAllIn(p).length <= 1, p.take(800))
+  }
 }
