@@ -976,14 +976,75 @@ object GraftLog {
     // nothing to do when every group is already a single file
     if (groups.forall(_._2.size <= 1)) return 0
 
+    // Output files ROLL at a target uncompressed size: gzip'd TSV is
+    // not splittable, so a compacted file IS the read-parallelism
+    // granule — one unbounded 100 GB output per partition would
+    // serialize every future scan of that partition onto one task
+    // (parquet formats split by row group; a non-splittable format
+    // must bound at write time). Conf'able for tests; the default
+    // keeps small fixtures at one file per group.
+    val targetBytes = scala.util.Try(
+        org.apache.spark.sql.SparkSession.active).toOption
+      .flatMap(s => Option(
+        s.conf.get("spark.graft.log.compactTargetBytes", null)))
+      .map(_.toLong).getOrElse(128L << 20)
+
     def writeGroup(entries: Seq[LogEntry],
-        pv: Option[(String, Any)]): LogEntry = {
-      val outName = s"part-${UUID.randomUUID()}.tsv.gz"
-      val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        new GZIPOutputStream(
-          Files.newOutputStream(Paths.get(dir, outName))),
-        StandardCharsets.UTF_8))
+        pv: Option[(String, Any)]): Seq[LogEntry] = {
+      // An input with a deletion vector may have LOST its extremum:
+      // folding its pre-delete min/max would stamp stale stats on the
+      // compacted file, where (the DV gone) the metadata aggregate
+      // path would serve them as exact. No stats = the scan reads the
+      // file — conservative, never wrong. When stats fold, every
+      // rolled output carries the GROUP's [min, max] — wider than the
+      // file's true range but sound for skipping, and the global
+      // MIN/MAX fold over the group still returns the exact extremes.
+      val mergedStats =
+        if (entries.exists(_.stats.isEmpty) ||
+            entries.exists(e => GraftLog.dvOf(e).isDefined))
+          Map.empty[String, (String, String)]
+        else {
+          val num = (s: String) => new java.math.BigDecimal(s)
+          schema.fields.collect {
+            case f if entries.forall(_.stats.contains(f.name)) =>
+              val mn = entries.map(_.stats(f.name)._1)
+                .reduce((a, b) =>
+                  if (num(a).compareTo(num(b)) <= 0) a else b)
+              val mx = entries.map(_.stats(f.name)._2)
+                .reduce((a, b) =>
+                  if (num(a).compareTo(num(b)) >= 0) a else b)
+              f.name -> (mn, mx)
+          }.toMap
+        }
+      val pvStat = pv.fold(Map.empty[String, (String, String)]) {
+        case (c, v) => Map(GraftLogPartValue.key(c) ->
+          GraftLogPartValue.encode(v))
+      }
+      val done = scala.collection.mutable.ArrayBuffer.empty[LogEntry]
+      var outName: String = null
+      var out: java.io.BufferedWriter = null
       var rows = 0L
+      var chars = 0L
+      def open(): Unit = {
+        outName = s"part-${UUID.randomUUID()}.tsv.gz"
+        out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          new GZIPOutputStream(
+            Files.newOutputStream(Paths.get(dir, outName))),
+          StandardCharsets.UTF_8))
+        rows = 0L; chars = 0L
+      }
+      def closeCurrent(): Unit = if (out != null) {
+        out.close()
+        done += LogEntry.add(-1L, outName, rows,
+          mergedStats ++ pvStat, dataChange = false, cols = curCols)
+        out = null
+      }
+      def writeLine(l: String): Unit = {
+        if (out == null) open()
+        out.write(l); out.write("\n")
+        rows += 1; chars += l.length + 1
+        if (chars >= targetBytes) closeCurrent()
+      }
       // Rewrite every live row into the CURRENT column layout: a file
       // written before an evolution has fewer cells, so its rows pad
       // the later columns with the null sentinel. Files already in the
@@ -1018,45 +1079,20 @@ object GraftLog {
                   idx.map(i => if (i < 0) NullCell else cells(i))
                     .mkString("\t")
               }
-              out.write(outLine); out.write("\n"); rows += 1
+              writeLine(outLine)
               }
             }
             line = in.readLine()
           }
         } finally in.close()
-      } finally out.close()
-      // An input with a deletion vector may have LOST its extremum:
-      // folding its pre-delete min/max would stamp stale stats on the
-      // compacted file, where (the DV gone) the metadata aggregate
-      // path would serve them as exact. No stats = the scan reads the
-      // file — conservative, never wrong; the partition record below
-      // is layout metadata and stays either way.
-      val mergedStats =
-        if (entries.exists(_.stats.isEmpty) ||
-            entries.exists(e => GraftLog.dvOf(e).isDefined))
-          Map.empty[String, (String, String)]
-        else {
-          val num = (s: String) => new java.math.BigDecimal(s)
-          schema.fields.collect {
-            case f if entries.forall(_.stats.contains(f.name)) =>
-              val mn = entries.map(_.stats(f.name)._1)
-                .reduce((a, b) =>
-                  if (num(a).compareTo(num(b)) <= 0) a else b)
-              val mx = entries.map(_.stats(f.name)._2)
-                .reduce((a, b) =>
-                  if (num(a).compareTo(num(b)) >= 0) a else b)
-              f.name -> (mn, mx)
-          }.toMap
-        }
-      val pvStat = pv.fold(Map.empty[String, (String, String)]) {
-        case (c, v) => Map(GraftLogPartValue.key(c) ->
-          GraftLogPartValue.encode(v))
-      }
-      LogEntry.add(-1L, outName, rows, mergedStats ++ pvStat,
-        dataChange = false, cols = curCols)
+      } finally closeCurrent()
+      // a group whose every row was DV-deleted still publishes one
+      // empty file so the group's partition record survives compaction
+      if (done.isEmpty) { open(); closeCurrent() }
+      done.toSeq
     }
 
-    val fresh = groups.map { case (pv, es) => writeGroup(es, pv) }
+    val fresh = groups.flatMap { case (pv, es) => writeGroup(es, pv) }
     commitNew(dir, schema)(v =>
       live.map(e => LogEntry.remove(v, e.file)) ++
         fresh.map(_.copy(version = v)))

@@ -1217,6 +1217,31 @@ class GraftLogSpec extends SparkSpec {
     assert(GraftLog.refs(dir).isEmpty)
   }
 
+  test("compaction rolls outputs at the target size — files stay splittable-sized") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    // three commits so compaction has work; ~90k chars of rows total
+    (1 to 3).foreach(_ => series(1000).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save())
+    spark.conf.set("spark.graft.log.compactTargetBytes", "20000")
+    try GraftLog.compact(dir)
+    finally spark.conf.unset("spark.graft.log.compactTargetBytes")
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size > 1,
+      s"a 20k target over ~90k chars must roll: got ${live.size} file(s)")
+    // every row survives, and no rolled file exceeds ~target
+    assert(readBack(dir).count() == 3000)
+    assert(live.map(_.rows).sum == 3000L)
+    live.foreach(e => assert(e.rows < 2000L,
+      s"${e.file} holds ${e.rows} rows — target ignored"))
+    // rolled files carry the group's folded [min, max]: sound for
+    // skipping, and the global fold still serves the exact extremes
+    val agg = readBack(dir).agg(
+      org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id")).head
+    assert(agg.getLong(0) == 0L && agg.getLong(1) == 999L)
+  }
+
   test("write-audit-publish: staged appends invisible until published") {
     import graft.sources.GraftLog
     val dir = tmp()
