@@ -397,6 +397,39 @@ object Formats {
           lit(GraftLog.currentVersion(dir)).as("current_version"))
     }),
 
+    // Size-bounded compaction: gzip'd TSV is not splittable, so a
+    // compacted file IS the read-parallelism granule — outputs must
+    // roll at a target size instead of fusing a partition into one
+    // unbounded file. Fixture: 3 single-file commits (~60k chars),
+    // compact under a 15k-char target; the snapshot must land in >1
+    // rolled file, every row must survive, and the folded group
+    // stats must still serve the exact global extremes.
+    "sink_log_compact_target" -> ((s, d) => {
+      val dir = s"/tmp/graft_log_ctarget/${new java.io.File(d).getName}"
+      val done = GraftLog.entries(dir).exists(!_.isAdd)
+      if (!done) {
+        val root = new java.io.File(dir)
+        if (root.exists()) root.listFiles().foreach(_.delete())
+        (1 to 3).foreach(_ => s.range(0, 1500)
+          .selectExpr("id", "CAST(id AS DOUBLE) / 2 AS value")
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("append").save())
+        s.conf.set("spark.graft.log.compactTargetBytes", "15000")
+        try GraftLog.compact(dir)
+        finally s.conf.unset("spark.graft.log.compactTargetBytes")
+      }
+      val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .select(col("n_rows"), col("sum_id"), col("min_id"),
+          col("max_id"),
+          lit(live.size > 1).as("rolled_multiple_files"),
+          lit(live.map(_.rows).sum == 4500L).as("manifest_rows_exact"))
+    }),
+
     // Incremental view maintenance off the change data feed: the
     // consumer pattern the CDF exists for. A per-bucket aggregate is
     // built once over the v0 snapshot; when v1 commits, the consumer
@@ -1482,6 +1515,15 @@ object Formats {
            TRUE AS tag_read_pinned_v0,
            TRUE AS log_expired,
            TRUE AS horizon_fails_loudly""",
+    // 3 identical commits of ids 0..1499: 4500 rows, 3x the range sum.
+    "sink_log_compact_target" ->
+      """SELECT CAST(4500 AS BIGINT) AS n_rows,
+           CAST(3 * (SELECT SUM(id) FROM range(0, 1500) t(id))
+             AS BIGINT) AS sum_id,
+           CAST(0 AS BIGINT) AS min_id,
+           CAST(1499 AS BIGINT) AS max_id,
+           TRUE AS rolled_multiple_files,
+           TRUE AS manifest_rows_exact""",
     "sink_log_compact_vacuum" ->
       """SELECT CAST(7000 AS BIGINT) AS n_rows,
            CAST(24496500 AS BIGINT) AS sum_id,

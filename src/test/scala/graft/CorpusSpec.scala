@@ -173,6 +173,41 @@ class CorpusSpec extends SparkSpec {
     (merges.toSeq, syms)
   }
 
+  test("law: the BPE merge fold equals the greedy scan on arbitrary words") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet so generated words actually contain the pair (and
+    // overlapping runs like "aaa" that distinguish fold from scan)
+    val sym = Gen.oneOf("a", "b", "ab", "ba", "aa")
+    val word = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, sym))
+    val pair = Gen.zip(sym, sym)
+    def scan(ss: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < ss.length) {
+        if (i < ss.length - 1 && ss(i) == a && ss(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += ss(i); i += 1 }
+      }
+      out.toList
+    }
+    // the fold bpeTrain applies distributively: replace the tail of
+    // the accumulator when the incoming symbol completes the pair
+    def fold(ss: List[String], a: String, b: String): List[String] =
+      ss.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b)
+          acc.init :+ (a + b)
+        else acc :+ s
+      }
+    val law = Prop.forAll(Gen.listOfN(60, Gen.zip(word, pair))) { cases =>
+      cases.forall { case (w, (a, b)) =>
+        fold(w, a, b) == scan(w, a, b)
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), law)
+    assert(res.passed, res.status.toString)
+  }
+
   test("distributed BPE training replays the reference merge sequence") {
     val wordFreq = Tables.documents(spark, sf0001)
       .select(explode(Corpus.toksOf(col("text"))).as("w"))
