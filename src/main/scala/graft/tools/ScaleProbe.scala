@@ -140,7 +140,8 @@ object ScaleProbe {
       "dedup_substring_spans", "corpus_ccnet_buckets",
       "corpus_dsir_weights", "corpus_hard_negatives",
       "join_asof_nearest", "sim_pq_adc", "corpus_unimax_alloc",
-      "dedup_semdedup", "sim_ivfpq_ann", "corpus_quality_classifier")
+      "dedup_semdedup", "sim_ivfpq_ann", "corpus_quality_classifier",
+      "corpus_bpe_pair_counts", "corpus_train_order")
     // Optional focus list (comma-separated query names) for probing a
     // specific family without paying the full heavy sweep.
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
