@@ -282,6 +282,52 @@ object Formats {
           lit(horizonLoud).as("horizon_fails_loudly"))
     }),
 
+    // Atomic CTAS/RTAS through the driver gate (StagingTableCatalog):
+    // the table builds in a hidden staged directory and moves into
+    // place only when the write committed. Gated booleans: a CTAS
+    // whose query fails mid-write must strand NO table (the
+    // non-staged path leaves a committed empty one), and a failed
+    // REPLACE TABLE AS SELECT must keep the old table intact (the
+    // non-staged path drops it first and loses it).
+    "sql_catalog_ctas_atomic" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/ctas_ok"
+      val (noStrand, oldKept) = rebuildOnce(ctasStats, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.ctas_ok")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.ctas_bad")
+        s.udf.register("graft_ctas_boom", (id: Long) =>
+          if (id >= 500) throw new RuntimeException("boom") else id)
+        s.sql("""CREATE TABLE graftq.ns.ctas_ok AS
+                 SELECT id, id * 3 AS v FROM range(0, 2000)""")
+        val stranded =
+          try {
+            s.sql("""CREATE TABLE graftq.ns.ctas_bad AS
+              SELECT graft_ctas_boom(id) AS id FROM range(0, 1000)""")
+            true
+          } catch {
+            case _: Exception =>
+              s.catalog.tableExists("graftq.ns.ctas_bad")
+          }
+        val kept =
+          try {
+            s.sql("""REPLACE TABLE graftq.ns.ctas_ok AS
+              SELECT graft_ctas_boom(id) AS id FROM range(0, 1000)""")
+            false
+          } catch {
+            case _: Exception =>
+              s.sql("SELECT COUNT(*) FROM graftq.ns.ctas_ok")
+                .head.getLong(0) == 2000L
+          }
+        (!stranded, kept)
+      }
+      s.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+          "CAST(SUM(v) AS BIGINT) AS sum_v FROM graftq.ns.ctas_ok")
+        .select(col("n_rows"), col("sum_v"),
+          lit(noStrand).as("failed_ctas_strands_nothing"),
+          lit(oldKept).as("failed_rtas_keeps_old_table"))
+    }),
+
     // Write-audit-publish through the driver gate: an INSERT staged
     // under a WAP id is visible to the audit session (5000 rows) but
     // NOT to ordinary readers (4000) until CALL publish_staged makes
@@ -1370,6 +1416,9 @@ object Formats {
       String, (Long, Boolean, Boolean)]()
   private val partsMetaBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
+  // (failedCtasStrandedNothing, failedRtasKeptOldTable)
+  private val ctasStats =
+    new scala.collection.concurrent.TrieMap[String, (Boolean, Boolean)]()
   // (auditRowsSeen, baseRowsWhileStaged, secondPublishFailedLoudly)
   private val wapStats =
     new scala.collection.concurrent.TrieMap[
@@ -1490,6 +1539,13 @@ object Formats {
            CAST(n_rows AS BIGINT) AS n_rows
          FROM (VALUES (0, 1, 4000), (1, 2, 6000))
            AS t(version, n_files, n_rows)""",
+    // 2000 rows of (id, 3*id): sum_v = 3 * sum(0..1999).
+    "sql_catalog_ctas_atomic" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_rows,
+           CAST(3 * (SELECT SUM(id) FROM range(0, 2000) t(id))
+             AS BIGINT) AS sum_v,
+           TRUE AS failed_ctas_strands_nothing,
+           TRUE AS failed_rtas_keeps_old_table""",
     // 4000 committed rows (v = id) + 1000 published-after-audit rows
     // (v = 1): sum_v = sum(0..3999) + 1000.
     "sql_catalog_wap" ->

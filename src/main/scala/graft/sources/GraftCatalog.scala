@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, NoSuchViewException, TableAlreadyExistsException,
   ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier,
-  NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table,
-  TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+  NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog,
+  SupportsNamespaces, SupportsWrite, Table, TableCatalog, TableChange,
+  View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -30,7 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * its `_schema` file does (written at CREATE, before any data), so
   * existence is as atomic as the file create. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog {
+    with ProcedureCatalog with ViewCatalog with StagingTableCatalog {
   private var catName: String = _
   private var warehouse: String = _
 
@@ -81,7 +82,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val d = nsDir(ns)
     if (!d.isDirectory) throw new NoSuchNamespaceException(ns)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => new File(f, GraftLog.SchemaFile).exists())
+      // dot-prefixed siblings are in-flight CTAS stagings / retired
+      // replace lineages — layout-internal, never catalog-visible
+      .filter(f => !f.getName.startsWith(".") &&
+        new File(f, GraftLog.SchemaFile).exists())
       .map(f => Identifier.of(ns, f.getName))
   }
 
@@ -137,19 +141,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       asOfVersion = GraftLog.versionAtTimestamp(dir, timestamp / 1000L))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: JMap[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // a VIEW with this name would shadow the new table at read time
-    // (view resolution substitutes before table lookup) — reject the
-    // collision at creation, the same contract createView enforces in
-    // the other direction
-    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
-    // `PARTITIONED BY (col)` — identity transforms only: the value-
-    // routed writer, manifest partition records, and KeyGrouped scan
-    // reporting (storage-partitioned joins) all key on one column.
-    val partCol = partitions.toSeq match {
+  /** `PARTITIONED BY (col)` — identity transforms only: the value-
+    * routed writer, manifest partition records, and KeyGrouped scan
+    * reporting (storage-partitioned joins) all key on one column. */
+  private def identityPartCol(schema: StructType,
+      partitions: Array[Transform]): Option[String] =
+    partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "identity" &&
           t.references.length == 1 &&
@@ -162,15 +159,126 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "graft-log supports only PARTITIONED BY (<column>) " +
           s"(single identity transform), got ${other.mkString(", ")}")
     }
-    val dir = tableDir(ident)
+
+  /** Materialize a table layout into `dir` (final or staged). The
+    * schema file IS the existence marker; an empty table needs no
+    * commit (version -1, empty snapshot) — the first INSERT claims
+    * `_commit.0`. */
+  private def materializeTable(dir: File, schema: StructType,
+      partCol: Option[String]): GraftLogTable = {
     dir.mkdirs()
-    // the schema file IS the existence marker; an empty table needs no
-    // commit (version -1, empty snapshot) — the first INSERT claims
-    // `_commit.0`
     GraftLog.atomicWrite(Paths.get(dir.getPath, GraftLog.SchemaFile),
       schema.json.getBytes(StandardCharsets.UTF_8))
     partCol.foreach(GraftLog.setPartitionCol(dir.getPath, _))
     new GraftLogTable(dir.getPath, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // a VIEW with this name would shadow the new table at read time
+    // (view resolution substitutes before table lookup) — reject the
+    // collision at creation, the same contract createView enforces in
+    // the other direction
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    materializeTable(tableDir(ident), schema,
+      identityPartCol(schema, partitions))
+  }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ------------------
+  // Without staging, Spark's CreateTableAsSelect commits the table
+  // BEFORE the write (a crashed query strands an empty committed
+  // table) and ReplaceTableAsSelect DROPS the old table before the
+  // new data exists (a failed query loses the table outright). The
+  // staged path builds the whole table in a hidden `.staged-*`
+  // sibling directory and moves it into place only when the write
+  // committed — create is one atomic directory move; replace retires
+  // the old directory only after the replacement is fully built.
+
+  private def stagedDir(ident: Identifier): File =
+    new File(nsDir(ident.namespace),
+      s".staged-${java.util.UUID.randomUUID()}-${ident.name}")
+
+  /** `replaceable`: None = pure CREATE (commit fails loudly if the
+    * name was claimed mid-build); Some(mustExist) = REPLACE semantics. */
+  private class GraftStagedTable(ident: Identifier, tmp: File,
+      inner: GraftLogTable, replace: Boolean)
+      extends StagedTable with SupportsWrite {
+    override def name(): String = inner.name()
+    override def schema(): StructType = inner.schema()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def capabilities(): java.util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+        org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+
+    override def commitStagedChanges(): Unit = {
+      val dest = tableDir(ident)
+      if (dest.exists()) {
+        if (!replace) {
+          abortStagedChanges()
+          throw new TableAlreadyExistsException(ident)
+        }
+        // retire the old lineage only now, with the replacement fully
+        // built: the one non-atomic window is between these two
+        // renames (crash = table briefly absent, old data parked in
+        // the `.retired-*` sibling for manual recovery — never lost,
+        // which is the failure Spark's non-staged RTAS has)
+        val trash = new File(nsDir(ident.namespace),
+          s".retired-${java.util.UUID.randomUUID()}-${ident.name}")
+        Files.move(dest.toPath, trash.toPath)
+        try Files.move(tmp.toPath, dest.toPath)
+        catch { case e: Throwable =>
+          Files.move(trash.toPath, dest.toPath); throw e
+        }
+        rmTree(trash)
+      } else Files.move(tmp.toPath, dest.toPath)
+    }
+
+    override def abortStagedChanges(): Unit = rmTree(tmp)
+  }
+
+  private def rmTree(root: File): Unit = if (root.exists()) {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(root.toPath)
+    try walk.iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val tmp = stagedDir(ident)
+    new GraftStagedTable(ident, tmp,
+      materializeTable(tmp, schema, identityPartCol(schema, partitions)),
+      replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val tmp = stagedDir(ident)
+    new GraftStagedTable(ident, tmp,
+      materializeTable(tmp, schema, identityPartCol(schema, partitions)),
+      replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: JMap[String, String]): StagedTable = {
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val tmp = stagedDir(ident)
+    new GraftStagedTable(ident, tmp,
+      materializeTable(tmp, schema, identityPartCol(schema, partitions)),
+      replace = true)
   }
 
   /** `ALTER TABLE t ADD COLUMN c <type>` — the DDL face of the

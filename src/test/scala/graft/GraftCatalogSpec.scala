@@ -613,6 +613,46 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CTAS/RTAS are atomic: failures strand no table and lose no table") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ctas")
+      val boom = org.apache.spark.sql.functions.udf((id: Long) =>
+        if (id >= 50) throw new RuntimeException("boom") else id)
+      spark.udf.register("ctas_boom", boom)
+      // successful CTAS goes through the staged path
+      spark.sql("""CREATE TABLE graftcat.ctas.ok AS
+        SELECT id, id * 2 AS v FROM range(100)""")
+      assert(spark.table("graftcat.ctas.ok").count() == 100)
+      // failed CTAS: NO stranded empty table, no staged residue
+      intercept[Exception] {
+        spark.sql("""CREATE TABLE graftcat.ctas.bad AS
+          SELECT ctas_boom(id) AS id FROM range(100)""")
+      }
+      assert(!spark.catalog.tableExists("graftcat.ctas.bad"),
+        "a failed CTAS must not leave a committed (empty) table")
+      val ns = new java.io.File(
+        spark.conf.get("spark.sql.catalog.graftcat.warehouse"), "ctas")
+      assert(Option(ns.listFiles()).getOrElse(Array.empty)
+        .forall(f => !f.getName.startsWith(".staged-")),
+        "aborted staging must clean its directory")
+      // failed RTAS: the OLD table survives untouched (the non-staged
+      // path drops it first and loses it)
+      intercept[Exception] {
+        spark.sql("""REPLACE TABLE graftcat.ctas.ok AS
+          SELECT ctas_boom(id) AS id FROM range(100)""")
+      }
+      assert(spark.table("graftcat.ctas.ok").count() == 100,
+        "a failed REPLACE TABLE AS SELECT must keep the old table")
+      // successful RTAS swaps wholesale; CREATE OR REPLACE creates
+      spark.sql(
+        "REPLACE TABLE graftcat.ctas.ok AS SELECT id FROM range(10)")
+      assert(spark.table("graftcat.ctas.ok").count() == 10)
+      spark.sql("""CREATE OR REPLACE TABLE graftcat.ctas.fresh AS
+        SELECT id FROM range(7)""")
+      assert(spark.table("graftcat.ctas.fresh").count() == 7)
+    }
+  }
+
   test("write-audit-publish through SQL: conf-gated staging, CALL publish") {
     import graft.sources.GraftLog
     withCatalog {
