@@ -650,6 +650,17 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("""CREATE OR REPLACE TABLE graftcat.ctas.fresh AS
         SELECT id FROM range(7)""")
       assert(spark.table("graftcat.ctas.fresh").count() == 7)
+      // partitioned CTAS: the staged table inherits the declaration,
+      // so the moved-in table grows storage-partitioned groups
+      spark.sql("""CREATE TABLE graftcat.ctas.p PARTITIONED BY (k) AS
+        SELECT /*+ REPARTITION(1) */ id,
+          CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS k
+        FROM range(60)""")
+      val parts = spark.sql(
+        "SELECT part_value, n_rows FROM graftcat.ctas.`p$partitions`")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(parts == Set(("x", 30L), ("y", 30L)),
+        s"partitioned CTAS must land with partition records: $parts")
     }
   }
 

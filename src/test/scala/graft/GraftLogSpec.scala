@@ -1286,6 +1286,35 @@ class GraftLogSpec extends SparkSpec {
       .option("changesFromVersion", "0").load().count() == 60)
   }
 
+  test("a stream sees a WAP batch only at publish, exactly once") {
+    import graft.sources.GraftLog
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp(); val dst = tmp(); val ckpt = tmp()
+    def runStream(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", src).load()
+        .writeStream.format(Fmt).option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.range(0, 100).selectExpr("id").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    spark.conf.set(GraftLog.WapConf, "sbatch")
+    try spark.range(100, 160).selectExpr("id").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    finally spark.conf.unset(GraftLog.WapConf)
+    // staged rows are not committed: the stream must not deliver them
+    runStream()
+    assert(readBack(dst).count() == 100,
+      "a stream must never see staged (unpublished) rows")
+    // publish, resume: exactly the published batch arrives, once
+    GraftLog.publishStaged(src, "sbatch")
+    runStream()
+    val b = readBack(dst)
+    assert(b.count() == 160 && b.select(col("id")).distinct().count() == 160,
+      s"publish must reach the stream exactly once, got ${b.count()}")
+  }
+
   test("a crashed publish cannot double-commit on retry") {
     import graft.sources.GraftLog
     val dir = tmp()
