@@ -165,11 +165,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * commit (version -1, empty snapshot) — the first INSERT claims
     * `_commit.0`. */
   private def materializeTable(dir: File, schema: StructType,
-      partCol: Option[String]): GraftLogTable = {
+      partCol: Option[String],
+      properties: JMap[String, String] = null): GraftLogTable = {
     dir.mkdirs()
     GraftLog.atomicWrite(Paths.get(dir.getPath, GraftLog.SchemaFile),
       schema.json.getBytes(StandardCharsets.UTF_8))
     partCol.foreach(GraftLog.setPartitionCol(dir.getPath, _))
+    // persist CREATE-time TBLPROPERTIES, minus the engine-reserved
+    // keys Spark injects (owner/provider/location/...)
+    Option(properties).foreach { ps =>
+      import scala.jdk.CollectionConverters._
+      val reserved = Set(TableCatalog.PROP_COMMENT,
+        TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+        TableCatalog.PROP_IS_MANAGED_LOCATION)
+      val kept = ps.asScala.view.filterKeys(!reserved(_)).toMap
+      if (kept.nonEmpty) GraftLog.setProperties(dir.getPath, kept)
+    }
     new GraftLogTable(dir.getPath, schema)
   }
 
@@ -183,7 +195,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the other direction
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     materializeTable(tableDir(ident), schema,
-      identityPartCol(schema, partitions))
+      identityPartCol(schema, partitions), properties)
   }
 
   // ---- atomic CTAS / RTAS (StagingTableCatalog) ------------------
@@ -218,6 +230,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def commitStagedChanges(): Unit = {
       val dest = tableDir(ident)
+      // a directory without the schema marker is not a table (an
+      // empty husk from an external cleanup) — clear it, don't let it
+      // masquerade as a create conflict
+      if (dest.exists() &&
+          !new File(dest, GraftLog.SchemaFile).exists())
+        rmTree(dest)
       if (dest.exists()) {
         if (!replace) {
           abortStagedChanges()
@@ -257,7 +275,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     val tmp = stagedDir(ident)
     new GraftStagedTable(ident, tmp,
-      materializeTable(tmp, schema, identityPartCol(schema, partitions)),
+      materializeTable(tmp, schema, identityPartCol(schema, partitions),
+        properties),
       replace = false)
   }
 
@@ -267,7 +286,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val tmp = stagedDir(ident)
     new GraftStagedTable(ident, tmp,
-      materializeTable(tmp, schema, identityPartCol(schema, partitions)),
+      materializeTable(tmp, schema, identityPartCol(schema, partitions),
+        properties),
       replace = true)
   }
 
@@ -277,7 +297,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     val tmp = stagedDir(ident)
     new GraftStagedTable(ident, tmp,
-      materializeTable(tmp, schema, identityPartCol(schema, partitions)),
+      materializeTable(tmp, schema, identityPartCol(schema, partitions),
+        properties),
       replace = true)
   }
 
@@ -329,6 +350,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       case (sch, drop: TableChange.DropConstraint) =>
         GraftLog.dropConstraint(dir, drop.name, drop.ifExists)
+        sch
+      // `ALTER TABLE t SET TBLPROPERTIES (...)` / UNSET — stored in
+      // the table's `_properties` file; `graft.compact.target-bytes`
+      // steers compaction's output-file roll for THIS table.
+      case (sch, set: TableChange.SetProperty) =>
+        GraftLog.setProperties(dir, Map(set.property -> set.value))
+        sch
+      case (sch, rm: TableChange.RemoveProperty) =>
+        GraftLog.removeProperties(dir, Seq(rm.property))
         sch
       case (_, other) => throw new UnsupportedOperationException(
         s"graft-log tables support only ADD COLUMN, got $other")

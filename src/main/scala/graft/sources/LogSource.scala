@@ -755,6 +755,44 @@ object GraftLog {
       s"no ref '$spec' on the table at $dir " +
         s"(known: ${refs(dir).keys.toSeq.sorted.mkString(", ")})"))
 
+  // ---- table properties ------------------------------------------
+  // TBLPROPERTIES, stored as one `_properties` file (k=v lines,
+  // atomic replace). Properties are metadata-plane configuration —
+  // the table-level override axis Delta/Iceberg use for maintenance
+  // policy; `graft.compact.target-bytes` is consulted by [[compact]]
+  // ahead of the session conf, so a table's layout policy travels
+  // with the table, not the session that happens to run maintenance.
+  val PropsFile = "_properties"
+
+  def propertiesOf(dir: String): Map[String, String] = {
+    val f = new File(dir, PropsFile)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+  }
+
+  def setProperties(dir: String, kvs: Map[String, String]): Unit =
+    synchronized {
+      kvs.keys.foreach(k => require(
+        k.nonEmpty && !k.contains("=") && !k.contains("\n"),
+        s"invalid property key '$k'"))
+      kvs.values.foreach(v => require(!v.contains("\n"),
+        s"property values cannot contain newlines: '$v'"))
+      writeProperties(dir, propertiesOf(dir) ++ kvs)
+    }
+
+  def removeProperties(dir: String, keys: Seq[String]): Unit =
+    synchronized { writeProperties(dir, propertiesOf(dir) -- keys) }
+
+  private def writeProperties(dir: String,
+      ps: Map[String, String]): Unit =
+    atomicWrite(Paths.get(dir, PropsFile),
+      ps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
   // ---- write-audit-publish (WAP) staging -------------------------
   // Iceberg's stage-then-publish pattern: with `spark.graft.log.wapId`
   // set, an INSERT writes its part files but records their entries in
@@ -983,11 +1021,16 @@ object GraftLog {
     // (parquet formats split by row group; a non-splittable format
     // must bound at write time). Conf'able for tests; the default
     // keeps small fixtures at one file per group.
-    val targetBytes = scala.util.Try(
-        org.apache.spark.sql.SparkSession.active).toOption
-      .flatMap(s => Option(
-        s.conf.get("spark.graft.log.compactTargetBytes", null)))
-      .map(_.toLong).getOrElse(128L << 20)
+    // table property beats session conf beats default: layout policy
+    // belongs to the table, not to whichever session runs maintenance
+    val targetBytes = propertiesOf(dir).get("graft.compact.target-bytes")
+      .map(_.toLong)
+      .orElse(scala.util.Try(
+          org.apache.spark.sql.SparkSession.active).toOption
+        .flatMap(s => Option(
+          s.conf.get("spark.graft.log.compactTargetBytes", null)))
+        .map(_.toLong))
+      .getOrElse(128L << 20)
 
     def writeGroup(entries: Seq[LogEntry],
         pv: Option[(String, Any)]): Seq[LogEntry] = {
@@ -1608,6 +1651,14 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
   override def name(): String = s"graft_log($dir)"
+
+  /** Stored TBLPROPERTIES (SHOW TBLPROPERTIES / DESCRIBE EXTENDED
+    * read these; SET/UNSET TBLPROPERTIES writes through alterTable). */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    GraftLog.propertiesOf(dir).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   /** The table's identity partition column: declared on this write
     * (`option("partitionCol", c)` / DDL `PARTITIONED BY (c)`), else

@@ -613,6 +613,37 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TBLPROPERTIES round-trip; compaction honors the table's target") {
+    import graft.sources.GraftLog
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.props")
+      spark.sql("""CREATE TABLE graftcat.props.t (id BIGINT)
+        TBLPROPERTIES ('graft.compact.target-bytes' = '8000',
+                       'team' = 'data-eng')""")
+      def show() = spark.sql(
+        "SHOW TBLPROPERTIES graftcat.props.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(show().get("team").contains("data-eng"))
+      assert(show().get("graft.compact.target-bytes").contains("8000"))
+      spark.sql("""ALTER TABLE graftcat.props.t
+        SET TBLPROPERTIES ('team' = 'ml-platform')""")
+      spark.sql(
+        "ALTER TABLE graftcat.props.t UNSET TBLPROPERTIES ('absent')")
+      assert(show().get("team").contains("ml-platform"))
+      // compaction rolls at the TABLE's 8k target with no session conf
+      val dir = new java.io.File(
+        new java.io.File(wh, "props"), "t").getPath
+      (1 to 3).foreach(_ => spark.sql(
+        """INSERT INTO graftcat.props.t
+           SELECT /*+ REPARTITION(1) */ id FROM range(2000)"""))
+      GraftLog.compact(dir)
+      val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+      assert(live.size > 1,
+        s"8k property target over ~6k rows must roll, got ${live.size}")
+      assert(spark.table("graftcat.props.t").count() == 6000)
+    }
+  }
+
   test("CTAS/RTAS are atomic: failures strand no table and lose no table") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.ctas")
