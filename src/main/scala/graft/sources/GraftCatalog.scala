@@ -107,6 +107,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftLogHistoryTable(tableDir(base).getPath)
     }
+    // `t$refs`: one row per named ref (tag) with reachability — the
+    // discovery surface for `VERSION AS OF '<name>'`.
+    if (ident.name.endsWith("$refs")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$refs"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogRefsTable(tableDir(base).getPath)
+    }
     // `t$partitions`: one row per live identity-partition value with
     // file/row counts — the layout surface compaction policy reads.
     if (ident.name.endsWith("$partitions")) {

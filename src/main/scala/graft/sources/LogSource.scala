@@ -3056,6 +3056,61 @@ object GraftLogPartitionsTable {
     StructField("n_rows", LongType, nullable = false)))
 }
 
+/** The `t$refs` metadata table: one row per named ref (tag) —
+  * (name, version, reachable) — the discovery surface for
+  * `VERSION AS OF '<name>'`. `reachable` is false when log expiration
+  * moved the retained horizon past the pinned version (reads through
+  * the ref now fail loudly; the row makes the dead tag visible to
+  * cleanup jobs instead of silent). */
+class GraftLogRefsTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_refs($dir)"
+  override def schema(): StructType = GraftLogRefsTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[Array[Any]] = {
+          val oldest = GraftLog.oldestReplayableVersion(dir)
+          GraftLog.refs(dir).toSeq.sortBy(_._1).map { case (n, v) =>
+            Array[Any](UTF8String.fromString(n), v,
+              oldest <= 0L || v >= oldest)
+          }
+        }
+        override def readSchema(): StructType = GraftLogRefsTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_refs $dir refs=${rows.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogHistoryPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogHistoryPartition].rows.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = new GenericInternalRow(it.next())
+                  true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+object GraftLogRefsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("reachable", BooleanType, nullable = false)))
+}
+
 case class GraftLogHistoryPartition(rows: Seq[Array[Any]])
     extends InputPartition
 

@@ -610,6 +610,13 @@ class GraftCatalogSpec extends SparkSpec {
         s"sub-horizon tag read must fail loudly, got: ${e.getMessage}")
       // the current snapshot is untouched
       assert(spark.table("graftcat.refdb.t").count() == 142)
+      // t$refs lists the tag and marks it unreachable post-expiration
+      val refs = spark.sql(
+        "SELECT name, version, reachable FROM graftcat.refdb.`t$refs`")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(refs == Set(("gold", 0L, false)),
+        s"t\\$$refs must surface the dead tag: $refs")
     }
   }
 
