@@ -682,6 +682,55 @@ object Formats {
           sum(col("id")).as("sum_id"), sum(col("v")).as("sum_v"))
     }),
 
+    // Incremental MATERIALIZED aggregate view (IVM for COUNT/SUM):
+    // bootstrap materializes `GROUP BY bucket` once, then an appended
+    // batch refreshes the view by scanning ONLY the delta's part files
+    // (change feed + pickFiles; delta_bounded gates files scanned <
+    // source total) and merging per-group deltas into only the view
+    // files holding touched groups (merge_bounded). The txn marker
+    // rides the merge commit, so a re-refresh with no new source
+    // commits is a metadata no-op (noop_skipped) and a crashed refresh
+    // can never double-apply a span — the Delta SetTransaction
+    // idempotent-writer pattern. The oracle recomputes the view in
+    // closed form: a double-applied delta, lost group, or missed
+    // combine is a hash miss. At 100 TB: refresh cost = O(append) +
+    // O(touched view files), never O(table).
+    "sink_log_mv_incremental" -> ((s, d) => {
+      val base = s"/tmp/graft_log_mv/${new java.io.File(d).getName}"
+      val src = s"$base/src"; val mv = s"$base/mv"
+      val (deltaBounded, mergeBounded, noopOk) =
+        rebuildOnce(mvStats, base) {
+          // v0: 3000 rows over 50 buckets, 4-file layout
+          s.range(0, 3000).selectExpr("id", "id % 50 AS bucket",
+              "id AS v")
+            .repartition(4)
+            .write.format("graft.sources.GraftLogSource")
+            .option("path", src).mode("append").save()
+          val r0 = MaterializedAgg.refresh(s, src, mv, "bucket",
+            Seq("v"))
+          // the delta touches only buckets 0..9
+          s.range(3000, 3500).selectExpr("id", "id % 10 AS bucket",
+              "id AS v")
+            .coalesce(1)
+            .write.format("graft.sources.GraftLogSource")
+            .option("path", src).mode("append").save()
+          val r1 = MaterializedAgg.refresh(s, src, mv, "bucket",
+            Seq("v"))
+          val r2 = MaterializedAgg.refresh(s, src, mv, "bucket",
+            Seq("v"))
+          (r0.mode == "bootstrap" && r1.mode == "incremental" &&
+             r1.deltaFiles == 1 && r1.deltaFiles < r1.srcFilesTotal,
+           r1.rewrittenMvFiles < r1.mvFilesTotal,
+           r2.mode == "noop" && r2.deltaFiles == 0)
+        }
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", mv).load()
+        .select(col("bucket"), col("n_rows"), col("sum_v"),
+          lit(deltaBounded).as("delta_bounded"),
+          lit(mergeBounded).as("merge_bounded"),
+          lit(noopOk).as("noop_skipped"))
+    }),
+
     // Metadata-only COUNT(*): the manifest's per-file row counts ARE
     // the answer — the pushed-down aggregate plans a one-row scan that
     // never opens a data file (`metaCount=` in the scan description,
@@ -1387,6 +1436,10 @@ object Formats {
     new scala.collection.concurrent.TrieMap[String, Unit]()
   private val cdcBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
+  // (deltaBounded, mergeBounded, noopSkipped)
+  private val mvStats =
+    new scala.collection.concurrent.TrieMap[
+      String, (Boolean, Boolean, Boolean)]()
 
   /** Once-per-session fixture rebuild: the maintenance sequence's
     * observable stats feed the driver-checked result, so a stale /tmp
@@ -1700,6 +1753,19 @@ object Formats {
            CAST(SUM(CASE WHEN (id >= 500 AND id < 700) OR id >= 2000
              THEN -id ELSE id END) AS BIGINT) AS sum_v
          FROM range(0, 2500) t(id)""",
+    // The view state after both batches: seed buckets id%50, delta
+    // buckets id%10 — closed form over the union.
+    "sink_log_mv_incremental" ->
+      """WITH src AS (
+           SELECT id % 50 AS bucket, id AS v FROM range(0, 3000) t(id)
+           UNION ALL
+           SELECT id % 10 AS bucket, id AS v
+           FROM range(3000, 3500) t(id))
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           TRUE AS delta_bounded, TRUE AS merge_bounded,
+           TRUE AS noop_skipped
+         FROM src GROUP BY bucket""",
     "sink_log_groupby_meta" ->
       """SELECT id % 16 AS k, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(id) AS BIGINT) AS min_id,

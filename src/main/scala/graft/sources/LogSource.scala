@@ -145,6 +145,23 @@ object LogEntry {
       Map(GraftLog.DvKey -> (descriptor.map(_._1).getOrElse(""),
         descriptor.map(_._2.toString).getOrElse("0"))))
 
+  /** Application transaction marker (Delta's `SetTransaction` /
+    * `txn` action): records that writer `appId` has applied its work
+    * through SOURCE version `txnVersion`, in the SAME commit as the
+    * data it wrote — which is what makes an incremental consumer
+    * (streaming sink, materialized-view refresh) exactly-once across
+    * crashes: a retry reads the marker back and skips the span it
+    * already applied, because marker and data became visible
+    * atomically. Keyed as `txn:<appId>` so log replay's
+    * latest-action-per-key rule keeps exactly the newest marker per
+    * writer and can never collide with a part-file name; snapshot
+    * planning and the change feed ignore the action (not an add),
+    * while checkpoints carry the latest marker forward so it
+    * survives log expiration. */
+  def txn(version: Long, appId: String, txnVersion: Long): LogEntry =
+    LogEntry(version, "txn", s"txn:$appId", txnVersion,
+      dataChange = false, Map.empty)
+
   def parse(line: String): LogEntry = {
     def parseStats(st: String): Map[String, (String, String)] =
       st.split(";").filter(_.nonEmpty).map { kv =>
@@ -476,7 +493,8 @@ object GraftLog {
     * O(live + tail) once checkpoints exist, whatever the table's
     * commit count. */
   case class SnapshotPlan(entries: Seq[LogEntry],
-      checkpointVersion: Option[Long], segmentsRead: Int)
+      checkpointVersion: Option[Long], segmentsRead: Int,
+      txns: Seq[LogEntry] = Seq.empty)
 
   /** Live `add` entries visible at `version`: seed from the newest
     * checkpoint at-or-below it, then replay the commit tail in version
@@ -533,7 +551,30 @@ object GraftLog {
         readEntryLines(f).foreach(e => applyEntry(latest, e))
       }
     SnapshotPlan(latest.valuesIterator.filter(_.isAdd).toSeq,
-      ckpt.map(_.version), segs)
+      ckpt.map(_.version), segs,
+      txns = latest.valuesIterator.filter(_.action == "txn").toSeq)
+  }
+
+  /** Highest source version writer `appId` has recorded as applied to
+    * this table (via [[LogEntry.txn]] markers), or -1 if it never
+    * wrote one. O(live + tail) — the marker rides the same
+    * checkpoint+tail replay as snapshot planning, so the idempotence
+    * check an incremental refresh runs before doing any work costs a
+    * metadata read, never a scan. */
+  def lastTxnVersion(dir: String, appId: String): Long =
+    snapshotAsOf(dir, Long.MaxValue).txns
+      .filter(_.file == s"txn:$appId").map(_.rows).maxOption
+      .getOrElse(-1L)
+
+  /** Marker-only commit: record `appId`-applied-through-`txnVersion`
+    * with no data change (the bootstrap stamp — incremental refreshes
+    * instead attach the marker to their merge commit so marker and
+    * data land atomically). */
+  def commitTxn(dir: String, appId: String, txnVersion: Long): Long = {
+    val schema = storedSchema(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-log table not found at $dir"))
+    commitNew(dir, schema)(v => Seq(LogEntry.txn(v, appId, txnVersion)))
   }
 
   def entriesAsOf(dir: String, version: Long): Seq[LogEntry] =
@@ -652,11 +693,15 @@ object GraftLog {
   }
 
   /** Reconciled snapshot checkpoint at `v`: the live add set (original
-    * versions and stamps preserved) under a max-stamp header.
+    * versions and stamps preserved) plus the latest [[LogEntry.txn]]
+    * marker per writer — markers must survive reconciliation or log
+    * expiration would silently reset every incremental consumer's
+    * applied-through watermark — under a max-stamp header.
     * Idempotent — deterministic content, atomic replace — so two
     * processes checkpointing the same version is harmless. */
   def writeCheckpoint(dir: String, v: Long): Unit = {
-    val live = entriesAsOf(dir, v)
+    val snap = snapshotAsOf(dir, v)
+    val live = snap.entries ++ snap.txns
     val content = (s"#checkpoint v=$v maxTs=${maxTsKnown(dir)}" +:
       live.map(_.serialize)).mkString("\n")
     atomicWrite(Paths.get(dir, versionedName(CheckpointPrefix, v)),
@@ -1164,7 +1209,8 @@ object GraftLog {
     * (filesRewritten, filesTotal). */
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, dir: String,
       updates: org.apache.spark.sql.DataFrame,
-      keyCol: String): (Int, Int) = {
+      keyCol: String,
+      txn: Option[(String, Long)] = None): (Int, Int) = {
     requireNoWap("MERGE")
     import org.apache.spark.sql.functions.{col, lit, when,
       min => fmin, max => fmax}
@@ -1199,7 +1245,12 @@ object GraftLog {
         // EITHER an empty batch (no-op) OR only NULL-keyed rows —
         // which match nothing and must still INSERT (losing them here
         // would contradict the NULL-key contract below).
-        if (updates.limit(1).collect().isEmpty) return (0, live.size)
+        if (updates.limit(1).collect().isEmpty) {
+          // no-op merge still records the txn marker (the consumer's
+          // applied-through watermark must advance past empty spans)
+          txn.foreach { case (a, tv) => commitTxn(dir, a, tv) }
+          return (0, live.size)
+        }
         Seq.empty
       } else live.filter(e => keys.exists(k =>
         GraftLogBloom.mayContain(e, keyCol, k)))
@@ -1219,7 +1270,12 @@ object GraftLog {
         // EITHER an empty batch (no-op) OR only NULL-keyed rows —
         // which match nothing and must still INSERT (losing them here
         // would contradict the NULL-key contract above).
-        if (updates.limit(1).collect().isEmpty) return (0, live.size)
+        if (updates.limit(1).collect().isEmpty) {
+          // no-op merge still records the txn marker (the consumer's
+          // applied-through watermark must advance past empty spans)
+          txn.foreach { case (a, tv) => commitTxn(dir, a, tv) }
+          return (0, live.size)
+        }
         Seq.empty
       } else if (keyRows.length <= MaxMergeProbeKeys) {
         val keys: Array[AnyRef] = keyRows.map(r =>
@@ -1289,7 +1345,7 @@ object GraftLog {
         "full_outer")
       .select(cols.map(f => when(col("__graft_u").isNotNull,
         col(s"u.$f")).otherwise(col(s"t.$f")).as(f)): _*)
-    rewriteFiles(spark, dir, affected, merged, schema)
+    rewriteFiles(spark, dir, affected, merged, schema, txn = txn)
     (affected.size, live.size)
   }
 
@@ -1519,7 +1575,8 @@ object GraftLog {
   private def rewriteFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String, old: Seq[LogEntry],
       replacement: org.apache.spark.sql.DataFrame,
-      schema: StructType, dataChange: Boolean = true): Unit = {
+      schema: StructType, dataChange: Boolean = true,
+      txn: Option[(String, Long)] = None): Unit = {
     val scratch = s"$dir/__rewrite-${UUID.randomUUID()}"
     // a partitioned table's maintenance rewrite keeps routing rows per
     // value (the scratch table inherits the declaration), so rewritten
@@ -1536,7 +1593,8 @@ object GraftLog {
     commitNew(dir, storedSchema(dir).getOrElse(schema))(v =>
       old.map(e => LogEntry.remove(v, e.file)) ++
         fresh.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
-          dataChange = dataChange, cols = e.cols)))
+          dataChange = dataChange, cols = e.cols)) ++
+        txn.map { case (app, tv) => LogEntry.txn(v, app, tv) }.toSeq)
     Option(new File(scratch).listFiles()).getOrElse(Array.empty)
       .foreach(_.delete())
     new File(scratch).delete()

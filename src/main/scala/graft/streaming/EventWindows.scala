@@ -156,6 +156,38 @@ object EventWindows {
     attribution(viewSide(eventStream(spark, sfDir)),
       purchaseSide(eventStream(spark, sfDir)))
 
+  /** At-least-once ingest dedup: the delivery layer redelivers ~10% of
+    * the feed (every 10th event_id here — deterministic, so the oracle
+    * is closed-form), and dedup on the message key restores
+    * exactly-once semantics BEFORE the windowed rollup. The oracle is
+    * the clean aggregate with no replay: a duplicate that survives
+    * dedup (inflated counts) or an over-dropped genuine event is a
+    * hash miss. The streaming twin is [[dedupReplayStream]]:
+    * `dropDuplicatesWithinWatermark` holds per-key state only until
+    * the watermark passes the key's event time — bounded state, the
+    * reason the operator (not a global `distinct`) is what a 100 TB/day
+    * ingest runs. */
+  def dedupReplay(events: DataFrame): DataFrame =
+    tumbling(
+      events.unionAll(events.filter(col("event_id") % 10 === 0))
+        .dropDuplicates("event_id"))
+
+  /** The streaming form of `dedupReplay`'s dedup stage: the replayed
+    * feed is the union of two readStream sources (the redelivery),
+    * deduped with `dropDuplicatesWithinWatermark` — each first
+    * arrival emits immediately (append mode), the per-key state that
+    * suppresses re-emission is dropped once the watermark passes the
+    * key's event time, so state is bounded by the redelivery horizon,
+    * not the stream length. StreamingSpec drains this feed and
+    * asserts row-set identity with the batch dedup; the windowed
+    * rollup downstream of it is deterministic batch algebra the
+    * driver's oracle already pins. */
+  def dedupReplayStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventStream(spark, sfDir)
+      .unionAll(eventStream(spark, sfDir)
+        .filter(col("event_id") % 10 === 0))
+      .dropDuplicatesWithinWatermark("event_id")
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling_window" -> ((s, d) => tumbling(Tables.events(s, d))),
     "stream_sliding_window" -> ((s, d) => sliding(Tables.events(s, d))),
@@ -177,7 +209,9 @@ object EventWindows {
         .select(col("user_id"), col("event_id"), col("ts"),
           col("running_total"))),
     "stream_stream_join" -> ((s, d) =>
-      attributionAgg(Tables.events(s, d)))
+      attributionAgg(Tables.events(s, d))),
+    "stream_dedup_replay" -> ((s, d) =>
+      dedupReplay(Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -242,6 +276,14 @@ object EventWindows {
           AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
           AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP)
                 + INTERVAL '30 minutes'
-         GROUP BY 1"""
+         GROUP BY 1""",
+    // The clean aggregate: dedup must exactly cancel the injected
+    // replay, so the oracle sees no duplication at all.
+    "stream_dedup_replay" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+           AS w_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2"""
   )
 }

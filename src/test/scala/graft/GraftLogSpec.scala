@@ -1396,4 +1396,78 @@ class GraftLogSpec extends SparkSpec {
       "the two commits must land at distinct versions")
     assert(GraftLog.currentVersion(dir) == 2L)
   }
+
+  test("txn markers: latest per writer, survive checkpoints and " +
+      "log expiration") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(10).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(GraftLog.lastTxnVersion(dir, "mv") == -1L)
+    GraftLog.commitTxn(dir, "mv", 3L)
+    GraftLog.commitTxn(dir, "other", 1L)
+    GraftLog.commitTxn(dir, "mv", 7L)
+    assert(GraftLog.lastTxnVersion(dir, "mv") == 7L)
+    assert(GraftLog.lastTxnVersion(dir, "other") == 1L)
+    // markers never surface as data files or change-feed rows
+    assert(GraftLog.committedFiles(dir).forall(!_.startsWith("txn:")))
+    assert(GraftLog.changedEntriesBetween(dir, -1L, Long.MaxValue)
+      .forall(_.action == "add"))
+    // force a reconciled checkpoint, then expire the commit tail
+    // beneath it: the marker must ride the checkpoint
+    (0 until 12).foreach(i =>
+      spark.range(1).selectExpr(s"id + ${100 + i} AS id",
+          "CAST(0 AS INT) AS bucket", "CAST(0.0 AS DOUBLE) AS value",
+          "'t' AS tag")
+        .write.format(Fmt).option("path", dir).mode("append").save())
+    GraftLog.expireLog(dir, GraftLog.currentVersion(dir))
+    assert(GraftLog.lastTxnVersion(dir, "mv") == 7L,
+      "txn marker lost to log expiration — checkpoints must carry it")
+    assert(GraftLog.lastTxnVersion(dir, "other") == 1L)
+  }
+
+  test("materialized aggregate view: delta-bounded refresh, " +
+      "exactly-once across retries, equals full recompute") {
+    import graft.sources.{GraftLog, MaterializedAgg}
+    val dir = tmp(); val src = s"$dir/src"; val mv = s"$dir/mv"
+    def srcFrame(lo: Int, hi: Int, mod: Int) =
+      spark.range(lo, hi).selectExpr("id", s"id % $mod AS bucket",
+        "id AS v")
+    srcFrame(0, 3000, 50).repartition(4)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val r0 = MaterializedAgg.refresh(spark, src, mv, "bucket", Seq("v"))
+    assert(r0.mode == "bootstrap")
+    // append touching only buckets 0..9; refresh scans ONLY the delta
+    srcFrame(3000, 3500, 10).coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val r1 = MaterializedAgg.refresh(spark, src, mv, "bucket", Seq("v"))
+    assert(r1.mode == "incremental")
+    assert(r1.deltaFiles == 1 && r1.srcFilesTotal == 5,
+      s"refresh must scan the delta file only, got $r1")
+    assert(r1.rewrittenMvFiles < r1.mvFilesTotal,
+      s"merge must rewrite only view files holding touched groups: $r1")
+    // retry with no new source commits: metadata no-op, no double-count
+    val r2 = MaterializedAgg.refresh(spark, src, mv, "bucket", Seq("v"))
+    assert(r2.mode == "noop" && r2.deltaFiles == 0)
+    // a compaction advances the source version with dataChange=false:
+    // the refresh must advance its marker without re-applying rows
+    GraftLog.compact(src)
+    val r3 = MaterializedAgg.refresh(spark, src, mv, "bucket", Seq("v"))
+    assert(r3.mode == "noop",
+      s"a no-data-change version must not re-apply rows: $r3")
+    assert(GraftLog.lastTxnVersion(mv, "materialized-agg") ==
+      GraftLog.currentVersion(src))
+    // one more real round, then the view must equal a full recompute
+    srcFrame(3500, 3600, 25).coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    MaterializedAgg.refresh(spark, src, mv, "bucket", Seq("v"))
+    val got = readBack(mv).orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = readBack(src).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq,
+      "incrementally maintained view diverged from full recompute")
+  }
 }
