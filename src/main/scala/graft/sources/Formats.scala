@@ -282,6 +282,37 @@ object Formats {
           lit(horizonLoud).as("horizon_fails_loudly"))
     }),
 
+    // The `t$txns` metadata table through the driver gate: a REAL
+    // materialized-view lifecycle (bootstrap + one incremental
+    // refresh) leaves its exactly-once watermark in the view's log,
+    // and t$txns surfaces it — which writer, applied through which
+    // source version, committed at which view version. The oracle
+    // pins all three (the marker must ride the MERGE commit itself:
+    // applied_through = source head 1, committed_version = view
+    // commit 2 — a marker-in-separate-commit bug breaks the row).
+    "sql_catalog_txns" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val base = s"$wh/txnsns"
+      val src = s"$base/src"; val mvd = s"$base/mv"
+      rebuildOnce(txnsBuilt, base) {
+        s.range(0, 1000).selectExpr("id", "id % 20 AS bucket",
+            "id AS v")
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        MaterializedAgg.refresh(s, src, mvd, "bucket", Seq("v"))
+        s.range(1000, 1200).selectExpr("id", "id % 5 AS bucket",
+            "id AS v")
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        MaterializedAgg.refresh(s, src, mvd, "bucket", Seq("v"))
+        ()
+      }
+      s.sql("""SELECT app_id, applied_through, committed_version
+               FROM graftq.txnsns.`mv$txns`""")
+    }),
+
     // Atomic CTAS/RTAS through the driver gate (StagingTableCatalog):
     // the table builds in a hidden staged directory and moves into
     // place only when the write committed. Gated booleans: a CTAS
@@ -1440,6 +1471,8 @@ object Formats {
   private val mvStats =
     new scala.collection.concurrent.TrieMap[
       String, (Boolean, Boolean, Boolean)]()
+  private val txnsBuilt =
+    new scala.collection.concurrent.TrieMap[String, Unit]()
 
   /** Once-per-session fixture rebuild: the maintenance sequence's
     * observable stats feed the driver-checked result, so a stale /tmp
@@ -1753,6 +1786,12 @@ object Formats {
            CAST(SUM(CASE WHEN (id >= 500 AND id < 700) OR id >= 2000
              THEN -id ELSE id END) AS BIGINT) AS sum_v
          FROM range(0, 2500) t(id)""",
+    // The exactly-once watermark after bootstrap + one incremental
+    // refresh: applied through source v1, marker riding view commit 2.
+    "sql_catalog_txns" ->
+      """SELECT 'materialized-agg' AS app_id,
+           CAST(1 AS BIGINT) AS applied_through,
+           CAST(2 AS BIGINT) AS committed_version""",
     // The view state after both batches: seed buckets id%50, delta
     // buckets id%10 — closed form over the union.
     "sink_log_mv_incremental" ->

@@ -115,6 +115,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftLogRefsTable(tableDir(base).getPath)
     }
+    // `t$txns`: one row per incremental writer's latest txn marker —
+    // the staleness/exactly-once observability surface.
+    if (ident.name.endsWith("$txns")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$txns"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogTxnsTable(tableDir(base).getPath)
+    }
     // `t$partitions`: one row per live identity-partition value with
     // file/row counts — the layout surface compaction policy reads.
     if (ident.name.endsWith("$partitions")) {

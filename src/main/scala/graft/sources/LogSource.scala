@@ -3169,6 +3169,62 @@ object GraftLogRefsTable {
     StructField("reachable", BooleanType, nullable = false)))
 }
 
+/** The `t$txns` metadata table: one row per incremental writer's
+  * latest [[LogEntry.txn]] marker — (app_id, applied_through,
+  * committed_version, ts_millis) — the observability surface for the
+  * exactly-once contract: which consumer has applied the source
+  * through which version, and when. What an operator checks before
+  * deciding whether a materialized view or streaming sink is stale. */
+class GraftLogTxnsTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_txns($dir)"
+  override def schema(): StructType = GraftLogTxnsTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[Array[Any]] =
+          GraftLog.snapshotAsOf(dir, Long.MaxValue).txns
+            .sortBy(_.file).map { e =>
+              Array[Any](
+                UTF8String.fromString(e.file.stripPrefix("txn:")),
+                e.rows, e.version, e.ts)
+            }
+        override def readSchema(): StructType = GraftLogTxnsTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_txns $dir txns=${rows.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogHistoryPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogHistoryPartition].rows.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = new GenericInternalRow(it.next())
+                  true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+object GraftLogTxnsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("app_id", StringType, nullable = false),
+    StructField("applied_through", LongType, nullable = false),
+    StructField("committed_version", LongType, nullable = false),
+    StructField("ts_millis", LongType, nullable = false)))
+}
+
 case class GraftLogHistoryPartition(rows: Seq[Array[Any]])
     extends InputPartition
 

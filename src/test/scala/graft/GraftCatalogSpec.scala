@@ -807,4 +807,33 @@ class GraftCatalogSpec extends SparkSpec {
         s"partition grouping disabled: $scanDesc")
     }
   }
+
+  test("t$txns surfaces each incremental writer's applied-through marker") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db8")
+      spark.sql("CREATE TABLE graftcat.db8.mv (id BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.db8.mv SELECT id, id FROM range(10)")
+      val dir = s"$wh/db8/mv"
+      assert(spark.sql(
+        "SELECT * FROM graftcat.db8.`mv$txns`").count() == 0)
+      graft.sources.GraftLog.commitTxn(dir, "refresh-job", 4L)
+      graft.sources.GraftLog.commitTxn(dir, "sink-a", 2L)
+      graft.sources.GraftLog.commitTxn(dir, "refresh-job", 9L)
+      val rows = spark.sql(
+        """SELECT app_id, applied_through
+           FROM graftcat.db8.`mv$txns` ORDER BY app_id""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // latest marker per writer, one row each
+      assert(rows == Seq("refresh-job" -> 9L, "sink-a" -> 2L),
+        s"t\\$$txns rows: $rows")
+      // committed_version points at a real commit; stamp is real
+      val meta = spark.sql(
+        """SELECT committed_version, ts_millis
+           FROM graftcat.db8.`mv$txns` WHERE app_id = 'refresh-job'""")
+        .head
+      assert(meta.getLong(0) == 3L &&
+        meta.getLong(1) > 0L, s"marker metadata: $meta")
+    }
+  }
 }
