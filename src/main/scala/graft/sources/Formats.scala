@@ -282,6 +282,47 @@ object Formats {
           lit(horizonLoud).as("horizon_fails_loudly"))
     }),
 
+    // Writable branches through the driver gate (the Iceberg-branch
+    // lifecycle): create_branch forks the table, a session with
+    // spark.graft.log.branch set commits to the branch's own log
+    // (gated: mainline count stays 2000 while the branch carries
+    // 500 more), and fast_forward publishes the branch as ONE
+    // mainline commit, exactly once. The oracle recomputes the final
+    // table in closed form — a leaked branch row pre-publish, a lost
+    // row at publish, or a double publish is a hash miss. At 100 TB
+    // this is how a multi-batch ingest line is validated in isolation
+    // and landed atomically.
+    "sql_catalog_branch" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/brch_t"
+      val (invisible, ffPublished) = rebuildOnce(branchStats, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.brch_t")
+        s.sql("CREATE TABLE graftq.ns.brch_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.brch_t
+                 SELECT id, id FROM range(2000)""")
+        s.sql("""CALL graftq.system.create_branch(
+                 table => 'ns.brch_t', name => 'dev')""")
+        s.conf.set(GraftLog.BranchConf, "dev")
+        try
+          s.sql("""INSERT INTO graftq.ns.brch_t
+                   SELECT id + 2000, id FROM range(500)""")
+        finally s.conf.unset(GraftLog.BranchConf)
+        val mainN = s.sql(
+          "SELECT COUNT(*) FROM graftq.ns.brch_t").head.getLong(0)
+        val v = s.sql("""CALL graftq.system.fast_forward(
+          table => 'ns.brch_t', name => 'dev')""").head.getLong(0)
+        (mainN == 2000L, v == 1L)
+      }
+      s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(v) AS BIGINT) AS sum_v
+               FROM graftq.ns.brch_t""")
+        .select(col("n_rows"), col("sum_id"), col("sum_v"),
+          lit(invisible).as("branch_invisible"),
+          lit(ffPublished).as("ff_published"))
+    }),
+
     // The `t$txns` metadata table through the driver gate: a REAL
     // materialized-view lifecycle (bootstrap + one incremental
     // refresh) leaves its exactly-once watermark in the view's log,
@@ -1473,6 +1514,10 @@ object Formats {
       String, (Boolean, Boolean, Boolean)]()
   private val txnsBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
+  // (branchInvisibleToMain, fastForwardPublished)
+  private val branchStats =
+    new scala.collection.concurrent.TrieMap[
+      String, (Boolean, Boolean)]()
 
   /** Once-per-session fixture rebuild: the maintenance sequence's
     * observable stats feed the driver-checked result, so a stale /tmp
@@ -1786,6 +1831,18 @@ object Formats {
            CAST(SUM(CASE WHEN (id >= 500 AND id < 700) OR id >= 2000
              THEN -id ELSE id END) AS BIGINT) AS sum_v
          FROM range(0, 2500) t(id)""",
+    // The final table after the branch lands: 2000 mainline rows plus
+    // the 500-row branch line, published by fast_forward.
+    "sql_catalog_branch" ->
+      """WITH src AS (
+           SELECT id, id AS v FROM range(0, 2000) t(id)
+           UNION ALL
+           SELECT id + 2000 AS id, id AS v FROM range(0, 500) t(id))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           TRUE AS branch_invisible, TRUE AS ff_published
+         FROM src""",
     // The exactly-once watermark after bootstrap + one incremental
     // refresh: applied through source v1, marker riding view commit 2.
     "sql_catalog_txns" ->

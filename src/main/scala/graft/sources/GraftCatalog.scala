@@ -115,6 +115,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftLogRefsTable(tableDir(base).getPath)
     }
+    // `t$branches`: one row per live branch — the discovery surface
+    // for branch reads and the fast-forward decision.
+    if (ident.name.endsWith("$branches")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$branches"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogBranchesTable(tableDir(base).getPath)
+    }
     // `t$txns`: one row per incremental writer's latest txn marker —
     // the staleness/exactly-once observability surface.
     if (ident.name.endsWith("$txns")) {

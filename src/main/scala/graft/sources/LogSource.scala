@@ -950,6 +950,198 @@ object GraftLog {
       s"$op cannot run while $WapConf='$id' is set — only appends " +
         "stage; publish or drop the audit (or unset the conf) first"))
 
+  // ---- writable branches: named commit lineages off a fork point ----
+  // The Iceberg-branch idea on the graft-log: `create_branch` forks at
+  // the current version; writes made with `spark.graft.log.branch` set
+  // (or the `branch` write/read option) commit to the branch's OWN
+  // commit files (`_branch.<name>.<v>`, same hard-link CAS as main) —
+  // invisible to every mainline reader, MULTI-commit (where a WAP
+  // staging is one audited batch, a branch is a whole line of work:
+  // several appends validated together). A branch read plans the main
+  // snapshot AT THE FORK plus the branch's commits — main commits
+  // after the fork don't leak in. `fast_forward` publishes the branch
+  // onto main as one squashed commit IFF main hasn't moved since the
+  // fork (otherwise loud — recreate the branch to rebase); `drop_
+  // branch` abandons it and reclaims its part files. Part files live
+  // in the table dir (vacuum treats branch-referenced files as live,
+  // like WAP staging). Branch writes may not evolve the schema, and
+  // row-level mutations/maintenance refuse to run with a branch set —
+  // same loudness contract as WAP.
+  val BranchConf = "spark.graft.log.branch"
+  val BranchesFile = "_branches"
+
+  /** The session's active write/read branch, when set and non-empty. */
+  def activeBranch(): Option[String] =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+      .flatMap(s => Option(s.conf.get(BranchConf, null)))
+      .filter(_.nonEmpty)
+
+  private def validBranchName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+        c == '-' || c == '_'),
+      s"invalid branch name '$name' (letters, digits, '-', '_' only)")
+
+  private def branchPrefix(name: String): String = s"_branch.$name."
+
+  /** name → fork version for every live branch. */
+  def branches(dir: String): Map[String, Long] = {
+    val f = new File(dir, BranchesFile)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(n, v) = l.split("\t", 2); n -> v.toLong
+      }.toMap
+  }
+
+  private def writeBranches(dir: String, bs: Map[String, Long]): Unit =
+    atomicWrite(Paths.get(dir, BranchesFile),
+      bs.toSeq.sortBy(_._1).map { case (n, v) => s"$n\t$v" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+  /** Fork a branch at the current version. Returns the fork version. */
+  def createBranch(dir: String, name: String): Long = synchronized {
+    validBranchName(name)
+    require(storedSchema(dir).isDefined,
+      s"graft-log table not found at $dir")
+    val bs = branches(dir)
+    require(!bs.contains(name), s"branch '$name' already exists at $dir")
+    val fork = currentVersion(dir)
+    writeBranches(dir, bs + (name -> fork))
+    fork
+  }
+
+  private def forkOf(dir: String, name: String): Long =
+    branches(dir).getOrElse(name, throw new IllegalArgumentException(
+      s"no branch '$name' at $dir " +
+        s"(branches: ${branches(dir).keys.toSeq.sorted.mkString(", ")})"))
+
+  /** Newest branch-local version (the fork version when unwritten). */
+  def branchHead(dir: String, name: String): Long = {
+    val fork = forkOf(dir, name)
+    listVersioned(dir, branchPrefix(name)).lastOption.map(_._1)
+      .getOrElse(fork)
+  }
+
+  /** Every branch commit's entries, version-ascending. */
+  def branchEntries(dir: String, name: String): Seq[LogEntry] =
+    listVersioned(dir, branchPrefix(name))
+      .flatMap { case (_, f) => readEntryLines(f) }
+
+  /** The branch's visible snapshot: main AT THE FORK + branch commits
+    * replayed on top (main commits after the fork never leak in). */
+  def branchSnapshot(dir: String, name: String): Seq[LogEntry] = {
+    val fork = forkOf(dir, name)
+    val latest =
+      scala.collection.mutable.LinkedHashMap.empty[String, LogEntry]
+    snapshotAsOf(dir, fork).entries.foreach(e => latest(e.file) = e)
+    branchEntries(dir, name).foreach(e => applyEntry(latest, e))
+    latest.valuesIterator.filter(_.isAdd).toSeq
+  }
+
+  /** Append a batch to the branch as its own commit — the same
+    * hard-link CAS as mainline commits, version-numbered in the
+    * branch's own lineage (fork+1, fork+2, ...). Schema evolution is
+    * rejected (it would be visible to mainline readers before
+    * fast-forward, same rule as WAP staging). */
+  def appendToBranch(dir: String, name: String,
+      fresh: Seq[GraftLogCommit], schema: StructType): Unit =
+    synchronized {
+      if (fresh.isEmpty) return
+      forkOf(dir, name)
+      storedSchema(dir).foreach { stored =>
+        require(mergeSchemas(stored, schema) == stored,
+          s"branch '$name' write would evolve the schema of $dir — " +
+            "evolve with a mainline write first, then re-branch")
+      }
+      var attempts = 0
+      while (attempts < 64) {
+        val v = branchHead(dir, name) + 1
+        val now = math.max(System.currentTimeMillis(), maxTsKnown(dir) + 1)
+        val es = fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
+          cols = c.cols).copy(ts = now))
+        val tmp = Paths.get(dir,
+          s"${branchPrefix(name)}$v.tmp.${UUID.randomUUID()}")
+        Files.write(tmp, es.map(_.serialize).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+        try {
+          Files.createLink(
+            Paths.get(dir, versionedName(branchPrefix(name), v)), tmp)
+          Files.delete(tmp)
+          return
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.delete(tmp); attempts += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"branch '$name' commit to $dir lost the version race")
+    }
+
+  /** Publish the branch onto main as ONE squashed commit, exactly
+    * once, IFF main has not moved since the fork (a moved main is a
+    * real conflict: the branch's file set was derived from the fork
+    * snapshot — loud, recreate the branch to rebase). The branch is
+    * retired on success; its part files are now mainline-live. A
+    * crashed fast-forward (committed, died before retiring the
+    * branch) cannot double-publish: every branch file already live
+    * means the commit landed — the stale branch is retired and the
+    * retry says so. Returns (publishedVersion, nFiles). */
+  def fastForward(dir: String, name: String): (Long, Int) =
+    synchronized {
+      val fork = forkOf(dir, name)
+      val es = branchEntries(dir, name)
+      require(es.nonEmpty,
+        s"branch '$name' at $dir has no commits to fast-forward")
+      val live = entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
+      if (es.filter(_.isAdd).forall(e => live(e.file))) {
+        retireBranch(dir, name)
+        throw new IllegalStateException(
+          s"branch '$name' at $dir was already fast-forwarded (a " +
+            "crashed publish left the branch behind — now retired); " +
+            "re-publishing would duplicate the rows")
+      }
+      val cur = currentVersion(dir)
+      require(cur == fork,
+        s"branch '$name' cannot fast-forward: main advanced from " +
+          s"$fork to $cur since the fork — recreate the branch from " +
+          "the new head to rebase")
+      es.filter(_.isAdd).foreach(e =>
+        require(new File(dir, e.file).exists(),
+          s"cannot fast-forward '$name': part ${e.file} is missing"))
+      var published = -1L
+      commitNew(dir, storedSchema(dir).getOrElse(StructType(Nil))) { v =>
+        published = v
+        es.map(e => e.copy(version = v, ts = -1L))
+      }
+      retireBranch(dir, name)
+      (published, es.size)
+    }
+
+  /** Abandon a branch: delete its part files (those not mainline-live)
+    * and its commit files, unregister it. Returns part files deleted. */
+  def dropBranch(dir: String, name: String): Int = synchronized {
+    forkOf(dir, name)
+    val live = entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
+    val gone = branchEntries(dir, name).filter(_.isAdd)
+      .filterNot(e => live(e.file))
+    gone.foreach(e => new File(dir, e.file).delete())
+    retireBranch(dir, name)
+    gone.size
+  }
+
+  private def retireBranch(dir: String, name: String): Unit = {
+    listVersioned(dir, branchPrefix(name)).foreach(_._2.delete())
+    writeBranches(dir, branches(dir) - name)
+  }
+
+  /** Loud guard for operations that cannot target a branch: running
+    * them with a branch set would silently mutate MAIN mid-branch. */
+  def requireNoBranch(op: String): Unit = activeBranch().foreach(b =>
+    throw new IllegalStateException(
+      s"$op cannot run while $BranchConf='$b' is set — only appends " +
+        "can target a branch; fast_forward or drop the branch (or " +
+        "unset the conf) first"))
+
   /** CREATE TABLE: persist the schema — the table-existence marker.
     * An empty table needs no commit (version -1, empty snapshot). */
   def create(dir: String, schema: StructType): Unit = {
@@ -991,11 +1183,16 @@ object GraftLog {
         .flatMap { case (v, f) => readCheckpoint(v, f).live }
     // staged (write-audit-publish) part files are referenced by their
     // `_staged.<id>` side file, not by any commit — a pending audit
-    // must survive vacuum under BOTH modes or publish would break
+    // must survive vacuum under BOTH modes or publish would break.
+    // Branch part files likewise: only the branch's own commit files
+    // reference them until fast-forward.
     val staged = listStagedIds(dir).flatMap(stagedEntries(dir, _))
+    val branched = branches(dir).keys.toSeq
+      .flatMap(branchEntries(dir, _)).filter(_.isAdd)
     val referenced =
       ((if (expireHistory) entriesAsOf(dir, Long.MaxValue)
-        else entries(dir).filter(_.isAdd) ++ ckptLive) ++ staged)
+        else entries(dir).filter(_.isAdd) ++ ckptLive) ++ staged ++
+        branched)
         .map(_.file).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     // DV sidecars follow the part-file rules: referenced = every DV
@@ -1211,7 +1408,7 @@ object GraftLog {
       updates: org.apache.spark.sql.DataFrame,
       keyCol: String,
       txn: Option[(String, Long)] = None): (Int, Int) = {
-    requireNoWap("MERGE")
+    requireNoWap("MERGE"); requireNoBranch("MERGE")
     import org.apache.spark.sql.functions.{col, lit, when,
       min => fmin, max => fmax}
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
@@ -1356,7 +1553,7 @@ object GraftLog {
     * as [[mergeUpsert]]. Returns (filesRewritten, filesTotal). */
   def deleteRange(spark: org.apache.spark.sql.SparkSession, dir: String,
       keyCol: String, lo: Long, hi: Long): (Int, Int) = {
-    requireNoWap("DELETE")
+    requireNoWap("DELETE"); requireNoBranch("DELETE")
     import org.apache.spark.sql.functions.col
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-log table not found at $dir"))
@@ -1392,7 +1589,7 @@ object GraftLog {
     * (filesRewritten, filesTotal). */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
       filters: Array[Filter]): (Int, Int) = {
-    requireNoWap("DELETE")
+    requireNoWap("DELETE"); requireNoBranch("DELETE")
     import org.apache.spark.sql.functions.{coalesce, lit}
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-log table not found at $dir"))
@@ -1442,7 +1639,7 @@ object GraftLog {
   def deleteWhereMoR(spark: org.apache.spark.sql.SparkSession,
       dir: String, filters: Array[Filter],
       maxPositions: Int = MaxDvPositions): (Int, Int, Boolean) = {
-    requireNoWap("DELETE")
+    requireNoWap("DELETE"); requireNoBranch("DELETE")
     import org.apache.spark.sql.functions.{coalesce, lit}
     val schema = storedSchema(dir).getOrElse(
       throw new IllegalArgumentException(
@@ -1690,6 +1887,7 @@ object GraftLog {
   def replaceFiles(dir: String, retired: Seq[String],
       fresh: Seq[GraftLogCommit], schema: StructType): Unit = synchronized {
     requireNoWap("row-level rewrite")
+    requireNoBranch("row-level rewrite")
     val (kept, empty) = fresh.partition(_.rows > 0L)
     empty.foreach(c => new File(dir, c.file).delete())
     if (retired.isEmpty && kept.isEmpty) return
@@ -1835,8 +2033,32 @@ class GraftLogTable(dir: String, writeSchema: StructType,
       .orElse(GraftLog.activeWapId())
       .filter(_ => lo < 0L)
       .map(GraftLog.stagedEntries(dir, _)).getOrElse(Seq.empty)
-    new GraftLogScanBuilder(dir, schema(), hi, lo, pick, maxV,
-      stagedOverlay = overlay)
+    // Branch read: plan the main snapshot AT THE FORK plus the
+    // branch's commits as an overlay — main commits after the fork
+    // never leak in, and the change feed keeps its committed-versions
+    // contract (branch reads are batch snapshots only). A session
+    // cannot be mid-audit and on a branch at once — loud.
+    val branch = Option(options.get("branch"))
+      .orElse(GraftLog.activeBranch())
+      .filter(_ => lo < 0L)
+    branch.foreach { b =>
+      require(overlay.isEmpty,
+        s"cannot read branch '$b' with a WAP audit overlay active — " +
+          "unset one of the two")
+      require(Option(options.get("asOfVersion")).isEmpty,
+        s"cannot combine VERSION AS OF with branch '$b' — a branch " +
+          "read is pinned at its fork")
+    }
+    val (effHi, effOverlay) = branch match {
+      case Some(b) =>
+        (GraftLog.branches(dir).getOrElse(b,
+          throw new IllegalArgumentException(
+            s"no branch '$b' at $dir")),
+          GraftLog.branchEntries(dir, b).filter(_.isAdd))
+      case None => (hi, overlay)
+    }
+    new GraftLogScanBuilder(dir, schema(), effHi, lo, pick, maxV,
+      stagedOverlay = effOverlay)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2208,6 +2430,10 @@ class GraftLogStreamingWrite(dir: String, schema: StructType,
     }
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
+    // a streaming sink's epoch ledger is mainline-only: a branch has
+    // no epoch store, so committing here mid-branch would silently
+    // write to MAIN against the session's declared intent — loud
+    GraftLog.requireNoBranch("streaming epoch commit")
     partitionCol.foreach(GraftLog.setPartitionCol(dir, _))
     GraftLog.publishEpoch(dir, epochId,
       GraftLogCommit.all(messages), schema)
@@ -2294,6 +2520,10 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
     // entries parked in the `_staged.<id>` side file — invisible
     // until `CALL system.publish_staged`). An overwrite cannot stage
     // (truncation is a visible lineage reset) — loud, not silent.
+    val branch = GraftLog.activeBranch()
+    branch.foreach(b => require(GraftLog.activeWapId().isEmpty,
+      s"a session cannot write with both a WAP id and branch '$b' " +
+        "set — unset one"))
     GraftLog.activeWapId() match {
       case Some(id) if !truncate =>
         // the partition DECLARATION (layout metadata, no rows) still
@@ -2303,8 +2533,15 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
           GraftLog.setPartitionCol(dir, _, allowChange = false))
         GraftLog.stageAppend(dir, id, GraftLogCommit.all(messages),
           schema)
-      case wap =>
-        wap.foreach(_ => GraftLog.requireNoWap("overwrite"))
+      case Some(_) => GraftLog.requireNoWap("overwrite")
+      case None if branch.isDefined && !truncate =>
+        partitionCol.foreach(
+          GraftLog.setPartitionCol(dir, _, allowChange = false))
+        GraftLog.appendToBranch(dir, branch.get,
+          GraftLogCommit.all(messages), schema)
+      case None if branch.isDefined =>
+        GraftLog.requireNoBranch("overwrite")
+      case None =>
         // persist the partition declaration with the first partitioned
         // commit, so readers (and later writers) resolve it from the
         // table; an overwrite resets lineage and may redeclare a
@@ -3223,6 +3460,62 @@ object GraftLogTxnsTable {
     StructField("applied_through", LongType, nullable = false),
     StructField("committed_version", LongType, nullable = false),
     StructField("ts_millis", LongType, nullable = false)))
+}
+
+/** The `t$branches` metadata table: one row per live branch —
+  * (name, fork_version, head_version, n_commits, n_files) — the
+  * discovery surface for branch reads and the fast-forward decision
+  * (a branch whose fork trails the main head cannot fast-forward). */
+class GraftLogBranchesTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_branches($dir)"
+  override def schema(): StructType = GraftLogBranchesTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[Array[Any]] =
+          GraftLog.branches(dir).toSeq.sortBy(_._1).map { case (n, fork) =>
+            val es = GraftLog.branchEntries(dir, n)
+            Array[Any](UTF8String.fromString(n), fork,
+              GraftLog.branchHead(dir, n),
+              es.map(_.version).distinct.size.toLong,
+              es.count(_.isAdd).toLong)
+          }
+        override def readSchema(): StructType = GraftLogBranchesTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_branches $dir branches=${rows.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogHistoryPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogHistoryPartition].rows.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = new GenericInternalRow(it.next())
+                  true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+object GraftLogBranchesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("fork_version", LongType, nullable = false),
+    StructField("head_version", LongType, nullable = false),
+    StructField("n_commits", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false)))
 }
 
 case class GraftLogHistoryPartition(rows: Seq[Array[Any]])

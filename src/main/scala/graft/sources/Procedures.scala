@@ -34,7 +34,8 @@ object GraftProcedures {
   val All: Seq[String] =
     Seq("compact", "vacuum", "optimize_zorder", "restore",
       "set_ref", "drop_ref", "expire_log", "delete_mor",
-      "publish_staged", "drop_staged")
+      "publish_staged", "drop_staged",
+      "create_branch", "fast_forward", "drop_branch")
 
   /** One-row, driver-local result set. */
   private case class ResultScan(schema: StructType,
@@ -210,6 +211,41 @@ object GraftProcedures {
             StructField("files_deleted", IntegerType, false)))) {
         override protected def run(args: InternalRow): Array[Any] =
           Array(GraftLog.dropStaged(
+            dirOf(warehouse, args.getString(0)), args.getString(1)))
+      }
+      case "create_branch" => new Proc("create_branch",
+          "fork a writable branch at the current version; writes made " +
+            "with spark.graft.log.branch set commit to the branch, " +
+            "invisible to mainline readers until fast_forward",
+          Seq(param("table", StringType), param("name", StringType)),
+          StructType(Seq(
+            StructField("fork_version", LongType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.createBranch(
+            dirOf(warehouse, args.getString(0)), args.getString(1)))
+      }
+      case "fast_forward" => new Proc("fast_forward",
+          "publish a branch onto main as one squashed commit — only " +
+            "when main has not moved since the fork (loud conflict " +
+            "otherwise); exactly once, branch retired on success",
+          Seq(param("table", StringType), param("name", StringType)),
+          StructType(Seq(
+            StructField("version", LongType, false),
+            StructField("n_files", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          val (v, n) = GraftLog.fastForward(
+            dirOf(warehouse, args.getString(0)), args.getString(1))
+          Array(v, n)
+        }
+      }
+      case "drop_branch" => new Proc("drop_branch",
+          "abandon a branch: delete its commits and reclaim its part " +
+            "files (the abandoned-line exit)",
+          Seq(param("table", StringType), param("name", StringType)),
+          StructType(Seq(
+            StructField("files_deleted", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.dropBranch(
             dirOf(warehouse, args.getString(0)), args.getString(1)))
       }
       case other => throw new RuntimeException(

@@ -298,7 +298,8 @@ class GraftCatalogSpec extends SparkSpec {
         .select("procedure_name").collect().map(_.getString(0)).toSet
       assert(names == Set("compact", "vacuum", "optimize_zorder",
         "restore", "set_ref", "drop_ref", "expire_log", "delete_mor",
-        "publish_staged", "drop_staged"))
+        "publish_staged", "drop_staged",
+        "create_branch", "fast_forward", "drop_branch"))
       val desc = spark.sql("DESCRIBE PROCEDURE graftcat.system.vacuum")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("vacuum") && desc.contains("min_age_ms"),
@@ -834,6 +835,42 @@ class GraftCatalogSpec extends SparkSpec {
         .head
       assert(meta.getLong(0) == 3L &&
         meta.getLong(1) > 0L, s"marker metadata: $meta")
+    }
+  }
+
+  test("branch lifecycle through SQL: create, write, inspect, " +
+      "fast-forward") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db9")
+      spark.sql("CREATE TABLE graftcat.db9.b (id BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.db9.b SELECT id, id FROM range(100)")
+      val fork = spark.sql("""CALL graftcat.system.create_branch(
+        table => 'db9.b', name => 'audit')""").head.getLong(0)
+      assert(fork == 0L)
+      spark.conf.set(graft.sources.GraftLog.BranchConf, "audit")
+      try {
+        spark.sql("INSERT INTO graftcat.db9.b " +
+          "SELECT id + 100, id FROM range(50)")
+        // the branch session sees its own writes
+        assert(spark.table("graftcat.db9.b").count() == 150)
+      } finally spark.conf.unset(graft.sources.GraftLog.BranchConf)
+      // mainline: unchanged; t$branches surfaces the pending line
+      assert(spark.table("graftcat.db9.b").count() == 100)
+      val row = spark.sql("""SELECT name, fork_version, head_version,
+          n_commits, n_files FROM graftcat.db9.`b$branches`""").head
+      assert(row.getString(0) == "audit" && row.getLong(1) == 0L &&
+        row.getLong(2) == 1L && row.getLong(3) == 1L,
+        s"t\\$$branches row: $row")
+      val ff = spark.sql("""CALL graftcat.system.fast_forward(
+        table => 'db9.b', name => 'audit')""").head
+      assert(ff.getLong(0) == 1L)
+      assert(spark.table("graftcat.db9.b").count() == 150)
+      assert(spark.sql(
+        "SELECT * FROM graftcat.db9.`b$branches`").count() == 0)
+      // the pre-publish snapshot is still travelable
+      assert(spark.sql("""SELECT COUNT(*) FROM graftcat.db9.b
+        VERSION AS OF 0""").head.getLong(0) == 100)
     }
   }
 }

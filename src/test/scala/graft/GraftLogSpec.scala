@@ -1470,4 +1470,92 @@ class GraftLogSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       "incrementally maintained view diverged from full recompute")
   }
+
+  test("branch writes are invisible to main; branch reads pin the fork") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val fork = GraftLog.createBranch(dir, "dev")
+    assert(fork == 0L)
+    spark.conf.set(GraftLog.BranchConf, "dev")
+    try {
+      series(150).filter(col("id") >= 100).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+      // same session, branch set: the read sees fork + branch
+      assert(readBack(dir).count() == 150)
+      // row-level mutation mid-branch is loud, not a silent main write
+      val e = intercept[IllegalStateException] {
+        GraftLog.mergeUpsert(spark,
+          dir, series(1).limit(1), "id")
+      }
+      assert(e.getMessage.contains("branch"))
+    } finally spark.conf.unset(GraftLog.BranchConf)
+    // mainline readers never see the branch
+    assert(readBack(dir).count() == 100)
+    assert(GraftLog.currentVersion(dir) == 0L)
+    // main moves on; the branch read stays pinned at its fork
+    series(220).filter(col("id") >= 200).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 120)
+    val branchRows = spark.read.format(Fmt).option("path", dir)
+      .option("branch", "dev").load()
+    assert(branchRows.count() == 150)
+    assert(branchRows.agg(max(col("id"))).head.getLong(0) == 149L,
+      "a post-fork main commit leaked into the branch read")
+    // vacuum must treat branch part files as referenced
+    val deleted = GraftLog.vacuum(dir, minAgeMs = 0L)
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("branch", "dev").load().count() == 150,
+      s"vacuum reclaimed live branch files: deleted=$deleted")
+    // a moved main is a real conflict: fast-forward is loud
+    val ff = intercept[IllegalArgumentException] {
+      GraftLog.fastForward(dir, "dev")
+    }
+    assert(ff.getMessage.contains("advanced"))
+    // the branch survives the refused publish; dropping reclaims it
+    val gone = GraftLog.dropBranch(dir, "dev")
+    assert(gone == 1)
+    assert(GraftLog.branches(dir).isEmpty)
+    assert(readBack(dir).count() == 120)
+  }
+
+  test("fast-forward publishes a multi-commit branch exactly once") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    GraftLog.createBranch(dir, "fix")
+    spark.conf.set(GraftLog.BranchConf, "fix")
+    try {
+      series(130).filter(col("id") >= 100).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+      series(160).filter(col("id") >= 130).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    } finally spark.conf.unset(GraftLog.BranchConf)
+    assert(GraftLog.branchHead(dir, "fix") == 2L)
+    val (v, n) = GraftLog.fastForward(dir, "fix")
+    assert(v == 1L && n == 2, s"published ($v, $n)")
+    assert(readBack(dir).count() == 160)
+    assert(GraftLog.branches(dir).isEmpty,
+      "fast-forward must retire the branch")
+    // pre-publish main is still time-travelable
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", "0").load().count() == 100)
+    // a resurrected branch whose files are all live = crashed publish;
+    // the retry refuses and retires instead of duplicating rows
+    GraftLog.createBranch(dir, "fix2")
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .filter(_.file.startsWith("part-")).take(1)
+    GraftLog.appendToBranch(dir, "fix2",
+      live.map(e => graft.sources.GraftLogCommit(e.file, e.rows)),
+      graft.sources.GraftLog.storedSchema(dir).get)
+    val crash = intercept[IllegalStateException] {
+      GraftLog.fastForward(dir, "fix2")
+    }
+    assert(crash.getMessage.contains("already"))
+    assert(GraftLog.branches(dir).isEmpty)
+    assert(readBack(dir).count() == 160, "a crashed-publish retry " +
+      "must not duplicate rows")
+  }
 }
