@@ -779,7 +779,7 @@ object Formats {
             .write.format("graft.sources.GraftLogSource")
             .option("path", src).mode("append").save()
           val r0 = MaterializedAgg.refresh(s, src, mv, "bucket",
-            Seq("v"))
+            Seq("v"), minMaxCols = Seq("v"))
           // the delta touches only buckets 0..9
           s.range(3000, 3500).selectExpr("id", "id % 10 AS bucket",
               "id AS v")
@@ -787,9 +787,9 @@ object Formats {
             .write.format("graft.sources.GraftLogSource")
             .option("path", src).mode("append").save()
           val r1 = MaterializedAgg.refresh(s, src, mv, "bucket",
-            Seq("v"))
+            Seq("v"), minMaxCols = Seq("v"))
           val r2 = MaterializedAgg.refresh(s, src, mv, "bucket",
-            Seq("v"))
+            Seq("v"), minMaxCols = Seq("v"))
           (r0.mode == "bootstrap" && r1.mode == "incremental" &&
              r1.deltaFiles == 1 && r1.deltaFiles < r1.srcFilesTotal,
            r1.rewrittenMvFiles < r1.mvFilesTotal,
@@ -798,6 +798,7 @@ object Formats {
       s.read.format("graft.sources.GraftLogSource")
         .option("path", mv).load()
         .select(col("bucket"), col("n_rows"), col("sum_v"),
+          col("min_v"), col("max_v"),
           lit(deltaBounded).as("delta_bounded"),
           lit(mergeBounded).as("merge_bounded"),
           lit(noopOk).as("noop_skipped"))
@@ -1859,6 +1860,8 @@ object Formats {
            FROM range(3000, 3500) t(id))
          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MIN(v) AS BIGINT) AS min_v,
+           CAST(MAX(v) AS BIGINT) AS max_v,
            TRUE AS delta_bounded, TRUE AS merge_bounded,
            TRUE AS noop_skipped
          FROM src GROUP BY bucket""",

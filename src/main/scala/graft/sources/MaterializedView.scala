@@ -56,19 +56,26 @@ object MaterializedAgg {
   private val AppId = "materialized-agg"
 
   private def aggOf(src: DataFrame, keyCol: String,
-      sumCols: Seq[String]): DataFrame =
+      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame =
     src.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rows"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+          minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*)
 
   /** Bring the view at `mvDir` up to date with the source at `srcDir`.
     * `mvBuckets` controls the bootstrap's range layout (disjoint key
     * ranges per view file — what lets the incremental merge's stat
-    * targeting rewrite only the files holding touched groups). */
+    * targeting rewrite only the files holding touched groups).
+    * `minMaxCols` adds per-group MIN/MAX — incrementally correct here
+    * BECAUSE the feed is insert-only (the change feed carries adds
+    * only): a min/max can tighten with every delta but never needs to
+    * be re-derived from retracted rows. AVG needs no slot: it is
+    * sum/n_rows, derivable at read time. */
   def refresh(spark: SparkSession, srcDir: String, mvDir: String,
       keyCol: String, sumCols: Seq[String],
-      mvBuckets: Int = 4): Refresh = {
+      mvBuckets: Int = 4, minMaxCols: Seq[String] = Nil): Refresh = {
     val head = GraftLog.currentVersion(srcDir)
     val srcTotal = GraftLog.entriesAsOf(srcDir, Long.MaxValue).size
     val last = GraftLog.lastTxnVersion(mvDir, AppId)
@@ -82,7 +89,7 @@ object MaterializedAgg {
     if (GraftLog.storedSchema(mvDir).isEmpty || !replayable) {
       val full = aggOf(
         spark.read.format(Fmt).option("path", srcDir).load(),
-        keyCol, sumCols)
+        keyCol, sumCols, minMaxCols)
         .repartitionByRange(mvBuckets, col(keyCol))
       full.write.format(Fmt).option("path", mvDir)
         .mode("overwrite").save()
@@ -105,7 +112,7 @@ object MaterializedAgg {
         spark.read.format(Fmt).option("path", srcDir)
           .option("pickFiles", deltaEntries.map(_.file).mkString(","))
           .load(),
-        keyCol, sumCols)
+        keyCol, sumCols, minMaxCols)
       // Combine with current view state for exactly the touched
       // groups: an IN-list of the delta's keys (driver-capped like the
       // merge's probe set) pushes into the view scan, where file
@@ -126,9 +133,16 @@ object MaterializedAgg {
           (col(s"d.$keyCol").as(keyCol) +:
             (col("d.n_rows") + coalesce(col("m.n_rows"), lit(0L)))
               .as("n_rows") +:
-            sumCols.map(c =>
+            (sumCols.map(c =>
               (col(s"d.sum_$c") + coalesce(col(s"m.sum_$c"), lit(0L)))
-                .as(s"sum_$c"))): _*)
+                .as(s"sum_$c")) ++
+              minMaxCols.flatMap(c => Seq(
+                least(col(s"d.min_$c"),
+                  coalesce(col(s"m.min_$c"), col(s"d.min_$c")))
+                  .as(s"min_$c"),
+                greatest(col(s"d.max_$c"),
+                  coalesce(col(s"m.max_$c"), col(s"d.max_$c")))
+                  .as(s"max_$c"))))): _*)
       val (rewritten, _) = GraftLog.mergeUpsert(spark, mvDir, combined,
         keyCol, txn = Some(AppId -> head))
       Refresh(head, "incremental", deltaEntries.size, srcTotal,

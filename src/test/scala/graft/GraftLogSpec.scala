@@ -1471,6 +1471,37 @@ class GraftLogSpec extends SparkSpec {
       "incrementally maintained view diverged from full recompute")
   }
 
+  test("materialized view MIN/MAX tighten incrementally under the " +
+      "insert-only feed") {
+    import graft.sources.MaterializedAgg
+    val dir = tmp(); val src = s"$dir/src"; val mv = s"$dir/mv"
+    // seed values 100..999; later batches push a NEW min (5) into
+    // bucket 0 and a NEW max (9999) into bucket 1 — the combine must
+    // tighten both, and leave untouched buckets alone
+    spark.range(100, 1000).selectExpr("id % 4 AS bucket", "id AS v")
+      .coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    MaterializedAgg.refresh(spark, src, mv, "bucket", Seq("v"),
+      minMaxCols = Seq("v"))
+    spark.sql("SELECT CAST(0 AS BIGINT) AS bucket, CAST(5 AS BIGINT) AS v" +
+        " UNION ALL SELECT 1, 9999")
+      .coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    MaterializedAgg.refresh(spark, src, mv, "bucket", Seq("v"),
+      minMaxCols = Seq("v"))
+    val got = readBack(mv)
+      .select("bucket", "min_v", "max_v").orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = readBack(src).groupBy(col("bucket"))
+      .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq,
+      s"min/max diverged: ${got.toSeq} vs ${want.toSeq}")
+    assert(got.exists(t => t._1 == 0L && t._2 == 5L) &&
+      got.exists(t => t._1 == 1L && t._3 == 9999L))
+  }
+
   test("branch writes are invisible to main; branch reads pin the fork") {
     import graft.sources.GraftLog
     val dir = tmp()
