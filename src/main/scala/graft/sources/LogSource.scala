@@ -1805,14 +1805,25 @@ object GraftLog {
     * is a no-op; a truncate with zero files is a legitimate empty
     * table (empty version-0 commit). */
   def append(dir: String, fresh: Seq[GraftLogCommit], schema: StructType,
-      truncate: Boolean): Unit = synchronized {
-    if (fresh.isEmpty && !truncate) return
+      truncate: Boolean, txn: Option[(String, Long)] = None): Unit =
+    synchronized {
+    // Idempotent append (Delta's txnAppId/txnVersion write options):
+    // with a txn identity, a replayed batch whose (appId, version) is
+    // already recorded is a silent no-op — marker and data commit
+    // atomically, so a foreachBatch sink retried after a crash can
+    // never double-append its micro-batch.
+    require(txn.isEmpty || !truncate,
+      "txnAppId/txnVersion apply to appends only — an overwrite " +
+        "resets the lineage and would wipe the idempotence markers")
+    if (txn.exists { case (a, v) => lastTxnVersion(dir, a) >= v }) return
+    if (fresh.isEmpty && !truncate && txn.isEmpty) return
     val merged = if (truncate) schema
       else storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
     if (truncate) resetLineage(dir)
     commitNew(dir, merged)(v =>
       fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
-        cols = c.cols)))
+        cols = c.cols)) ++
+        txn.map { case (a, tv) => LogEntry.txn(v, a, tv) }.toSeq)
   }
 
   /** Commit timestamp of each version: the (shared) stamp its entries
@@ -2071,8 +2082,17 @@ class GraftLogTable(dir: String, writeSchema: StructType,
       require(info.schema().fieldNames.contains(c),
         s"write to table at $dir partitioned by $c must include the " +
           s"partition column (got ${info.schema().fieldNames.mkString(", ")})"))
+    // Delta-style idempotent-writer options: a write carrying
+    // txnAppId + txnVersion commits its data AND the marker in one
+    // version; a replay of the same (appId, version) is a no-op.
+    val txn = Option(info.options.get("txnAppId")).map { app =>
+      val v = Option(info.options.get("txnVersion")).getOrElse(
+        throw new IllegalArgumentException(
+          s"write option txnAppId='$app' requires txnVersion"))
+      (app, v.toLong)
+    }
     new GraftLogWriteBuilder(dir, info.schema(), truncate = false,
-      partitionCol = partitionCol)
+      partitionCol = partitionCol, txn = txn)
   }
 }
 
@@ -2465,10 +2485,12 @@ object GraftLogCommit {
 }
 
 class GraftLogWriteBuilder(dir: String, schema: StructType,
-    truncate: Boolean, partitionCol: Option[String] = None)
+    truncate: Boolean, partitionCol: Option[String] = None,
+    txn: Option[(String, Long)] = None)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new GraftLogWriteBuilder(dir, schema, truncate = true, partitionCol)
+    new GraftLogWriteBuilder(dir, schema, truncate = true, partitionCol,
+      txn)
   override def build(): Write = {
     // a conflicting partition re-declaration on an APPEND fails at
     // plan time, before any part file is written (overwrite resets
@@ -2494,13 +2516,13 @@ class GraftLogWriteBuilder(dir: String, schema: StructType,
           Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
       override def toBatch: BatchWrite = new GraftLogBatchWrite(
-        dir, schema, truncate, partitionCol)
+        dir, schema, truncate, partitionCol, txn)
       override def toStreaming: StreamingWrite =
         new GraftLogStreamingWrite(dir, schema, partitionCol)
     }
     case None => new Write {
       override def toBatch: BatchWrite = new GraftLogBatchWrite(
-        dir, schema, truncate, partitionCol)
+        dir, schema, truncate, partitionCol, txn)
       override def toStreaming: StreamingWrite =
         new GraftLogStreamingWrite(dir, schema, partitionCol)
     }
@@ -2508,7 +2530,8 @@ class GraftLogWriteBuilder(dir: String, schema: StructType,
 }
 
 class GraftLogBatchWrite(dir: String, schema: StructType,
-    truncate: Boolean, partitionCol: Option[String] = None)
+    truncate: Boolean, partitionCol: Option[String] = None,
+    txn: Option[(String, Long)] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -2524,6 +2547,13 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
     branch.foreach(b => require(GraftLog.activeWapId().isEmpty,
       s"a session cannot write with both a WAP id and branch '$b' " +
         "set — unset one"))
+    // txn identity composes with NEITHER staging nor branching: the
+    // idempotence check reads MAINLINE markers, and a staged/branched
+    // replay would silently skip or double-commit at publish time
+    txn.foreach { case (a, _) =>
+      require(GraftLog.activeWapId().isEmpty && branch.isEmpty,
+        s"txnAppId='$a' cannot combine with a WAP id or branch — " +
+          "idempotent appends are a mainline contract") }
     GraftLog.activeWapId() match {
       case Some(id) if !truncate =>
         // the partition DECLARATION (layout metadata, no rows) still
@@ -2542,14 +2572,23 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
       case None if branch.isDefined =>
         GraftLog.requireNoBranch("overwrite")
       case None =>
-        // persist the partition declaration with the first partitioned
-        // commit, so readers (and later writers) resolve it from the
-        // table; an overwrite resets lineage and may redeclare a
-        // different column
-        partitionCol.foreach(
-          GraftLog.setPartitionCol(dir, _, allowChange = truncate))
-        GraftLog.append(dir, GraftLogCommit.all(messages), schema,
-          truncate)
+        // idempotent replay: this (appId, version) already committed
+        // — discard the freshly written (uncommitted) part files
+        // instead of double-appending the micro-batch
+        if (txn.exists { case (a, v) =>
+            GraftLog.lastTxnVersion(dir, a) >= v }) {
+          GraftLogCommit.all(messages).foreach(c =>
+            new File(dir, c.file).delete())
+        } else {
+          // persist the partition declaration with the first
+          // partitioned commit, so readers (and later writers) resolve
+          // it from the table; an overwrite resets lineage and may
+          // redeclare a different column
+          partitionCol.foreach(
+            GraftLog.setPartitionCol(dir, _, allowChange = truncate))
+          GraftLog.append(dir, GraftLogCommit.all(messages), schema,
+            truncate, txn)
+        }
     }
   }
 

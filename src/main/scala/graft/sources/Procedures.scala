@@ -35,7 +35,7 @@ object GraftProcedures {
     Seq("compact", "vacuum", "optimize_zorder", "restore",
       "set_ref", "drop_ref", "expire_log", "delete_mor",
       "publish_staged", "drop_staged",
-      "create_branch", "fast_forward", "drop_branch")
+      "create_branch", "fast_forward", "drop_branch", "refresh_mv")
 
   /** One-row, driver-local result set. */
   private case class ResultScan(schema: StructType,
@@ -247,6 +247,37 @@ object GraftProcedures {
         override protected def run(args: InternalRow): Array[Any] =
           Array(GraftLog.dropBranch(
             dirOf(warehouse, args.getString(0)), args.getString(1)))
+      }
+      case "refresh_mv" => new Proc("refresh_mv",
+          "bring a COUNT/SUM/MIN-MAX materialized aggregate view up " +
+            "to date with its source table at delta cost — " +
+            "exactly-once via the txn marker in the view's log " +
+            "(bootstraps the view on first call)",
+          Seq(param("source", StringType), param("view", StringType),
+            param("key_col", StringType),
+            param("sum_cols", StringType),
+            param("minmax_cols", StringType, "''")),
+          StructType(Seq(
+            StructField("mode", StringType, false),
+            StructField("src_version", LongType, false),
+            StructField("delta_files", IntegerType, false),
+            StructField("view_files_rewritten", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          def cols(s: String): Seq[String] =
+            s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          // the view may not exist yet (bootstrap creates it), so its
+          // path resolves without the table-existence check
+          val viewDir = (warehouse +:
+            args.getString(1).split('.').toSeq).mkString("/")
+          val r = MaterializedAgg.refresh(
+            org.apache.spark.sql.SparkSession.active,
+            dirOf(warehouse, args.getString(0)), viewDir,
+            args.getString(2), cols(args.getString(3)),
+            minMaxCols = cols(args.getString(4)))
+          Array(org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.mode),
+            r.srcVersion, r.deltaFiles, r.rewrittenMvFiles)
+        }
       }
       case other => throw new RuntimeException(
         s"[PROCEDURE_NOT_FOUND] unknown procedure $Namespace.$other; " +

@@ -299,7 +299,7 @@ class GraftCatalogSpec extends SparkSpec {
       assert(names == Set("compact", "vacuum", "optimize_zorder",
         "restore", "set_ref", "drop_ref", "expire_log", "delete_mor",
         "publish_staged", "drop_staged",
-        "create_branch", "fast_forward", "drop_branch"))
+        "create_branch", "fast_forward", "drop_branch", "refresh_mv"))
       val desc = spark.sql("DESCRIBE PROCEDURE graftcat.system.vacuum")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("vacuum") && desc.contains("min_age_ms"),
@@ -871,6 +871,39 @@ class GraftCatalogSpec extends SparkSpec {
       // the pre-publish snapshot is still travelable
       assert(spark.sql("""SELECT COUNT(*) FROM graftcat.db9.b
         VERSION AS OF 0""").head.getLong(0) == 100)
+    }
+  }
+
+  test("CALL refresh_mv maintains a materialized view from SQL alone") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db10")
+      spark.sql("CREATE TABLE graftcat.db10.src (k BIGINT, v BIGINT)")
+      spark.sql(
+        "INSERT INTO graftcat.db10.src SELECT id % 8, id FROM range(400)")
+      val r0 = spark.sql("""CALL graftcat.system.refresh_mv(
+        source => 'db10.src', view => 'db10.src_mv',
+        key_col => 'k', sum_cols => 'v', minmax_cols => 'v')""").head
+      assert(r0.getString(0) == "bootstrap")
+      spark.sql("""INSERT INTO graftcat.db10.src
+        SELECT /*+ REPARTITION(1) */ 3, id + 1000 FROM range(5)""")
+      val r1 = spark.sql("""CALL graftcat.system.refresh_mv(
+        source => 'db10.src', view => 'db10.src_mv',
+        key_col => 'k', sum_cols => 'v', minmax_cols => 'v')""").head
+      assert(r1.getString(0) == "incremental" && r1.getInt(2) == 1,
+        s"delta-bounded refresh expected: $r1")
+      // the view is an ordinary queryable catalog table, now current
+      val got = spark.sql("""SELECT n_rows, sum_v, max_v
+        FROM graftcat.db10.src_mv WHERE k = 3""").head
+      val want = spark.sql("""SELECT COUNT(*), SUM(v), MAX(v)
+        FROM graftcat.db10.src WHERE k = 3""").head
+      assert(got.getLong(0) == want.getLong(0) &&
+        got.getLong(1) == want.getLong(1) &&
+        got.getLong(2) == want.getLong(2), s"$got vs $want")
+      // and its watermark is visible through t$txns
+      val txn = spark.sql("""SELECT app_id, applied_through
+        FROM graftcat.db10.`src_mv$txns`""").head
+      assert(txn.getString(0) == "materialized-agg" &&
+        txn.getLong(1) == 1L)
     }
   }
 }

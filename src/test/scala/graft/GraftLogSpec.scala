@@ -1502,6 +1502,76 @@ class GraftLogSpec extends SparkSpec {
       got.exists(t => t._1 == 1L && t._3 == 9999L))
   }
 
+  test("txnAppId/txnVersion: a replayed batch append is a no-op") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    def writeBatch(batchId: Long, lo: Int, hi: Int): Unit =
+      series(hi).filter(col("id") >= lo).coalesce(1)
+        .write.format(Fmt).option("path", dir)
+        .option("txnAppId", "ingest")
+        .option("txnVersion", batchId.toString)
+        .mode("append").save()
+    writeBatch(0L, 0, 100)
+    writeBatch(1L, 100, 150)
+    assert(readBack(dir).count() == 150)
+    // the replay: same (appId, version) — silent no-op, and the
+    // replay's freshly written part files must not linger as orphans
+    val before = GraftLog.entriesAsOf(dir, Long.MaxValue).size
+    writeBatch(1L, 100, 150)
+    writeBatch(0L, 0, 100)
+    assert(readBack(dir).count() == 150,
+      "a replayed idempotent append duplicated rows")
+    assert(GraftLog.entriesAsOf(dir, Long.MaxValue).size == before)
+    val orphans = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith("part-")).toSet --
+      GraftLog.entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
+    assert(orphans.isEmpty, s"replay left orphan part files: $orphans")
+    // a DIFFERENT writer's versions are independent
+    series(160).filter(col("id") >= 150).coalesce(1)
+      .write.format(Fmt).option("path", dir)
+      .option("txnAppId", "backfill").option("txnVersion", "0")
+      .mode("append").save()
+    assert(readBack(dir).count() == 160)
+    assert(GraftLog.lastTxnVersion(dir, "ingest") == 1L &&
+      GraftLog.lastTxnVersion(dir, "backfill") == 0L)
+  }
+
+  test("foreachBatch + txn options survive a LOST CHECKPOINT without " +
+      "duplicating a micro-batch") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    val ckpt1 = s"$dir/ckpt1"; val ckpt2 = s"$dir/ckpt2"
+    series(3000).coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    def runStream(ckpt: String): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", src).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.format(Fmt).option("path", dst)
+            .option("txnAppId", "fb-sink")
+            .option("txnVersion", id.toString)
+            .mode("append").save()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream(ckpt1)
+    assert(spark.read.format(Fmt).option("path", dst).load()
+      .count() == 3000)
+    // the disaster: the checkpoint is gone, the stream restarts from
+    // scratch and REPLAYS batch 0 — the txn marker, not the
+    // checkpoint, is what keeps the sink exactly-once
+    runStream(ckpt2)
+    assert(spark.read.format(Fmt).option("path", dst).load()
+      .count() == 3000,
+      "a checkpoint-less replay duplicated the micro-batch")
+    assert(GraftLog.lastTxnVersion(dst, "fb-sink") == 0L)
+  }
+
   test("branch writes are invisible to main; branch reads pin the fork") {
     import graft.sources.GraftLog
     val dir = tmp()
