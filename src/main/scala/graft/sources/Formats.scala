@@ -239,6 +239,30 @@ object Formats {
         GROUP BY version""")
     }),
 
+    // The `t$stats` metadata table through the driver gate: table-level
+    // column statistics — HLL NDV estimate, exact null count — computed
+    // purely from the per-file manifest sketches (no data scan; the
+    // ANALYZE-TABLE answer at metadata cost). The exact figures come
+    // from the data; the sketch estimates are gated as tolerance
+    // booleans (±15% at p=9 for 10k distinct, ±10% in the
+    // linear-counting regime for 97).
+    "sql_catalog_stats" -> ((s, d) => {
+      ensureCatalogSeries(s, d)
+      val st = s.sql("""SELECT column, ndv_est, null_count
+          FROM graftq.ns.`series$stats`""").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val (idNdv, idNulls) = st("id")
+      val (bNdv, bNulls) = st("bucket")
+      s.sql("""SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS exact_id_ndv,
+               CAST(COUNT(DISTINCT bucket) AS BIGINT) AS exact_bucket_ndv
+               FROM graftq.ns.series""")
+        .select(col("exact_id_ndv"), col("exact_bucket_ndv"),
+          lit(math.abs(idNdv - 10000.0) / 10000.0 < 0.15)
+            .as("id_ndv_ok"),
+          lit(math.abs(bNdv - 97.0) / 97.0 < 0.10).as("bucket_ndv_ok"),
+          lit(idNulls == 0L && bNulls == 0L).as("nulls_exact"))
+    }),
+
     // Named refs (Iceberg tags) + log expiration through the driver
     // gate: `first_batch` pins version 0 and reads by NAME; the log
     // then expires everything a checkpoint subsumes and the CURRENT
@@ -1597,7 +1621,9 @@ object Formats {
     * format changes shape — a stale /tmp cache from an older format
     * must be ignored, and every fixture must agree on the suffix. */
   private def catalogWarehouse(s: SparkSession, d: String): String = {
-    val wh = s"/tmp/graft_cat_wh_v4/${new java.io.File(d).getName}"
+    // v5: part files before the NDV/null-count manifest sketches lack
+    // the `#ndv`/`#nulls` stats keys sql_catalog_stats asserts on
+    val wh = s"/tmp/graft_cat_wh_v5/${new java.io.File(d).getName}"
     s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
     wh
@@ -1671,6 +1697,15 @@ object Formats {
            CAST(n_rows AS BIGINT) AS n_rows
          FROM (VALUES (0, 1, 4000), (1, 2, 6000))
            AS t(version, n_files, n_rows)""",
+    // ids 0..9999 all distinct, 97 buckets; the sketch-tolerance
+    // booleans are gated Spark-side.
+    "sql_catalog_stats" ->
+      """SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS exact_id_ndv,
+           CAST(COUNT(DISTINCT id % 97) AS BIGINT) AS exact_bucket_ndv,
+           TRUE AS id_ndv_ok,
+           TRUE AS bucket_ndv_ok,
+           TRUE AS nulls_exact
+         FROM range(0, 10000) t(id)""",
     // 2000 rows of (id, 3*id): sum_v = 3 * sum(0..1999).
     "sql_catalog_ctas_atomic" ->
       """SELECT CAST(2000 AS BIGINT) AS n_rows,

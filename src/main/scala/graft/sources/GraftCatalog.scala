@@ -131,6 +131,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftLogTxnsTable(tableDir(base).getPath)
     }
+    // `t$stats`: one row per column with merged manifest statistics
+    // (HLL NDV estimate, null count, min/max) — ANALYZE TABLE output
+    // at metadata cost, no scan.
+    if (ident.name.endsWith("$stats")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$stats"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogStatsTable(tableDir(base).getPath)
+    }
     // `t$partitions`: one row per live identity-partition value with
     // file/row counts — the layout surface compaction policy reads.
     if (ident.name.endsWith("$partitions")) {

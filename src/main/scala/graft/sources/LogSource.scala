@@ -1305,6 +1305,53 @@ object GraftLog {
         case (c, v) => Map(GraftLogPartValue.key(c) ->
           GraftLogPartValue.encode(v))
       }
+      // Sketch stats FOLD across the group instead of dropping:
+      // blooms by bitwise OR (a sound superset of the union file, so
+      // string-equality skipping survives compaction), NDV registers
+      // by max (exactly the union's sketch), null counts by sum. An
+      // input with a DV drops NDV/nulls (its deleted rows polluted
+      // both) but keeps the bloom fold — a superset stays sound. An
+      // evolved input missing a column contributes an empty sketch
+      // and all-null rows, which is exactly what its rewritten rows
+      // hold. Outputs that ROLL each carry the group-level fold —
+      // wider than the file's true set, still sound for skipping and
+      // still exact under the planning-time merge (max of identical
+      // sketches is the sketch).
+      val groupNoDv = entries.forall(e => GraftLog.dvOf(e).isEmpty)
+      val sketchStats: Map[String, (String, String)] =
+        schema.fields.flatMap { f =>
+          val bk = GraftLogBloom.key(f.name)
+          val bloom =
+            if (f.dataType == StringType && entries.forall(e =>
+                e.stats.get(bk).exists(
+                  _._1.length == GraftLogBloom.Words * 16)))
+              Some(bk -> (GraftLogBloom.serialize(
+                entries.map(e =>
+                    GraftLogBloom.deserialize(e.stats(bk)._1))
+                  .reduce((a, b) => Array.tabulate(
+                    GraftLogBloom.Words)(i => a(i) | b(i)))), "v1"))
+            else None
+          def sketchOf(e: LogEntry): Option[Array[Byte]] =
+            if (e.cols.nonEmpty && !e.cols.contains(f.name))
+              Some(new Array[Byte](GraftLogNdv.M))
+            else GraftLogNdv.of(e, f.name)
+          def nullsOf(e: LogEntry): Option[Long] =
+            if (e.cols.nonEmpty && !e.cols.contains(f.name))
+              Some(math.max(e.rows, 0L))
+            else GraftLogNdv.nullsOf(e, f.name)
+          val ndv =
+            if (groupNoDv && entries.forall(sketchOf(_).isDefined))
+              Some(GraftLogNdv.key(f.name) -> (GraftLogNdv.serialize(
+                entries.map(sketchOf(_).get)
+                  .reduce(GraftLogNdv.merge)), "v1"))
+            else None
+          val nulls =
+            if (groupNoDv && entries.forall(nullsOf(_).isDefined))
+              Some(GraftLogNdv.nullsKey(f.name) ->
+                (entries.map(nullsOf(_).get).sum.toString, "n"))
+            else None
+          bloom.toSeq ++ ndv.toSeq ++ nulls.toSeq
+        }.toMap
       val done = scala.collection.mutable.ArrayBuffer.empty[LogEntry]
       var outName: String = null
       var out: java.io.BufferedWriter = null
@@ -1321,7 +1368,8 @@ object GraftLog {
       def closeCurrent(): Unit = if (out != null) {
         out.close()
         done += LogEntry.add(-1L, outName, rows,
-          mergedStats ++ pvStat, dataChange = false, cols = curCols)
+          mergedStats ++ sketchStats ++ pvStat, dataChange = false,
+          cols = curCols)
         out = null
       }
       def writeLine(l: String): Unit = {
@@ -1374,7 +1422,16 @@ object GraftLog {
       // a group whose every row was DV-deleted still publishes one
       // empty file so the group's partition record survives compaction
       if (done.isEmpty) { open(); closeCurrent() }
-      done.toSeq
+      // Group-level stats are idempotent under the planning-time merge
+      // (min/max fold, bloom OR, NDV register max) EXCEPT the null
+      // count, which is additive — stamping the group total on every
+      // rolled output would double-count it. One output keeps it;
+      // rolled outputs drop it (absent = unknown, never wrong).
+      if (done.length > 1) {
+        val nullKeys = schema.fields.map(f =>
+          GraftLogNdv.nullsKey(f.name)).toSet
+        done.toSeq.map(e => e.copy(stats = e.stats -- nullKeys))
+      } else done.toSeq
     }
 
     val fresh = groups.flatMap { case (pv, es) => writeGroup(es, pv) }
@@ -2632,6 +2689,12 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
       .filter(_._1.dataType == StringType)
     private val blooms = Array.fill(stringIdx.length)(
       new Array[Long](GraftLogBloom.Words))
+    // Per-column HLL NDV sketch + exact null count over EVERY column,
+    // fed from the same canonical cell encoding the TSV stores — the
+    // distinct-count stats a columnar footer can't even give you.
+    private val ndvRegs = Array.fill(schema.fields.length)(
+      new Array[Byte](GraftLogNdv.M))
+    private val nullCnt = new Array[Long](schema.fields.length)
 
     def write(row: InternalRow): Unit = {
       val cells = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -2672,6 +2735,12 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
           GraftLogBloom.add(blooms(b), row.getUTF8String(i).toString)
         b += 1
       }
+      var c = 0
+      while (c < cells.length) {
+        if (row.isNullAt(c)) nullCnt(c) += 1
+        else GraftLogNdv.add(ndvRegs(c), cells(c))
+        c += 1
+      }
       out.write(cells.mkString("\t")); out.write("\n")
       rows += 1
     }
@@ -2687,6 +2756,12 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
         GraftLogBloom.key(stringIdx(b)._1.name) ->
           (GraftLogBloom.serialize(blooms(b)), "v1")
       }.toMap
+      val ndvStats = schema.fields.indices.flatMap { i =>
+        val n = schema.fields(i).name
+        Seq(GraftLogNdv.key(n) ->
+              (GraftLogNdv.serialize(ndvRegs(i)), "v1"),
+            GraftLogNdv.nullsKey(n) -> (nullCnt(i).toString, "n"))
+      }.toMap
       // the file's identity-partition value, when this is a
       // partitioned write — what the scan groups on for SPJ
       val pvStat = (partitionCol, partValue) match {
@@ -2694,7 +2769,8 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
           Map(GraftLogPartValue.key(c) -> GraftLogPartValue.encode(v))
         case _ => Map.empty[String, (String, String)]
       }
-      GraftLogCommit(file, rows, stats ++ bloomStats ++ pvStat,
+      GraftLogCommit(file, rows,
+        stats ++ bloomStats ++ ndvStats ++ pvStat,
         schema.fieldNames.toSeq)
     }
 
@@ -2931,6 +3007,32 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     override def numRows(): java.util.OptionalLong =
       if (known) java.util.OptionalLong.of(rowCount)
       else java.util.OptionalLong.empty()
+    // Per-column NDV (merged manifest HLL sketches) + exact null
+    // counts over the KEPT files — the SPARK-41378 surface CBO's join
+    // reorder and selectivity estimation read. Like numRows, these
+    // shrink with file skipping, so a selective scan advertises the
+    // cardinality of what it will actually produce.
+    override def columnStats(): JMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      GraftLogNdv.mergedColumnStats(tableSchema, files).foreach {
+        case (colName, (ndvOpt, nullsOpt)) =>
+          if (ndvOpt.isDefined || nullsOpt.isDefined)
+            m.put(Expressions.column(colName),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  ndvOpt.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def nullCount(): java.util.OptionalLong =
+                  nullsOpt.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+              })
+      }
+      m
+    }
   }
 }
 
@@ -3089,8 +3191,9 @@ object GraftLogScan {
   * granularity). 4096 bits, k=5 double-hashed probes: ~1% false
   * positives at ~500 distinct values per file; a high-cardinality
   * column saturates to all-ones and degrades to may-match — pruning
-  * is only ever conservative. Compaction drops blooms (absent bloom =
-  * may-match, never wrong); the next ingest rebuilds them. */
+  * is only ever conservative. Compaction FOLDS blooms (bitwise OR of
+  * the inputs — a sound superset for the union file), so string
+  * skipping survives the nightly OPTIMIZE pass. */
 object GraftLogBloom {
   val Bits = 4096
   val Words: Int = Bits / 64
@@ -3123,6 +3226,134 @@ object GraftLogBloom {
         probes(v).forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
       case _ => true
     }
+}
+
+/** Per-file, per-column HyperLogLog NDV sketch in the manifest — the
+  * distinct-count half of the table-stats story (Iceberg ships theta
+  * sketches in puffin files, Delta ANALYZE stores NDV per column; the
+  * graft-log carries them inline in the commit stats the same way it
+  * carries min/max and blooms). 512 registers (p=9, ~4.6% standard
+  * error), one byte each, hex in the stats cell. The whole point of a
+  * register sketch is MERGEABILITY: the union of two files' value
+  * sets is exactly the register-wise max of their sketches, so the
+  * table-level NDV is computable from metadata alone — per scan,
+  * post-file-skipping, with no data I/O — and compaction folds input
+  * sketches instead of dropping them. NDV feeds the DSv2
+  * `Statistics.columnStats()` surface Catalyst's CBO reads for join
+  * ordering and selectivity at 100 TB (SPARK-41378), and the `t$stats`
+  * metadata table. Null counts ride along under `col#nulls` (exact,
+  * additive). */
+object GraftLogNdv {
+  val P = 9
+  val M: Int = 1 << P
+  def key(col: String): String = s"$col#ndv"
+  def nullsKey(col: String): String = s"$col#nulls"
+
+  /** 64-bit hash of the cell's canonical TSV encoding: FNV-1a over the
+    * UTF-8 bytes through a splitmix64 finalizer (both public-domain
+    * constants) — FNV alone clusters low bits, and HLL register
+    * selection needs the top bits well mixed. */
+  def hash(cell: String): Long = {
+    val bytes = cell.getBytes(StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1
+    }
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  def add(regs: Array[Byte], cell: String): Unit = {
+    val h = hash(cell)
+    val idx = (h >>> (64 - P)).toInt
+    val rest = h << P
+    val rank =
+      (if (rest == 0L) 64 - P
+       else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  /** Union semantics: register-wise max. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    Array.tabulate(M)(i => if (a(i) >= b(i)) a(i) else b(i))
+
+  def serialize(regs: Array[Byte]): String =
+    regs.map(r => f"$r%02x").mkString
+
+  def deserialize(hex: String): Array[Byte] =
+    Array.tabulate(M)(i =>
+      Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte)
+
+  /** Flajolet et al. estimator with the linear-counting small-range
+    * correction; no large-range correction needed with 64-bit hashes. */
+  def estimate(regs: Array[Byte]): Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += java.lang.Math.scalb(1.0, -regs(i))
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * M * M / sum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else raw
+    math.round(est)
+  }
+
+  def of(e: LogEntry, col: String): Option[Array[Byte]] =
+    e.stats.get(key(col)).collect {
+      case (hex, _) if hex.length == M * 2 => deserialize(hex)
+    }
+
+  def nullsOf(e: LogEntry, col: String): Option[Long] =
+    e.stats.get(nullsKey(col)).flatMap(v =>
+      scala.util.Try(v._1.toLong).toOption)
+
+  /** Merged table-level column stats over a set of live entries —
+    * (NDV estimate, exact null count), each present only when every
+    * row-bearing input accounts for the column. A file written before
+    * an additive evolution never SAW the column: its rows read back as
+    * all-NULL there, so it contributes an empty sketch (exact for the
+    * union) and `rows` nulls. A pre-feature legacy file or a DV'd file
+    * (deleted rows may hold the extinct distinct values and nulls)
+    * drops the column's stats instead of serving wrong ones. */
+  def mergedColumnStats(schema: StructType, entries: Seq[LogEntry])
+      : Map[String, (Option[Long], Option[Long])] = {
+    val live = entries.filter(e => e.rows != 0L)
+    schema.fields.map { f =>
+      val perFile = live.map { e =>
+        val dv = GraftLog.dvOf(e).isDefined
+        val absent = e.cols.nonEmpty && !e.cols.contains(f.name)
+        val sketch =
+          if (dv) None
+          else if (absent) Some(new Array[Byte](M))
+          else of(e, f.name)
+        val nulls =
+          if (dv) None
+          else if (absent) Some(math.max(e.rows, 0L))
+          else nullsOf(e, f.name)
+        (sketch, nulls)
+      }
+      // zero row-bearing files (empty table, or a scan whose skipping
+      // kept nothing) is an EXACT zero, not an unknown
+      val ndv =
+        if (perFile.isEmpty) Some(0L)
+        else if (perFile.forall(_._1.isDefined))
+          Some(estimate(perFile.map(_._1.get).reduce(merge)))
+        else None
+      val nulls =
+        if (perFile.isEmpty) Some(0L)
+        else if (perFile.forall(_._2.isDefined))
+          Some(perFile.map(_._2.get).sum)
+        else None
+      f.name -> (ndv, nulls)
+    }.toMap
+  }
 }
 
 /** Deletion-vector sidecar codec: a sorted array of deleted row
@@ -3257,6 +3488,99 @@ object GraftLogFilesTable {
     StructField("file", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("data_change", BooleanType, nullable = false)))
+}
+
+/** The `t$stats` metadata table: one row per table column with the
+  * MERGED manifest statistics of the current snapshot — (column,
+  * ndv_est, null_count, min, max, n_files) — the ANALYZE-TABLE
+  * surface, except nothing runs: every figure derives from the
+  * per-file sketches the writers already paid for, merged at metadata
+  * cost. ndv_est is the HLL union estimate (±~5%), null_count exact
+  * and additive, min/max the numeric fold; any figure a file can't
+  * vouch for (legacy entry, DV'd file) reads NULL rather than a wrong
+  * number. At 100 TB this is how an optimizer, a data engineer, or a
+  * quality monitor asks "how many distinct users / how null is this
+  * column" without a table scan. */
+class GraftLogStatsTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_stats($dir)"
+  override def schema(): StructType = GraftLogStatsTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[InternalRow] = {
+          val schema = GraftLog.storedSchema(dir)
+            .getOrElse(StructType(Nil))
+          // the LIVE snapshot (checkpoint+tail replay), not the full
+          // ledger — removed files must not pollute table-level stats
+          val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+          val merged = GraftLogNdv.mergedColumnStats(schema, live)
+          val withRows = live.filter(_.rows != 0L)
+          val noDv =
+            withRows.forall(e => GraftLog.dvOf(e).isEmpty)
+          schema.fields.toSeq.map { f =>
+            val (ndv, nulls) = merged(f.name)
+            // numeric min/max fold mirrors the scan's skipping rules:
+            // present only when every row-bearing DV-free file carries
+            // the column's range
+            val range =
+              if (noDv && withRows.nonEmpty && withRows.forall(e =>
+                  e.stats.contains(f.name))) {
+                val num = (s: String) => new java.math.BigDecimal(s)
+                val mn = withRows.map(_.stats(f.name)._1).reduce(
+                  (a, b) => if (num(a).compareTo(num(b)) <= 0) a else b)
+                val mx = withRows.map(_.stats(f.name)._2).reduce(
+                  (a, b) => if (num(a).compareTo(num(b)) >= 0) a else b)
+                Some((mn, mx))
+              } else None
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(f.name),
+              ndv.map(Long.box).orNull,
+              nulls.map(Long.box).orNull,
+              range.map(r => UTF8String.fromString(r._1)).orNull,
+              range.map(r => UTF8String.fromString(r._2)).orNull,
+              live.size.toLong))
+          }
+        }
+        override def readSchema(): StructType = GraftLogStatsTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_stats $dir cols=${rows.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogStatsPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogStatsPartition]
+                .rows.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = it.next(); true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+case class GraftLogStatsPartition(rows: Seq[InternalRow])
+    extends InputPartition
+
+object GraftLogStatsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv_est", LongType, nullable = true),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("n_files", LongType, nullable = false)))
 }
 
 /** The `t$history` metadata table: one row per committed version —

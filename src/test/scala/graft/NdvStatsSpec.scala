@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftLog, GraftLogNdv}
+
+/** The manifest NDV/null-count stats contract: per-file HLL sketches
+  * merge to an accurate table-level distinct count at metadata cost,
+  * survive compaction (as do blooms, by OR-fold), shrink with file
+  * skipping through the DSv2 `columnStats()` surface, and read back
+  * through the `t$stats` metadata table. */
+class NdvStatsSpec extends SparkSpec {
+  private val Fmt = "graft.sources.GraftLogSource"
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-ndv").toString
+
+  /** id: all-distinct; bucket: 97 values; tag: 7 values; gap: nulls
+    * on odd ids. */
+  private def series(n: Int, idOffset: Long = 0L): DataFrame =
+    spark.range(n).selectExpr(s"id + $idOffset AS id",
+      s"CAST((id + $idOffset) % 97 AS INT) AS bucket",
+      s"concat('t', (id + $idOffset) % 7) AS tag",
+      s"CASE WHEN (id + $idOffset) % 2 = 0 THEN (id + $idOffset) END" +
+        " AS gap")
+
+  private def relErr(est: Long, exact: Long): Double =
+    math.abs(est.toDouble - exact) / math.max(exact, 1L)
+
+  test("sketch estimates are accurate across cardinality regimes") {
+    // linear-counting regime (small), crossover, and HLL regime
+    for (n <- Seq(10, 700, 60000)) {
+      val regs = new Array[Byte](GraftLogNdv.M)
+      (0 until n).foreach(i => GraftLogNdv.add(regs, s"value-$i"))
+      val est = GraftLogNdv.estimate(regs)
+      assert(relErr(est, n) < 0.15,
+        s"n=$n est=$est: HLL p=9 should land within 15%")
+    }
+  }
+
+  test("register-max merge of split sketches equals the union sketch") {
+    val whole = new Array[Byte](GraftLogNdv.M)
+    val a = new Array[Byte](GraftLogNdv.M)
+    val b = new Array[Byte](GraftLogNdv.M)
+    (0 until 5000).foreach { i =>
+      GraftLogNdv.add(whole, s"k$i")
+      // overlapping halves: merge must not double-count
+      if (i < 3000) GraftLogNdv.add(a, s"k$i")
+      if (i >= 2000) GraftLogNdv.add(b, s"k$i")
+    }
+    assert(GraftLogNdv.merge(a, b).toSeq == whole.toSeq)
+  }
+
+  test("t$stats reports NDV within tolerance, exact nulls, and " +
+      "min/max, from metadata only") {
+    val dir = tmp()
+    // multiple part files so the read exercises the merge
+    series(20000).repartition(4)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val schema = GraftLog.storedSchema(dir).get
+    val merged = GraftLogNdv.mergedColumnStats(
+      schema, GraftLog.entriesAsOf(dir, Long.MaxValue))
+    val (idNdv, idNulls) = merged("id")
+    val (bucketNdv, _) = merged("bucket")
+    val (tagNdv, _) = merged("tag")
+    val (gapNdv, gapNulls) = merged("gap")
+    assert(relErr(idNdv.get, 20000) < 0.15)
+    assert(idNulls.contains(0L))
+    assert(relErr(bucketNdv.get, 97) < 0.10,
+      s"${bucketNdv.get}: linear-counting regime, but still an estimate")
+    assert(tagNdv.get == 7L,
+      "7 values in 512 registers: collisions are corrected exactly " +
+        "this small")
+    assert(relErr(gapNdv.get, 10000) < 0.15)
+    assert(gapNulls.contains(10000L), "null count is exact")
+  }
+
+  test("compaction folds sketches: NDV, nulls, and blooms survive") {
+    val dir = tmp()
+    for (k <- 0 until 3)
+      series(4000, idOffset = k * 4000L).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    val before = GraftLogNdv.mergedColumnStats(
+      GraftLog.storedSchema(dir).get, GraftLog.entriesAsOf(dir, Long.MaxValue))
+    assert(GraftLog.compact(dir) == 3)
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size == 1, "three parts compact to one")
+    val after = GraftLogNdv.mergedColumnStats(
+      GraftLog.storedSchema(dir).get, live)
+    // the folded sketch IS the register-max of the inputs, so the
+    // estimate is identical, and the additive null count is preserved
+    assert(after("id")._1 == before("id")._1)
+    assert(after("tag")._1 == before("tag")._1)
+    assert(after("gap")._2 == before("gap")._2)
+    // blooms OR-fold: a post-compaction string-equality scan still
+    // has a bloom to consult (present and well-formed)
+    assert(live.head.stats.contains(
+      graft.sources.GraftLogBloom.key("tag")))
+    assert(graft.sources.GraftLogBloom.mayContain(
+      live.head, "tag", "t3"))
+  }
+
+  test("columnStats shrink with file skipping and reach the scan") {
+    val dir = tmp()
+    // range-partitioned layout: id ranges are disjoint per file, so a
+    // selective predicate skips files and the advertised NDV drops
+    series(20000).repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def ndvOf(df: DataFrame): Long = {
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.get
+      val stats = scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      val col = stats.columnStats().entrySet().iterator()
+      var found = -1L
+      while (col.hasNext) {
+        val e = col.next()
+        if (e.getKey.fieldNames().mkString(".") == "id")
+          found = e.getValue.distinctCount().getAsLong
+      }
+      found
+    }
+    val full = spark.read.format(Fmt).option("path", dir).load()
+    val pruned = full.filter(col("id") < 1000L)
+    val fullNdv = ndvOf(full)
+    val prunedNdv = ndvOf(pruned)
+    assert(relErr(fullNdv, 20000) < 0.15)
+    assert(prunedNdv < fullNdv / 2,
+      s"skipping kept 1 of 4 files; NDV must shrink ($prunedNdv vs $fullNdv)")
+  }
+
+  test("NDV propagates into Catalyst logical stats (the CBO input)") {
+    val dir = tmp()
+    series(5000).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    // DataSourceV2Relation.transformV2Stats folds columnStats() into
+    // attributeStats — what JoinEstimation/FilterEstimation consume
+    val attrStats = df.queryExecution.optimizedPlan.stats.attributeStats
+    val idStat = attrStats.find(_._1.name == "id").map(_._2)
+    assert(idStat.isDefined,
+      "scan column stats must reach the logical plan")
+    val ndv = idStat.get.distinctCount.get.toLong
+    assert(relErr(ndv, 5000) < 0.15)
+    assert(idStat.get.nullCount.contains(BigInt(0)))
+  }
+
+  test("legacy stat-less and DV'd files report NULL, never a wrong " +
+      "number") {
+    val dir = tmp()
+    series(1000).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val schema = GraftLog.storedSchema(dir).get
+    // simulate a legacy entry: strip the sketch keys from the manifest
+    val stripped = GraftLog.entriesAsOf(dir, Long.MaxValue).map(e => e.copy(stats =
+      e.stats.filterNot { case (k, _) =>
+        k.endsWith("#ndv") || k.endsWith("#nulls") }))
+    val merged = GraftLogNdv.mergedColumnStats(schema, stripped)
+    assert(merged("id")._1.isEmpty && merged("id")._2.isEmpty)
+  }
+
+  test("t$stats SQL surface lists every column at metadata cost") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-ndv-cat").toString
+    spark.conf.set("spark.sql.catalog.ndvcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ndvcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS ndvcat.ns")
+      spark.sql("DROP TABLE IF EXISTS ndvcat.ns.nt")
+      spark.sql("CREATE TABLE ndvcat.ns.nt (id BIGINT, tag STRING)")
+      spark.sql("""INSERT INTO ndvcat.ns.nt
+        SELECT /*+ REPARTITION(2) */ id, concat('t', id % 5)
+        FROM range(0, 10000)""")
+      val rows = spark.sql("""SELECT column, ndv_est, null_count
+        FROM ndvcat.ns.`nt$stats` ORDER BY column""").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("id", "tag"))
+      val idRow = rows.find(_.getString(0) == "id").get
+      val tagRow = rows.find(_.getString(0) == "tag").get
+      assert(relErr(idRow.getLong(1), 10000) < 0.15)
+      assert(idRow.getLong(2) == 0L)
+      assert(tagRow.getLong(1) == 5L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ndvcat")
+      spark.conf.unset("spark.sql.catalog.ndvcat.warehouse")
+    }
+  }
+}
