@@ -3279,12 +3279,49 @@ object GraftLogNdv {
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     Array.tabulate(M)(i => if (a(i) >= b(i)) a(i) else b(i))
 
-  def serialize(regs: Array[Byte]): String =
-    regs.map(r => f"$r%02x").mkString
+  /** Hex pairs with zero-run compression: `z` + 2-hex run length for
+    * a run of zero registers (the dominant case for low-cardinality
+    * columns — a 7-value column's sketch is ~40 chars instead of
+    * 1024, which is what keeps per-file stats affordable when a table
+    * has millions of files). Alphabet stays inside the stats-cell-safe
+    * set (no tab, `=`, `,`, `;`). */
+  def serialize(regs: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(M / 4)
+    var i = 0
+    while (i < M) {
+      if (regs(i) == 0) {
+        var n = 0
+        while (i < M && regs(i) == 0 && n < 255) { n += 1; i += 1 }
+        sb.append('z').append(f"$n%02x")
+      } else {
+        sb.append(f"${regs(i)}%02x")
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
-  def deserialize(hex: String): Array[Byte] =
-    Array.tabulate(M)(i =>
-      Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte)
+  /** Accepts both the run-length form and plain 1024-hex (sketches
+    * written before the compression). Throws on malformed input —
+    * callers go through [[of]], which validates. */
+  def deserialize(s: String): Array[Byte] = {
+    val regs = new Array[Byte](M)
+    var i = 0
+    var out = 0
+    while (i < s.length) {
+      if (s.charAt(i) == 'z') {
+        out += Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        i += 3
+      } else {
+        regs(out) =
+          Integer.parseInt(s.substring(i, i + 2), 16).toByte
+        out += 1
+        i += 2
+      }
+    }
+    require(out == M, s"NDV sketch decoded to $out of $M registers")
+    regs
+  }
 
   /** Flajolet et al. estimator with the linear-counting small-range
     * correction; no large-range correction needed with 64-bit hashes. */
@@ -3306,8 +3343,8 @@ object GraftLogNdv {
   }
 
   def of(e: LogEntry, col: String): Option[Array[Byte]] =
-    e.stats.get(key(col)).collect {
-      case (hex, _) if hex.length == M * 2 => deserialize(hex)
+    e.stats.get(key(col)).flatMap { case (enc, _) =>
+      scala.util.Try(deserialize(enc)).toOption
     }
 
   def nullsOf(e: LogEntry, col: String): Option[Long] =

@@ -50,6 +50,25 @@ class NdvStatsSpec extends SparkSpec {
     assert(GraftLogNdv.merge(a, b).toSeq == whole.toSeq)
   }
 
+  test("sketch serialization round-trips, compresses zero runs, and " +
+      "still reads the plain-hex legacy form") {
+    for (n <- Seq(0, 1, 7, 500, 60000)) {
+      val regs = new Array[Byte](GraftLogNdv.M)
+      (0 until n).foreach(i => GraftLogNdv.add(regs, s"v$i"))
+      val enc = GraftLogNdv.serialize(regs)
+      assert(GraftLogNdv.deserialize(enc).toSeq == regs.toSeq)
+      // legacy form: plain hex pairs, as written before the RLE
+      val legacy = regs.map(r => f"$r%02x").mkString
+      assert(GraftLogNdv.deserialize(legacy).toSeq == regs.toSeq)
+      if (n <= 7)
+        assert(enc.length < 100,
+          s"a $n-value sketch must compress (got ${enc.length} chars)")
+    }
+    // malformed input is rejected, not misread
+    assertThrows[IllegalArgumentException](
+      GraftLogNdv.deserialize("zff"))
+  }
+
   test("t$stats reports NDV within tolerance, exact nulls, and " +
       "min/max, from metadata only") {
     val dir = tmp()
