@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import graft.sources.GraftLogNdv
+
+/** Mergeable HyperLogLog sketch AGGREGATES over the same 512-register
+  * kernel the graft-log manifest stats use ([[GraftLogNdv]]) — the
+  * sketch-partials pattern (Databricks `hll_sketch_agg`/
+  * `hll_union_agg`, BigQuery `HLL_COUNT.*`): fold each partition of a
+  * 100 TB fact table into a per-(group, day) sketch ONCE, store the
+  * bytes, and answer any later distinct-count rollup by merging stored
+  * sketches — no rescan of the raw data, and the merge is exactly
+  * lossless (register max), so partial-then-merge equals
+  * direct-over-everything bit for bit.
+  *
+  * Both aggregates plan as ObjectHashAggregate with map-side partial
+  * merge: the shuffle carries one 512-byte buffer per (group ×
+  * partition), not rows. */
+object HllSketch
+    extends Aggregator[String, Array[Byte], Array[Byte]] {
+  override def zero: Array[Byte] = new Array[Byte](GraftLogNdv.M)
+  override def reduce(b: Array[Byte], a: String): Array[Byte] = {
+    if (a != null) GraftLogNdv.add(b, a)
+    b
+  }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    GraftLogNdv.merge(x, y)
+  override def finish(r: Array[Byte]): Array[Byte] = r
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+
+  /** `graft_hll_sketch(values)` — build a sketch from raw values. */
+  def toColumn(c: Column): Column = udaf(this, Encoders.STRING)(c)
+}
+
+/** Re-aggregation half: union STORED sketches (binary column) into one. */
+object HllUnion
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  override def zero: Array[Byte] = new Array[Byte](GraftLogNdv.M)
+  override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+    if (a == null) b else GraftLogNdv.merge(b, a)
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    GraftLogNdv.merge(x, y)
+  override def finish(r: Array[Byte]): Array[Byte] = r
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+
+  def toColumn(c: Column): Column = udaf(this, Encoders.BINARY)(c)
+}
+
+object HllEstimate {
+  /** Estimate read-out for a sketch column. A Scala UDF is fine here:
+    * it runs at aggregate-output cardinality (one row per group), never
+    * in the per-row hot path. */
+  def toColumn(c: Column): Column =
+    org.apache.spark.sql.functions.udf(
+      (b: Array[Byte]) => GraftLogNdv.estimate(b)).apply(c)
+}

@@ -274,7 +274,39 @@ object Aggregates {
         .select(col("lang"), col("n_docs"), col("e_p50"),
           (col("a_p50").cast("double") >= col("e_p40") &&
             col("a_p50").cast("double") <= col("e_p60"))
-            .as("p50_in_bound")))
+            .as("p50_in_bound"))),
+
+    // Sketch-partials reuse: per-(event_type, day) HLL sketches built
+    // ONCE (what a 100 TB pipeline stores next to its daily
+    // partitions), then any rollup answers distinct-users by MERGING
+    // the stored 512-byte sketches — no rescan of the raw events. The
+    // merge is lossless by construction (register max), so the gated
+    // invariant is strong: partial-then-merge equals
+    // direct-over-everything BIT FOR BIT, and the estimate lands
+    // within the p=9 error bound of the exact count. Both aggregations
+    // are ObjectHashAggregate with map-side partial merge — the
+    // shuffle carries sketch buffers, not user ids.
+    "agg_hll_partial_reuse" -> ((s, d) => {
+      import graft.functions.{HllEstimate, HllSketch, HllUnion}
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("uid"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(HllSketch.toColumn(col("uid")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(HllUnion.toColumn(col("sk")).as("sk_merged"),
+          count(lit(1)).as("n_days"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(HllSketch.toColumn(col("uid")).as("sk_direct"),
+          countDistinct(col("uid")).as("exact_users"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (col("sk_merged") === col("sk_direct"))
+            .as("merge_lossless"),
+          (abs(HllEstimate.toColumn(col("sk_merged")) -
+              col("exact_users")) /
+            col("exact_users") <= 0.15).as("est_in_bound"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,6 +322,13 @@ object Aggregates {
          quantile_cont(n_chars, 0.5) AS e_p50,
          TRUE AS p50_in_bound
          FROM documents GROUP BY lang""",
+    "agg_hll_partial_reuse" ->
+      """SELECT event_type,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         TRUE AS merge_lossless,
+         TRUE AS est_in_bound
+         FROM events GROUP BY event_type""",
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,

@@ -180,6 +180,31 @@ class NdvStatsSpec extends SparkSpec {
     assert(merged("id")._1.isEmpty && merged("id")._2.isEmpty)
   }
 
+  test("HLL sketch aggregates: partial-then-union equals direct, " +
+      "nulls ignored, empty estimates zero") {
+    import graft.functions.{HllEstimate, HllSketch, HllUnion}
+    val df = spark.range(10000).selectExpr(
+      "CAST(id % 20 AS STRING) AS g",
+      "CASE WHEN id % 11 = 0 THEN NULL " +
+        "ELSE CAST(id % 731 AS STRING) END AS v")
+    val partial = df.groupBy(col("g"))
+      .agg(HllSketch.toColumn(col("v")).as("sk"))
+      .agg(HllUnion.toColumn(col("sk")).as("sk"))
+      .select(HllEstimate.toColumn(col("sk")).as("est"))
+      .head.getLong(0)
+    val direct = df.agg(HllSketch.toColumn(col("v")).as("sk"))
+      .select(HllEstimate.toColumn(col("sk")).as("est"))
+      .head.getLong(0)
+    assert(partial == direct, "merge must be lossless")
+    assert(relErr(direct, 731) < 0.15)
+    // an all-null group folds to the zero sketch: estimate 0
+    val empty = spark.range(5).selectExpr("CAST(NULL AS STRING) AS v")
+      .agg(HllSketch.toColumn(col("v")).as("sk"))
+      .select(HllEstimate.toColumn(col("sk")).as("est"))
+      .head.getLong(0)
+    assert(empty == 0L)
+  }
+
   test("t$stats SQL surface lists every column at metadata cost") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft-ndv-cat").toString
