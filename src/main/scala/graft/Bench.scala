@@ -163,7 +163,9 @@ object Bench {
       "corpus_dsir_weights", "sim_pq_adc", "source_custom_dsv2",
       "dedup_semdedup", "sim_ivfpq_ann", "corpus_quality_classifier",
       "corpus_bpe_pair_counts", "sink_log_mv_incremental",
-      "sql_catalog_branch", "stream_dedup_replay")
+      "sql_catalog_branch", "stream_dedup_replay",
+      "sql_catalog_stats", "agg_hll_partial_reuse",
+      "sink_log_mv_distinct")
     val hqs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")

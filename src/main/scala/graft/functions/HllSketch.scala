@@ -59,3 +59,40 @@ object HllEstimate {
     org.apache.spark.sql.functions.udf(
       (b: Array[Byte]) => GraftLogNdv.estimate(b)).apply(c)
 }
+
+/** String-encoded sketch forms, for storing sketches in formats
+  * without a binary type (the graft-log TSV cells): the sketch
+  * travels as [[GraftLogNdv.serialize]]'s zero-run hex — the same
+  * encoding the manifest stats use, safe in a TSV cell. What the
+  * incremental materialized view persists per group. */
+object HllSketchStr extends Aggregator[String, Array[Byte], String] {
+  override def zero: Array[Byte] = new Array[Byte](GraftLogNdv.M)
+  override def reduce(b: Array[Byte], a: String): Array[Byte] = {
+    if (a != null) GraftLogNdv.add(b, a)
+    b
+  }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    GraftLogNdv.merge(x, y)
+  override def finish(r: Array[Byte]): String = GraftLogNdv.serialize(r)
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+
+  def toColumn(c: Column): Column = udaf(this, Encoders.STRING)(c)
+
+  /** The zero sketch's encoding — the `coalesce` identity for a group
+    * with no prior view row. */
+  lazy val emptyEncoded: String =
+    GraftLogNdv.serialize(new Array[Byte](GraftLogNdv.M))
+
+  /** Pairwise union of two encoded sketches (cold path: runs at
+    * touched-group cardinality during a view refresh). */
+  def unionPair(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.udf((x: String, y: String) =>
+      GraftLogNdv.serialize(GraftLogNdv.merge(
+        GraftLogNdv.deserialize(x), GraftLogNdv.deserialize(y))))
+      .apply(a, b)
+
+  def estimate(c: Column): Column =
+    org.apache.spark.sql.functions.udf((x: String) =>
+      GraftLogNdv.estimate(GraftLogNdv.deserialize(x))).apply(c)
+}

@@ -828,6 +828,63 @@ object Formats {
           lit(noopOk).as("noop_skipped"))
     }),
 
+    // Incremental materialized view with APPROXIMATE COUNT DISTINCT:
+    // exact distinct is the classic non-incremental aggregate (its
+    // state is the full value set), but the view stores a 512-byte
+    // mergeable HLL sketch per group (zero-run hex in a plain string
+    // column), so each refresh folds ONLY the delta's sketches in —
+    // O(append) work. Gated booleans: refreshes scan only appended
+    // files, and the maintained sketch is BIT-IDENTICAL to a direct
+    // sketch of the full source (the lossless-union law) — the
+    // in-bound NDV check rides per row. At 100 TB this is "distinct
+    // users per segment, always fresh" without ever rescanning.
+    "sink_log_mv_distinct" -> ((s, d) => {
+      import graft.functions.HllSketchStr
+      val base = s"/tmp/graft_log_mvd/${new java.io.File(d).getName}"
+      val src = s"$base/src"; val mv = s"$base/mv"
+      val (incBounded, lossless) = rebuildOnce(mvDistinctStats, base) {
+        s.range(0, 3000).selectExpr("id", "id % 20 AS bucket",
+            "(id * 7) % 400 AS u", "id AS v")
+          .repartition(4)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        MaterializedAgg.refresh(s, src, mv, "bucket", Seq("v"),
+          distinctCols = Seq("u"))
+        s.range(3000, 3500).selectExpr("id", "id % 20 AS bucket",
+            "(id * 7) % 400 AS u", "id AS v")
+          .coalesce(1)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        val r1 = MaterializedAgg.refresh(s, src, mv, "bucket",
+          Seq("v"), distinctCols = Seq("u"))
+        val direct = s.read.format("graft.sources.GraftLogSource")
+          .option("path", src).load()
+          .groupBy(col("bucket"))
+          .agg(HllSketchStr.toColumn(col("u").cast("string"))
+            .as("hll_direct"))
+        val same = s.read.format("graft.sources.GraftLogSource")
+          .option("path", mv).load()
+          .join(direct, "bucket")
+          .select((col("hll_u") === col("hll_direct")).as("same"))
+          .collect().forall(_.getBoolean(0))
+        (r1.mode == "incremental" && r1.deltaFiles == 1, same)
+      }
+      val exact = s.read.format("graft.sources.GraftLogSource")
+        .option("path", src).load()
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("u")).as("n_users_exact"))
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", mv).load()
+        .join(exact, "bucket")
+        .select(col("bucket"), col("n_rows"), col("sum_v"),
+          col("n_users_exact"),
+          (abs(HllSketchStr.estimate(col("hll_u")) -
+              col("n_users_exact")) /
+            col("n_users_exact") <= 0.15).as("ndv_in_bound"),
+          lit(incBounded).as("delta_bounded"),
+          lit(lossless).as("sketch_lossless"))
+    }),
+
     // Metadata-only COUNT(*): the manifest's per-file row counts ARE
     // the answer — the pushed-down aggregate plans a one-row scan that
     // never opens a data file (`metaCount=` in the scan description,
@@ -1539,6 +1596,10 @@ object Formats {
       String, (Boolean, Boolean, Boolean)]()
   private val txnsBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
+  // (incrementalBounded, sketchLossless)
+  private val mvDistinctStats =
+    new scala.collection.concurrent.TrieMap[
+      String, (Boolean, Boolean)]()
   // (branchInvisibleToMain, fastForwardPublished)
   private val branchStats =
     new scala.collection.concurrent.TrieMap[
@@ -1887,6 +1948,18 @@ object Formats {
            CAST(2 AS BIGINT) AS committed_version""",
     // The view state after both batches: seed buckets id%50, delta
     // buckets id%10 — closed form over the union.
+    // bucket rollups over both ranges; u = (id*7)%400 per bucket.
+    "sink_log_mv_distinct" ->
+      """WITH src AS (
+           SELECT id % 20 AS bucket, (id * 7) % 400 AS u, id AS v
+           FROM range(0, 3500) t(id))
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users_exact,
+           TRUE AS ndv_in_bound,
+           TRUE AS delta_bounded,
+           TRUE AS sketch_lossless
+         FROM src GROUP BY bucket""",
     "sink_log_mv_incremental" ->
       """WITH src AS (
            SELECT id % 50 AS bucket, id AS v FROM range(0, 3000) t(id)

@@ -56,13 +56,16 @@ object MaterializedAgg {
   private val AppId = "materialized-agg"
 
   private def aggOf(src: DataFrame, keyCol: String,
-      sumCols: Seq[String], minMaxCols: Seq[String]): DataFrame =
+      sumCols: Seq[String], minMaxCols: Seq[String],
+      distinctCols: Seq[String]): DataFrame =
     src.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rows"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
           minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-            max(col(c)).as(s"max_$c"))): _*)
+            max(col(c)).as(s"max_$c"))) ++
+          distinctCols.map(c => graft.functions.HllSketchStr
+            .toColumn(col(c).cast("string")).as(s"hll_$c")): _*)
 
   /** Bring the view at `mvDir` up to date with the source at `srcDir`.
     * `mvBuckets` controls the bootstrap's range layout (disjoint key
@@ -72,10 +75,18 @@ object MaterializedAgg {
     * BECAUSE the feed is insert-only (the change feed carries adds
     * only): a min/max can tighten with every delta but never needs to
     * be re-derived from retracted rows. AVG needs no slot: it is
-    * sum/n_rows, derivable at read time. */
+    * sum/n_rows, derivable at read time. `distinctCols` adds per-group
+    * APPROXIMATE COUNT DISTINCT via a stored HLL sketch
+    * ([[graft.functions.HllSketchStr]], zero-run hex in an ordinary
+    * string column): exact distinct is the classic non-incremental
+    * aggregate (it needs the full value set as state), but the sketch
+    * is a 512-byte mergeable summary whose union is lossless, so the
+    * view maintains `hll_<c>` at delta cost and a reader estimates
+    * `ndv(c)` per group without ever rescanning the source. */
   def refresh(spark: SparkSession, srcDir: String, mvDir: String,
       keyCol: String, sumCols: Seq[String],
-      mvBuckets: Int = 4, minMaxCols: Seq[String] = Nil): Refresh = {
+      mvBuckets: Int = 4, minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): Refresh = {
     val head = GraftLog.currentVersion(srcDir)
     val srcTotal = GraftLog.entriesAsOf(srcDir, Long.MaxValue).size
     val last = GraftLog.lastTxnVersion(mvDir, AppId)
@@ -89,7 +100,7 @@ object MaterializedAgg {
     if (GraftLog.storedSchema(mvDir).isEmpty || !replayable) {
       val full = aggOf(
         spark.read.format(Fmt).option("path", srcDir).load(),
-        keyCol, sumCols, minMaxCols)
+        keyCol, sumCols, minMaxCols, distinctCols)
         .repartitionByRange(mvBuckets, col(keyCol))
       full.write.format(Fmt).option("path", mvDir)
         .mode("overwrite").save()
@@ -112,7 +123,7 @@ object MaterializedAgg {
         spark.read.format(Fmt).option("path", srcDir)
           .option("pickFiles", deltaEntries.map(_.file).mkString(","))
           .load(),
-        keyCol, sumCols, minMaxCols)
+        keyCol, sumCols, minMaxCols, distinctCols)
       // Combine with current view state for exactly the touched
       // groups: an IN-list of the delta's keys (driver-capped like the
       // merge's probe set) pushes into the view scan, where file
@@ -142,7 +153,14 @@ object MaterializedAgg {
                   .as(s"min_$c"),
                 greatest(col(s"d.max_$c"),
                   coalesce(col(s"m.max_$c"), col(s"d.max_$c")))
-                  .as(s"max_$c"))))): _*)
+                  .as(s"max_$c"))) ++
+              // sketch slots combine like MIN/MAX — a pure register
+              // fold, no retraction needed on an insert-only feed
+              distinctCols.map(c => graft.functions.HllSketchStr
+                .unionPair(col(s"d.hll_$c"),
+                  coalesce(col(s"m.hll_$c"), lit(
+                    graft.functions.HllSketchStr.emptyEncoded)))
+                .as(s"hll_$c")))): _*)
       val (rewritten, _) = GraftLog.mergeUpsert(spark, mvDir, combined,
         keyCol, txn = Some(AppId -> head))
       Refresh(head, "incremental", deltaEntries.size, srcTotal,
