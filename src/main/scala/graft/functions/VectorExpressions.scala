@@ -219,6 +219,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(children(0), children(1))))
+    // Mergeable HLL sketch aggregates as plain SQL (the sketch-partials
+    // pattern: per-partition sketches stored once, any rollup answered
+    // by union — see HllExpressions).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getCanonicalName,
+        "graft_hll_sketch"),
+      (children: Seq[Expression]) => HllSketchAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_union"),
+      new ExpressionInfo(classOf[HllUnionAgg].getCanonicalName,
+        "graft_hll_union"),
+      (children: Seq[Expression]) => HllUnionAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimateExpr].getCanonicalName,
+        "graft_hll_estimate"),
+      (children: Seq[Expression]) => HllEstimateExpr(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // SQL views on GraftCatalog: vanilla Spark has the ViewCatalog API
     // but no analyzer path that calls it — the Hints-batch rule

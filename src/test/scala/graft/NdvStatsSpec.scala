@@ -205,6 +205,41 @@ class NdvStatsSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
+  test("SQL sketch functions: graft_hll_sketch/union/estimate " +
+      "compose as plain SQL with lossless re-aggregation") {
+    val est = spark.sql("""
+      SELECT graft_hll_estimate(graft_hll_sketch(CAST(id % 100 AS
+        STRING))) AS e FROM range(0, 100000)""").head.getLong(0)
+    assert(relErr(est, 100) < 0.10,
+      s"linear-counting regime, still an estimate: got $est")
+    // partial-per-group then union == direct over everything
+    val (partial, direct) = {
+      val p = spark.sql("""
+        SELECT graft_hll_estimate(graft_hll_union(sk)) AS e FROM (
+          SELECT id % 16 AS shard,
+                 graft_hll_sketch(CAST(id % 9173 AS STRING)) AS sk
+          FROM range(0, 100000) GROUP BY shard)""").head.getLong(0)
+      val d = spark.sql("""
+        SELECT graft_hll_estimate(graft_hll_sketch(CAST(id % 9173 AS
+          STRING))) AS e FROM range(0, 100000)""").head.getLong(0)
+      (p, d)
+    }
+    assert(partial == direct, "union must be lossless")
+    assert(relErr(direct, 9173) < 0.15)
+    // NULLs fold to nothing; the estimate read-out of NULL is NULL
+    assert(spark.sql("""SELECT graft_hll_estimate(graft_hll_sketch(v))
+      FROM VALUES (CAST(NULL AS STRING)) AS t(v)""").head.getLong(0)
+      == 0L)
+    // typed-Aggregator face and SQL face produce identical sketches
+    import graft.functions.HllSketchStr
+    val viaAgg = spark.range(1000)
+      .agg(HllSketchStr.toColumn(col("id").cast("string")).as("sk"))
+      .head.getString(0)
+    val viaSql = spark.sql("""SELECT graft_hll_sketch(CAST(id AS
+      STRING)) FROM range(0, 1000)""").head.getString(0)
+    assert(viaAgg == viaSql)
+  }
+
   test("incremental MV maintains approximate COUNT DISTINCT at delta " +
       "cost, bit-identical to the direct sketch") {
     import graft.sources.{GraftLog, MaterializedAgg}
