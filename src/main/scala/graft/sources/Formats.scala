@@ -828,6 +828,41 @@ object Formats {
           lit(noopOk).as("noop_skipped"))
     }),
 
+    // The TYPED change data feed (the Delta _change_data design):
+    // with `graft.cdf.enabled=true`, row-level operations publish CDC
+    // sidecar files in the SAME commit as their rewrite, so the feed
+    // carries exact per-row change types — update pre/post images and
+    // deletes the append-only listing could never express, and NEVER
+    // the carried rows a rewrite re-delivers. The aggregate below is
+    // fully closed-form: 100 updates (pre+post), 50 inserts, 100
+    // range-deletes over a known id layout.
+    "sink_log_cdf_typed" -> ((s, d) => {
+      val base = s"/tmp/graft_log_cdft/${new java.io.File(d).getName}"
+      val dir = s"$base/t"
+      rebuildOnce(cdfTypedBuilt, base) {
+        s.range(0, 3000).selectExpr("id",
+            "CAST(id % 10 AS BIGINT) AS bucket", "id AS v")
+          .coalesce(2)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", dir).mode("append").save()
+        GraftLog.setProperties(dir, Map("graft.cdf.enabled" -> "true"))
+        val batch = s.range(0, 100).selectExpr("id",
+            "CAST(id % 10 AS BIGINT) AS bucket",
+            "id + 100000 AS v")
+          .union(s.range(10000, 10050).selectExpr("id",
+            "CAST(id % 10 AS BIGINT) AS bucket", "id AS v"))
+        GraftLog.mergeUpsert(s, dir, batch, "id")
+        GraftLog.deleteRange(s, dir, "id", 200L, 300L)
+        ()
+      }
+      GraftLog.typedChanges(s, dir, fromVersion = 0L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("v")).as("sum_v"))
+        .select(col("change_type"), col("n"), col("sum_id"),
+          col("sum_v"))
+    }),
+
     // Incremental materialized view with APPROXIMATE COUNT DISTINCT:
     // exact distinct is the classic non-incremental aggregate (its
     // state is the full value set), but the view stores a 512-byte
@@ -1600,6 +1635,8 @@ object Formats {
   private val mvDistinctStats =
     new scala.collection.concurrent.TrieMap[
       String, (Boolean, Boolean)]()
+  private val cdfTypedBuilt =
+    new scala.collection.concurrent.TrieMap[String, Unit]()
   // (branchInvisibleToMain, fastForwardPublished)
   private val branchStats =
     new scala.collection.concurrent.TrieMap[
@@ -1948,6 +1985,24 @@ object Formats {
            CAST(2 AS BIGINT) AS committed_version""",
     // The view state after both batches: seed buckets id%50, delta
     // buckets id%10 — closed form over the union.
+    // closed forms: updates touch ids 0..99 (v was id, becomes
+    // id+100000), inserts add ids 10000..10049 (v=id), the range
+    // delete removes ids 200..299 (v=id).
+    "sink_log_cdf_typed" ->
+      """SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+         FROM (
+           SELECT 'update_preimage' AS change_type, id, id AS v
+             FROM range(0, 100) t(id)
+           UNION ALL
+           SELECT 'update_postimage', id, id + 100000
+             FROM range(0, 100) t(id)
+           UNION ALL
+           SELECT 'insert', id, id FROM range(10000, 10050) t(id)
+           UNION ALL
+           SELECT 'delete', id, id FROM range(200, 300) t(id))
+         GROUP BY change_type""",
     // bucket rollups over both ranges; u = (id*7)%400 per bucket.
     "sink_log_mv_distinct" ->
       """WITH src AS (

@@ -91,7 +91,9 @@ class GraftLogSource extends TableProvider {
       properties: JMap[String, String]): Table =
     new GraftLogTable(GraftLog.dirOf(properties.get("path")), schema,
       declaredPartitionCol =
-        Option(properties.get("partitionCol")).filter(_.nonEmpty))
+        Option(properties.get("partitionCol")).filter(_.nonEmpty),
+      typedCdf =
+        Option(properties.get("readChangeFeed")).exists(_.toBoolean))
 }
 
 /** One manifest line. `action` is add/remove; `dataChange=false` marks
@@ -600,6 +602,85 @@ object GraftLog {
       .filter { case (v, _) => v > fromVersion && v <= toVersion }
       .flatMap { case (_, f) => readEntryLines(f) }
     (leg ++ tail).filter(e => e.isAdd && e.dataChange)
+  }
+
+  /** Typed change feed: the TSV column carrying each CDC row's change
+    * kind (insert | update_preimage | update_postimage | delete). */
+  val ChangeTypeCol = "_change_type"
+  /** CDC sidecar file prefix — distinct from `part-` so snapshot
+    * scans, vacuum reference rules, and compaction never confuse the
+    * two populations. */
+  val CdcPrefix = "cdc-"
+  /** Typed CDC is opt-in per table (Delta's
+    * `delta.enableChangeDataFeed`): row-level writers pay the sidecar
+    * cost only where a consumer wants typed changes. */
+  def cdfEnabled(dir: String): Boolean =
+    propertiesOf(dir).get("graft.cdf.enabled").contains("true")
+
+  /** Per-version typed change plan for (fromVersion, toVersion]: a
+    * version that committed CDC sidecars is represented by THOSE
+    * (they carry exact per-row change types, including deletes and
+    * update pre/post images the append-only feed cannot express); a
+    * version without sidecars contributes its dataChange adds, which
+    * are pure inserts by construction (appends and streaming epochs
+    * never touch existing rows). Same O(span) commit-file walk as
+    * [[changedEntriesBetween]]. */
+  def typedChangedEntriesBetween(dir: String, fromVersion: Long,
+      toVersion: Long): Seq[LogEntry] = {
+    val leg = legacyEntries(dir).filter(e =>
+      e.version > fromVersion && e.version <= toVersion)
+    val tail = listVersioned(dir, CommitPrefix)
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .flatMap { case (_, f) => readEntryLines(f) }
+    (leg ++ tail).groupBy(_.version).toSeq.sortBy(_._1)
+      .flatMap { case (_, es) =>
+        val cdc = es.filter(_.action == "cdc")
+        if (cdc.nonEmpty) cdc
+        else es.filter(e => e.isAdd && e.dataChange)
+      }
+  }
+
+  /** Typed change feed as a DataFrame: the table schema plus
+    * [[ChangeTypeCol]] ∈ insert | update_preimage | update_postimage
+    * | delete, for versions in (fromVersion, head]. Rows from
+    * versions without CDC sidecars are pure inserts by construction
+    * (appends, streaming epochs); their NULL change type coalesces
+    * here. Covers the API row-level ops and SQL DELETE on tables with
+    * `graft.cdf.enabled=true`; SQL UPDATE/MERGE ride Spark's
+    * row-level-operation replace-data path, which does not emit
+    * sidecars (documented limit — their rewrites surface as the
+    * append-only feed always did). */
+  def typedChanges(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fromVersion: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir)
+      .option("changesFromVersion", fromVersion.toString)
+      .option("readChangeFeed", "true").load()
+      .withColumn(ChangeTypeCol,
+        coalesce(col(ChangeTypeCol), lit("insert")))
+  }
+
+  /** Write `changes` (full table schema + [[ChangeTypeCol]]) as CDC
+    * sidecar files in `dir`, returning their manifest entries at
+    * version -1 for the caller's [[commitNew]] — sidecars and the
+    * row-level commit they describe become visible atomically. */
+  private def stageCdc(spark: org.apache.spark.sql.SparkSession,
+      dir: String, changes: org.apache.spark.sql.DataFrame): Seq[LogEntry] = {
+    val scratch = s"$dir/__cdc-${UUID.randomUUID()}"
+    changes.write.format("graft.sources.GraftLogSource")
+      .option("path", scratch).mode("overwrite").save()
+    val fresh = entriesAsOf(scratch, Long.MaxValue).filter(_.rows > 0L)
+    val out = fresh.map { e =>
+      val cdcName = CdcPrefix + e.file.stripPrefix("part-")
+      Files.move(Paths.get(scratch, e.file), Paths.get(dir, cdcName))
+      LogEntry(-1L, "cdc", cdcName, e.rows, dataChange = false,
+        Map.empty, cols = e.cols)
+    }
+    Option(new File(scratch).listFiles()).getOrElse(Array.empty)
+      .foreach(_.delete())
+    new File(scratch).delete()
+    out
   }
 
   /** Newest committed version — filename listing only for commit-file
@@ -1206,6 +1287,17 @@ object GraftLog {
       .filter(f => f.getName.startsWith("dv-") &&
         !refDv.contains(f.getName) && f.lastModified() <= cutoff)
       .foreach(_.delete())
+    // CDC sidecars: referenced while any retained commit names them
+    // (the typed feed reads commit files directly, so the reference
+    // set is the full kept ledger); under expireHistory the feed
+    // below the horizon is expired with the history it described.
+    val refCdc =
+      (if (expireHistory) Seq.empty
+       else entries(dir).filter(_.action == "cdc")).map(_.file).toSet
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(CdcPrefix) &&
+        !refCdc.contains(f.getName) && f.lastModified() <= cutoff)
+      .foreach(_.delete())
     // Stale metadata temps from crashed writers: a CAS loser deletes
     // its temp commit file, but a crash between write and link leaves
     // one (same for an interrupted atomicWrite). Invisible to readers
@@ -1599,7 +1691,30 @@ object GraftLog {
         "full_outer")
       .select(cols.map(f => when(col("__graft_u").isNotNull,
         col(s"u.$f")).otherwise(col(s"t.$f")).as(f)): _*)
-    rewriteFiles(spark, dir, affected, merged, schema, txn = txn)
+    // Typed CDC (table opt-in): matched keys emit pre/post images,
+    // unmatched update rows (incl. the never-matching NULL-keyed
+    // ones) emit inserts. `cur` covers every possibly-matching file
+    // by the stats admission above, so the classification is exact.
+    val cdc =
+      if (!cdfEnabled(dir)) None
+      else {
+        val matched = cur.alias("t").join(u.alias("u"),
+          col(s"t.$keyCol") === col(s"u.$keyCol"), "inner")
+        val pre = matched.select(cols.map(f =>
+          col(s"t.$f").as(f)): _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = matched.select(cols.map(f =>
+          col(s"u.$f").as(f)): _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = u.alias("u").join(
+            cur.select(col(keyCol)).alias("t"),
+            col(s"u.$keyCol") === col(s"t.$keyCol"), "left_anti")
+          .select(cols.map(col): _*)
+          .withColumn(ChangeTypeCol, lit("insert"))
+        Some(pre.unionByName(post).unionByName(ins))
+      }
+    rewriteFiles(spark, dir, affected, merged, schema, txn = txn,
+      cdcChanges = cdc)
     (affected.size, live.size)
   }
 
@@ -1626,12 +1741,18 @@ object GraftLog {
       }
     }
     if (affected.isEmpty) return (0, live.size)
-    val remaining = spark.read.format("graft.sources.GraftLogSource")
+    val picked = spark.read.format("graft.sources.GraftLogSource")
       .option("path", dir)
       .option("pickFiles", affected.map(_.file).mkString(","))
       .load()
-      .filter(!(col(keyCol) >= lo && col(keyCol) < hi))
-    rewriteFiles(spark, dir, affected, remaining, schema)
+    val remaining = picked.filter(!(col(keyCol) >= lo && col(keyCol) < hi))
+    val cdc =
+      if (!cdfEnabled(dir)) None
+      else Some(picked.filter(col(keyCol) >= lo && col(keyCol) < hi)
+        .withColumn(ChangeTypeCol,
+          org.apache.spark.sql.functions.lit("delete")))
+    rewriteFiles(spark, dir, affected, remaining, schema,
+      cdcChanges = cdc)
     (affected.size, live.size)
   }
 
@@ -1658,21 +1779,38 @@ object GraftLog {
     // unconditional delete: retire every live file in one metadata
     // commit, no rewrite needed.
     if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
-      if (live.nonEmpty)
+      if (live.nonEmpty) {
+        // typed CDC must still record the vanished rows (Delta's CDF
+        // does the same on unconditional DELETE) — the one case where
+        // the sidecar costs a table scan, because the delete itself
+        // is metadata-only
+        val cdcEntries =
+          if (!cdfEnabled(dir)) Seq.empty
+          else stageCdc(spark, dir,
+            spark.read.format("graft.sources.GraftLogSource")
+              .option("path", dir).load()
+              .withColumn(ChangeTypeCol, lit("delete")))
         commitNew(dir, schema)(v =>
-          live.map(e => LogEntry.remove(v, e.file)))
+          live.map(e => LogEntry.remove(v, e.file)) ++
+            cdcEntries.map(_.copy(version = v)))
+      }
       return (live.size, live.size)
     }
     val affected = live.filter(e =>
       filters.forall(f => GraftLogScan.mayMatch(schema, e, f)))
     if (affected.isEmpty) return (0, live.size)
     val cond = filters.map(filterToColumn).reduce(_ && _)
-    val remaining = spark.read.format("graft.sources.GraftLogSource")
+    val picked = spark.read.format("graft.sources.GraftLogSource")
       .option("path", dir)
       .option("pickFiles", affected.map(_.file).mkString(","))
       .load()
-      .filter(!coalesce(cond, lit(false)))
-    rewriteFiles(spark, dir, affected, remaining, schema)
+    val remaining = picked.filter(!coalesce(cond, lit(false)))
+    val cdc =
+      if (!cdfEnabled(dir)) None
+      else Some(picked.filter(coalesce(cond, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")))
+    rewriteFiles(spark, dir, affected, remaining, schema,
+      cdcChanges = cdc)
     (affected.size, live.size)
   }
 
@@ -1731,6 +1869,19 @@ object GraftLog {
     val byFile = hits.groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
     val touched = affected.filter(e => byFile.contains(e.file))
+    // typed CDC rides the DV commit too: the deleted rows are exactly
+    // the predicate's matches in the touched files (re-deletes never
+    // reach here — already-DV'd ordinals are invisible to the
+    // position scan above, so the feed never double-reports)
+    val cdcEntries =
+      if (!cdfEnabled(dir)) Seq.empty
+      else stageCdc(spark, dir,
+        spark.read.format("graft.sources.GraftLogSource")
+          .option("path", dir)
+          .option("pickFiles", touched.map(_.file).mkString(","))
+          .load()
+          .filter(coalesce(cond, lit(false)))
+          .withColumn(ChangeTypeCol, lit("delete")))
     commitNew(dir, schema) { v =>
       touched.map { e =>
         val merged = (dvOf(e).map { case (f, _) =>
@@ -1738,7 +1889,7 @@ object GraftLog {
           byFile(e.file)).distinct.sorted
         LogEntry.dv(v, e.file,
           Some((GraftLogDv.write(dir, merged), merged.length.toLong)))
-      }
+      } ++ cdcEntries.map(_.copy(version = v))
     }
     (touched.size, live.size, true)
   }
@@ -1830,7 +1981,11 @@ object GraftLog {
       dir: String, old: Seq[LogEntry],
       replacement: org.apache.spark.sql.DataFrame,
       schema: StructType, dataChange: Boolean = true,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      cdcChanges: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+    // typed CDC sidecars publish in the SAME commit as the rewrite
+    val cdcEntries = cdcChanges.map(stageCdc(spark, dir, _))
+      .getOrElse(Seq.empty)
     val scratch = s"$dir/__rewrite-${UUID.randomUUID()}"
     // a partitioned table's maintenance rewrite keeps routing rows per
     // value (the scratch table inherits the declaration), so rewritten
@@ -1848,6 +2003,7 @@ object GraftLog {
       old.map(e => LogEntry.remove(v, e.file)) ++
         fresh.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
           dataChange = dataChange, cols = e.cols)) ++
+        cdcEntries.map(_.copy(version = v)) ++
         txn.map { case (app, tv) => LogEntry.txn(v, app, tv) }.toSeq)
     Option(new File(scratch).listFiles()).getOrElse(Array.empty)
       .foreach(_.delete())
@@ -1970,7 +2126,8 @@ object GraftLog {
 
 class GraftLogTable(dir: String, writeSchema: StructType,
     asOfVersion: Long = Long.MaxValue,
-    declaredPartitionCol: Option[String] = None)
+    declaredPartitionCol: Option[String] = None,
+    typedCdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
@@ -2066,9 +2223,17 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     // validation admits the widened frame and the commit then persists
     // the same merge (additive evolution; type changes reject loudly).
     val stored = GraftLog.storedSchema(dir)
-    if (writeSchema.isEmpty) stored.getOrElse(writeSchema)
-    else stored.map(GraftLog.mergeSchemas(_, writeSchema))
-      .getOrElse(writeSchema)
+    val base =
+      if (writeSchema.isEmpty) stored.getOrElse(writeSchema)
+      else stored.map(GraftLog.mergeSchemas(_, writeSchema))
+        .getOrElse(writeSchema)
+    // typed change feed: the relation carries _change_type; rows from
+    // versions without CDC sidecars read NULL there (pure inserts —
+    // the reader helper coalesces)
+    if (typedCdf)
+      StructType(base.fields :+ StructField(GraftLog.ChangeTypeCol,
+        StringType, nullable = true))
+    else base
   }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -2125,8 +2290,12 @@ class GraftLogTable(dir: String, writeSchema: StructType,
           GraftLog.branchEntries(dir, b).filter(_.isAdd))
       case None => (hi, overlay)
     }
+    if (typedCdf) require(
+      Option(options.get("changesFromVersion")).isDefined,
+      "readChangeFeed=true needs changesFromVersion — a typed feed " +
+        "is a span of changes, not a snapshot (-1 = from the origin)")
     new GraftLogScanBuilder(dir, schema(), effHi, lo, pick, maxV,
-      stagedOverlay = effOverlay)
+      stagedOverlay = effOverlay, typedCdf = typedCdf)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2258,7 +2427,8 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     pickFiles: Option[Set[String]] = None,
     maxVersionsPerBatch: Option[Long] = None,
     cowPlanHook: Option[Seq[String] => Unit] = None,
-    stagedOverlay: Seq[LogEntry] = Seq.empty) extends ScanBuilder
+    stagedOverlay: Seq[LogEntry] = Seq.empty,
+    typedCdf: Boolean = false) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
@@ -2381,7 +2551,8 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
       new GraftLogCountScan(dir, tableSchema, agg, liveForMeta)
     case None => new GraftLogScan(dir, tableSchema,
       required, pushed, asOfVersion, changesFromVersion, pickFiles,
-      limit, maxVersionsPerBatch, cowPlanHook, stagedOverlay)
+      limit, maxVersionsPerBatch, cowPlanHook, stagedOverlay,
+      typedCdf = typedCdf)
   }
 }
 
@@ -2850,14 +3021,18 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     limit: Option[Int] = None,
     maxVersionsPerBatch: Option[Long] = None,
     cowPlanHook: Option[Seq[String] => Unit] = None,
-    stagedOverlay: Seq[LogEntry] = Seq.empty)
+    stagedOverlay: Seq[LogEntry] = Seq.empty,
+    typedCdf: Boolean = false)
     extends Scan with Batch
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val candidates = {
     val base =
-      if (changesFromVersion >= 0L)
+      if (typedCdf)
+        GraftLog.typedChangedEntriesBetween(dir, changesFromVersion,
+          asOfVersion)
+      else if (changesFromVersion >= 0L)
         GraftLog.changedEntriesBetween(dir, changesFromVersion, asOfVersion)
       else GraftLog.entriesAsOf(dir, asOfVersion) ++ stagedOverlay
     pickFiles.fold(base)(p => base.filter(e => p(e.file)))
@@ -2983,10 +3158,16 @@ class GraftLogScan(dir: String, tableSchema: StructType,
   // Streaming read: the version log doubles as the stream's offset
   // axis. `changesFromVersion` (when set) seeds the stream past
   // history, the Delta `startingVersion` option.
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the streaming source's micro-batches are the untyped (adds-only)
+    // listing; serving a typed schema over them would silently drop
+    // deletes — reject rather than lie
+    require(!typedCdf, "readChangeFeed=true is batch-only — stream " +
+      "the version-offset source and call typedChanges per batch span")
     new GraftLogMicroBatchStream(dir, tableSchema, required,
       startVersion = changesFromVersion,
       maxVersionsPerBatch = maxVersionsPerBatch)
+  }
 
   /** CBO statistics from the manifest (post-skipping): row counts come
     * straight from the entries, bytes from the kept files' on-disk

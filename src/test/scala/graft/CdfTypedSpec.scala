@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.GraftLog
+
+/** The typed change-data-feed contract (the Delta `_change_data`
+  * design): tables with `graft.cdf.enabled=true` get per-row change
+  * types from row-level operations — update pre/post images and
+  * deletes the append-only feed could never express — published as
+  * CDC sidecar files in the SAME commit as the rewrite. */
+class CdfTypedSpec extends SparkSpec {
+  private val Fmt = "graft.sources.GraftLogSource"
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-cdf").toString
+
+  private def mkTable(dir: String, n: Int = 100): Unit = {
+    spark.range(n).selectExpr("id", "id * 10 AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    GraftLog.setProperties(dir, Map("graft.cdf.enabled" -> "true"))
+  }
+
+  private def feed(dir: String, from: Long = -1L): DataFrame =
+    GraftLog.typedChanges(spark, dir, from)
+
+  test("MERGE emits update pre/post images and inserts, never the " +
+      "carried rows") {
+    val dir = tmp(); mkTable(dir)
+    val updates = spark.range(5).selectExpr(
+      "CASE WHEN id < 3 THEN id ELSE id + 1000 END AS id",
+      "id * 100 AS v")
+    GraftLog.mergeUpsert(spark, dir, updates, "id")
+    val changes = feed(dir, from = 0L)
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected =
+      (0L until 3L).map(k => ("update_preimage", k, k * 10)).toSet ++
+        (0L until 3L).map(k => ("update_postimage", k, k * 100)) ++
+        Seq(("insert", 1003L, 300L), ("insert", 1004L, 400L))
+    assert(changes == expected,
+      "the typed feed must be exactly preimages + postimages + " +
+        s"inserts — got $changes")
+    // the v0 append still reads as pure inserts
+    val v0 = feed(dir).filter(col("_change_type") === "insert").count()
+    assert(v0 == 100 + 2, "append rows insert; carried rows invisible")
+  }
+
+  test("copy-on-write and merge-on-read DELETE both emit typed " +
+      "deletes; re-deletes never double-report") {
+    val dir = tmp(); mkTable(dir)
+    GraftLog.deleteRange(spark, dir, "id", 10L, 13L)
+    val d1 = feed(dir, from = 0L)
+      .filter(col("_change_type") === "delete")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(d1 == Set(10L, 11L, 12L))
+    // MoR path: DV commit carries the sidecar too
+    val v1 = GraftLog.currentVersion(dir)
+    val (_, _, usedDv) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 20L)))
+    assert(usedDv)
+    val d2 = feed(dir, from = v1)
+      .filter(col("_change_type") === "delete")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(d2 == Set(20L))
+    // deleting the same row again is a no-op commit: no new deletes
+    val v2 = GraftLog.currentVersion(dir)
+    GraftLog.deleteWhereMoR(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 20L)))
+    assert(feed(dir, from = v2)
+      .filter(col("_change_type") === "delete").count() == 0L)
+  }
+
+  test("unconditional DELETE records every vanished row") {
+    val dir = tmp(); mkTable(dir, n = 30)
+    val v = GraftLog.currentVersion(dir)
+    GraftLog.deleteWhere(spark, dir, Array.empty)
+    val dels = feed(dir, from = v)
+      .filter(col("_change_type") === "delete").count()
+    assert(dels == 30L)
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .count() == 0L)
+  }
+
+  test("without the table property, row-level ops emit no sidecars " +
+      "and the feed keeps the append-only semantics") {
+    val dir = tmp()
+    spark.range(50).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val updates = spark.range(2).selectExpr("id", "id + 777 AS v")
+    GraftLog.mergeUpsert(spark, dir, updates, "id")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(GraftLog.CdcPrefix)),
+      "CDC is strictly opt-in")
+    // merge rewrite re-delivers carried rows as inserts — the
+    // documented append-only limit, unchanged for opted-out tables
+    assert(feed(dir, from = 0L)
+      .filter(col("_change_type") === "insert").count() == 50L)
+  }
+
+  test("snapshot reads never see CDC rows; vacuum keeps referenced " +
+      "sidecars and expire-history reclaims them") {
+    val dir = tmp(); mkTable(dir)
+    GraftLog.deleteRange(spark, dir, "id", 0L, 5L)
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .count() == 95L, "sidecar rows must not leak into snapshots")
+    val cdcFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith(GraftLog.CdcPrefix)).map(_.getName)
+    assert(cdcFiles.nonEmpty)
+    GraftLog.vacuum(dir, minAgeMs = 0L)
+    assert(cdcFiles.forall(f => new java.io.File(dir, f).exists()),
+      "a referenced sidecar must survive an ordinary vacuum")
+    GraftLog.vacuum(dir, minAgeMs = 0L, expireHistory = true)
+    assert(cdcFiles.forall(f => !new java.io.File(dir, f).exists()),
+      "expire-history retires the feed with the history it described")
+  }
+}
