@@ -165,7 +165,8 @@ object Bench {
       "corpus_bpe_pair_counts", "sink_log_mv_incremental",
       "sql_catalog_branch", "stream_dedup_replay",
       "sql_catalog_stats", "agg_hll_partial_reuse",
-      "sink_log_mv_distinct")
+      "sink_log_mv_distinct", "sink_log_cdf_typed",
+      "sink_log_replica_sync")
     val hqs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")

@@ -863,6 +863,42 @@ object Formats {
           col("sum_v"))
     }),
 
+    // Replication over the typed feed: a mirror table follows the
+    // source through a merge (updates + inserts) and a range delete,
+    // applied per committed version at delta cost — the CDF
+    // downstream-sync pattern. Gated booleans: bootstrap then
+    // incremental modes, and the mirror is row-identical to the
+    // source after the sync (exceptAll both ways, test-scale
+    // scaffolding).
+    "sink_log_replica_sync" -> ((s, d) => {
+      import graft.sources.Replication
+      val base = s"/tmp/graft_log_repl/${new java.io.File(d).getName}"
+      val src = s"$base/src"; val dst = s"$base/dst"
+      val (modesOk, identicalOk) = rebuildOnce(replStats, base) {
+        s.range(0, 1000).selectExpr("id", "id AS v").coalesce(2)
+          .write.format("graft.sources.GraftLogSource")
+          .option("path", src).mode("append").save()
+        GraftLog.setProperties(src, Map("graft.cdf.enabled" -> "true"))
+        val s0 = Replication.sync(s, src, dst, "id")
+        GraftLog.mergeUpsert(s, src, s.range(0, 20)
+          .selectExpr("id", "id + 50000 AS v")
+          .union(s.range(5000, 5030).selectExpr("id", "id AS v")),
+          "id")
+        GraftLog.deleteRange(s, src, "id", 100L, 140L)
+        val s1 = Replication.sync(s, src, dst, "id")
+        (s0.mode == "bootstrap" && s1.mode == "incremental" &&
+           s1.versionsApplied == 2,
+         Replication.identical(s, src, dst))
+      }
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dst).load()
+        .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
+          sum(col("v")).as("sum_v"))
+        .select(col("n_rows"), col("sum_id"), col("sum_v"),
+          lit(modesOk).as("modes_ok"),
+          lit(identicalOk).as("mirror_identical"))
+    }),
+
     // Incremental materialized view with APPROXIMATE COUNT DISTINCT:
     // exact distinct is the classic non-incremental aggregate (its
     // state is the full value set), but the view stores a 512-byte
@@ -1637,6 +1673,10 @@ object Formats {
       String, (Boolean, Boolean)]()
   private val cdfTypedBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
+  // (modesOk, mirrorIdentical)
+  private val replStats =
+    new scala.collection.concurrent.TrieMap[
+      String, (Boolean, Boolean)]()
   // (branchInvisibleToMain, fastForwardPublished)
   private val branchStats =
     new scala.collection.concurrent.TrieMap[
@@ -1985,6 +2025,22 @@ object Formats {
            CAST(2 AS BIGINT) AS committed_version""",
     // The view state after both batches: seed buckets id%50, delta
     // buckets id%10 — closed form over the union.
+    // mirror final state: ids 0..999 minus [100,140) with v = id
+    // (+50000 for ids < 20), plus inserts 5000..5029 with v = id.
+    "sink_log_replica_sync" ->
+      """WITH final AS (
+           SELECT id, CASE WHEN id < 20 THEN id + 50000 ELSE id END
+             AS v
+           FROM range(0, 1000) t(id)
+           WHERE id < 100 OR id >= 140
+           UNION ALL
+           SELECT id, id AS v FROM range(5000, 5030) t(id))
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           TRUE AS modes_ok,
+           TRUE AS mirror_identical
+         FROM final""",
     // closed forms: updates touch ids 0..99 (v was id, becomes
     // id+100000), inserts add ids 10000..10049 (v=id), the range
     // delete removes ids 200..299 (v=id).

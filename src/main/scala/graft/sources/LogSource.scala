@@ -651,15 +651,26 @@ object GraftLog {
     * sidecars (documented limit — their rewrites surface as the
     * append-only feed always did). */
   def typedChanges(spark: org.apache.spark.sql.SparkSession,
-      dir: String, fromVersion: Long): org.apache.spark.sql.DataFrame = {
+      dir: String, fromVersion: Long,
+      toVersion: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    spark.read.format("graft.sources.GraftLogSource")
+    val r = spark.read.format("graft.sources.GraftLogSource")
       .option("path", dir)
       .option("changesFromVersion", fromVersion.toString)
-      .option("readChangeFeed", "true").load()
+      .option("readChangeFeed", "true")
+    (if (toVersion == Long.MaxValue) r
+     else r.option("asOfVersion", toVersion.toString)).load()
       .withColumn(ChangeTypeCol,
         coalesce(col(ChangeTypeCol), lit("insert")))
   }
+
+  /** Committed versions in (fromVersion, toVersion], in order — the
+    * axis a downstream applier walks. O(span) name listing. */
+  def versionsBetween(dir: String, fromVersion: Long,
+      toVersion: Long): Seq[Long] =
+    (legacyEntries(dir).map(_.version) ++
+      listVersioned(dir, CommitPrefix).map(_._1))
+      .filter(v => v > fromVersion && v <= toVersion).distinct.sorted
 
   /** Write `changes` (full table schema + [[ChangeTypeCol]]) as CDC
     * sidecar files in `dir`, returning their manifest entries at

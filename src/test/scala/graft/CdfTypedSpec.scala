@@ -98,6 +98,50 @@ class CdfTypedSpec extends SparkSpec {
       .filter(col("_change_type") === "insert").count() == 50L)
   }
 
+  test("replication: the mirror follows updates AND deletes at delta " +
+      "cost and stays row-identical") {
+    import graft.sources.Replication
+    val base = tmp()
+    val src = s"$base/src"; val dst = s"$base/dst"
+    mkTable(src, n = 500)
+    val s0 = Replication.sync(spark, src, dst, "id")
+    assert(s0.mode == "bootstrap")
+    assert(Replication.identical(spark, src, dst))
+    // a merge (updates+inserts), a range delete, an append
+    GraftLog.mergeUpsert(spark, src, spark.range(10)
+      .selectExpr("id", "id + 9999 AS v"), "id")
+    GraftLog.deleteRange(spark, src, "id", 100L, 150L)
+    spark.range(2000, 2100).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val s1 = Replication.sync(spark, src, dst, "id")
+    assert(s1.mode == "incremental" && s1.versionsApplied == 3)
+    assert(Replication.identical(spark, src, dst),
+      "mirror diverged after update+delete+append")
+    assert(spark.read.format(Fmt).option("path", dst).load()
+      .count() == 500 - 50 + 100)
+    // re-sync is a noop; a crashed-and-retried span re-applies
+    // harmlessly (idempotent ops)
+    assert(Replication.sync(spark, src, dst, "id").mode == "noop")
+    // a mass purge (unconditional delete) re-seeds rather than
+    // shipping every key through the driver
+    GraftLog.deleteWhere(spark, src, Array.empty)
+    val s2 = Replication.sync(spark, src, dst, "id")
+    assert(s2.mode == "incremental")
+    assert(spark.read.format(Fmt).option("path", dst).load()
+      .count() == 0L)
+    assert(Replication.identical(spark, src, dst))
+  }
+
+  test("replication without source CDC rejects loudly") {
+    import graft.sources.Replication
+    val base = tmp()
+    val src = s"$base/src"
+    spark.range(10).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    assertThrows[IllegalArgumentException](
+      Replication.sync(spark, src, s"$base/dst", "id"))
+  }
+
   test("snapshot reads never see CDC rows; vacuum keeps referenced " +
       "sidecars and expire-history reclaims them") {
     val dir = tmp(); mkTable(dir)
