@@ -35,7 +35,8 @@ object GraftProcedures {
     Seq("compact", "vacuum", "optimize_zorder", "restore",
       "set_ref", "drop_ref", "expire_log", "delete_mor",
       "publish_staged", "drop_staged",
-      "create_branch", "fast_forward", "drop_branch", "refresh_mv")
+      "create_branch", "fast_forward", "drop_branch", "refresh_mv",
+      "sync_replica")
 
   /** One-row, driver-local result set. */
   private case class ResultScan(schema: StructType,
@@ -277,6 +278,29 @@ object GraftProcedures {
           Array(org.apache.spark.unsafe.types.UTF8String
             .fromString(r.mode),
             r.srcVersion, r.deltaFiles, r.rewrittenMvFiles)
+        }
+      }
+      case "sync_replica" => new Proc("sync_replica",
+          "bring a mirror table up to date with a CDC-enabled source " +
+            "over the typed change feed — updates AND deletes " +
+            "propagate at delta cost (bootstraps the mirror on first " +
+            "call)",
+          Seq(param("source", StringType), param("mirror", StringType),
+            param("key_col", StringType)),
+          StructType(Seq(
+            StructField("mode", StringType, false),
+            StructField("src_version", LongType, false),
+            StructField("versions_applied", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] = {
+          // the mirror may not exist yet (bootstrap creates it)
+          val mirrorDir = (warehouse +:
+            args.getString(1).split('.').toSeq).mkString("/")
+          val r = Replication.sync(
+            org.apache.spark.sql.SparkSession.active,
+            dirOf(warehouse, args.getString(0)), mirrorDir,
+            args.getString(2))
+          Array(org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.mode), r.srcHead, r.versionsApplied)
         }
       }
       case other => throw new RuntimeException(

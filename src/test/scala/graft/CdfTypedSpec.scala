@@ -132,6 +132,37 @@ class CdfTypedSpec extends SparkSpec {
     assert(Replication.identical(spark, src, dst))
   }
 
+  test("CALL graftcat.system.sync_replica drives replication from " +
+      "plain SQL") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-repl-cat").toString
+    spark.conf.set("spark.sql.catalog.replcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.replcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS replcat.ns")
+      spark.sql("CREATE TABLE replcat.ns.src (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO replcat.ns.src
+        SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 200)""")
+      GraftLog.setProperties(s"$wh/ns/src",
+        Map("graft.cdf.enabled" -> "true"))
+      val r0 = spark.sql("""CALL replcat.system.sync_replica(
+        source => 'ns.src', mirror => 'ns.dst', key_col => 'id')""")
+        .head
+      assert(r0.getString(0) == "bootstrap")
+      spark.sql("DELETE FROM replcat.ns.src WHERE id < 50")
+      val r1 = spark.sql("""CALL replcat.system.sync_replica(
+        source => 'ns.src', mirror => 'ns.dst', key_col => 'id')""")
+        .head
+      assert(r1.getString(0) == "incremental")
+      assert(spark.sql("SELECT COUNT(*) FROM replcat.ns.dst")
+        .head.getLong(0) == 150L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.replcat")
+      spark.conf.unset("spark.sql.catalog.replcat.warehouse")
+    }
+  }
+
   test("replication without source CDC rejects loudly") {
     import graft.sources.Replication
     val base = tmp()
