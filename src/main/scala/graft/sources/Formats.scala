@@ -837,25 +837,28 @@ object Formats {
     // fully closed-form: 100 updates (pre+post), 50 inserts, 100
     // range-deletes over a known id layout.
     "sink_log_cdf_typed" -> ((s, d) => {
-      val base = s"/tmp/graft_log_cdft/${new java.io.File(d).getName}"
-      val dir = s"$base/t"
-      rebuildOnce(cdfTypedBuilt, base) {
-        s.range(0, 3000).selectExpr("id",
-            "CAST(id % 10 AS BIGINT) AS bucket", "id AS v")
-          .coalesce(2)
-          .write.format("graft.sources.GraftLogSource")
-          .option("path", dir).mode("append").save()
-        GraftLog.setProperties(dir, Map("graft.cdf.enabled" -> "true"))
-        val batch = s.range(0, 100).selectExpr("id",
-            "CAST(id % 10 AS BIGINT) AS bucket",
-            "id + 100000 AS v")
-          .union(s.range(10000, 10050).selectExpr("id",
-            "CAST(id % 10 AS BIGINT) AS bucket", "id AS v"))
-        GraftLog.mergeUpsert(s, dir, batch, "id")
-        GraftLog.deleteRange(s, dir, "id", 200L, 300L)
-        ()
-      }
+      val dir = ensureCdfTypedFixture(s, d)
       GraftLog.typedChanges(s, dir, fromVersion = 0L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("v")).as("sum_v"))
+        .select(col("change_type"), col("n"), col("sum_id"),
+          col("sum_v"))
+    }),
+
+    // The snapshot-DIFF changelog (Iceberg create_changelog_view with
+    // compute_updates): the SAME typed changes recovered with NO
+    // sidecars, by a key-based full-outer diff of the two snapshots —
+    // the retroactive path that covers writers the sidecar feed
+    // cannot (SQL UPDATE/MERGE ride Spark's replace-data plan). On
+    // this fixture each key changes at most once, so the key-NET diff
+    // equals the per-version sidecar feed exactly — one oracle, two
+    // independent mechanisms.
+    "sink_log_changelog_diff" -> ((s, d) => {
+      import graft.sources.Replication
+      val dir = ensureCdfTypedFixture(s, d)
+      Replication.changesByDiff(s, dir, "id", 0L,
+          GraftLog.currentVersion(dir))
         .groupBy(col("_change_type").as("change_type"))
         .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
           sum(col("v")).as("sum_v"))
@@ -1673,6 +1676,31 @@ object Formats {
       String, (Boolean, Boolean)]()
   private val cdfTypedBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
+
+  /** Shared CDC fixture: a 3000-row table (v0), a merge updating ids
+    * 0..99 and inserting 10000..10049 (v1), a range delete of
+    * [200, 300) (v2) — sidecars on, each key touched at most once. */
+  private def ensureCdfTypedFixture(s: SparkSession, d: String): String = {
+    val base = s"/tmp/graft_log_cdft/${new java.io.File(d).getName}"
+    val dir = s"$base/t"
+    rebuildOnce(cdfTypedBuilt, base) {
+      s.range(0, 3000).selectExpr("id",
+          "CAST(id % 10 AS BIGINT) AS bucket", "id AS v")
+        .coalesce(2)
+        .write.format("graft.sources.GraftLogSource")
+        .option("path", dir).mode("append").save()
+      GraftLog.setProperties(dir, Map("graft.cdf.enabled" -> "true"))
+      val batch = s.range(0, 100).selectExpr("id",
+          "CAST(id % 10 AS BIGINT) AS bucket",
+          "id + 100000 AS v")
+        .union(s.range(10000, 10050).selectExpr("id",
+          "CAST(id % 10 AS BIGINT) AS bucket", "id AS v"))
+      GraftLog.mergeUpsert(s, dir, batch, "id")
+      GraftLog.deleteRange(s, dir, "id", 200L, 300L)
+      ()
+    }
+    dir
+  }
   // (modesOk, mirrorIdentical)
   private val replStats =
     new scala.collection.concurrent.TrieMap[
@@ -2041,6 +2069,23 @@ object Formats {
            TRUE AS modes_ok,
            TRUE AS mirror_identical
          FROM final""",
+    // same closed forms as sink_log_cdf_typed: on this fixture the
+    // key-net diff equals the per-version sidecar feed.
+    "sink_log_changelog_diff" ->
+      """SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+         FROM (
+           SELECT 'update_preimage' AS change_type, id, id AS v
+             FROM range(0, 100) t(id)
+           UNION ALL
+           SELECT 'update_postimage', id, id + 100000
+             FROM range(0, 100) t(id)
+           UNION ALL
+           SELECT 'insert', id, id FROM range(10000, 10050) t(id)
+           UNION ALL
+           SELECT 'delete', id, id FROM range(200, 300) t(id))
+         GROUP BY change_type""",
     // closed forms: updates touch ids 0..99 (v was id, becomes
     // id+100000), inserts add ids 10000..10049 (v=id), the range
     // delete removes ids 200..299 (v=id).

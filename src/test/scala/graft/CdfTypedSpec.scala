@@ -163,6 +163,43 @@ class CdfTypedSpec extends SparkSpec {
     }
   }
 
+  test("snapshot-diff changelog recovers typed changes for writers " +
+      "that emit no sidecars (SQL UPDATE path)") {
+    import graft.sources.Replication
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-diff-cat").toString
+    spark.conf.set("spark.sql.catalog.diffcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.diffcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS diffcat.ns")
+      spark.sql("CREATE TABLE diffcat.ns.t (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO diffcat.ns.t
+        SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 100)""")
+      val dir = s"$wh/ns/t"
+      val v0 = GraftLog.currentVersion(dir)
+      // the row-level-operation path: NO sidecars, yet the diff
+      // recovers the update as a pre/post pair
+      spark.sql("UPDATE diffcat.ns.t SET v = v + 1000 WHERE id < 3")
+      spark.sql("""INSERT INTO diffcat.ns.t
+        SELECT /*+ REPARTITION(1) */ id, id FROM range(500, 510)""")
+      spark.sql("DELETE FROM diffcat.ns.t WHERE id IN (50, 51)")
+      val v1 = GraftLog.currentVersion(dir)
+      val ch = Replication.changesByDiff(spark, dir, "id", v0, v1)
+        .collect()
+        .map(r => (r.getString(2), r.getLong(0), r.getLong(1))).toSet
+      val expected =
+        (0L until 3L).map(k => ("update_preimage", k, k)).toSet ++
+          (0L until 3L).map(k => ("update_postimage", k, k + 1000)) ++
+          (500L until 510L).map(k => ("insert", k, k)) ++
+          Seq(("delete", 50L, 50L), ("delete", 51L, 51L))
+      assert(ch == expected, s"diff changelog wrong: $ch")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.diffcat")
+      spark.conf.unset("spark.sql.catalog.diffcat.warehouse")
+    }
+  }
+
   test("replication without source CDC rejects loudly") {
     import graft.sources.Replication
     val base = tmp()
