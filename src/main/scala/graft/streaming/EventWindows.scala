@@ -69,6 +69,28 @@ object EventWindows {
         .withWatermark("ts", "1 hour")
     }
 
+  /** Windowed APPROXIMATE distinct users via the mergeable HLL
+    * sketch — the constant-state form the sliding window's scaladoc
+    * promises for 100 TB: per-(window, type) streaming state is 512
+    * bytes however many users arrive (a collect_set grows with
+    * cardinality and an exact countDistinct is forbidden in streaming
+    * aggregation), and the sketch Aggregator runs IDENTICALLY in
+    * batch and streaming (same partial-merge fold), so the streaming
+    * sketches are bit-identical to the batch ones — pinned in
+    * StreamingSpec. */
+  def windowDistinctApprox(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.HllSketchStr
+          .toColumn(col("user_id").cast("string")).as("sk"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sk"))
+
+  def windowDistinctApproxStream(spark: SparkSession,
+      sfDir: String): DataFrame =
+    windowDistinctApprox(eventStream(spark, sfDir))
+
   /** The streaming form of `tumbling` — the identical aggregation applied
     * to the unbounded source. */
   def tumblingStream(spark: SparkSession, sfDir: String): DataFrame =
@@ -210,11 +232,41 @@ object EventWindows {
           col("running_total"))),
     "stream_stream_join" -> ((s, d) =>
       attributionAgg(Tables.events(s, d))),
+    // Batch face of windowDistinctApprox, gated on exact per-window
+    // distinct counts: the sketch estimate must land within the p=9
+    // bound in EVERY window (the exact twin is test-scale
+    // scaffolding a production stream drops for the 512-byte state).
+    "stream_window_distinct_approx" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val approx = windowDistinctApprox(ev)
+      val exact = ev
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users_exact"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_users_exact"))
+      // bound: 15% relative OR ±2 absolute — at tiny per-window
+      // counts (2-6 users) a single register collision is a 1-unit
+      // absolute error but a huge relative one
+      approx.join(exact, Seq("w_start", "event_type"))
+        .select(col("w_start"), col("event_type"), col("n_events"),
+          col("n_users_exact"),
+          (abs(graft.functions.HllSketchStr.estimate(col("sk")) -
+              col("n_users_exact")) <=
+            greatest(lit(2.0), col("n_users_exact") * 0.15))
+            .as("est_in_bound"))
+    }),
     "stream_dedup_replay" -> ((s, d) =>
       dedupReplay(Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_window_distinct_approx" ->
+      """SELECT time_bucket(INTERVAL '30 minutes',
+             CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS est_in_bound
+         FROM events GROUP BY 1, 2""",
     "stream_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
            AS w_start, event_type,

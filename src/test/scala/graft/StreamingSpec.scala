@@ -46,6 +46,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming windowed approximate-distinct sketches are " +
+      "bit-identical to the batch ones") {
+    val q = EventWindows.windowDistinctApproxStream(spark, sf0001)
+      .writeStream
+      .format("memory")
+      .queryName("wda_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("wda_test")
+      .select("w_start", "event_type", "n_events", "sk")
+      .collect().map(_.toSeq).toSet
+    val batch = EventWindows
+      .windowDistinctApprox(Tables.events(spark, sf0001))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "the sketch fold must be order-insensitive: stream == batch " +
+        "down to the sketch bytes")
+    assert(batch.nonEmpty)
+  }
+
   test("watermarked streaming dedup cancels an at-least-once replay " +
       "exactly") {
     val q = EventWindows.dedupReplayStream(spark, sf0001)
