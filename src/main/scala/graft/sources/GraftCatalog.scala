@@ -131,6 +131,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftLogTxnsTable(tableDir(base).getPath)
     }
+    // `t$cdc`: one row per version with its typed-feed coverage —
+    // the sync planner's map of which spans carry exact change types.
+    if (ident.name.endsWith("$cdc")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$cdc"))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftLogCdcTable(tableDir(base).getPath)
+    }
     // `t$stats`: one row per column with merged manifest statistics
     // (HLL NDV estimate, null count, min/max) — ANALYZE TABLE output
     // at metadata cost, no scan.

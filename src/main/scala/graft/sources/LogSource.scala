@@ -3799,6 +3799,70 @@ class GraftLogStatsTable(dir: String) extends Table with SupportsRead {
     }
 }
 
+/** The `t$cdc` metadata table: one row per committed version with its
+  * typed-feed coverage — (version, has_cdc, n_cdc_files, n_cdc_rows,
+  * n_add_files, n_add_rows) — what a downstream sync planner reads to
+  * know which spans carry exact change types and which fall back to
+  * adds-as-inserts. Walks the same O(history-span) commit listing the
+  * feed itself reads. */
+class GraftLogCdcTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft_log_cdc($dir)"
+  override def schema(): StructType = GraftLogCdcTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        private val rows: Seq[InternalRow] = {
+          val all = GraftLog.entries(dir)
+          all.groupBy(_.version).toSeq.sortBy(_._1).map {
+            case (v, es) =>
+              val cdc = es.filter(_.action == "cdc")
+              val adds = es.filter(e => e.isAdd && e.dataChange)
+              new GenericInternalRow(Array[Any](
+                v, cdc.nonEmpty, cdc.size.toLong,
+                cdc.map(e => math.max(e.rows, 0L)).sum,
+                adds.size.toLong,
+                adds.map(e => math.max(e.rows, 0L)).sum))
+          }
+        }
+        override def readSchema(): StructType = GraftLogCdcTable.Schema
+        override def toBatch: Batch = this
+        override def description(): String =
+          s"graft_log_cdc $dir versions=${rows.size}"
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftLogStatsPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val it = p.asInstanceOf[GraftLogStatsPartition]
+                .rows.iterator
+              new PartitionReader[InternalRow] {
+                private var cur: InternalRow = _
+                override def next(): Boolean = {
+                  if (!it.hasNext) return false
+                  cur = it.next(); true
+                }
+                override def get(): InternalRow = cur
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+object GraftLogCdcTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("has_cdc", BooleanType, nullable = false),
+    StructField("n_cdc_files", LongType, nullable = false),
+    StructField("n_cdc_rows", LongType, nullable = false),
+    StructField("n_add_files", LongType, nullable = false),
+    StructField("n_add_rows", LongType, nullable = false)))
+}
+
 case class GraftLogStatsPartition(rows: Seq[InternalRow])
     extends InputPartition
 

@@ -210,6 +210,34 @@ class CdfTypedSpec extends SparkSpec {
       Replication.sync(spark, src, s"$base/dst", "id"))
   }
 
+  test("t$cdc maps which versions carry typed coverage") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-cdc-meta").toString
+    spark.conf.set("spark.sql.catalog.cdcmcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cdcmcat.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS cdcmcat.ns")
+      spark.sql("CREATE TABLE cdcmcat.ns.m (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO cdcmcat.ns.m
+        SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 100)""")
+      GraftLog.setProperties(s"$wh/ns/m",
+        Map("graft.cdf.enabled" -> "true"))
+      spark.sql("DELETE FROM cdcmcat.ns.m WHERE id < 10")
+      val rows = spark.sql("""SELECT version, has_cdc, n_cdc_rows,
+          n_add_rows FROM cdcmcat.ns.`m$cdc` ORDER BY version""")
+        .collect()
+      assert(rows.length == 2)
+      assert(!rows(0).getBoolean(1) && rows(0).getLong(3) == 100L,
+        "the append version has adds, no sidecars")
+      assert(rows(1).getBoolean(1) && rows(1).getLong(2) == 10L,
+        "the delete version carries 10 typed delete rows")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cdcmcat")
+      spark.conf.unset("spark.sql.catalog.cdcmcat.warehouse")
+    }
+  }
+
   test("snapshot reads never see CDC rows; vacuum keeps referenced " +
       "sidecars and expire-history reclaims them") {
     val dir = tmp(); mkTable(dir)
