@@ -263,6 +263,38 @@ object Formats {
           lit(idNulls == 0L && bNulls == 0L).as("nulls_exact"))
     }),
 
+    // The `t$cdc` metadata table through the driver gate: one row per
+    // committed version with its typed-feed coverage — which spans a
+    // downstream sync can replay with exact change types (has_cdc)
+    // and which fall back to adds-as-inserts. Closed form: the seed
+    // insert is a plain append (1000 add rows, no sidecars); the
+    // DELETE under graft.cdf.enabled publishes exactly the 50 deleted
+    // rows as typed sidecar rows in the same commit. Metadata-only:
+    // answered from the manifest, no data scan.
+    "sql_catalog_cdc_meta" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/cdcm"
+      rebuildOnce(cdcMetaBuilt, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.cdcm")
+        s.sql("CREATE TABLE graftq.ns.cdcm (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.cdcm
+                 SELECT /*+ REPARTITION(1) */ id, id
+                 FROM range(0, 1000)""")
+        GraftLog.setProperties(dir, Map("graft.cdf.enabled" -> "true"))
+        s.sql("DELETE FROM graftq.ns.cdcm WHERE id < 50")
+        true
+      }
+      s.sql("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(SUM(CASE WHEN has_cdc THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cdc_versions,
+               CAST(SUM(n_cdc_rows) AS BIGINT) AS total_cdc_rows,
+               CAST(SUM(CASE WHEN NOT has_cdc THEN n_add_rows
+                 ELSE 0 END) AS BIGINT) AS plain_add_rows
+        FROM graftq.ns.`cdcm$cdc`""")
+    }),
+
     // Named refs (Iceberg tags) + log expiration through the driver
     // gate: `first_batch` pins version 0 and reads by NAME; the log
     // then expires everything a checkpoint subsumes and the CURRENT
@@ -1674,6 +1706,8 @@ object Formats {
   private val mvDistinctStats =
     new scala.collection.concurrent.TrieMap[
       String, (Boolean, Boolean)]()
+  private val cdcMetaBuilt =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
   private val cdfTypedBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
 
@@ -2007,6 +2041,13 @@ object Formats {
            CAST(SUM(CASE WHEN id >= 9000 THEN -id ELSE id END)
              AS BIGINT) AS sum_v
          FROM range(0, 11000) t(id) WHERE id >= 500""",
+    // closed forms: version 0 = the 1000-row seed append (no
+    // sidecars); version 1 = the CDF-enabled DELETE of ids [0,50).
+    "sql_catalog_cdc_meta" ->
+      """SELECT CAST(2 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_cdc_versions,
+           CAST(50 AS BIGINT) AS total_cdc_rows,
+           CAST(1000 AS BIGINT) AS plain_add_rows""",
     "sink_log_file_meta" ->
       """SELECT CAST(8 AS BIGINT) AS n_files,
            CAST(50000 AS BIGINT) AS n_rows,
