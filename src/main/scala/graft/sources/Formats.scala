@@ -878,6 +878,39 @@ object Formats {
           col("sum_v"))
     }),
 
+    // The STREAMING typed change feed (Delta's streaming
+    // readChangeFeed): the same typed plan served as micro-batches on
+    // the version-offset axis — a continuous consumer follows
+    // updates, inserts, AND deletes with exactly-once checkpointed
+    // offsets, where the adds-only stream source could never express
+    // a delete. Drained with Trigger.AvailableNow into a sink table,
+    // then gated against the SAME closed forms as the batch feed —
+    // stream == batch on the shared fixture.
+    "sink_log_stream_cdf_typed" -> ((s, d) => {
+      val dir = ensureCdfTypedFixture(s, d)
+      val base =
+        s"/tmp/graft_log_cdfstream/${new java.io.File(d).getName}"
+      val sink = s"$base/sink"
+      rebuildOnce(cdfStreamBuilt, base) {
+        val q = GraftLog.typedChangesStream(s, dir, fromVersion = 0L)
+          .writeStream.format("graft.sources.GraftLogSource")
+          .option("path", sink)
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming
+            .Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        true
+      }
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", sink).load()
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("v")).as("sum_v"))
+        .select(col("change_type"), col("n"), col("sum_id"),
+          col("sum_v"))
+    }),
+
     // The snapshot-DIFF changelog (Iceberg create_changelog_view with
     // compute_updates): the SAME typed changes recovered with NO
     // sidecars, by a key-based full-outer diff of the two snapshots —
@@ -1708,6 +1741,8 @@ object Formats {
       String, (Boolean, Boolean)]()
   private val cdcMetaBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val cdfStreamBuilt =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
   private val cdfTypedBuilt =
     new scala.collection.concurrent.TrieMap[String, Unit]()
 
@@ -2113,6 +2148,23 @@ object Formats {
     // same closed forms as sink_log_cdf_typed: on this fixture the
     // key-net diff equals the per-version sidecar feed.
     "sink_log_changelog_diff" ->
+      """SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS sum_id,
+           CAST(SUM(v) AS BIGINT) AS sum_v
+         FROM (
+           SELECT 'update_preimage' AS change_type, id, id AS v
+             FROM range(0, 100) t(id)
+           UNION ALL
+           SELECT 'update_postimage', id, id + 100000
+             FROM range(0, 100) t(id)
+           UNION ALL
+           SELECT 'insert', id, id FROM range(10000, 10050) t(id)
+           UNION ALL
+           SELECT 'delete', id, id FROM range(200, 300) t(id))
+         GROUP BY change_type""",
+    // stream == batch: the drained typed stream carries the same
+    // closed forms as the batch feed on the shared fixture.
+    "sink_log_stream_cdf_typed" ->
       """SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(id) AS BIGINT) AS sum_id,
            CAST(SUM(v) AS BIGINT) AS sum_v

@@ -664,6 +664,27 @@ object GraftLog {
         coalesce(col(ChangeTypeCol), lit("insert")))
   }
 
+  /** Typed change feed as a STREAM (Delta's streaming
+    * `readChangeFeed`): micro-batches of the table schema plus
+    * [[ChangeTypeCol]], one version span per batch, resuming from the
+    * checkpointed version offset. Same typed-plan rule as the batch
+    * feed; rows from sidecar-less versions coalesce to `insert` here.
+    * Compose with `option("maxVersionsPerBatch", k)` upstream via
+    * `moreOptions` for throttled backfill. */
+  def typedChangesStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fromVersion: Long = -1L,
+      moreOptions: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    spark.readStream.format("graft.sources.GraftLogSource")
+      .option("path", dir)
+      .option("changesFromVersion", fromVersion.toString)
+      .option("readChangeFeed", "true")
+      .options(moreOptions)
+      .load()
+      .withColumn(ChangeTypeCol,
+        coalesce(col(ChangeTypeCol), lit("insert")))
+  }
+
   /** Committed versions in (fromVersion, toVersion], in order — the
     * axis a downstream applier walks. O(span) name listing. */
   def versionsBetween(dir: String, fromVersion: Long,
@@ -3169,16 +3190,11 @@ class GraftLogScan(dir: String, tableSchema: StructType,
   // Streaming read: the version log doubles as the stream's offset
   // axis. `changesFromVersion` (when set) seeds the stream past
   // history, the Delta `startingVersion` option.
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    // the streaming source's micro-batches are the untyped (adds-only)
-    // listing; serving a typed schema over them would silently drop
-    // deletes — reject rather than lie
-    require(!typedCdf, "readChangeFeed=true is batch-only — stream " +
-      "the version-offset source and call typedChanges per batch span")
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(dir, tableSchema, required,
       startVersion = changesFromVersion,
-      maxVersionsPerBatch = maxVersionsPerBatch)
-  }
+      maxVersionsPerBatch = maxVersionsPerBatch,
+      typed = typedCdf)
 
   /** CBO statistics from the manifest (post-skipping): row counts come
     * straight from the entries, bytes from the kept files' on-disk
@@ -3241,7 +3257,8 @@ class GraftLogScan(dir: String, tableSchema: StructType,
   * per-batch work is bounded by the append rate, not the table size. */
 class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
     required: StructType, startVersion: Long,
-    maxVersionsPerBatch: Option[Long] = None)
+    maxVersionsPerBatch: Option[Long] = None,
+    typed: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow: pin the target offset at query start so the
   // run drains exactly the versions committed before it began, then
@@ -3269,12 +3286,26 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
   override def deserializeOffset(json: String): StreamOffset =
     GraftLogOffset(json.toLong)
   override def commit(end: StreamOffset): Unit = ()
+  // Typed mode (`readChangeFeed=true` on readStream — Delta's
+  // streaming CDF): each micro-batch is the TYPED change plan for its
+  // version span — a version that committed CDC sidecars contributes
+  // those (exact per-row change types, deletes and update pre/post
+  // images included, never a rewrite's carried rows); a version
+  // without sidecars contributes its dataChange adds, whose rows read
+  // NULL `_change_type` (pure inserts by construction —
+  // [[GraftLog.typedChangesStream]] coalesces). Offsets stay plain
+  // versions, so replay after a checkpoint restore re-plans the exact
+  // same typed span — the exactly-once contract downstream appliers
+  // (replication, CDC merge) rely on.
   override def planInputPartitions(start: StreamOffset,
-      end: StreamOffset): Array[InputPartition] =
-    GraftLog.changedEntriesBetween(dir,
-        start.asInstanceOf[GraftLogOffset].version,
-        end.asInstanceOf[GraftLogOffset].version)
-      .map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
+      end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLogOffset].version
+    val e = end.asInstanceOf[GraftLogOffset].version
+    val entries =
+      if (typed) GraftLog.typedChangedEntriesBetween(dir, s, e)
+      else GraftLog.changedEntriesBetween(dir, s, e)
+    entries.map(e => GraftLogPartition(dir, e.file, e.cols)).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLogReaderFactory(tableSchema, required)
   override def stop(): Unit = ()

@@ -210,6 +210,42 @@ class CdfTypedSpec extends SparkSpec {
       Replication.sync(spark, src, s"$base/dst", "id"))
   }
 
+  test("streaming typed feed == batch typed feed, and a checkpoint " +
+      "restart resumes past consumed versions exactly once") {
+    val dir = tmp(); mkTable(dir)
+    GraftLog.mergeUpsert(spark, dir, spark.range(3)
+      .selectExpr("id", "id * 100 AS v"), "id")
+    GraftLog.deleteRange(spark, dir, "id", 50L, 55L)
+    val ckpt = tmp(); val sink = tmp()
+    def drain(): Unit = {
+      val q = GraftLog.typedChangesStream(spark, dir)
+        .writeStream.format(Fmt).option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+    def rows(df: DataFrame): Set[(String, Long, Long)] = df
+      .select(col("_change_type"), col("id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val streamed1 = rows(spark.read.format(Fmt)
+      .option("path", sink).load())
+    assert(streamed1 == rows(feed(dir)),
+      "the drained stream must equal the batch typed feed exactly")
+    // new commits after the checkpoint: a restart ships ONLY those
+    GraftLog.deleteRange(spark, dir, "id", 60L, 62L)
+    drain()
+    val streamed2 = rows(spark.read.format(Fmt)
+      .option("path", sink).load())
+    assert(streamed2 == rows(feed(dir)),
+      "restart must append exactly the new span — no replays, no gaps")
+    assert((streamed2 -- streamed1) ==
+      Set(("delete", 60L, 600L), ("delete", 61L, 610L)),
+      "the second drain carries exactly the post-checkpoint deletes")
+  }
+
   test("t$cdc maps which versions carry typed coverage") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft-cdc-meta").toString
