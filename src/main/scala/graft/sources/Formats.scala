@@ -295,6 +295,113 @@ object Formats {
         FROM graftq.ns.`cdcm$cdc`""")
     }),
 
+    // RENAME COLUMN through the driver gate (Delta column-mapping
+    // 'name' mode in miniature): metadata-only — the schema field
+    // records its former name and every consumer resolves each file's
+    // LOCAL name through the trail, so pre-rename files keep serving
+    // their data AND their stats pruning. Gated boolean: a filter on
+    // the renamed column still skips the pre-rename file whose range
+    // excludes it (files=1/2 in the plan), while the aggregate spans
+    // both vintages.
+    "sql_catalog_rename_col" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/ren_t"
+      rebuildOnce(renameColBuilt, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.ren_t")
+        s.sql("CREATE TABLE graftq.ns.ren_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.ren_t
+                 SELECT /*+ REPARTITION(1) */ id, id * 3
+                 FROM range(0, 2000)""")
+        s.sql("ALTER TABLE graftq.ns.ren_t RENAME COLUMN v TO score")
+        s.sql("""INSERT INTO graftq.ns.ren_t
+                 SELECT /*+ REPARTITION(1) */ id, id * 3
+                 FROM range(2000, 2500)""")
+        true
+      }
+      val hi = s.sql(
+        "SELECT * FROM graftq.ns.ren_t WHERE score >= 6000")
+      val prunedOk = hi.queryExecution.executedPlan.toString
+        .contains("files=1/2")
+      s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(score) AS BIGINT) AS sum_score
+               FROM graftq.ns.ren_t""")
+        .select(col("n_rows"), col("sum_score"),
+          lit(prunedOk).as("former_name_stats_prune"))
+    }),
+
+    // Type WIDENING through the driver gate (the Delta 4.0 feature,
+    // metadata-only here by construction: part-file cells are decimal
+    // text, so re-typing the schema field re-decodes every vintage
+    // exactly). The post-widen insert exceeds the old INT range —
+    // the operation the widen exists for — and the manifest min/max
+    // aggregate keeps answering across both vintages (gated boolean).
+    "sql_catalog_widen_col" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/widet"
+      rebuildOnce(widenColBuilt, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.widet")
+        s.sql("CREATE TABLE graftq.ns.widet (id BIGINT, n INT)")
+        s.sql("""INSERT INTO graftq.ns.widet
+                 SELECT /*+ REPARTITION(1) */ id, CAST(id AS INT)
+                 FROM range(0, 2000)""")
+        s.sql("ALTER TABLE graftq.ns.widet ALTER COLUMN n TYPE BIGINT")
+        s.sql("""INSERT INTO graftq.ns.widet
+                 SELECT /*+ REPARTITION(1) */ id, id * 10000000
+                 FROM range(2000, 2500)""")
+        true
+      }
+      val metaOk = s.sql("SELECT MIN(n), MAX(n) FROM graftq.ns.widet")
+        .queryExecution.executedPlan.toString.contains("metaCount=")
+      s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n) AS BIGINT) AS sum_n
+               FROM graftq.ns.widet""")
+        .select(col("n_rows"), col("sum_n"),
+          lit(metaOk).as("meta_agg_spans_vintages"))
+    }),
+
+    // DROP COLUMN through the driver gate: metadata-only — the schema
+    // narrows, old files keep their now-invisible cells until
+    // compaction physically purges them, and the name TOMBSTONES
+    // (old cells still key under it, so a re-added column would
+    // silently resurrect stale values — the hazard Iceberg's field
+    // ids exist to prevent; a name-keyed format must reject reuse).
+    "sql_catalog_drop_col" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/dropt"
+      val (readdRejected, cellsPurged) =
+        rebuildOnce(dropColBuilt, dir) {
+          s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+          s.sql("DROP TABLE IF EXISTS graftq.ns.dropt")
+          s.sql("""CREATE TABLE graftq.ns.dropt
+                   (id BIGINT, keep BIGINT, junk BIGINT)""")
+          (0 until 2).foreach(i => s.sql(
+            s"""INSERT INTO graftq.ns.dropt
+                SELECT /*+ REPARTITION(1) */ id, id * 2, id * 7
+                FROM range(${i * 1000}, ${i * 1000 + 1000})"""))
+          s.sql("ALTER TABLE graftq.ns.dropt DROP COLUMN junk")
+          val rejected =
+            try {
+              s.sql("ALTER TABLE graftq.ns.dropt ADD COLUMN junk BIGINT")
+              false
+            } catch {
+              case e: Exception => Option(e.getMessage)
+                .exists(_.contains("previously used"))
+            }
+          s.sql("CALL graftq.system.compact(table => 'ns.dropt')")
+          val purged = GraftLog.entriesAsOf(dir, Long.MaxValue)
+            .forall(e => e.cols == Seq("id", "keep"))
+          (rejected, purged)
+        }
+      s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(keep) AS BIGINT) AS sum_keep
+               FROM graftq.ns.dropt""")
+        .select(col("n_rows"), col("sum_keep"),
+          lit(readdRejected).as("tombstone_rejects_readd"),
+          lit(cellsPurged).as("compaction_purges_cells"))
+    }),
+
     // Named refs (Iceberg tags) + log expiration through the driver
     // gate: `first_batch` pins version 0 and reads by NAME; the log
     // then expires everything a checkpoint subsumes and the CURRENT
@@ -1741,6 +1848,12 @@ object Formats {
       String, (Boolean, Boolean)]()
   private val cdcMetaBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val widenColBuilt =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val renameColBuilt =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val dropColBuilt =
+    new scala.collection.concurrent.TrieMap[String, (Boolean, Boolean)]()
   private val cdfStreamBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
   private val cdfTypedBuilt =
@@ -2076,6 +2189,27 @@ object Formats {
            CAST(SUM(CASE WHEN id >= 9000 THEN -id ELSE id END)
              AS BIGINT) AS sum_v
          FROM range(0, 11000) t(id) WHERE id >= 500""",
+    // closed forms: 2000 int-vintage rows (n = id) + 500 post-widen
+    // rows (n = id * 1e7, beyond the old INT range).
+    "sql_catalog_widen_col" ->
+      """SELECT CAST(2500 AS BIGINT) AS n_rows,
+           (SELECT CAST(SUM(id) AS BIGINT) FROM range(0, 2000) t(id)) +
+           (SELECT CAST(SUM(id * 10000000) AS BIGINT)
+            FROM range(2000, 2500) t(id)) AS sum_n,
+           TRUE AS meta_agg_spans_vintages""",
+    // closed forms: 2000 pre-rename + 500 post-rename rows, score =
+    // 3*id throughout; pruning gated as a boolean.
+    "sql_catalog_rename_col" ->
+      """SELECT CAST(2500 AS BIGINT) AS n_rows,
+           CAST(3 * 2500 * 2499 / 2 AS BIGINT) AS sum_score,
+           TRUE AS former_name_stats_prune""",
+    // closed forms: 2000 rows, keep = 2*id; the tombstone and the
+    // compaction purge gated as booleans.
+    "sql_catalog_drop_col" ->
+      """SELECT CAST(2000 AS BIGINT) AS n_rows,
+           CAST(2 * 2000 * 1999 / 2 AS BIGINT) AS sum_keep,
+           TRUE AS tombstone_rejects_readd,
+           TRUE AS compaction_purges_cells""",
     // closed forms: version 0 = the 1000-row seed append (no
     // sidecars); version 1 = the CDF-enabled DELETE of ids [0,50).
     "sql_catalog_cdc_meta" ->

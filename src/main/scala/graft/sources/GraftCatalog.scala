@@ -343,13 +343,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       replace = true)
   }
 
-  /** `ALTER TABLE t ADD COLUMN c <type>` — the DDL face of the
-    * format's additive schema evolution: the stored schema widens with
-    * the new column (always nullable: every pre-alter file predates it
-    * and its rows read NULL, the same contract a widening append
-    * establishes). Anything other than a top-level ADD COLUMN rejects
-    * loudly — type changes and drops would strand the already-written
-    * part files. */
+  /** The DDL face of the format's schema evolution: ADD COLUMN
+    * (additive widen — always nullable: every pre-alter file predates
+    * it and its rows read NULL), RENAME COLUMN (metadata-only via the
+    * former-name trail), and DROP COLUMN (metadata-only narrow with a
+    * tombstoned name). Type changes reject loudly — they would strand
+    * the already-written part files. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -374,8 +373,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft-log ADD COLUMN $colName cannot carry a DEFAULT: " +
             "pre-alter rows read NULL, not the default " +
             "(declare defaults at CREATE TABLE)")
+        // a renamed column's former name or a dropped column's
+        // tombstone still keys cells in old part files — a new
+        // column may not claim it
+        require(!GraftLog.reservedNames(dir, sch).contains(colName),
+          s"cannot add column '$colName': the name was previously " +
+            "used by a renamed or dropped column (old files still " +
+            "carry cells under it)")
         sch.add(org.apache.spark.sql.types.StructField(
           colName, add.dataType, nullable = true))
+      // `ALTER TABLE t RENAME COLUMN a TO b` — metadata-only: the
+      // schema field renames and records its former name, so every
+      // pre-rename file keeps serving its data (and its stats/bloom
+      // pruning) through the recorded trail. No part file changes.
+      case (sch, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames.length == 1,
+          "graft-log supports only top-level RENAME COLUMN")
+        GraftLog.renameColumn(dir, rn.fieldNames()(0), rn.newName)
+        GraftLog.storedSchema(dir).getOrElse(sch)
+      // `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — metadata-only
+      // type widening (the Delta 4.0 feature): cells are decimal
+      // text, so re-typing the schema field re-decodes every file
+      // exactly; lossy changes reject inside widenColumn.
+      case (sch, up: TableChange.UpdateColumnType) =>
+        require(up.fieldNames.length == 1,
+          "graft-log supports only top-level ALTER COLUMN TYPE")
+        GraftLog.widenColumn(dir, up.fieldNames()(0), up.newDataType)
+        GraftLog.storedSchema(dir).getOrElse(sch)
+      // `ALTER TABLE t DROP COLUMN c` — metadata-only: the stored
+      // schema narrows (old files keep their now-invisible cells
+      // until compaction physically purges them) and the name
+      // tombstones so no later column resurrects the orphaned cells.
+      case (sch, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames.length == 1,
+          "graft-log supports only top-level DROP COLUMN")
+        GraftLog.dropColumn(dir, del.fieldNames()(0))
+        GraftLog.storedSchema(dir).getOrElse(sch)
       // `ALTER TABLE t ADD CONSTRAINT name CHECK (...)` — stored in the
       // table's `_constraints` file and reported ENFORCED via
       // Table.constraints(), so Spark's own write path validates every

@@ -302,7 +302,11 @@ object GraftLog {
     val incomingByName = incoming.fields.map(f => f.name -> f).toMap
     existing.fields.foreach { ef =>
       incomingByName.get(ef.name).foreach { inf =>
-        require(inf.dataType == ef.dataType,
+        // an incoming NARROWER type is admitted after a widening
+        // ALTER: the merge keeps the stored (wider) type and Spark's
+        // store-assignment cast lifts the frame to it
+        require(inf.dataType == ef.dataType ||
+            SafeWidenings.contains(inf.dataType -> ef.dataType),
           s"graft-log schema evolution cannot change column '${ef.name}' " +
             s"from ${ef.dataType.simpleString} to ${inf.dataType.simpleString}")
       }
@@ -313,6 +317,186 @@ object GraftLog {
     val added = incoming.fields.filter(f => !existingNames.contains(f.name))
       .map(_.copy(nullable = true))
     StructType(kept ++ added)
+  }
+
+  // ---- column rename / drop (Delta column-mapping 'name' mode in
+  // miniature) ------------------------------------------------------
+  /** Field-metadata key listing the names this column was previously
+    * written under, newest first. Part files are name-keyed, so
+    * RENAME COLUMN is metadata-only: the trail recorded here lets
+    * readers, stats skipping, and compaction resolve each file's
+    * LOCAL name for the column — no data rewrite, and files written
+    * after the rename carry the new name natively. */
+  val FormerlyKey = "graft.formerly"
+  /** Table property tombstoning every name DROP COLUMN retired
+    * (including the dropped column's former names). A name-keyed
+    * format can never re-admit such a name: old part files still
+    * carry cells under it, and a re-added column would silently
+    * resurrect their stale values — the exact hazard Iceberg's field
+    * ids and Delta's physical names exist to prevent. Rejecting reuse
+    * keeps name-keying sound without per-file id maps. */
+  val DroppedColsProp = "graft.cols.dropped"
+
+  /** The names this schema field was previously written under. */
+  def formerNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(FormerlyKey))
+      f.metadata.getStringArray(FormerlyKey).toSeq
+    else Seq.empty
+
+  /** Every name no NEW column may take: the former names of live
+    * columns (their cells still exist in old files) and every
+    * tombstoned dropped name. */
+  def reservedNames(dir: String, schema: StructType): Set[String] =
+    schema.fields.flatMap(formerNames).toSet ++
+      propertiesOf(dir).get(DroppedColsProp)
+        .map(_.split(",").filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+
+  /** Additive evolution must never claim a RESERVED name — the former
+    * name of a renamed live column, or a dropped column's tombstone:
+    * old files still carry cells under it, and a new column taking
+    * the name would silently resurrect their stale values. Called by
+    * every non-truncating write path that merges an incoming schema
+    * (an overwrite replaces all data, so it frees the names). */
+  def requireNoReservedAdds(dir: String, merged: StructType): Unit =
+    storedSchema(dir).foreach { stored =>
+      val fresh = merged.fieldNames.toSet -- stored.fieldNames.toSet
+      if (fresh.nonEmpty) {
+        val hit = fresh.intersect(reservedNames(dir, stored))
+        require(hit.isEmpty,
+          s"cannot add column(s) ${hit.mkString(", ")} at $dir: the " +
+            "name was previously used by a renamed or dropped " +
+            "column (old files still carry cells under it) — pick " +
+            "a different name")
+      }
+    }
+
+  /** The name under which the part file behind `e` wrote schema
+    * column `name` — `name` itself unless the file predates a rename,
+    * in which case the column's recorded former name that appears in
+    * the file's own column list applies. Entries with no column
+    * record wrote the then-current schema positionally; a rename
+    * never changes position or count, so their positional mapping
+    * under the CURRENT names stays correct. */
+  def fileLocalName(schema: StructType, e: LogEntry,
+      name: String): String =
+    if (e.cols.isEmpty || e.cols.contains(name)) name
+    else schema.fields.find(_.name == name)
+      .flatMap(f => formerNames(f).find(e.cols.contains))
+      .getOrElse(name)
+
+  /** Shared guard for rename/drop: the column must not anchor the
+    * table's identity partitioning (per-file partition-value records
+    * and layout grouping are keyed by it) and must not be referenced
+    * by a CHECK constraint (its stored SQL would silently stop
+    * resolving). */
+  private def requireUnanchored(dir: String, name: String,
+      op: String): Unit = {
+    require(!partitionColOf(dir).contains(name),
+      s"cannot $op column '$name': it is the table's partition " +
+        "column")
+    val word = ("""(?i)(?<![\w`])""" +
+      java.util.regex.Pattern.quote(name) + """(?![\w`])""").r
+    constraintsOf(dir).foreach { case (cn, sql) =>
+      require(word.findFirstIn(sql).isEmpty,
+        s"cannot $op column '$name': CHECK constraint $cn " +
+          s"references it ($sql) — drop the constraint first")
+    }
+  }
+
+  /** RENAME COLUMN from → to: metadata-only (no part file changes).
+    * The new field keeps its type, nullability, and metadata, and
+    * records `from` at the head of its former-name trail so every
+    * pre-rename file keeps serving its data. */
+  def renameColumn(dir: String, from: String, to: String): Unit =
+    synchronized {
+      val schema = storedSchema(dir).getOrElse(
+        throw new IllegalArgumentException(s"no graft-log table at $dir"))
+      val f = schema.fields.find(_.name == from).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$from' at $dir"))
+      require(!schema.fieldNames.contains(to),
+        s"cannot rename '$from' to '$to': column already exists")
+      require(!reservedNames(dir, schema).contains(to),
+        s"cannot rename '$from' to '$to': the name was previously " +
+          "used by another column (old files still carry cells " +
+          "under it)")
+      requireUnanchored(dir, from, "rename")
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putStringArray(FormerlyKey,
+          (from +: formerNames(f)).toArray)
+        .build()
+      val updated = StructType(schema.fields.map(x =>
+        if (x.name == from) x.copy(name = to, metadata = meta) else x))
+      atomicWrite(Paths.get(dir, SchemaFile),
+        updated.json.getBytes(StandardCharsets.UTF_8))
+    }
+
+  /** Safe type WIDENINGS (the Delta 4.0 type-widening feature, free
+    * here by construction): part-file cells are decimal text, so a
+    * reader decoding them at the wider type is exact — no rewrite, no
+    * per-file conversion. Long→Double is deliberately absent: longs
+    * beyond 2^53 would silently lose precision through the double
+    * parse. */
+  val SafeWidenings: Set[(DataType, DataType)] =
+    Set(IntegerType -> LongType, IntegerType -> DoubleType)
+
+  /** ALTER COLUMN type widening: metadata-only — the stored schema
+    * re-types the field and every file (old and new) keeps decoding
+    * exactly, because the on-disk cells are text. Narrowings and
+    * lossy changes reject loudly. */
+  def widenColumn(dir: String, name: String, to: DataType): Unit =
+    synchronized {
+      val schema = storedSchema(dir).getOrElse(
+        throw new IllegalArgumentException(s"no graft-log table at $dir"))
+      val f = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' at $dir"))
+      if (f.dataType == to) return
+      require(SafeWidenings.contains(f.dataType -> to),
+        s"cannot change column '$name' from " +
+          s"${f.dataType.simpleString} to ${to.simpleString}: only " +
+          "lossless widenings (" + SafeWidenings.map { case (a, b) =>
+            s"${a.simpleString}->${b.simpleString}" }.mkString(", ") +
+          ") are metadata-safe on the text encoding")
+      require(!partitionColOf(dir).contains(name),
+        s"cannot widen column '$name': it is the table's partition " +
+          "column (per-file partition-value records are typed)")
+      val updated = StructType(schema.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to) else x))
+      atomicWrite(Paths.get(dir, SchemaFile),
+        updated.json.getBytes(StandardCharsets.UTF_8))
+    }
+
+  /** DROP COLUMN: metadata-only — the stored schema narrows, old
+    * files keep their (now invisible) cells, and the name plus its
+    * former-name trail tombstone so no later column can claim the
+    * orphaned cells. Requires every live file to carry a column
+    * record: a pre-evolution file is read positionally under the
+    * CURRENT schema, and narrowing it would shift every later
+    * column's cells (compact() stamps records on such tables). */
+  def dropColumn(dir: String, name: String): Unit = synchronized {
+    val schema = storedSchema(dir).getOrElse(
+      throw new IllegalArgumentException(s"no graft-log table at $dir"))
+    val f = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' at $dir"))
+    require(schema.fields.length > 1,
+      s"cannot drop '$name': it is the table's only column")
+    requireUnanchored(dir, name, "drop")
+    val colsless = entriesAsOf(dir, Long.MaxValue)
+      .filter(e => e.cols.isEmpty && e.rows != 0L)
+    require(colsless.isEmpty,
+      s"cannot drop '$name': ${colsless.size} live file(s) carry no " +
+        "column record and are read positionally — run compact() " +
+        "first to rewrite them into the recorded layout")
+    val updated = StructType(schema.fields.filterNot(_.name == name))
+    val dead = (name +: formerNames(f)) ++
+      propertiesOf(dir).get(DroppedColsProp).toSeq
+        .flatMap(_.split(",").filter(_.nonEmpty))
+    setProperties(dir,
+      Map(DroppedColsProp -> dead.distinct.mkString(",")))
+    atomicWrite(Paths.get(dir, SchemaFile),
+      updated.json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Default vacuum retention: part files younger than this are never
@@ -368,6 +552,7 @@ object GraftLog {
     if (!committedEpochs(dir).contains(epochId)) {
       val merged =
         storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
+      requireNoReservedAdds(dir, merged)
       // An empty epoch records its id (idempotence) but commits no
       // version — a data-less commit would only pad the log.
       if (files.nonEmpty)
@@ -1414,12 +1599,17 @@ object GraftLog {
           Map.empty[String, (String, String)]
         else {
           val num = (s: String) => new java.math.BigDecimal(s)
+          // min/max under each input's file-LOCAL name (pre-rename
+          // files keyed them under the former name), re-keyed to the
+          // current name on the compacted output
+          def localStat(e: LogEntry, f: StructField) =
+            e.stats.get(GraftLog.fileLocalName(schema, e, f.name))
           schema.fields.collect {
-            case f if entries.forall(_.stats.contains(f.name)) =>
-              val mn = entries.map(_.stats(f.name)._1)
+            case f if entries.forall(localStat(_, f).isDefined) =>
+              val mn = entries.map(localStat(_, f).get._1)
                 .reduce((a, b) =>
                   if (num(a).compareTo(num(b)) <= 0) a else b)
-              val mx = entries.map(_.stats(f.name)._2)
+              val mx = entries.map(localStat(_, f).get._2)
                 .reduce((a, b) =>
                   if (num(a).compareTo(num(b)) >= 0) a else b)
               f.name -> (mn, mx)
@@ -1444,25 +1634,36 @@ object GraftLog {
       val groupNoDv = entries.forall(e => GraftLog.dvOf(e).isEmpty)
       val sketchStats: Map[String, (String, String)] =
         schema.fields.flatMap { f =>
+          // pre-rename input files key the column's bloom/sketch/null
+          // stats under the former name — fold THOSE into the output's
+          // current-name keys (the compacted file is written in the
+          // current layout, so its stats re-key along with its cells)
+          def localKey(e: LogEntry,
+              key: String => String): String =
+            key(GraftLog.fileLocalName(schema, e, f.name))
           val bk = GraftLogBloom.key(f.name)
           val bloom =
             if (f.dataType == StringType && entries.forall(e =>
-                e.stats.get(bk).exists(
+                e.stats.get(localKey(e, GraftLogBloom.key)).exists(
                   _._1.length == GraftLogBloom.Words * 16)))
               Some(bk -> (GraftLogBloom.serialize(
-                entries.map(e =>
-                    GraftLogBloom.deserialize(e.stats(bk)._1))
+                entries.map(e => GraftLogBloom.deserialize(
+                    e.stats(localKey(e, GraftLogBloom.key))._1))
                   .reduce((a, b) => Array.tabulate(
                     GraftLogBloom.Words)(i => a(i) | b(i)))), "v1"))
             else None
-          def sketchOf(e: LogEntry): Option[Array[Byte]] =
-            if (e.cols.nonEmpty && !e.cols.contains(f.name))
+          def sketchOf(e: LogEntry): Option[Array[Byte]] = {
+            val local = GraftLog.fileLocalName(schema, e, f.name)
+            if (e.cols.nonEmpty && !e.cols.contains(local))
               Some(new Array[Byte](GraftLogNdv.M))
-            else GraftLogNdv.of(e, f.name)
-          def nullsOf(e: LogEntry): Option[Long] =
-            if (e.cols.nonEmpty && !e.cols.contains(f.name))
+            else GraftLogNdv.of(e, local)
+          }
+          def nullsOf(e: LogEntry): Option[Long] = {
+            val local = GraftLog.fileLocalName(schema, e, f.name)
+            if (e.cols.nonEmpty && !e.cols.contains(local))
               Some(math.max(e.rows, 0L))
-            else GraftLogNdv.nullsOf(e, f.name)
+            else GraftLogNdv.nullsOf(e, local)
+          }
           val ndv =
             if (groupNoDv && entries.forall(sketchOf(_).isDefined))
               Some(GraftLogNdv.key(f.name) -> (GraftLogNdv.serialize(
@@ -1510,7 +1711,9 @@ object GraftLog {
         val fileCols = if (e.cols.nonEmpty) e.cols else curCols
         val remap: Option[Array[Int]] =
           if (fileCols == curCols) None
-          else Some(curCols.map(fileCols.indexOf).toArray)
+          else Some(schema.fields.map(f =>
+            fileCols.indexOf(
+              GraftLog.fileLocalName(schema, e, f.name))).toArray)
         // materialize the file's deletion vector: DV'd ordinals are
         // dropped here and the compacted output carries no DV — the
         // maintenance pass that keeps DVs from accumulating (Delta's
@@ -1631,7 +1834,8 @@ object GraftLog {
         }
         Seq.empty
       } else live.filter(e => keys.exists(k =>
-        GraftLogBloom.mayContain(e, keyCol, k)))
+        GraftLogBloom.mayContain(e,
+          GraftLog.fileLocalName(schema, e, keyCol), k)))
     } else {
       // Per-KEY file targeting, not per-batch-range: a CDC batch
       // typically mixes a narrow update window with above-max inserts,
@@ -1660,7 +1864,7 @@ object GraftLog {
           new java.math.BigDecimal(r.get(0).toString): AnyRef)
         java.util.Arrays.sort(keys)
         live.filter { e =>
-          e.stats.get(keyCol) match {
+          e.stats.get(GraftLog.fileLocalName(schema, e, keyCol)) match {
             case Some((mn, mx)) =>
               val lo = new java.math.BigDecimal(mn)
               val hi = new java.math.BigDecimal(mx)
@@ -1681,7 +1885,7 @@ object GraftLog {
         val hi = keyRows.map(r =>
           new java.math.BigDecimal(r.get(0).toString)).max
         live.filter { e =>
-          e.stats.get(keyCol) match {
+          e.stats.get(GraftLog.fileLocalName(schema, e, keyCol)) match {
             case Some((mn, mx)) =>
               new java.math.BigDecimal(mx).compareTo(lo) >= 0 &&
                 new java.math.BigDecimal(mn).compareTo(hi) <= 0
@@ -1765,7 +1969,7 @@ object GraftLog {
     val dlo = java.math.BigDecimal.valueOf(lo)
     val dhi = java.math.BigDecimal.valueOf(hi)
     val affected = live.filter { e =>
-      e.stats.get(keyCol) match {
+      e.stats.get(GraftLog.fileLocalName(schema, e, keyCol)) match {
         case Some((mn, mx)) =>
           new java.math.BigDecimal(mx).compareTo(dlo) >= 0 &&
             new java.math.BigDecimal(mn).compareTo(dhi) < 0
@@ -2064,7 +2268,13 @@ object GraftLog {
     if (fresh.isEmpty && !truncate && txn.isEmpty) return
     val merged = if (truncate) schema
       else storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
-    if (truncate) resetLineage(dir)
+    if (!truncate) requireNoReservedAdds(dir, merged)
+    // an overwrite replaces every row, so previously-dropped names
+    // hold no live cells anywhere — the tombstones lift with the data
+    if (truncate) {
+      removeProperties(dir, Seq(DroppedColsProp))
+      resetLineage(dir)
+    }
     commitNew(dir, merged)(v =>
       fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
         cols = c.cols)) ++
@@ -2149,6 +2359,7 @@ object GraftLog {
     if (retired.isEmpty && kept.isEmpty) return
     val merged =
       storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
+    requireNoReservedAdds(dir, merged)
     commitNew(dir, merged)(v =>
       retired.map(f => LogEntry.remove(v, f)) ++
         kept.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
@@ -2552,7 +2763,10 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
           tableSchema.fields.exists(tf => tf.name == c && (tf.dataType match {
             case LongType | IntegerType | DoubleType => true
             case _ => false
-          })) && live.nonEmpty && live.forall(_.stats.get(c).exists {
+          })) && live.nonEmpty && live.forall(e =>
+            // pre-rename files key the stat under the former name
+            e.stats.get(GraftLog.fileLocalName(tableSchema, e, c))
+              .exists {
             // NaN/Infinity stats (a NaN first row freezes the writer's
             // min/max compare) must fall back to the real scan, not
             // crash planning in the BigDecimal fold below
@@ -2623,9 +2837,11 @@ class GraftLogCountScan(dir: String, tableSchema: StructType,
   }
   private def fold(entries: Seq[LogEntry], c: String,
       pickMin: Boolean): Any = {
-    val vals = entries.map(e =>
-      new java.math.BigDecimal(if (pickMin) e.stats(c)._1
-        else e.stats(c)._2))
+    val vals = entries.map { e =>
+      // pre-rename files key the stat under the former name
+      val st = e.stats(GraftLog.fileLocalName(tableSchema, e, c))
+      new java.math.BigDecimal(if (pickMin) st._1 else st._2)
+    }
     val best = if (pickMin) vals.min else vals.max
     asValue(c, best.toPlainString)
   }
@@ -3350,7 +3566,23 @@ object GraftLogScan {
     * cannot contain a matching row. Entries without stats always may
     * match (legacy manifests). Comparison in BigDecimal so long stats
     * beyond 2^53 don't lose precision through a double detour. */
-  def mayMatch(schema: StructType, e: LogEntry, f: Filter): Boolean = {
+  def mayMatch(schema: StructType, e: LogEntry, rawF: Filter): Boolean = {
+    // A file written before a RENAME COLUMN keyed its cells, stats,
+    // and bloom under the former name — rewrite the filter to the
+    // file-LOCAL name first, so old files keep both their data
+    // (no false "predates the column" skip) and their pruning.
+    val f = {
+      def loc(a: String): String = GraftLog.fileLocalName(schema, e, a)
+      rawF match {
+        case EqualTo(a, v) => EqualTo(loc(a), v)
+        case GreaterThan(a, v) => GreaterThan(loc(a), v)
+        case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(loc(a), v)
+        case LessThan(a, v) => LessThan(loc(a), v)
+        case LessThanOrEqual(a, v) => LessThanOrEqual(loc(a), v)
+        case In(a, vs) => In(loc(a), vs)
+        case other => other
+      }
+    }
     def range(col: String): Option[(java.math.BigDecimal,
         java.math.BigDecimal)] =
       e.stats.get(col).map { case (mn, mx) =>
@@ -3588,15 +3820,18 @@ object GraftLogNdv {
     schema.fields.map { f =>
       val perFile = live.map { e =>
         val dv = GraftLog.dvOf(e).isDefined
-        val absent = e.cols.nonEmpty && !e.cols.contains(f.name)
+        // a pre-rename file keys the column's stats under its former
+        // name — resolve before deciding the column is absent
+        val local = GraftLog.fileLocalName(schema, e, f.name)
+        val absent = e.cols.nonEmpty && !e.cols.contains(local)
         val sketch =
           if (dv) None
           else if (absent) Some(new Array[Byte](M))
-          else of(e, f.name)
+          else of(e, local)
         val nulls =
           if (dv) None
           else if (absent) Some(math.max(e.rows, 0L))
-          else nullsOf(e, f.name)
+          else nullsOf(e, local)
         (sketch, nulls)
       }
       // zero row-bearing files (empty table, or a scan whose skipping
@@ -3784,13 +4019,16 @@ class GraftLogStatsTable(dir: String) extends Table with SupportsRead {
             // numeric min/max fold mirrors the scan's skipping rules:
             // present only when every row-bearing DV-free file carries
             // the column's range
+            // pre-rename files key the range under the former name
+            def localStat(e: LogEntry) =
+              e.stats.get(GraftLog.fileLocalName(schema, e, f.name))
             val range =
-              if (noDv && withRows.nonEmpty && withRows.forall(e =>
-                  e.stats.contains(f.name))) {
+              if (noDv && withRows.nonEmpty &&
+                  withRows.forall(localStat(_).isDefined)) {
                 val num = (s: String) => new java.math.BigDecimal(s)
-                val mn = withRows.map(_.stats(f.name)._1).reduce(
+                val mn = withRows.map(localStat(_).get._1).reduce(
                   (a, b) => if (num(a).compareTo(num(b)) <= 0) a else b)
-                val mx = withRows.map(_.stats(f.name)._2).reduce(
+                val mx = withRows.map(localStat(_).get._2).reduce(
                   (a, b) => if (num(a).compareTo(num(b)) >= 0) a else b)
                 Some((mn, mx))
               } else None
@@ -4236,10 +4474,21 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
   private def cellIndexOf(partCols: Seq[String]): (Array[Int], Int) = {
     val fileCols: Seq[String] =
       if (partCols.nonEmpty) partCols else tableSchema.fieldNames.toSeq
+    // a file written before a RENAME COLUMN carries the column under
+    // its recorded former name — resolve through the trail rather
+    // than serving NULL for data the file does hold
+    def indexOf(name: String): Int = fileCols.indexOf(name) match {
+      case -1 if partCols.nonEmpty =>
+        tableSchema.fields.find(_.name == name)
+          .flatMap(f => GraftLog.formerNames(f).collectFirst {
+            case fn if fileCols.contains(fn) => fileCols.indexOf(fn)
+          }).getOrElse(-1)
+      case i => i
+    }
     (required.fields.map(f =>
       if (f.name == "_file" && !fileCols.contains("_file")) -2
       else if (f.name == "_pos" && !fileCols.contains("_pos")) -3
-      else fileCols.indexOf(f.name)), fileCols.length)
+      else indexOf(f.name)), fileCols.length)
   }
 
   /** Vectorized read path — the contract Parquet's vectorized reader

@@ -123,11 +123,13 @@ class GraftCatalogSpec extends SparkSpec {
       assert(t.filter(col("score").isNull).count() == 100)
       assert(t.agg(sum(col("score"))).head.getLong(0) ==
         (100L until 150L).map(_ * 3).sum)
-      // non-additive changes reject loudly
+      // lossy type changes reject loudly (rename/drop/widen have
+      // their own contracts — ColumnEvolutionSpec)
       val e = intercept[Exception] {
-        spark.sql("ALTER TABLE graftcat.db4.a DROP COLUMN score")
+        spark.sql("ALTER TABLE graftcat.db4.a ALTER COLUMN score TYPE INT")
       }
-      assert(e.getMessage.contains("ADD COLUMN") ||
+      assert(e.getMessage.contains("lossless widenings") ||
+        e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
         e.getMessage.toLowerCase.contains("unsupported"))
       // NOT NULL on an added column would be instantly violated by
       // every pre-alter row — reject, never silently downgrade
