@@ -389,6 +389,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (sch, rn: TableChange.RenameColumn) =>
         require(rn.fieldNames.length == 1,
           "graft-log supports only top-level RENAME COLUMN")
+        // persist the fold state first: the helper reads the stored
+        // schema, and an earlier change batched in this same ALTER
+        // (e.g. an AddColumn) must not be silently dropped
+        GraftLog.atomicWrite(schemaFile(ident).toPath,
+          sch.json.getBytes(StandardCharsets.UTF_8))
         GraftLog.renameColumn(dir, rn.fieldNames()(0), rn.newName)
         GraftLog.storedSchema(dir).getOrElse(sch)
       // `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — metadata-only
@@ -398,6 +403,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (sch, up: TableChange.UpdateColumnType) =>
         require(up.fieldNames.length == 1,
           "graft-log supports only top-level ALTER COLUMN TYPE")
+        GraftLog.atomicWrite(schemaFile(ident).toPath,
+          sch.json.getBytes(StandardCharsets.UTF_8))
         GraftLog.widenColumn(dir, up.fieldNames()(0), up.newDataType)
         GraftLog.storedSchema(dir).getOrElse(sch)
       // `ALTER TABLE t DROP COLUMN c` — metadata-only: the stored
@@ -407,6 +414,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (sch, del: TableChange.DeleteColumn) =>
         require(del.fieldNames.length == 1,
           "graft-log supports only top-level DROP COLUMN")
+        GraftLog.atomicWrite(schemaFile(ident).toPath,
+          sch.json.getBytes(StandardCharsets.UTF_8))
         GraftLog.dropColumn(dir, del.fieldNames()(0))
         GraftLog.storedSchema(dir).getOrElse(sch)
       // `ALTER TABLE t ADD CONSTRAINT name CHECK (...)` — stored in the
@@ -435,7 +444,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         GraftLog.removeProperties(dir, Seq(rm.property))
         sch
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft-log tables support only ADD COLUMN, got $other")
+        "graft-log tables support ADD/RENAME/DROP COLUMN, ALTER " +
+          s"COLUMN TYPE widening, constraints, and properties — got $other")
     }
     GraftLog.atomicWrite(schemaFile(ident).toPath,
       updated.json.getBytes(StandardCharsets.UTF_8))

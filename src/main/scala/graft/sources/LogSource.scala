@@ -349,8 +349,18 @@ object GraftLog {
   def reservedNames(dir: String, schema: StructType): Set[String] =
     schema.fields.flatMap(formerNames).toSet ++
       propertiesOf(dir).get(DroppedColsProp)
-        .map(_.split(",").filter(_.nonEmpty).toSet)
+        .map(_.split(",").filter(_.nonEmpty)
+          .map(decodeColName).toSet)
         .getOrElse(Set.empty)
+
+  // Tombstoned names travel through a comma-joined property value, so
+  // each name is URL-encoded first — a (backtick-quoted) column name
+  // containing a comma must not split into bogus entries and lose its
+  // own reservation.
+  private def encodeColName(n: String): String =
+    java.net.URLEncoder.encode(n, "UTF-8")
+  private def decodeColName(n: String): String =
+    java.net.URLDecoder.decode(n, "UTF-8")
 
   /** Additive evolution must never claim a RESERVED name — the former
     * name of a renamed live column, or a dropped column's tombstone:
@@ -483,14 +493,18 @@ object GraftLog {
     require(schema.fields.length > 1,
       s"cannot drop '$name': it is the table's only column")
     requireUnanchored(dir, name, "drop")
-    val colsless = entriesAsOf(dir, Long.MaxValue)
-      .filter(e => e.cols.isEmpty && e.rows != 0L)
+    // ALL retained history, not just the live snapshot: a time-travel
+    // read (or RESTORE) can resurrect an older cols-less add, and a
+    // positional read under the narrowed schema would serve the WRONG
+    // column's cells for every field past the dropped one
+    val colsless = entries(dir)
+      .filter(e => e.isAdd && e.cols.isEmpty && e.rows != 0L)
     require(colsless.isEmpty,
-      s"cannot drop '$name': ${colsless.size} live file(s) carry no " +
-        "column record and are read positionally — run compact() " +
-        "first to rewrite them into the recorded layout")
+      s"cannot drop '$name': ${colsless.size} file(s) in retained " +
+        "history carry no column record and are read positionally — " +
+        "compact() and expire the pre-compaction history first")
     val updated = StructType(schema.fields.filterNot(_.name == name))
-    val dead = (name +: formerNames(f)) ++
+    val dead = (name +: formerNames(f)).map(encodeColName) ++
       propertiesOf(dir).get(DroppedColsProp).toSeq
         .flatMap(_.split(",").filter(_.nonEmpty))
     setProperties(dir,
@@ -2720,6 +2734,10 @@ class GraftLogScanBuilder(dir: String, tableSchema: StructType,
     GraftLogCountScan.liveEntries(dir, asOfVersion, changesFromVersion)
 
   private def metaAnswerable(agg: Aggregation): Boolean = {
+    // the typed change feed's rows are the CDC sidecar rows, not the
+    // add listing liveForMeta folds — a pushed COUNT/MIN/MAX would
+    // answer from the wrong population; stand down to the real scan
+    if (typedCdf) return false
     val live = liveForMeta
     def statCol(f: AggregateFunc): Option[String] = f match {
       case m: Min => m.column() match {
@@ -3571,7 +3589,11 @@ object GraftLogScan {
     // and bloom under the former name — rewrite the filter to the
     // file-LOCAL name first, so old files keep both their data
     // (no false "predates the column" skip) and their pruning.
-    val f = {
+    // fast path: a schema with no rename trail (the overwhelmingly
+    // common case) keeps the zero-allocation filter as-is
+    val f = if (!schema.fields.exists(
+        _.metadata.contains(GraftLog.FormerlyKey))) rawF
+    else {
       def loc(a: String): String = GraftLog.fileLocalName(schema, e, a)
       rawF match {
         case EqualTo(a, v) => EqualTo(loc(a), v)
@@ -4048,22 +4070,7 @@ class GraftLogStatsTable(dir: String) extends Table with SupportsRead {
         override def planInputPartitions(): Array[InputPartition] =
           Array(GraftLogStatsPartition(rows))
         override def createReaderFactory(): PartitionReaderFactory =
-          new PartitionReaderFactory {
-            override def createReader(
-                p: InputPartition): PartitionReader[InternalRow] = {
-              val it = p.asInstanceOf[GraftLogStatsPartition]
-                .rows.iterator
-              new PartitionReader[InternalRow] {
-                private var cur: InternalRow = _
-                override def next(): Boolean = {
-                  if (!it.hasNext) return false
-                  cur = it.next(); true
-                }
-                override def get(): InternalRow = cur
-                override def close(): Unit = ()
-              }
-            }
-          }
+          GraftLogStatsRows
       }
     }
 }
@@ -4102,22 +4109,7 @@ class GraftLogCdcTable(dir: String) extends Table with SupportsRead {
         override def planInputPartitions(): Array[InputPartition] =
           Array(GraftLogStatsPartition(rows))
         override def createReaderFactory(): PartitionReaderFactory =
-          new PartitionReaderFactory {
-            override def createReader(
-                p: InputPartition): PartitionReader[InternalRow] = {
-              val it = p.asInstanceOf[GraftLogStatsPartition]
-                .rows.iterator
-              new PartitionReader[InternalRow] {
-                private var cur: InternalRow = _
-                override def next(): Boolean = {
-                  if (!it.hasNext) return false
-                  cur = it.next(); true
-                }
-                override def get(): InternalRow = cur
-                override def close(): Unit = ()
-              }
-            }
-          }
+          GraftLogStatsRows
       }
     }
 }
@@ -4134,6 +4126,25 @@ object GraftLogCdcTable {
 
 case class GraftLogStatsPartition(rows: Seq[InternalRow])
     extends InputPartition
+
+/** Shared reader factory for the single-partition metadata tables
+  * whose rows are precomputed on the driver
+  * ([[GraftLogStatsPartition]]): t$stats, t$cdc. */
+object GraftLogStatsRows extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val it = p.asInstanceOf[GraftLogStatsPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        cur = it.next(); true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
 
 object GraftLogStatsTable {
   val Schema: StructType = StructType(Seq(

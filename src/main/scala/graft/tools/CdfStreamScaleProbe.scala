@@ -78,7 +78,6 @@ object CdfStreamScaleProbe {
       val post = spark.read.format(Fmt).option("path", sink).load()
         .filter(col("_change_type") =!= "insert" ||
           col("id") >= n)
-      val drained = post.count()
       // 2000 pre + 2000 post images, 2000 deletes; inserts only from
       // the seed (the merge band sits inside existing keys)
       val typedOk = post.groupBy(col("_change_type")).count()

@@ -246,6 +246,19 @@ class CdfTypedSpec extends SparkSpec {
       "the second drain carries exactly the post-checkpoint deletes")
   }
 
+  test("COUNT on the typed feed answers from the sidecar rows, never " +
+      "the add listing (metadata pushdown stands down)") {
+    val dir = tmp(); mkTable(dir)
+    GraftLog.deleteRange(spark, dir, "id", 0L, 10L)
+    // typed feed over the delete version: 10 delete rows — a pushed
+    // manifest COUNT would instead fold the rewrite's 90-row add
+    assert(feed(dir, from = 0L).count() == 10L)
+    val plan = GraftLog.typedChanges(spark, dir, 0L)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!plan.contains("metaCount="),
+      s"typed feed must not take the manifest-count path:\n$plan")
+  }
+
   test("t$cdc maps which versions carry typed coverage") {
     val wh = java.nio.file.Files
       .createTempDirectory("graft-cdc-meta").toString
