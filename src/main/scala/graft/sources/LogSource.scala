@@ -481,10 +481,14 @@ object GraftLog {
   /** DROP COLUMN: metadata-only — the stored schema narrows, old
     * files keep their (now invisible) cells, and the name plus its
     * former-name trail tombstone so no later column can claim the
-    * orphaned cells. Requires every live file to carry a column
-    * record: a pre-evolution file is read positionally under the
-    * CURRENT schema, and narrowing it would shift every later
-    * column's cells (compact() stamps records on such tables). */
+    * orphaned cells. Requires every file in retained history to carry
+    * a column record: a pre-evolution file is read positionally under
+    * the CURRENT schema, and narrowing it would shift every later
+    * column's cells (compact() stamps records on such tables).
+    * Reads — time travel included — always resolve against the
+    * CURRENT schema, so a dropped column is invisible in historical
+    * snapshots too (the single-schema contract; Iceberg keeps
+    * per-snapshot schemas and shows the old column there). */
   def dropColumn(dir: String, name: String): Unit = synchronized {
     val schema = storedSchema(dir).getOrElse(
       throw new IllegalArgumentException(s"no graft-log table at $dir"))
