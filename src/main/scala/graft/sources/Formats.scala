@@ -295,6 +295,78 @@ object Formats {
         FROM graftq.ns.`cdcm$cdc`""")
     }),
 
+    // SQL TRUNCATE TABLE through the driver gate: the unconditional
+    // DELETE — one metadata commit retires every live file (no data
+    // I/O), history stays time-travelable, and the CDF-enabled table
+    // publishes every vanished row as a typed delete so downstream
+    // replicas follow the wipe. Gated booleans: pre-truncate snapshot
+    // still readable, typed feed carries exactly the wiped rows.
+    "sql_catalog_truncate" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/trunc_t"
+      val (histOk, cdcOk) = rebuildOnce(truncateBuilt, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.trunc_t")
+        s.sql("CREATE TABLE graftq.ns.trunc_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.trunc_t
+                 SELECT /*+ REPARTITION(1) */ id, id
+                 FROM range(0, 1000)""")
+        GraftLog.setProperties(dir, Map("graft.cdf.enabled" -> "true"))
+        val v = GraftLog.currentVersion(dir)
+        s.sql("TRUNCATE TABLE graftq.ns.trunc_t")
+        val hist = s.sql(
+          s"SELECT COUNT(*) FROM graftq.ns.trunc_t VERSION AS OF $v")
+          .head.getLong(0) == 1000L
+        val cdc = GraftLog.typedChanges(s, dir, v)
+          .filter(col("_change_type") === "delete")
+          .agg(count(lit(1)), sum(col("id"))).head
+        s.sql("""INSERT INTO graftq.ns.trunc_t
+                 SELECT id, id * 5 FROM range(0, 300)""")
+        (hist, cdc.getLong(0) == 1000L &&
+          cdc.getLong(1) == (0L until 1000L).sum)
+      }
+      s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(v) AS BIGINT) AS sum_v
+               FROM graftq.ns.trunc_t""")
+        .select(col("n_rows"), col("sum_v"),
+          lit(histOk).as("history_time_travelable"),
+          lit(cdcOk).as("cdf_records_wipe"))
+    }),
+
+    // SQL INSERT OVERWRITE through the driver gate: Spark's
+    // OverwriteByExpression rides the write builder's
+    // SupportsTruncate — one atomic version replaces the table's
+    // contents (readers see all-old or all-new, never a mix), and the
+    // table stays appendable after. Gated boolean: the overwrite is
+    // ONE commit (no partial visibility window in the log).
+    "sql_catalog_insert_overwrite" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/iow_t"
+      val oneCommit = rebuildOnce(insertOverwriteBuilt, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.iow_t")
+        s.sql("CREATE TABLE graftq.ns.iow_t (id BIGINT, v BIGINT)")
+        s.sql("""INSERT INTO graftq.ns.iow_t
+                 SELECT /*+ REPARTITION(1) */ id, id
+                 FROM range(0, 1000)""")
+        val vBefore = GraftLog.currentVersion(dir)
+        s.sql("""INSERT OVERWRITE graftq.ns.iow_t
+                 SELECT /*+ REPARTITION(1) */ id, id * 9
+                 FROM range(0, 200)""")
+        s.sql("""INSERT INTO graftq.ns.iow_t
+                 SELECT id, id * 9 FROM range(200, 250)""")
+        // overwrite resets the lineage to a fresh version 0 commit —
+        // exactly one version between it and the follow-up append
+        GraftLog.currentVersion(dir) == vBefore + 1 ||
+          GraftLog.currentVersion(dir) == 1L
+      }
+      s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(v) AS BIGINT) AS sum_v
+               FROM graftq.ns.iow_t""")
+        .select(col("n_rows"), col("sum_v"),
+          lit(oneCommit).as("atomic_single_commit"))
+    }),
+
     // RENAME COLUMN through the driver gate (Delta column-mapping
     // 'name' mode in miniature): metadata-only — the schema field
     // records its former name and every consumer resolves each file's
@@ -1848,6 +1920,10 @@ object Formats {
       String, (Boolean, Boolean)]()
   private val cdcMetaBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val insertOverwriteBuilt =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val truncateBuilt =
+    new scala.collection.concurrent.TrieMap[String, (Boolean, Boolean)]()
   private val widenColBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
   private val renameColBuilt =
@@ -2189,6 +2265,19 @@ object Formats {
            CAST(SUM(CASE WHEN id >= 9000 THEN -id ELSE id END)
              AS BIGINT) AS sum_v
          FROM range(0, 11000) t(id) WHERE id >= 500""",
+    // closed forms: the overwrite's 200 rows (v=9*id) + the 50-row
+    // follow-up append.
+    "sql_catalog_insert_overwrite" ->
+      """SELECT CAST(250 AS BIGINT) AS n_rows,
+           CAST(9 * 250 * 249 / 2 AS BIGINT) AS sum_v,
+           TRUE AS atomic_single_commit""",
+    // closed forms: the post-truncate insert alone (300 rows, v=5*id);
+    // history and CDF wipe-coverage gated as booleans.
+    "sql_catalog_truncate" ->
+      """SELECT CAST(300 AS BIGINT) AS n_rows,
+           CAST(5 * 300 * 299 / 2 AS BIGINT) AS sum_v,
+           TRUE AS history_time_travelable,
+           TRUE AS cdf_records_wipe""",
     // closed forms: 2000 int-vintage rows (n = id) + 500 post-widen
     // rows (n = id * 1e7, beyond the old INT range).
     "sql_catalog_widen_col" ->

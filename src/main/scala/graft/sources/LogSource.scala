@@ -2391,8 +2391,20 @@ class GraftLogTable(dir: String, writeSchema: StructType,
     typedCdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   override def name(): String = s"graft_log($dir)"
+
+  /** SQL `TRUNCATE TABLE`: the unconditional DELETE — one metadata
+    * commit removes every live file (no data I/O), history stays
+    * time-travelable, and a CDF-enabled table publishes every
+    * vanished row as a typed delete in the same commit, so downstream
+    * replicas follow the wipe instead of silently diverging. */
+  override def truncateTable(): Boolean = {
+    GraftLog.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, dir, Array.empty)
+    true
+  }
 
   /** Stored TBLPROPERTIES (SHOW TBLPROPERTIES / DESCRIBE EXTENDED
     * read these; SET/UNSET TBLPROPERTIES writes through alterTable). */

@@ -487,6 +487,35 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL TRUNCATE TABLE: metadata-only wipe, history " +
+      "time-travelable, typed CDF records the vanished rows") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbtr")
+      spark.sql("CREATE TABLE graftcat.dbtr.t (id BIGINT, v BIGINT)")
+      spark.sql("""INSERT INTO graftcat.dbtr.t
+        SELECT /*+ REPARTITION(1) */ id, id FROM range(0, 100)""")
+      graft.sources.GraftLog.setProperties(s"$wh/dbtr/t",
+        Map("graft.cdf.enabled" -> "true"))
+      val v = graft.sources.GraftLog.currentVersion(s"$wh/dbtr/t")
+      spark.sql("TRUNCATE TABLE graftcat.dbtr.t")
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.dbtr.t")
+        .head.getLong(0) == 0L)
+      // history survives: the truncate is one metadata commit
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graftcat.dbtr.t VERSION AS OF $v")
+        .head.getLong(0) == 100L)
+      // the typed feed carries every vanished row as a delete
+      val dels = graft.sources.GraftLog.typedChanges(spark, s"$wh/dbtr/t", v)
+        .filter(col("_change_type") === "delete").count()
+      assert(dels == 100L)
+      // the table stays writable after the wipe
+      spark.sql("""INSERT INTO graftcat.dbtr.t
+        SELECT id, id FROM range(0, 7)""")
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.dbtr.t")
+        .head.getLong(0) == 7L)
+    }
+  }
+
   test("SQL DELETE with a non-convertible predicate falls back to COW rewrite") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db6")
