@@ -295,6 +295,47 @@ object Formats {
         FROM graftq.ns.`cdcm$cdc`""")
     }),
 
+    // Partition EVOLUTION through the driver gate (Iceberg's
+    // partition-spec change + rewrite_data_files as one CALL): the
+    // fact table re-keys from a to b, the rewrite routes one file per
+    // new value, and a join with an alike-partitioned dim then plans
+    // with ZERO exchange — storage-partitioned joins resume on the
+    // new key (gated boolean). The oracle recomputes the join, so a
+    // row lost or duplicated by the relayout is a hash miss.
+    "sql_catalog_partition_evolution" -> ((s, d) => {
+      val wh = catalogWarehouse(s, d)
+      val dir = s"$wh/ns/pevo_t"
+      rebuildOnce(partEvoBuilt, dir) {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.ns")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.pevo_t")
+        s.sql("DROP TABLE IF EXISTS graftq.ns.pevo_d")
+        s.sql("""CREATE TABLE graftq.ns.pevo_t
+                 (id BIGINT, a BIGINT, b BIGINT) PARTITIONED BY (a)""")
+        s.sql("""INSERT INTO graftq.ns.pevo_t
+                 SELECT id, id % 4, id % 8 FROM range(0, 4000)""")
+        s.sql("""CREATE TABLE graftq.ns.pevo_d
+                 (w BIGINT, b BIGINT) PARTITIONED BY (b)""")
+        s.sql("""INSERT INTO graftq.ns.pevo_d
+                 SELECT id * 2, id % 8 FROM range(0, 800)""")
+        s.sql("""CALL graftq.system.repartition_table(
+                 table => 'ns.pevo_t', col => 'b')""")
+        true
+      }
+      // gated in-session like sink_log_spj_join: the conf matches the
+      // shared builder value, so this never flips the session mid-run
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val j = s.table("graftq.ns.pevo_t")
+        .join(s.table("graftq.ns.pevo_d").hint("merge"), "b")
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("w")).as("sum_w"))
+      val plan = j.queryExecution.executedPlan.toString
+      val spj = (plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin")) && !plan.contains("Exchange")
+      j.select(col("b"), col("n"), col("sum_id"), col("sum_w"),
+        lit(spj).as("spj_resumed_on_new_key"))
+    }),
+
     // SQL TRUNCATE TABLE through the driver gate: the unconditional
     // DELETE — one metadata commit retires every live file (no data
     // I/O), history stays time-travelable, and the CDF-enabled table
@@ -1920,6 +1961,8 @@ object Formats {
       String, (Boolean, Boolean)]()
   private val cdcMetaBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
+  private val partEvoBuilt =
+    new scala.collection.concurrent.TrieMap[String, Boolean]()
   private val insertOverwriteBuilt =
     new scala.collection.concurrent.TrieMap[String, Boolean]()
   private val truncateBuilt =
@@ -2265,6 +2308,17 @@ object Formats {
            CAST(SUM(CASE WHEN id >= 9000 THEN -id ELSE id END)
              AS BIGINT) AS sum_v
          FROM range(0, 11000) t(id) WHERE id >= 500""",
+    // per-b rollups of the fact x dim join, recomputed by the oracle.
+    "sql_catalog_partition_evolution" ->
+      """WITH f AS (SELECT id, id % 8 AS b FROM range(0, 4000) t(id)),
+            dd AS (SELECT id * 2 AS w, id % 8 AS b
+                   FROM range(0, 800) t(id))
+         SELECT f.b AS b, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f.id) AS BIGINT) AS sum_id,
+           CAST(SUM(dd.w) AS BIGINT) AS sum_w,
+           TRUE AS spj_resumed_on_new_key
+         FROM f JOIN dd ON f.b = dd.b
+         GROUP BY f.b""",
     // closed forms: the overwrite's 200 rows (v=9*id) + the 50-row
     // follow-up append.
     "sql_catalog_insert_overwrite" ->

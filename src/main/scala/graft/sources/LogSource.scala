@@ -2225,6 +2225,41 @@ object GraftLog {
     live.size
   }
 
+  /** Partition EVOLUTION (Iceberg's partition-spec change + its
+    * rewrite_data_files, as one maintenance op): re-key the table's
+    * identity partitioning to `col` and rewrite the live snapshot
+    * routed by it — one file per value, each carrying its partition
+    * record, so KeyGrouped scans and storage-partitioned joins resume
+    * on the NEW key immediately. A value-routed layout cannot evolve
+    * by metadata alone (old files span many new-key values), so the
+    * rewrite IS the evolution; `dataChange = false` keeps the relayout
+    * invisible to the change feed, and subsequent appends route by the
+    * new key through the ordinary partitioned write path. History
+    * stays time-travelable (the pre-evolution files are retired, not
+    * deleted, until vacuum's horizon passes). Returns the number of
+    * files retired. */
+  def repartitionTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String, col: String): Int = {
+    requireNoWap("repartition"); requireNoBranch("repartition")
+    val schema = storedSchema(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-log table not found at $dir"))
+    require(schema.fieldNames.contains(col),
+      s"no column '$col' at $dir")
+    if (partitionColOf(dir).contains(col)) return 0
+    val live = entriesAsOf(dir, Long.MaxValue)
+    // declare the new key first: the maintenance rewrite inherits the
+    // declaration, so its scratch write value-routes and stamps
+    // partition records per output file
+    setPartitionCol(dir, col, allowChange = true)
+    if (live.isEmpty) return 0
+    val replacement = spark.read.format("graft.sources.GraftLogSource")
+      .option("path", dir).load()
+    rewriteFiles(spark, dir, live, replacement, schema,
+      dataChange = false)
+    live.size
+  }
+
   /** Shared commit tail for copy-on-write maintenance: write the
     * replacement rows through the normal writer into a scratch log
     * (full stats/cols commit messages for free), adopt its part files,

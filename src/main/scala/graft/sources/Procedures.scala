@@ -36,7 +36,7 @@ object GraftProcedures {
       "set_ref", "drop_ref", "expire_log", "delete_mor",
       "publish_staged", "drop_staged",
       "create_branch", "fast_forward", "drop_branch", "refresh_mv",
-      "sync_replica")
+      "sync_replica", "repartition_table")
 
   /** One-row, driver-local result set. */
   private case class ResultScan(schema: StructType,
@@ -117,6 +117,18 @@ object GraftProcedures {
             org.apache.spark.sql.SparkSession.active,
             dirOf(warehouse, args.getString(0)),
             args.getString(1), args.getString(2)))
+      }
+      case "repartition_table" => new Proc("repartition_table",
+          "re-key the table's identity partitioning to `col` and " +
+            "rewrite the live snapshot routed by it (one file per " +
+            "value) - storage-partitioned joins resume on the new key",
+          Seq(param("table", StringType), param("col", StringType)),
+          StructType(Seq(
+            StructField("files_rewritten", IntegerType, false)))) {
+        override protected def run(args: InternalRow): Array[Any] =
+          Array(GraftLog.repartitionTable(
+            org.apache.spark.sql.SparkSession.active,
+            dirOf(warehouse, args.getString(0)), args.getString(1)))
       }
       case "restore" => new Proc("restore",
           "publish a historical snapshot as NEW auditable history " +

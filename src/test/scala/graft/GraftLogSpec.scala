@@ -721,6 +721,48 @@ class GraftLogSpec extends SparkSpec {
     }
   }
 
+  test("partition evolution: repartition_table re-keys the layout " +
+      "and the new key's grouping resumes immediately") {
+    val dir = tmp()
+    spark.range(0, 8000).selectExpr("id", "id % 4 AS a", "id % 8 AS b")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "a").mode("append").save()
+    val v0 = graft.sources.GraftLog.currentVersion(dir)
+    assert(graft.sources.GraftLog
+      .repartitionTable(spark, dir, "b") == 4)
+    assert(graft.sources.GraftLog.partitionColOf(dir).contains("b"))
+    val live = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size == 8, s"one file per new-key value, got ${live.size}")
+    assert(live.forall(e =>
+      graft.sources.GraftLogPartValue.of(e, "b").isDefined))
+    // same rows, new layout
+    val t = readBack(dir)
+    assert(t.count() == 8000)
+    assert(t.agg(sum(col("id"))).head.getLong(0) == (0L until 8000L).sum)
+    // the relayout is invisible to the change feed (dataChange=false)
+    assert(graft.sources.GraftLog.changedEntriesBetween(dir, v0,
+      graft.sources.GraftLog.currentVersion(dir)).isEmpty)
+    // grouped scan resumes on the NEW key
+    val g = t.groupBy(col("b")).agg(sum(col("id")))
+    g.collect()
+    assert(g.queryExecution.executedPlan.toString
+      .contains("partGroups=8"))
+    // appends now route by b and keep the per-value contract
+    spark.range(8000, 8800).selectExpr("id", "id % 4 AS a",
+        "id % 8 AS b")
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "b").mode("append").save()
+    val after = graft.sources.GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(after.size == 16 && after.forall(e =>
+      graft.sources.GraftLogPartValue.of(e, "b").isDefined))
+    // re-keying to the current key is a no-op
+    assert(graft.sources.GraftLog
+      .repartitionTable(spark, dir, "b") == 0)
+    // time travel still reads the pre-evolution snapshot
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("asOfVersion", v0.toString).load().count() == 8000)
+  }
+
   test("compaction on a partitioned table preserves the per-value layout") {
     val dir = tmp()
     // three appends x 4 values = 12 small per-value files
