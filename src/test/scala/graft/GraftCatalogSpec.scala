@@ -302,7 +302,7 @@ class GraftCatalogSpec extends SparkSpec {
         "restore", "set_ref", "drop_ref", "expire_log", "delete_mor",
         "publish_staged", "drop_staged",
         "create_branch", "fast_forward", "drop_branch", "refresh_mv",
-        "sync_replica"))
+        "sync_replica", "repartition_table"))
       val desc = spark.sql("DESCRIBE PROCEDURE graftcat.system.vacuum")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains("vacuum") && desc.contains("min_age_ms"),
