@@ -347,11 +347,14 @@ object GraftLog {
     * columns (their cells still exist in old files) and every
     * tombstoned dropped name. */
   def reservedNames(dir: String, schema: StructType): Set[String] =
-    schema.fields.flatMap(formerNames).toSet ++
-      propertiesOf(dir).get(DroppedColsProp)
-        .map(_.split(",").filter(_.nonEmpty)
-          .map(decodeColName).toSet)
-        .getOrElse(Set.empty)
+    schema.fields.flatMap(formerNames).toSet ++ droppedNames(dir)
+
+  /** Tombstoned names of DROPPED columns alone (no live trails). */
+  def droppedNames(dir: String): Set[String] =
+    propertiesOf(dir).get(DroppedColsProp)
+      .map(_.split(",").filter(_.nonEmpty)
+        .map(decodeColName).toSet)
+      .getOrElse(Set.empty)
 
   // Tombstoned names travel through a comma-joined property value, so
   // each name is URL-encoded first — a (backtick-quoted) column name
@@ -405,8 +408,10 @@ object GraftLog {
     require(!partitionColOf(dir).contains(name),
       s"cannot $op column '$name': it is the table's partition " +
         "column")
-    val word = ("""(?i)(?<![\w`])""" +
-      java.util.regex.Pattern.quote(name) + """(?![\w`])""").r
+    // backtick is NOT excluded: a constraint may reference the column
+    // as `name`, and the quoted form must trip the guard too
+    val word = ("""(?i)(?<!\w)""" +
+      java.util.regex.Pattern.quote(name) + """(?!\w)""").r
     constraintsOf(dir).foreach { case (cn, sql) =>
       require(word.findFirstIn(sql).isEmpty,
         s"cannot $op column '$name': CHECK constraint $cn " +
@@ -427,7 +432,12 @@ object GraftLog {
           s"no column '$from' at $dir"))
       require(!schema.fieldNames.contains(to),
         s"cannot rename '$from' to '$to': column already exists")
-      require(!reservedNames(dir, schema).contains(to),
+      // reserved by OTHERS only: renaming a column BACK to its own
+      // former name is safe — the old cells under that name belong to
+      // this very column, and the trail resolves every vintage
+      val byOthers = schema.fields.filterNot(_.name == from)
+        .flatMap(formerNames).toSet ++ droppedNames(dir)
+      require(!byOthers.contains(to),
         s"cannot rename '$from' to '$to': the name was previously " +
           "used by another column (old files still carry cells " +
           "under it)")
@@ -856,15 +866,23 @@ object GraftLog {
   def typedChanges(spark: org.apache.spark.sql.SparkSession,
       dir: String, fromVersion: Long,
       toVersion: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val r = spark.read.format("graft.sources.GraftLogSource")
-      .option("path", dir)
-      .option("changesFromVersion", fromVersion.toString)
-      .option("readChangeFeed", "true")
-    (if (toVersion == Long.MaxValue) r
-     else r.option("asOfVersion", toVersion.toString)).load()
-      .withColumn(ChangeTypeCol,
-        coalesce(col(ChangeTypeCol), lit("insert")))
+      .options(typedFeedOptions(dir, fromVersion))
+    coalesceInserts((if (toVersion == Long.MaxValue) r
+     else r.option("asOfVersion", toVersion.toString)).load())
+  }
+
+  /** Shared option set + null-coalesce for the typed feed's batch and
+    * streaming faces — one contract, two delivery mechanisms. */
+  private def typedFeedOptions(dir: String,
+      fromVersion: Long): Map[String, String] =
+    Map("path" -> dir, "changesFromVersion" -> fromVersion.toString,
+      "readChangeFeed" -> "true")
+  private def coalesceInserts(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    df.withColumn(ChangeTypeCol,
+      coalesce(col(ChangeTypeCol), lit("insert")))
   }
 
   /** Typed change feed as a STREAM (Delta's streaming
@@ -876,17 +894,12 @@ object GraftLog {
     * `moreOptions` for throttled backfill. */
   def typedChangesStream(spark: org.apache.spark.sql.SparkSession,
       dir: String, fromVersion: Long = -1L,
-      moreOptions: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
-    spark.readStream.format("graft.sources.GraftLogSource")
-      .option("path", dir)
-      .option("changesFromVersion", fromVersion.toString)
-      .option("readChangeFeed", "true")
+      moreOptions: Map[String, String] = Map.empty): org.apache.spark.sql.DataFrame =
+    coalesceInserts(spark.readStream
+      .format("graft.sources.GraftLogSource")
+      .options(typedFeedOptions(dir, fromVersion))
       .options(moreOptions)
-      .load()
-      .withColumn(ChangeTypeCol,
-        coalesce(col(ChangeTypeCol), lit("insert")))
-  }
+      .load())
 
   /** Committed versions in (fromVersion, toVersion], in order — the
     * axis a downstream applier walks. O(span) name listing. */
@@ -2239,7 +2252,7 @@ object GraftLog {
     * deleted, until vacuum's horizon passes). Returns the number of
     * files retired. */
   def repartitionTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String, col: String): Int = {
+      dir: String, col: String): Int = synchronized {
     requireNoWap("repartition"); requireNoBranch("repartition")
     val schema = storedSchema(dir).getOrElse(
       throw new IllegalArgumentException(
@@ -2248,15 +2261,25 @@ object GraftLog {
       s"no column '$col' at $dir")
     if (partitionColOf(dir).contains(col)) return 0
     val live = entriesAsOf(dir, Long.MaxValue)
-    // declare the new key first: the maintenance rewrite inherits the
-    // declaration, so its scratch write value-routes and stamps
-    // partition records per output file
-    setPartitionCol(dir, col, allowChange = true)
-    if (live.isEmpty) return 0
+    if (live.isEmpty) {
+      setPartitionCol(dir, col, allowChange = true)
+      return 0
+    }
+    // read exactly the captured snapshot (pickFiles), not "the table
+    // at execution time" — the lazy read runs inside rewriteFiles,
+    // and an unpinned scan would fold a concurrent append's rows into
+    // the rewrite while its file stayed live: duplicates
     val replacement = spark.read.format("graft.sources.GraftLogSource")
-      .option("path", dir).load()
+      .option("path", dir)
+      .option("pickFiles", live.map(_.file).mkString(","))
+      .load()
+    // the scratch write routes by the NEW key (override), but the
+    // table's own declaration flips only AFTER the rewrite commits —
+    // a crashed evolution leaves the old declaration intact and a
+    // retry re-runs instead of silently no-opping on the early return
     rewriteFiles(spark, dir, live, replacement, schema,
-      dataChange = false)
+      dataChange = false, partitionOverride = Some(col))
+    setPartitionCol(dir, col, allowChange = true)
     live.size
   }
 
@@ -2271,17 +2294,20 @@ object GraftLog {
       replacement: org.apache.spark.sql.DataFrame,
       schema: StructType, dataChange: Boolean = true,
       txn: Option[(String, Long)] = None,
-      cdcChanges: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+      cdcChanges: Option[org.apache.spark.sql.DataFrame] = None,
+      partitionOverride: Option[String] = None): Unit = {
     // typed CDC sidecars publish in the SAME commit as the rewrite
     val cdcEntries = cdcChanges.map(stageCdc(spark, dir, _))
       .getOrElse(Seq.empty)
     val scratch = s"$dir/__rewrite-${UUID.randomUUID()}"
     // a partitioned table's maintenance rewrite keeps routing rows per
-    // value (the scratch table inherits the declaration), so rewritten
-    // files keep their partition record and SPJ grouping survives
-    // merge/delete — compaction on a partitioned table yields one file
-    // per VALUE, the Iceberg per-partition compaction shape
-    partitionColOf(dir).foreach(setPartitionCol(scratch, _))
+    // value (the scratch table inherits the declaration — or the
+    // partition-evolution override), so rewritten files keep their
+    // partition record and SPJ grouping survives merge/delete —
+    // compaction on a partitioned table yields one file per VALUE,
+    // the Iceberg per-partition compaction shape
+    partitionOverride.orElse(partitionColOf(dir))
+      .foreach(setPartitionCol(scratch, _))
     replacement.write.format("graft.sources.GraftLogSource")
       .option("path", scratch).mode("overwrite").save()
     val fresh = entriesAsOf(scratch, Long.MaxValue).filter(_.rows > 0L)
@@ -4712,18 +4738,11 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
   private def fileReader(dir: String, file: String,
       partCols: Seq[String],
       dvFile: Option[String]): PartitionReader[InternalRow] = {
-    // Projection map: required field → cell index in THIS FILE's line
-    // layout (the entry's own column list; pre-evolution entries carry
-    // the full table schema). -1 = the column post-dates the file: its
-    // rows read NULL, the schema-evolution contract.
-    val fileCols: Seq[String] =
-      if (partCols.nonEmpty) partCols else tableSchema.fieldNames.toSeq
-    // -2 = the `_file` metadata column, -3 = the `_pos` row ordinal:
-    // served by the reader, never parsed from a cell
-    val cellIdx = required.fields.map(f =>
-      if (f.name == "_file" && !fileCols.contains("_file")) -2
-      else if (f.name == "_pos" && !fileCols.contains("_pos")) -3
-      else fileCols.indexOf(f.name))
+    // ONE projection map for both read paths — cellIndexOf carries
+    // the schema-evolution and rename-trail resolution, so the row
+    // reader (the streaming source's path) serves renamed columns
+    // from pre-rename files exactly like the columnar batch path.
+    val (cellIdx, _) = cellIndexOf(partCols)
     val fileName = UTF8String.fromString(file)
     val dvArr: Array[Long] =
       dvFile.map(GraftLogDv.read(dir, _)).getOrElse(Array.empty)
@@ -4755,7 +4774,11 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
           if (ci == -2) { vals(j) = fileName; j += 1 }
           else if (ci == -3) { vals(j) = java.lang.Long.valueOf(ord); j += 1 }
           else {
-          val cell = if (ci < 0) GraftLog.NullCell else cells(ci)
+          // ci >= cells.length = a cols-less entry read under a WIDER
+          // schema (e.g. the typed feed's _change_type): NULL, same
+          // as the columnar path's bounds guard
+          val cell = if (ci < 0 || ci >= cells.length) GraftLog.NullCell
+            else cells(ci)
           vals(j) =
             if (cell == GraftLog.NullCell) null
             else required.fields(j).dataType match {

@@ -142,6 +142,49 @@ class ColumnEvolutionSpec extends SparkSpec {
     assert(read(dir).count() == 20L)
   }
 
+  test("rename: the STREAMING read path resolves the trail too, and " +
+      "a column may rename back to its own former name") {
+    val dir = tmp()
+    spark.range(0, 500).selectExpr("id", "id * 2 AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    GraftLog.renameColumn(dir, "v", "w")
+    // the micro-batch stream uses the ROW reader — pre-rename files
+    // must serve their data under the new name there as well
+    val sink = tmp(); val ckpt = tmp()
+    val q = spark.readStream.format(Fmt).option("path", dir).load()
+      .writeStream.format(Fmt).option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.read.format(Fmt).option("path", sink).load()
+    assert(streamed.count() == 500L)
+    assert(streamed.agg(sum(col("w"))).head.getLong(0) ==
+      (0L until 500L).map(_ * 2).sum,
+      "the row reader must resolve the former name, not serve NULL")
+    // renaming BACK to the own former name is safe and allowed
+    GraftLog.renameColumn(dir, "w", "v")
+    assert(read(dir).agg(sum(col("v"))).head.getLong(0) ==
+      (0L until 500L).map(_ * 2).sum)
+    // ...but a DIFFERENT column can still never claim it
+    val e = intercept[Exception](GraftLog.renameColumn(dir, "id", "w"))
+    assert(e.getMessage.contains("previously used"))
+  }
+
+  test("a backtick-quoted constraint reference still anchors the " +
+      "rename/drop guard") {
+    val dir = tmp()
+    spark.range(0, 10).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    GraftLog.addConstraint(dir, "v_pos", "`v` >= 0")
+    val e = intercept[Exception](GraftLog.renameColumn(dir, "v", "w"))
+    assert(e.getMessage.contains("constraint"),
+      "the quoted form `v` must trip the guard like the bare name")
+    GraftLog.dropConstraint(dir, "v_pos", ifExists = false)
+    GraftLog.renameColumn(dir, "v", "w")
+    assert(read(dir).columns.contains("w"))
+  }
+
   test("widen: ALTER COLUMN TYPE re-decodes old int cells exactly; " +
       "lossy changes reject") {
     val wh = tmp()
