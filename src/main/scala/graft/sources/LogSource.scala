@@ -817,6 +817,47 @@ object GraftLog {
     (leg ++ tail).filter(e => e.isAdd && e.dataChange)
   }
 
+  /** TRUE when (fromVersion, toVersion] contains a change an
+    * insert-only consumer cannot replay from the add feed: a
+    * row-level rewrite (removes paired with dataChange adds), a
+    * metadata-only delete (removes with no adds), a RESTORE
+    * (dataChange re-adds), or a deletion-vector assignment. Pure
+    * layout rewrites (compaction, z-order: removes paired with ONLY
+    * dataChange=false adds) stay replayable — they change no visible
+    * rows. O(span) commit-file walk. */
+  def spanHasNonAppendChanges(dir: String, fromVersion: Long,
+      toVersion: Long): Boolean = {
+    val leg = legacyEntries(dir).filter(e =>
+      e.version > fromVersion && e.version <= toVersion)
+    val tail = listVersioned(dir, CommitPrefix)
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .flatMap { case (_, f) => readEntryLines(f) }
+    (leg ++ tail).groupBy(_.version).values.exists { es =>
+      val removes = es.exists(_.action == "remove")
+      val dvAssigned = es.exists(e =>
+        e.action == "dv" && dvOf(e).isDefined)
+      val dataAdds = es.exists(e => e.isAdd && e.dataChange)
+      dvAssigned || (removes && (dataAdds || !es.exists(_.isAdd)))
+    }
+  }
+
+  /** TRUE when version `v` changed visible rows beyond appends
+    * WITHOUT publishing CDC sidecars — the one span shape the typed
+    * feed cannot express exactly (e.g. Spark's SQL UPDATE/MERGE
+    * replace-data plan on a CDF-enabled table): its rewrite adds
+    * would re-deliver carried rows as inserts. A typed consumer must
+    * re-seed from the snapshot at `v` instead. */
+  def versionLacksCdcCoverage(dir: String, v: Long): Boolean = {
+    val es = (legacyEntries(dir) ++ listVersioned(dir, CommitPrefix)
+      .filter(_._1 == v).flatMap { case (_, f) => readEntryLines(f) })
+      .filter(_.version == v)
+    if (es.exists(_.action == "cdc")) return false
+    val removes = es.exists(_.action == "remove")
+    val dvAssigned = es.exists(e => e.action == "dv" && dvOf(e).isDefined)
+    val dataAdds = es.exists(e => e.isAdd && e.dataChange)
+    dvAssigned || (removes && (dataAdds || !es.exists(_.isAdd)))
+  }
+
   /** Typed change feed: the TSV column carrying each CDC row's change
     * kind (insert | update_preimage | update_postimage | delete). */
   val ChangeTypeCol = "_change_type"

@@ -94,12 +94,24 @@ object MaterializedAgg {
     // feed can no longer prove completeness for the span — fall back
     // to a full re-bootstrap instead of silently missing changes.
     val horizon = GraftLog.oldestReplayableVersion(srcDir)
+    // expire-history deletes the commit file AT the pivot checkpoint,
+    // so the oldest replayable change span starts one past it — a
+    // marker of horizon-1 would silently omit version `horizon`. A
+    // span containing non-append changes (row-level rewrite, restore,
+    // DV delete) also re-bootstraps: the add feed cannot express the
+    // retraction, and replaying it would re-count carried rows.
     val replayable = last >= 0 &&
-      (horizon <= 0L || last >= horizon - 1)
+      (horizon <= 0L || last >= horizon) &&
+      !(last < head &&
+        GraftLog.spanHasNonAppendChanges(srcDir, last, head))
 
     if (GraftLog.storedSchema(mvDir).isEmpty || !replayable) {
+      // pinned at `head`: an unpinned read would fold a concurrent
+      // commit's rows into the aggregate while the marker recorded
+      // only `head` — the next refresh would then re-add them
       val full = aggOf(
-        spark.read.format(Fmt).option("path", srcDir).load(),
+        spark.read.format(Fmt).option("path", srcDir)
+          .option("asOfVersion", head.toString).load(),
         keyCol, sumCols, minMaxCols, distinctCols)
         .repartitionByRange(mvBuckets, col(keyCol))
       full.write.format(Fmt).option("path", mvDir)
@@ -123,7 +135,7 @@ object MaterializedAgg {
         spark.read.format(Fmt).option("path", srcDir)
           .option("pickFiles", deltaEntries.map(_.file).mkString(","))
           .load(),
-        keyCol, sumCols, minMaxCols, distinctCols)
+        keyCol, sumCols, minMaxCols, distinctCols).cache()
       // Combine with current view state for exactly the touched
       // groups: an IN-list of the delta's keys (driver-capped like the
       // merge's probe set) pushes into the view scan, where file
@@ -144,9 +156,14 @@ object MaterializedAgg {
           (col(s"d.$keyCol").as(keyCol) +:
             (col("d.n_rows") + coalesce(col("m.n_rows"), lit(0L)))
               .as("n_rows") +:
-            (sumCols.map(c =>
-              (col(s"d.sum_$c") + coalesce(col(s"m.sum_$c"), lit(0L)))
-                .as(s"sum_$c")) ++
+            (sumCols.map { c =>
+              // null-safe on BOTH sides: SUM ignores NULLs, so an
+              // all-NULL delta must not wipe the accumulated sum, and
+              // a never-non-NULL group stays NULL (never becomes 0)
+              val d = col(s"d.sum_$c"); val m = col(s"m.sum_$c")
+              when(d.isNull, m).when(m.isNull, d).otherwise(d + m)
+                .as(s"sum_$c")
+            } ++
               minMaxCols.flatMap(c => Seq(
                 least(col(s"d.min_$c"),
                   coalesce(col(s"m.min_$c"), col(s"d.min_$c")))
@@ -161,8 +178,10 @@ object MaterializedAgg {
                   coalesce(col(s"m.hll_$c"), lit(
                     graft.functions.HllSketchStr.emptyEncoded)))
                 .as(s"hll_$c")))): _*)
-      val (rewritten, _) = GraftLog.mergeUpsert(spark, mvDir, combined,
-        keyCol, txn = Some(AppId -> head))
+      val (rewritten, _) =
+        try GraftLog.mergeUpsert(spark, mvDir, combined,
+          keyCol, txn = Some(AppId -> head))
+        finally delta.unpersist()
       Refresh(head, "incremental", deltaEntries.size, srcTotal,
         rewritten, mvTotal)
     }

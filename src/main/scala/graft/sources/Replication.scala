@@ -51,7 +51,11 @@ object Replication {
     val head = GraftLog.currentVersion(srcDir)
     val last = GraftLog.lastTxnVersion(dstDir, AppId)
     val horizon = GraftLog.oldestReplayableVersion(srcDir)
-    val replayable = last >= 0 && (horizon <= 0L || last >= horizon - 1)
+    // expire-history deletes the commit file AT the pivot checkpoint
+    // (its changes survive only folded into the snapshot), so the
+    // oldest replayable CHANGE SPAN starts one past the horizon: a
+    // marker of horizon-1 would silently skip version `horizon`
+    val replayable = last >= 0 && (horizon <= 0L || last >= horizon)
     if (GraftLog.storedSchema(dstDir).isEmpty || !replayable) {
       spark.read.format(Fmt).option("path", srcDir).load()
         .write.format(Fmt).option("path", dstDir)
@@ -62,8 +66,26 @@ object Replication {
     if (head <= last) return Sync(last, "noop", 0)
     val versions = GraftLog.versionsBetween(srcDir, last, head)
     versions.foreach { v =>
+      // a version that changed rows WITHOUT sidecars (Spark's SQL
+      // UPDATE/MERGE replace-data plan cannot emit them) would replay
+      // its carried rewrite rows as inserts — re-seed from the
+      // snapshot at v instead of applying a wrong change set
+      if (GraftLog.versionLacksCdcCoverage(srcDir, v)) {
+        spark.read.format(Fmt).option("path", srcDir)
+          .option("asOfVersion", v.toString).load()
+          .write.format(Fmt).option("path", dstDir)
+          .mode("overwrite").save()
+        GraftLog.commitTxn(dstDir, AppId, v)
+      } else {
       val ch = GraftLog.typedChanges(spark, srcDir, v - 1, v).cache()
       try {
+        // a NULL-keyed change can never key a merge or a delete —
+        // applying it would silently diverge; the source contract
+        // (unique, non-null keys) is enforced loudly here
+        require(ch.filter(col(keyCol).isNull).limit(1).collect()
+            .isEmpty,
+          s"version $v carries a NULL-keyed change — key-based " +
+            s"replication needs non-null '$keyCol' values")
         val upserts = ch.filter(col(GraftLog.ChangeTypeCol)
             .isin("insert", "update_postimage"))
           .drop(GraftLog.ChangeTypeCol)
@@ -93,6 +115,7 @@ object Replication {
           else GraftLog.commitTxn(dstDir, AppId, v)
         }
       } finally ch.unpersist()
+      }
     }
     Sync(head, "incremental", versions.size)
   }
@@ -130,20 +153,37 @@ object Replication {
     val after = spark.read.format(Fmt).option("path", dir)
       .option("asOfVersion", toVersion.toString).load()
     val cols = before.columns.toSeq
-    val joined = before.alias("b").join(after.alias("a"),
-      col(s"b.$keyCol") === col(s"a.$keyCol"), "full_outer")
-    val bKey = col(s"b.$keyCol"); val aKey = col(s"a.$keyCol")
+    // the key must be unique per snapshot (at most one NULL-keyed
+    // row): duplicate keys would cross-pair through the join and emit
+    // pre/post images for changes that never happened — loud, not
+    // wrong
+    Seq(("fromVersion", before), ("toVersion", after)).foreach {
+      case (label, df) =>
+        val dup = df.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"changesByDiff needs '$keyCol' unique per snapshot — " +
+            s"$label has ${dup.head.get(0)} ${dup.head.getLong(1)} times")
+    }
+    // null-safe join + presence markers: a single NULL-keyed row
+    // pairs with itself instead of surfacing as a spurious
+    // delete+insert on every diff, and side presence is read from the
+    // markers (the key itself cannot discriminate sides when NULL)
+    val joined = before.withColumn("__p_b", lit(true)).alias("b")
+      .join(after.withColumn("__p_a", lit(true)).alias("a"),
+        col(s"b.$keyCol") <=> col(s"a.$keyCol"), "full_outer")
+    val bP = col("b.__p_b").isNotNull; val aP = col("a.__p_a").isNotNull
     val changed = cols.map(c =>
       !(col(s"b.$c") <=> col(s"a.$c"))).reduce(_ || _)
     def side(p: String) = cols.map(c => col(s"$p.$c").as(c))
-    val deletes = joined.filter(aKey.isNull && bKey.isNotNull)
+    val deletes = joined.filter(bP && !aP)
       .select(side("b"): _*)
       .withColumn(GraftLog.ChangeTypeCol, lit("delete"))
-    val inserts = joined.filter(bKey.isNull && aKey.isNotNull)
+    val inserts = joined.filter(aP && !bP)
       .select(side("a"): _*)
       .withColumn(GraftLog.ChangeTypeCol, lit("insert"))
-    val updatedPairs = joined.filter(
-      bKey.isNotNull && aKey.isNotNull && changed)
+    val updatedPairs = joined.filter(bP && aP && changed)
     val pre = updatedPairs.select(side("b"): _*)
       .withColumn(GraftLog.ChangeTypeCol, lit("update_preimage"))
     val post = updatedPairs.select(side("a"): _*)
