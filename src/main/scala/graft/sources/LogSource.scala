@@ -571,29 +571,33 @@ object GraftLog {
       .linesIterator.filter(_.nonEmpty).map(_.toLong).toSet
   }
 
+  /** Writer identity the streaming sink's epoch markers commit under
+    * — epoch ids are monotone per query, so applied-through IS the
+    * newest epoch. */
+  val EpochAppId = "graft-epoch"
+
   /** Epoch-idempotent publish for streaming: a replayed micro-batch
     * (restart re-running an already-committed epoch) is a no-op, which
     * upgrades the sink to exactly-once under Structured Streaming's
-    * epoch-replay recovery contract. */
+    * epoch-replay recovery contract. The epoch id rides the commit as
+    * a [[LogEntry.txn]] marker — data and idempotence record become
+    * visible ATOMICALLY, so the crash window between a commit and a
+    * post-commit ledger write cannot exist (the older side-ledger
+    * file also lost epochs to concurrent read-modify-writes; it is
+    * still read for tables written before the marker scheme). */
   def publishEpoch(dir: String, epochId: Long, files: Seq[GraftLogCommit],
       schema: StructType): Unit = synchronized {
-    if (!committedEpochs(dir).contains(epochId)) {
+    val seen = lastTxnVersion(dir, EpochAppId) >= epochId ||
+      committedEpochs(dir).contains(epochId)
+    if (!seen && files.nonEmpty) {
       val merged =
         storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
       requireNoReservedAdds(dir, merged)
-      // An empty epoch records its id (idempotence) but commits no
-      // version — a data-less commit would only pad the log.
-      if (files.nonEmpty)
-        commitNew(dir, merged)(v =>
-          files.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
-            cols = c.cols)))
-      val tmp = Paths.get(dir, s"$EpochsFile.tmp.${UUID.randomUUID()}")
-      Files.write(tmp, (committedEpochs(dir) + epochId).toSeq.sorted
-        .mkString("\n").getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(dir, EpochsFile),
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      commitNew(dir, merged)(v =>
+        files.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
+          cols = c.cols)) :+ LogEntry.txn(v, EpochAppId, epochId))
     }
+    // an EMPTY epoch needs no record: its replay is empty too
   }
 
   /** Path validation only — no side effects. A READ of a mistyped or
@@ -817,6 +821,30 @@ object GraftLog {
     (leg ++ tail).filter(e => e.isAdd && e.dataChange)
   }
 
+  /** Parse a manifest stat pair, None when absent OR unparseable
+    * (NaN/Infinity stats from a frozen writer compare) — consumers
+    * degrade to may-match / conservative-include instead of crashing
+    * planning with a NumberFormatException. */
+  def decStat(e: LogEntry, col: String): Option[(java.math.BigDecimal,
+      java.math.BigDecimal)] =
+    e.stats.get(col).flatMap { case (mn, mx) =>
+      try Some((new java.math.BigDecimal(mn),
+        new java.math.BigDecimal(mx)))
+      catch { case _: NumberFormatException => None }
+    }
+
+  /** Loud guard for incremental consumers: a change span starting
+    * below the retained horizon cannot be reconstructed (expire-log
+    * deleted those commit files; their changes survive only folded
+    * into a checkpoint) — failing beats silently serving the tail. */
+  def requireSpanReplayable(dir: String, fromVersion: Long): Unit = {
+    val h = oldestReplayableVersion(dir)
+    require(h <= 0L || fromVersion >= h,
+      s"change span from version $fromVersion at $dir is below the " +
+        s"retained horizon $h (history expired) — re-bootstrap the " +
+        "consumer from a snapshot instead")
+  }
+
   /** TRUE when (fromVersion, toVersion] contains a change an
     * insert-only consumer cannot replay from the add feed: a
     * row-level rewrite (removes paired with dataChange adds), a
@@ -834,10 +862,11 @@ object GraftLog {
       .flatMap { case (_, f) => readEntryLines(f) }
     (leg ++ tail).groupBy(_.version).values.exists { es =>
       val removes = es.exists(_.action == "remove")
-      val dvAssigned = es.exists(e =>
-        e.action == "dv" && dvOf(e).isDefined)
+      // ANY dv action counts — a CLEARING dv (restore resurrecting
+      // DV'd rows) changes visible rows just like an assignment
+      val dvTouched = es.exists(_.action == "dv")
       val dataAdds = es.exists(e => e.isAdd && e.dataChange)
-      dvAssigned || (removes && (dataAdds || !es.exists(_.isAdd)))
+      dvTouched || (removes && (dataAdds || !es.exists(_.isAdd)))
     }
   }
 
@@ -853,9 +882,9 @@ object GraftLog {
       .filter(_.version == v)
     if (es.exists(_.action == "cdc")) return false
     val removes = es.exists(_.action == "remove")
-    val dvAssigned = es.exists(e => e.action == "dv" && dvOf(e).isDefined)
+    val dvTouched = es.exists(_.action == "dv")
     val dataAdds = es.exists(e => e.isAdd && e.dataChange)
-    dvAssigned || (removes && (dataAdds || !es.exists(_.isAdd)))
+    dvTouched || (removes && (dataAdds || !es.exists(_.isAdd)))
   }
 
   /** Typed change feed: the TSV column carrying each CDC row's change
@@ -1014,21 +1043,33 @@ object GraftLog {
     * object lock — cheaper than churning the retry loop. Every
     * [[CheckpointInterval]]-th commit also writes a reconciled
     * checkpoint. Returns the committed version. */
-  def commitNew(dir: String, schema: StructType)(
+  def commitNew(dir: String, schema: StructType,
+      remergeSchema: Boolean = true)(
       mk: Long => Seq[LogEntry]): Long = synchronized {
-    commitNewUnlocked(dir, schema)(mk)
+    commitNewUnlocked(dir, schema, remergeSchema)(mk)
   }
 
   /** The lock-free body — `private[graft]` so the concurrency spec can
     * drive two racing committers through the file CAS alone. `mk`
     * may be invoked more than once (once per claimed version). */
-  private[graft] def commitNewUnlocked(dir: String, schema: StructType)(
+  private[graft] def commitNewUnlocked(dir: String, schema: StructType,
+      remergeSchema: Boolean = true)(
       mk: Long => Seq[LogEntry]): Long = {
     ensureDir(dir)
-    atomicWrite(Paths.get(dir, SchemaFile),
-      schema.json.getBytes(StandardCharsets.UTF_8))
     var attempts = 0
     while (attempts < 64) {
+      // the schema persists per ATTEMPT, re-merged against the stored
+      // one each time: two cross-process schema-evolving commits would
+      // otherwise race read-modify-write on `_schema` and the loser's
+      // new column silently vanish from the table (mergeSchemas is
+      // additive-at-tail, so remerging is idempotent). A truncate
+      // replaces the schema wholesale instead (remergeSchema=false).
+      val persisted =
+        if (remergeSchema)
+          storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
+        else schema
+      atomicWrite(Paths.get(dir, SchemaFile),
+        persisted.json.getBytes(StandardCharsets.UTF_8))
       val v = currentVersion(dir) + 1
       // an empty entry list is legal exactly once: the version-0
       // commit of a truncate-to-empty (overwrite with zero rows)
@@ -1255,11 +1296,20 @@ object GraftLog {
   def stageAppend(dir: String, id: String, fresh: Seq[GraftLogCommit],
       schema: StructType): Unit = synchronized {
     if (fresh.isEmpty) return
-    storedSchema(dir).foreach { stored =>
-      require(mergeSchemas(stored, schema) == stored,
-        s"staged write under wap id '$id' would evolve the schema of " +
-          s"$dir — publish-time evolution is not supported; evolve " +
-          "with an ordinary write first")
+    storedSchema(dir) match {
+      case Some(stored) =>
+        require(mergeSchemas(stored, schema) == stored,
+          s"staged write under wap id '$id' would evolve the schema " +
+            s"of $dir — publish-time evolution is not supported; " +
+            "evolve with an ordinary write first")
+      case None =>
+        // the staging CREATES the table: persist the schema now (the
+        // rows stay invisible until publish) — publishing against no
+        // stored schema would otherwise commit an empty one and
+        // strand the rows behind a zero-column read
+        ensureDir(dir)
+        atomicWrite(Paths.get(dir, SchemaFile),
+          schema.json.getBytes(StandardCharsets.UTF_8))
     }
     val entries = stagedEntries(dir, id) ++
       fresh.map(c => LogEntry.add(-1L, c.file, c.rows, c.stats,
@@ -1279,11 +1329,13 @@ object GraftLog {
       s"no staged write under wap id '$id' at $dir " +
         s"(staged: ${listStagedIds(dir).mkString(", ")})")
     // Crash recovery: a publish that committed but died before
-    // retiring the side file must NOT double-commit on retry. Every
-    // staged file already live in the snapshot = the commit landed;
-    // retire the stale staging and say so instead of re-adding.
-    val live = entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
-    if (es.forall(e => live(e.file))) {
+    // retiring the side file must NOT double-commit on retry. The
+    // publish commit carries a txn marker under the wap id, so the
+    // check is EXACT — the earlier are-all-files-live heuristic
+    // double-published when a compaction or delete retired the staged
+    // files inside the crash window. Wap ids are single-use as a
+    // consequence (the Iceberg wap.id contract).
+    if (lastTxnVersion(dir, s"wap:$id") >= 0L) {
       stagedFile(dir, id).delete()
       throw new IllegalStateException(
         s"wap id '$id' at $dir was already published (a crashed " +
@@ -1297,7 +1349,8 @@ object GraftLog {
       published = v
       // ts stays -1: commitNew stamps its monotonic commit time — the
       // PUBLISH instant is the version's timestamp (audit time is not)
-      es.map(e => e.copy(version = v, ts = -1L))
+      es.map(e => e.copy(version = v, ts = -1L)) :+
+        LogEntry.txn(v, s"wap:$id", 1L)
     }
     stagedFile(dir, id).delete()
     (published, es.size)
@@ -1307,9 +1360,14 @@ object GraftLog {
     * Returns the number of part files deleted. */
   def dropStaged(dir: String, id: String): Int = synchronized {
     val es = stagedEntries(dir, id)
-    es.foreach(e => new File(dir, e.file).delete())
+    // a staging left behind by a crashed-but-committed publish points
+    // at files the LIVE snapshot references — deleting those would
+    // destroy committed data (dropBranch guards the same way)
+    val live = entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
+    val dead = es.filterNot(e => live(e.file))
+    dead.foreach(e => new File(dir, e.file).delete())
     stagedFile(dir, id).delete()
-    es.size
+    dead.size
   }
 
   /** Loud guard for operations that cannot be staged: running them
@@ -1462,8 +1520,11 @@ object GraftLog {
       val es = branchEntries(dir, name)
       require(es.nonEmpty,
         s"branch '$name' at $dir has no commits to fast-forward")
-      val live = entriesAsOf(dir, Long.MaxValue).map(_.file).toSet
-      if (es.filter(_.isAdd).forall(e => live(e.file))) {
+      // exact crash-recovery check: the publish commit carries a txn
+      // marker under the branch name (the are-all-files-live
+      // heuristic double-published when a compaction retired the
+      // branch files inside the crash window)
+      if (lastTxnVersion(dir, s"branch:$name@$fork") >= 0L) {
         retireBranch(dir, name)
         throw new IllegalStateException(
           s"branch '$name' at $dir was already fast-forwarded (a " +
@@ -1481,7 +1542,17 @@ object GraftLog {
       var published = -1L
       commitNew(dir, storedSchema(dir).getOrElse(StructType(Nil))) { v =>
         published = v
-        es.map(e => e.copy(version = v, ts = -1L))
+        // the claimed version re-checks the fork INSIDE the CAS: a
+        // cross-process mainline commit racing this publish would
+        // otherwise slip under the check-then-commit window above
+        require(v == fork + 1,
+          s"branch '$name' cannot fast-forward: main advanced to " +
+            s"${v - 1} during the publish — recreate the branch to " +
+            "rebase")
+        es.map(e => e.copy(version = v, ts = -1L)) :+
+          // fork-qualified so a RECREATED branch under the same name
+          // (at a new fork) publishes cleanly
+          LogEntry.txn(v, s"branch:$name@$fork", 1L)
       }
       retireBranch(dir, name)
       (published, es.size)
@@ -1523,13 +1594,28 @@ object GraftLog {
   /** Overwrite semantics: a truncate resets the table to a NEW lineage
     * (version 0) — all commit files, checkpoints, and any legacy
     * manifest are retired. */
+  /** Wipe the version lineage for an overwrite. Deletion order is
+    * NEWEST-first (checkpoints, then commits descending, the legacy
+    * manifest last) so any crash mid-reset leaves a CONSISTENT older
+    * snapshot — an unordered delete could drop `_commit.0` first and
+    * leave a tail whose removes dangle and whose horizon guard passes,
+    * a silently corrupt replay. The overwrite itself stays non-atomic
+    * across the reset→commit pair (a crash between them leaves an
+    * empty table — the new rows were never committed); full atomicity
+    * would need history-preserving overwrites. */
   private def resetLineage(dir: String): Unit = {
     ensureDir(dir)
-    Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(CommitPrefix) ||
-        f.getName.startsWith(CheckpointPrefix) ||
-        f.getName == ManifestFile)
-      .foreach(_.delete())
+    val files = Option(new File(dir).listFiles())
+      .getOrElse(Array.empty)
+    def versionOf(f: File, prefix: String): Long =
+      f.getName.stripPrefix(prefix).takeWhile(_.isDigit) match {
+        case "" => -1L; case d => d.toLong
+      }
+    files.filter(_.getName.startsWith(CheckpointPrefix))
+      .sortBy(f => -versionOf(f, CheckpointPrefix)).foreach(_.delete())
+    files.filter(_.getName.startsWith(CommitPrefix))
+      .sortBy(f => -versionOf(f, CommitPrefix)).foreach(_.delete())
+    files.filter(_.getName == ManifestFile).foreach(_.delete())
   }
 
   /** Vacuum: delete unreferenced part files — orphans from
@@ -1670,21 +1756,18 @@ object GraftLog {
             entries.exists(e => GraftLog.dvOf(e).isDefined))
           Map.empty[String, (String, String)]
         else {
-          val num = (s: String) => new java.math.BigDecimal(s)
           // min/max under each input's file-LOCAL name (pre-rename
           // files keyed them under the former name), re-keyed to the
-          // current name on the compacted output
+          // current name on the compacted output; unparseable stats
+          // (NaN) drop the column's fold instead of crashing
           def localStat(e: LogEntry, f: StructField) =
-            e.stats.get(GraftLog.fileLocalName(schema, e, f.name))
+            GraftLog.decStat(e,
+              GraftLog.fileLocalName(schema, e, f.name))
           schema.fields.collect {
             case f if entries.forall(localStat(_, f).isDefined) =>
-              val mn = entries.map(localStat(_, f).get._1)
-                .reduce((a, b) =>
-                  if (num(a).compareTo(num(b)) <= 0) a else b)
-              val mx = entries.map(localStat(_, f).get._2)
-                .reduce((a, b) =>
-                  if (num(a).compareTo(num(b)) >= 0) a else b)
-              f.name -> (mn, mx)
+              val mn = entries.map(localStat(_, f).get._1).min
+              val mx = entries.map(localStat(_, f).get._2).max
+              f.name -> (mn.toPlainString, mx.toPlainString)
           }.toMap
         }
       val pvStat = pv.fold(Map.empty[String, (String, String)]) {
@@ -1936,10 +2019,9 @@ object GraftLog {
           new java.math.BigDecimal(r.get(0).toString): AnyRef)
         java.util.Arrays.sort(keys)
         live.filter { e =>
-          e.stats.get(GraftLog.fileLocalName(schema, e, keyCol)) match {
-            case Some((mn, mx)) =>
-              val lo = new java.math.BigDecimal(mn)
-              val hi = new java.math.BigDecimal(mx)
+          GraftLog.decStat(e,
+              GraftLog.fileLocalName(schema, e, keyCol)) match {
+            case Some((lo, hi)) =>
               // any key in [lo, hi]? first key >= lo decides
               val i = {
                 val p = java.util.Arrays.binarySearch(keys, lo)
@@ -1957,10 +2039,10 @@ object GraftLog {
         val hi = keyRows.map(r =>
           new java.math.BigDecimal(r.get(0).toString)).max
         live.filter { e =>
-          e.stats.get(GraftLog.fileLocalName(schema, e, keyCol)) match {
+          GraftLog.decStat(e,
+              GraftLog.fileLocalName(schema, e, keyCol)) match {
             case Some((mn, mx)) =>
-              new java.math.BigDecimal(mx).compareTo(lo) >= 0 &&
-                new java.math.BigDecimal(mn).compareTo(hi) <= 0
+              mx.compareTo(lo) >= 0 && mn.compareTo(hi) <= 0
             case None => true
           }
         }
@@ -2041,10 +2123,10 @@ object GraftLog {
     val dlo = java.math.BigDecimal.valueOf(lo)
     val dhi = java.math.BigDecimal.valueOf(hi)
     val affected = live.filter { e =>
-      e.stats.get(GraftLog.fileLocalName(schema, e, keyCol)) match {
+      GraftLog.decStat(e,
+          GraftLog.fileLocalName(schema, e, keyCol)) match {
         case Some((mn, mx)) =>
-          new java.math.BigDecimal(mx).compareTo(dlo) >= 0 &&
-            new java.math.BigDecimal(mn).compareTo(dhi) < 0
+          mx.compareTo(dlo) >= 0 && mn.compareTo(dhi) < 0
         case None => true
       }
     }
@@ -2395,7 +2477,7 @@ object GraftLog {
       removeProperties(dir, Seq(DroppedColsProp))
       resetLineage(dir)
     }
-    commitNew(dir, merged)(v =>
+    commitNew(dir, merged, remergeSchema = !truncate)(v =>
       fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
         cols = c.cols)) ++
         txn.map { case (a, tv) => LogEntry.txn(v, a, tv) }.toSeq)
@@ -3413,12 +3495,14 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val candidates = {
     val base =
-      if (typedCdf)
+      if (typedCdf) {
+        GraftLog.requireSpanReplayable(dir, changesFromVersion)
         GraftLog.typedChangedEntriesBetween(dir, changesFromVersion,
           asOfVersion)
-      else if (changesFromVersion >= 0L)
+      } else if (changesFromVersion >= 0L) {
+        GraftLog.requireSpanReplayable(dir, changesFromVersion)
         GraftLog.changedEntriesBetween(dir, changesFromVersion, asOfVersion)
-      else GraftLog.entriesAsOf(dir, asOfVersion) ++ stagedOverlay
+      } else GraftLog.entriesAsOf(dir, asOfVersion) ++ stagedOverlay
     pickFiles.fold(base)(p => base.filter(e => p(e.file)))
   }
   private val files = {
@@ -3653,6 +3737,10 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
       end: StreamOffset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftLogOffset].version
     val e = end.asInstanceOf[GraftLogOffset].version
+    // a checkpointed offset below the retained horizon cannot replay
+    // (expire-log truncated those commits) — fail the query loudly
+    // instead of silently serving only the surviving tail
+    GraftLog.requireSpanReplayable(dir, s)
     val entries =
       if (typed) GraftLog.typedChangedEntriesBetween(dir, s, e)
       else GraftLog.changedEntriesBetween(dir, s, e)
@@ -3723,10 +3811,11 @@ object GraftLogScan {
         case other => other
       }
     }
+    // NaN/Infinity stats (a NaN first row freezes the writer's
+    // min/max compare) or filter values parse to None/true — degrade
+    // to may-match, never crash planning
     def range(col: String): Option[(java.math.BigDecimal,
-        java.math.BigDecimal)] =
-      e.stats.get(col).map { case (mn, mx) =>
-        (new java.math.BigDecimal(mn), new java.math.BigDecimal(mx)) }
+        java.math.BigDecimal)] = GraftLog.decStat(e, col)
     def dec(v: Any): java.math.BigDecimal =
       new java.math.BigDecimal(v.toString)
     // Evolution-aware skip: a comparison on a column the file PREDATES
@@ -3747,8 +3836,10 @@ object GraftLogScan {
     // NULL comparison values match nothing (three-valued logic), but
     // deleteWhere routes raw convertible filters here — treat them as
     // may-match rather than NPE in the BigDecimal parse; Spark itself
-    // folds such predicates away before pushdown.
-    f match {
+    // folds such predicates away before pushdown. A non-decimal
+    // FILTER VALUE (NaN/Infinity literal) likewise degrades to
+    // may-match via the catch below.
+    try f match {
       // String equality prunes on the per-file BLOOM (numeric min/max
       // can't see it): definitely-absent values skip the file; an
       // entry without a bloom (legacy, or dropped by compaction)
@@ -3774,7 +3865,7 @@ object GraftLogScan {
         vs.exists(v => v != null && dec(v).compareTo(mn) >= 0 &&
           dec(v).compareTo(mx) <= 0) }
       case _ => true
-    }
+    } catch { case _: NumberFormatException => true }
   }
 }
 
@@ -4159,18 +4250,17 @@ class GraftLogStatsTable(dir: String) extends Table with SupportsRead {
             // numeric min/max fold mirrors the scan's skipping rules:
             // present only when every row-bearing DV-free file carries
             // the column's range
-            // pre-rename files key the range under the former name
+            // pre-rename files key the range under the former name;
+            // unparseable stats (NaN) drop the range, never crash
             def localStat(e: LogEntry) =
-              e.stats.get(GraftLog.fileLocalName(schema, e, f.name))
+              GraftLog.decStat(e,
+                GraftLog.fileLocalName(schema, e, f.name))
             val range =
               if (noDv && withRows.nonEmpty &&
                   withRows.forall(localStat(_).isDefined)) {
-                val num = (s: String) => new java.math.BigDecimal(s)
-                val mn = withRows.map(localStat(_).get._1).reduce(
-                  (a, b) => if (num(a).compareTo(num(b)) <= 0) a else b)
-                val mx = withRows.map(localStat(_).get._2).reduce(
-                  (a, b) => if (num(a).compareTo(num(b)) >= 0) a else b)
-                Some((mn, mx))
+                val mn = withRows.map(localStat(_).get._1).min
+                val mx = withRows.map(localStat(_).get._2).max
+                Some((mn.toPlainString, mx.toPlainString))
               } else None
             new GenericInternalRow(Array[Any](
               UTF8String.fromString(f.name),

@@ -1685,14 +1685,19 @@ class GraftLogSpec extends SparkSpec {
     // pre-publish main is still time-travelable
     assert(spark.read.format(Fmt).option("path", dir)
       .option("asOfVersion", "0").load().count() == 100)
-    // a resurrected branch whose files are all live = crashed publish;
-    // the retry refuses and retires instead of duplicating rows
+    // a branch left behind by a publish that crashed AFTER its commit
+    // — the fork-qualified txn marker landed atomically with it, so
+    // the retry refuses EXACTLY (the earlier are-all-files-live
+    // heuristic re-published when compaction retired the files inside
+    // the crash window) and retires the stale branch
     GraftLog.createBranch(dir, "fix2")
+    val fork2 = GraftLog.currentVersion(dir)
     val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
       .filter(_.file.startsWith("part-")).take(1)
     GraftLog.appendToBranch(dir, "fix2",
       live.map(e => graft.sources.GraftLogCommit(e.file, e.rows)),
       graft.sources.GraftLog.storedSchema(dir).get)
+    GraftLog.commitTxn(dir, s"branch:fix2@$fork2", 1L)
     val crash = intercept[IllegalStateException] {
       GraftLog.fastForward(dir, "fix2")
     }
