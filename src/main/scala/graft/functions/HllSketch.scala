@@ -57,7 +57,11 @@ object HllEstimate {
     * in the per-row hot path. */
   def toColumn(c: Column): Column =
     org.apache.spark.sql.functions.udf(
-      (b: Array[Byte]) => GraftLogNdv.estimate(b)).apply(c)
+      // null-safe like the Catalyst twin graft_hll_estimate: a NULL
+      // sketch yields NULL, never an executor NPE
+      (b: Array[Byte]) =>
+        if (b == null) null
+        else java.lang.Long.valueOf(GraftLogNdv.estimate(b))).apply(c)
 }
 
 /** String-encoded sketch forms, for storing sketches in formats
@@ -88,11 +92,19 @@ object HllSketchStr extends Aggregator[String, Array[Byte], String] {
     * touched-group cardinality during a view refresh). */
   def unionPair(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.udf((x: String, y: String) =>
-      GraftLogNdv.serialize(GraftLogNdv.merge(
-        GraftLogNdv.deserialize(x), GraftLogNdv.deserialize(y))))
+      // null-safe: a missing side contributes the zero sketch (the
+      // join-miss case emptyEncoded documents), never an NPE
+      if (x == null && y == null) null
+      else GraftLogNdv.serialize(GraftLogNdv.merge(
+        GraftLogNdv.deserialize(
+          if (x == null) emptyEncoded else x),
+        GraftLogNdv.deserialize(
+          if (y == null) emptyEncoded else y))))
       .apply(a, b)
 
   def estimate(c: Column): Column =
     org.apache.spark.sql.functions.udf((x: String) =>
-      GraftLogNdv.estimate(GraftLogNdv.deserialize(x))).apply(c)
+      if (x == null) null
+      else java.lang.Long.valueOf(
+        GraftLogNdv.estimate(GraftLogNdv.deserialize(x)))).apply(c)
 }

@@ -37,9 +37,8 @@ object TextAnalysis {
     "text_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
-        size(split(col("text"), "\\s+")).as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
-          .as("bpe_tokens"),
+        tokenCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"),
         length(col("text")).as("n_chars_checked"))),
 
     // Quality scoring: integer features + one final double division
@@ -99,14 +98,16 @@ object TextAnalysis {
     // = random noise; natural text sits in a band). Computed as
     // H = ln(n) − (Σ c·ln c)/n over per-char counts, so every ln
     // argument is an exact integer and the engines agree within the
-    // gate's tolerance. One char explode → two hash aggregates;
-    // characters come from regexp_extract_all('.') which both engines
-    // define identically over codepoints.
+    // gate's tolerance. One char explode → two hash aggregates. The
+    // char class is EXPLICIT ([\s\S], every codepoint) because the
+    // engines' dot semantics differ at the margin: Java's dot
+    // excludes \r/\u0085/\u2028/\u2029, RE2's excludes only \n —
+    // a CRLF document would diverge under '.'.
     "text_entropy" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(call_function("regexp_extract_all",
-            col("text"), lit("."), lit(0))).as("ch"))
+            col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
         .groupBy(col("doc_id"), col("ch"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -167,7 +168,7 @@ object TextAnalysis {
          FROM documents""",
     "text_entropy" ->
       """WITH ch AS (
-           SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+           SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
            FROM documents),
          cc AS (SELECT doc_id, ch, COUNT(*) AS c
                 FROM ch GROUP BY doc_id, ch),

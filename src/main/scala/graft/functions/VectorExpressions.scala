@@ -207,18 +207,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate].getCanonicalName, "graft_bloom_agg"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_bloom_agg(hash, items, bits) takes 3 arguments, " +
+            s"got ${children.length}")
         new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(children(0), children(1), children(2))))
+          .BloomFilterAggregate(children(0), children(1), children(2))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain].getCanonicalName,
         "graft_might_contain"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_might_contain(bloom, hash) takes 2 arguments, " +
+            s"got ${children.length}")
         new org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(children(0), children(1))))
+          .BloomFilterMightContain(children(0), children(1))
+      }))
     // Mergeable HLL sketch aggregates as plain SQL (the sketch-partials
     // pattern: per-partition sketches stored once, any rollup answered
     // by union — see HllExpressions).
@@ -226,17 +234,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getCanonicalName,
         "graft_hll_sketch"),
-      (children: Seq[Expression]) => HllSketchAgg(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_hll_sketch takes 1 argument, got ${children.length}")
+        HllSketchAgg(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hll_union"),
       new ExpressionInfo(classOf[HllUnionAgg].getCanonicalName,
         "graft_hll_union"),
-      (children: Seq[Expression]) => HllUnionAgg(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_hll_union takes 1 argument, got ${children.length}")
+        HllUnionAgg(children.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hll_estimate"),
       new ExpressionInfo(classOf[HllEstimateExpr].getCanonicalName,
         "graft_hll_estimate"),
-      (children: Seq[Expression]) => HllEstimateExpr(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_hll_estimate takes 1 argument, got ${children.length}")
+        HllEstimateExpr(children.head)
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     // SQL views on GraftCatalog: vanilla Spark has the ViewCatalog API
     // but no analyzer path that calls it — the Hints-batch rule
@@ -256,7 +276,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         def longOf(e: Expression, what: String): Long = e match {
           case org.apache.spark.sql.catalyst.expressions
-              .Literal(v, _) => v.toString.toLong
+              .Literal(v, _) if v != null => v.toString.toLong
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(null, _) => throw new IllegalArgumentException(
+            s"graft_series $what must be a non-NULL literal")
           case other => throw new IllegalArgumentException(
             s"graft_series $what must be a literal, got $other")
         }

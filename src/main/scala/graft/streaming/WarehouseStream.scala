@@ -29,8 +29,13 @@ object WarehouseStream {
 
   private def dimSchemaDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Long, Double, Long, Long, Int)]
-      .toDF("user_id", "bal", "valid_from", "valid_to", "is_current")
+    // last_eid = the event id that opened the current version: the
+    // tie-break for same-timestamp changes arriving in later batches
+    // (without it, first-arrival silently won and the stream diverged
+    // from the batch twin's max_by(struct(ts, event_id)))
+    Seq.empty[(Long, Double, Long, Long, Int, Long)]
+      .toDF("user_id", "bal", "valid_from", "valid_to", "is_current",
+        "last_eid")
   }
 
   private def readDim(spark: SparkSession, dimDir: String): DataFrame =
@@ -41,13 +46,16 @@ object WarehouseStream {
   /** Fold one micro-batch of purchase events into the dimension. */
   def applyScd2Batch(spark: SparkSession, batch: DataFrame,
       dimDir: String): Unit = {
+    // short-circuit BEFORE the aggregation: isEmpty on the raw batch
+    // avoids paying the groupBy twice (once for the check, once when
+    // the uncached plan re-executes inside the write)
+    if (batch.isEmpty) return
     val changes = batch
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
         struct(col("ts"), col("event_id"))).as("m"))
       .select(col("user_id"), unix_micros(col("m.ts")).as("c_ts"),
-        col("m.value").as("c_val"))
-    if (changes.isEmpty) return
+        col("m.event_id").as("c_eid"), col("m.value").as("c_val"))
     val dim = readDim(spark, dimDir)
     val hist = dim.filter(col("is_current") === 0)
     val cur = dim.filter(col("is_current") === 1)
@@ -55,37 +63,70 @@ object WarehouseStream {
       .select(col("user_id"), explode(
         when(col("c_ts").isNull, // untouched user: current row survives
           array(struct(col("bal"), col("valid_from"), col("valid_to"),
-            lit(1).as("is_current"))))
+            lit(1).as("is_current"),
+            coalesce(col("last_eid"), lit(Long.MinValue))
+              .as("last_eid"))))
         .when(col("valid_from").isNull, // brand-new user
           array(struct(col("c_val").as("bal"),
             col("c_ts").as("valid_from"),
-            lit(OpenValidTo).as("valid_to"), lit(1).as("is_current"))))
-        // Late arrival (change NOT newer than the open version): reject —
-        // micro-batch boundaries don't respect event time, and
-        // without this guard an out-of-order replay would regress the
-        // dimension. `<=` (not `<`) makes the fold replay-idempotent
-        // under at-least-once foreachBatch recovery: re-applying the
-        // change that opened the current version is a no-op instead of
-        // appending a zero-length history row per replay. This is the
-        // standard last-writer-wins-by-event-time SCD2 policy;
-        // convergence to the batch answer depends on it (asserted in
-        // WarehouseStreamSpec).
-        .when(col("c_ts") <= col("valid_from"),
+            lit(OpenValidTo).as("valid_to"), lit(1).as("is_current"),
+            col("c_eid").as("last_eid"))))
+        // Late arrival (change NOT newer than the open version by
+        // (ts, event_id)): reject — micro-batch boundaries don't
+        // respect event time, and without this guard an out-of-order
+        // replay would regress the dimension. The event-id tie-break
+        // matches the batch twin's max_by(struct(ts, event_id)), so a
+        // SAME-timestamp later event arriving in a later batch still
+        // wins; re-applying the exact change that opened the current
+        // version (c_eid == last_eid) stays a no-op, keeping the fold
+        // replay-idempotent under at-least-once foreachBatch recovery.
+        .when(col("c_ts") < col("valid_from") ||
+            (col("c_ts") === col("valid_from") &&
+              col("c_eid") <= coalesce(col("last_eid"),
+                lit(Long.MinValue))),
           array(struct(col("bal"), col("valid_from"), col("valid_to"),
-            lit(1).as("is_current"))))
+            lit(1).as("is_current"),
+            coalesce(col("last_eid"), lit(Long.MinValue))
+              .as("last_eid"))))
         .otherwise(array( // close the open version, open the new one
           struct(col("bal"), col("valid_from"),
-            col("c_ts").as("valid_to"), lit(0).as("is_current")),
+            col("c_ts").as("valid_to"), lit(0).as("is_current"),
+            coalesce(col("last_eid"), lit(Long.MinValue))
+              .as("last_eid")),
           struct(col("c_val").as("bal"), col("c_ts").as("valid_from"),
-            lit(OpenValidTo).as("valid_to"), lit(1).as("is_current")))))
+            lit(OpenValidTo).as("valid_to"), lit(1).as("is_current"),
+            col("c_eid").as("last_eid")))))
         .as("v"))
       .select(col("user_id"), col("v.bal").as("bal"),
         col("v.valid_from").as("valid_from"),
         col("v.valid_to").as("valid_to"),
-        col("v.is_current").as("is_current"))
-    hist.unionByName(merged)
-      .write.format(Fmt).option("path", dimDir)
+        col("v.is_current").as("is_current"),
+        col("v.last_eid").as("last_eid"))
+    // publish as ONE atomic commit: remove every pre-batch file and
+    // add the rewrite in the same version (replaceFiles) — the
+    // overwrite path's reset-then-commit pair left a crash window
+    // where the whole dimension vanished, and this also keeps the
+    // dimension's own history time-travelable per micro-batch
+    val out = hist.unionByName(merged)
+    val retired = graft.sources.GraftLog
+      .entriesAsOf(dimDir, Long.MaxValue)
+    val scratch = s"$dimDir/__scd2-${java.util.UUID.randomUUID()}"
+    out.write.format(Fmt).option("path", scratch)
       .mode("overwrite").save()
+    val fresh = graft.sources.GraftLog
+      .entriesAsOf(scratch, Long.MaxValue).filter(_.rows > 0L)
+    fresh.foreach(e => java.nio.file.Files.move(
+      java.nio.file.Paths.get(scratch, e.file),
+      java.nio.file.Paths.get(dimDir, e.file)))
+    graft.sources.GraftLog.replaceFiles(dimDir, retired.map(_.file),
+      fresh.map(e => graft.sources.GraftLogCommit(e.file, e.rows,
+        e.stats, e.cols)), out.schema)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(scratch))
   }
 
   /** The stream: purchase events → per-batch SCD2 merge. */
