@@ -67,6 +67,12 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
           catalogOf(spark, parts.head).exists(_.viewExists(identOf(parts))) =>
       GraftSetViewPropertiesCommand(parts, props)
 
+    case org.apache.spark.sql.catalyst.plans.logical.UnsetViewProperties(
+          UnresolvedView(parts, _, _, _), keys, ifExists)
+        if isGraft(spark, parts) &&
+          catalogOf(spark, parts.head).exists(_.viewExists(identOf(parts))) =>
+      GraftUnsetViewPropertiesCommand(parts, keys, ifExists)
+
     case RenameTable(UnresolvedTableOrView(parts, _, _), newName, true)
         if isGraft(spark, parts) &&
           catalogOf(spark, parts.head).exists(_.viewExists(identOf(parts))) =>
@@ -145,13 +151,13 @@ case class GraftCreateViewCommand(parts: Seq[String], text: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = GraftViews.catalogOf(spark, parts.head).get
     val ident = GraftViews.identOf(parts)
-    if (cat.viewExists(ident)) {
-      if (replace) cat.dropView(ident)
-      else if (allowExisting) return Nil
-    }
+    if (cat.viewExists(ident) && !replace && allowExisting) return Nil
     // analysis only (the SELECT is lazy): the stored schema is the
-    // view's contract at creation time
+    // view's contract at creation time. Analyze BEFORE any drop — a
+    // failing replacement definition must leave the old view intact,
+    // not destroy it and then error
     val schema: StructType = spark.sql(text).schema
+    if (cat.viewExists(ident) && replace) cat.dropView(ident)
     val cm = spark.sessionState.catalogManager
     cat.createView(new ViewInfo(ident, text,
       cm.currentCatalog.name, cm.currentNamespace,
@@ -203,14 +209,39 @@ case class GraftSetViewPropertiesCommand(parts: Seq[String],
   }
 }
 
+case class GraftUnsetViewPropertiesCommand(parts: Seq[String],
+    keys: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = GraftViews.catalogOf(spark, parts.head).get
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val ident = GraftViews.identOf(parts)
+    if (!ifExists) {
+      val have = cat.loadView(ident).properties()
+      keys.foreach(k => if (!have.containsKey(k))
+        throw new IllegalArgumentException(
+          s"view ${parts.mkString(".")} has no property '$k' " +
+            "(use IF EXISTS to ignore)"))
+    }
+    cat.alterView(ident,
+      keys.map(ViewChange.removeProperty): _*)
+    Nil
+  }
+}
+
 case class GraftRenameViewCommand(parts: Seq[String],
     newName: Seq[String]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val cat = GraftViews.catalogOf(spark, parts.head).get
-    // the rename target resolves WITHIN the view's catalog (namespace
-    // + name), matching the table-rename convention
-    val to = Identifier.of(newName.dropRight(1).toArray, newName.last)
-    cat.renameView(GraftViews.identOf(parts), to)
+    // the rename target resolves WITHIN the view's catalog; a bare
+    // name keeps the SOURCE namespace (an empty-namespace target
+    // would relocate the view to the warehouse root, where the
+    // >=3-part resolution rule can never find it again)
+    val from = GraftViews.identOf(parts)
+    val toNs =
+      if (newName.length > 1) newName.dropRight(1).toArray
+      else from.namespace
+    cat.renameView(from, Identifier.of(toNs, newName.last))
     Nil
   }
 }

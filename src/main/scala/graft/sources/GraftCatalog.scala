@@ -89,72 +89,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(f => Identifier.of(ns, f.getName))
   }
 
+  /** Iceberg-style `$suffix` metadata tables: one resolution loop
+    * over a suffix → constructor map (`t$files` manifest listing,
+    * `t$history` versions, `t$refs` tags, `t$branches`, `t$txns`
+    * markers, `t$cdc` typed-feed coverage, `t$stats` ANALYZE-at-
+    * metadata-cost, `t$partitions` layout) — the introspection
+    * surface maintenance jobs and sync planners read. */
+  private val MetaTables: Seq[(String, String => Table)] = Seq(
+    "$files" -> (d => new GraftLogFilesTable(d)),
+    "$history" -> (d => new GraftLogHistoryTable(d)),
+    "$refs" -> (d => new GraftLogRefsTable(d)),
+    "$branches" -> (d => new GraftLogBranchesTable(d)),
+    "$txns" -> (d => new GraftLogTxnsTable(d)),
+    "$cdc" -> (d => new GraftLogCdcTable(d)),
+    "$stats" -> (d => new GraftLogStatsTable(d)),
+    "$partitions" -> (d => new GraftLogPartitionsTable(d)))
+
   override def loadTable(ident: Identifier): Table = {
-    // Iceberg-style metadata table: `SELECT * FROM graftcat.ns.t$files`
-    // lists the manifest (version, file) — the introspection surface a
-    // maintenance job (vacuum planning, CDF consumers) reads.
-    if (ident.name.endsWith("$files")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$files"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogFilesTable(tableDir(base).getPath)
-    }
-    // `t$history`: one row per committed version (ts, add/remove/row
-    // counts) — what TIMESTAMP AS OF resolves against.
-    if (ident.name.endsWith("$history")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$history"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogHistoryTable(tableDir(base).getPath)
-    }
-    // `t$refs`: one row per named ref (tag) with reachability — the
-    // discovery surface for `VERSION AS OF '<name>'`.
-    if (ident.name.endsWith("$refs")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$refs"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogRefsTable(tableDir(base).getPath)
-    }
-    // `t$branches`: one row per live branch — the discovery surface
-    // for branch reads and the fast-forward decision.
-    if (ident.name.endsWith("$branches")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$branches"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogBranchesTable(tableDir(base).getPath)
-    }
-    // `t$txns`: one row per incremental writer's latest txn marker —
-    // the staleness/exactly-once observability surface.
-    if (ident.name.endsWith("$txns")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$txns"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogTxnsTable(tableDir(base).getPath)
-    }
-    // `t$cdc`: one row per version with its typed-feed coverage —
-    // the sync planner's map of which spans carry exact change types.
-    if (ident.name.endsWith("$cdc")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$cdc"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogCdcTable(tableDir(base).getPath)
-    }
-    // `t$stats`: one row per column with merged manifest statistics
-    // (HLL NDV estimate, null count, min/max) — ANALYZE TABLE output
-    // at metadata cost, no scan.
-    if (ident.name.endsWith("$stats")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$stats"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogStatsTable(tableDir(base).getPath)
-    }
-    // `t$partitions`: one row per live identity-partition value with
-    // file/row counts — the layout surface compaction policy reads.
-    if (ident.name.endsWith("$partitions")) {
-      val base = Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$partitions"))
-      if (!tableExists(base)) throw new NoSuchTableException(base)
-      return new GraftLogPartitionsTable(tableDir(base).getPath)
+    MetaTables.foreach { case (suffix, mk) =>
+      if (ident.name.endsWith(suffix)) {
+        val base = Identifier.of(ident.namespace,
+          ident.name.stripSuffix(suffix))
+        if (!tableExists(base)) throw new NoSuchTableException(base)
+        return mk(tableDir(base).getPath)
+      }
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftLogTable(tableDir(ident).getPath, StructType(Nil))
@@ -373,6 +331,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft-log ADD COLUMN $colName cannot carry a DEFAULT: " +
             "pre-alter rows read NULL, not the default " +
             "(declare defaults at CREATE TABLE)")
+        // FIRST/AFTER would be silently ignored (columns only ever
+        // append at the tail) — reject rather than store a different
+        // order than the DDL asked for
+        require(add.position() == null,
+          s"graft-log ADD COLUMN $colName cannot take FIRST/AFTER: " +
+            "columns append at the tail of the schema")
         // a renamed column's former name or a dropped column's
         // tombstone still keys cells in old part files — a new
         // column may not claim it
@@ -454,18 +418,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    val dir = tableDir(ident).toPath
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(dir)
-    try walk.iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
-    finally walk.close()
+    rmTree(tableDir(ident))
     true
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    // the view resolution rule runs BEFORE table lookup, so a table
+    // renamed onto a view name would be silently shadowed — the same
+    // collision createTable and renameView reject
+    if (viewExists(to)) throw new ViewAlreadyExistsException(to)
     nsDir(to.namespace).mkdirs()
     Files.move(tableDir(from).toPath, tableDir(to).toPath)
   }
@@ -481,9 +444,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def viewFile(ident: Identifier): File =
     new File(nsDir(ident.namespace), s"${ident.name}.view")
   private val B64 = java.util.Base64.getEncoder
+  // property KEYS sit before the '=' separator, so they encode
+  // WITHOUT padding — a padded key's trailing '=' would be consumed
+  // as the separator and the value become undecodable (the decoder
+  // accepts unpadded input)
+  private val B64NP = java.util.Base64.getEncoder.withoutPadding
   private val B64D = java.util.Base64.getDecoder
   private def enc(s: String): String =
     B64.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def encKey(s: String): String =
+    B64NP.encodeToString(s.getBytes(StandardCharsets.UTF_8))
   private def dec(s: String): String =
     new String(B64D.decode(s), StandardCharsets.UTF_8)
 
@@ -527,7 +497,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"comments=${Option(comments).getOrElse(Array.empty[String])
         .map(c => enc(Option(c).getOrElse(""))).mkString(",")}") ++
       props.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"prop.${enc(k)}=${enc(v)}" }
+        s"prop.${encKey(k)}=${enc(v)}" }
     // atomic publish, matching the manifest/schema path — a crash
     // mid-write must not leave a truncated .view file
     GraftLog.atomicWrite(viewFile(ident).toPath,
@@ -540,7 +510,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StandardCharsets.UTF_8).linesIterator.filter(_.nonEmpty)
       .map { l =>
         val i = l.indexOf('=')
-        l.substring(0, i) -> l.substring(i + 1)
+        // legacy files wrote PADDED keys whose trailing '=' landed on
+        // the separator side: base64 values never START with '=', so
+        // stripping leading '='s from the value re-parses both
+        // vintages correctly
+        l.substring(0, i) -> l.substring(i + 1).dropWhile(_ == '=')
       }.toMap
   }
 
@@ -603,7 +577,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .filter(_.isDirectory).map(f => Array(f.getName))
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
     if (!nsDir(ns).isDirectory) throw new NoSuchNamespaceException(ns)
-    Array.empty
+    // child namespaces = subdirectories that are not tables (no
+    // _schema) — SHOW NAMESPACES IN a must surface a.b, or nested
+    // namespaces become undiscoverable while still usable
+    Option(nsDir(ns).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
+        !new File(f, GraftLog.SchemaFile).exists())
+      .map(f => ns :+ f.getName)
   }
   override def namespaceExists(ns: Array[String]): Boolean =
     ns.isEmpty || nsDir(ns).isDirectory
@@ -624,11 +604,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!d.isDirectory) return false
     if (!cascade && Option(d.listFiles()).exists(_.nonEmpty))
       throw new IllegalStateException(s"namespace ${ns.mkString(".")} not empty")
-    import scala.jdk.CollectionConverters._
-    val walk = Files.walk(d.toPath)
-    try walk.iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
-    finally walk.close()
+    rmTree(d)
     true
   }
 }

@@ -487,6 +487,59 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("view hardening: failed REPLACE keeps the old view, COMMENT " +
+      "round-trips, UNSET works, bare RENAME keeps the namespace") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.vh")
+      spark.sql("CREATE TABLE graftcat.vh.t (id BIGINT)")
+      spark.sql("INSERT INTO graftcat.vh.t SELECT id FROM range(10)")
+      // COMMENT stores a property whose base64 KEY needs padding —
+      // the padded '=' must not be eaten by the line separator
+      spark.sql("""CREATE VIEW graftcat.vh.v
+        COMMENT 'a padded-key property'
+        AS SELECT id FROM graftcat.vh.t WHERE id < 5""")
+      spark.sql(
+        "ALTER VIEW graftcat.vh.v SET TBLPROPERTIES ('o'='x')")
+      def viewProps(): Map[String, String] = {
+        val cat = new graft.sources.GraftCatalog()
+        cat.initialize("graftcat",
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+            java.util.Map.of("warehouse", wh)))
+        val v = cat.loadView(org.apache.spark.sql.connector.catalog
+          .Identifier.of(Array("vh"), "v"))
+        scala.jdk.CollectionConverters
+          .MapHasAsScala(v.properties()).asScala.toMap
+      }
+      assert(viewProps().get("comment")
+        .contains("a padded-key property"))
+      assert(viewProps().get("o").contains("x"))
+      // UNSET TBLPROPERTIES reaches the catalog instead of failing
+      spark.sql(
+        "ALTER VIEW graftcat.vh.v UNSET TBLPROPERTIES ('o')")
+      assert(!viewProps().contains("o"))
+      // a failing REPLACE must not destroy the existing view
+      intercept[Exception](spark.sql("""CREATE OR REPLACE VIEW
+        graftcat.vh.v AS SELECT no_such_col FROM graftcat.vh.t"""))
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.vh.v")
+        .head.getLong(0) == 5L,
+        "the old view must survive a failed replacement")
+      // a bare rename target stays in the view's own namespace
+      spark.sql("ALTER VIEW graftcat.vh.v RENAME TO v2")
+      assert(spark.sql("SELECT COUNT(*) FROM graftcat.vh.v2")
+        .head.getLong(0) == 5L)
+      // a table cannot rename onto a view name (it would be shadowed)
+      val e = intercept[Exception](spark.sql(
+        "ALTER TABLE graftcat.vh.t RENAME TO vh.v2"))
+      assert(e.getMessage.toLowerCase.contains("view") ||
+        e.getMessage.contains("already"))
+      // nested namespaces are discoverable
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.vh.sub")
+      val kids = spark.sql("SHOW NAMESPACES IN graftcat.vh")
+        .collect().map(_.getString(0))
+      assert(kids.exists(_.endsWith("sub")), s"got ${kids.mkString(",")}")
+    }
+  }
+
   test("SQL TRUNCATE TABLE: metadata-only wipe, history " +
       "time-travelable, typed CDF records the vanished rows") {
     withCatalog {
