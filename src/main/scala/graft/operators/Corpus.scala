@@ -817,17 +817,36 @@ object Corpus {
     // re-run job replays the exact order. Scale shape: a global sort
     // by hash key IS the operator (range-partitioned sort, the one
     // thing a training-order shuffle fundamentally requires); the
-    // consecutive ordinal here uses the engine-independent
-    // single-partition window form our rank queries share — a 100 TB
-    // run materializes ordinals with per-range counts + prefix
-    // offsets at write time instead (two metadata-sized passes).
+    // consecutive ordinal is materialized distributedly — range-
+    // repartition on the key, number within each range partition in
+    // parallel, then add broadcast per-partition prefix offsets (a
+    // P-row side table, P = parallelism not data size). No row ever
+    // funnels through a single-partition window, so the same plan
+    // runs at 100 TB: two metadata-sized passes over per-range counts.
     "corpus_train_order" -> ((s, d) => {
       val keyed = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
             .as("shuffle_key"))
-      val w = Window.partitionBy(lit(1)).orderBy(col("shuffle_key"))
-      keyed.withColumn("ord", row_number().over(w).cast("long"))
+      // md5 hex keys collide with probability ~0, but the reference
+      // ordinal must be total: break ties on doc_id so the permutation
+      // is deterministic for ANY range boundaries the sampler picks.
+      val local = keyed
+        .repartitionByRange(32, col("shuffle_key"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      // One row per partition — O(parallelism), not O(data) — so the
+      // explicit single-group window over it is constant-size at any SF.
+      val offsets = local.groupBy(col("pid"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.partitionBy(lit(1)).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("off"))
+      local.join(broadcast(offsets), "pid")
+        .withColumn("ord", (col("off") + col("lrn")).cast("long"))
         .withColumn("batch_id",
           floor((col("ord") - 1) / 64).cast("long"))
         .select(col("doc_id"), col("source"), col("shuffle_key"),

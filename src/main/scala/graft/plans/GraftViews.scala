@@ -120,20 +120,32 @@ object GraftViews {
 
   /** Qualify under-qualified table references in a re-parsed view body
     * with the view's persisted definition context: a 1-part name gets
-    * the stored catalog + namespace, a 2-part name whose head is not a
-    * registered catalog gets the stored catalog. Descends into subquery
-    * expressions so scalar/IN subqueries inside the view body resolve
-    * in the same context. */
+    * the stored catalog + namespace; a 2-part name `ns.t` prefers the
+    * DEFINITION-context reading — when `ns` is a namespace that exists
+    * in the view's own catalog, the reference is qualified with that
+    * catalog, EVEN IF a session catalog named `ns` is also registered
+    * (ADVICE r9: otherwise registering a catalog whose name collides
+    * with a definition-catalog namespace silently redirects every
+    * existing view body — the same-named-table hazard this pass
+    * exists to prevent). Only when the head is NOT a definition-
+    * catalog namespace does the catalog-head interpretation apply.
+    * Descends into subquery expressions so scalar/IN subqueries inside
+    * the view body resolve in the same context. */
   def qualifyRelations(spark: SparkSession, plan: LogicalPlan,
-      cat: String, ns: Array[String]): LogicalPlan =
+      cat: String, ns: Array[String]): LogicalPlan = {
+    lazy val defCat = catalogOf(spark, cat)
     plan.transformDownWithSubqueries {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
         r.copy(multipartIdentifier =
           (cat +: ns :+ r.multipartIdentifier.head).toSeq)
       case r: UnresolvedRelation if r.multipartIdentifier.length == 2 &&
-          !isAnyCatalog(spark, r.multipartIdentifier.head) =>
+          (defCat.exists(c =>
+             try c.namespaceExists(Array(r.multipartIdentifier.head))
+             catch { case scala.util.control.NonFatal(_) => false }) ||
+           !isAnyCatalog(spark, r.multipartIdentifier.head)) =>
         r.copy(multipartIdentifier = cat +: r.multipartIdentifier)
     }
+  }
 
   /** `parts` = catalog.namespace....name — ours iff the head names a
     * registered GraftCatalog and there is at least ns + name. */

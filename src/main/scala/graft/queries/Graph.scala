@@ -115,6 +115,48 @@ object Graph {
         .trim == "-1") df
     else broadcast(df)
 
+  /** Neighbor-set Jaccard for every edge of `e` (`pa`/`pb` columns,
+    * pa < pb), with a DEGREE CAP bounding task memory: adjacency
+    * arrays hold at most `cap` neighbors per node, chosen by hash
+    * rank — a deterministic unbiased sample, so one celebrity node
+    * (degree 10M at 100× scale) costs one bounded array instead of
+    * blowing the collect_set buffer and the broadcast row. Exact
+    * degrees still come from a constant-memory count aggregate, so
+    * Jaccard is EXACT for every node with deg ≤ cap and a documented
+    * UNDERestimate above it (the intersection can only miss sampled-
+    * out neighbors — same recall-for-memory trade the ANN family
+    * makes, and irrelevant to ranking: a capped node's true Jaccard
+    * against anything is ≤ cap/deg ≈ 0 anyway). The default cap sits
+    * ~30× above the max observed co-purchase degree at sf0.1, so
+    * every oracle-checked SF is in the exact regime. Shape: the
+    * per-node row_number rides the same hash partitioning as the
+    * collect_set; each EDGE — never all pairs — then probes the
+    * broadcast adjacency twice and intersects two arrays in-row. */
+  def neighborJaccard(s: SparkSession, e: DataFrame,
+      cap: Int = 4096): DataFrame = {
+    val dir = e.select(col("pa").as("u"), col("pb").as("v"))
+      .union(e.select(col("pb").as("u"), col("pa").as("v")))
+    val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val capped = dir.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+          .orderBy(xxhash64(col("u"), col("v")), col("v"))))
+      .filter(col("rk") <= cap).select(col("u"), col("v"))
+    val adj = capped.groupBy(col("u"))
+      .agg(collect_set(col("v")).as("nbrs"))
+      .join(deg, "u")
+    e.join(bcast(s, adj.select(col("u").as("pa"),
+        col("nbrs").as("na"), col("deg").as("da"))), "pa")
+      .join(bcast(s, adj.select(col("u").as("pb"),
+        col("nbrs").as("nb"), col("deg").as("db"))), "pb")
+      .select(col("pa"), col("pb"),
+        size(array_intersect(col("na"), col("nb"))).as("inter"),
+        col("da"), col("db"))
+      .select(col("pa"), col("pb"), col("inter"),
+        (col("da") + col("db") - col("inter")).as("un"))
+      .select(col("pa"), col("pb"),
+        (col("inter").cast("double") / col("un")).as("jaccard"))
+  }
+
   /** Degree of every endpoint over the distinct edge set. */
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("pa").as("v"))
@@ -229,33 +271,13 @@ object Graph {
 
     // Structural node similarity: neighbor-set Jaccard over every edge
     // of the co-purchase graph, top 20. This is the link-prediction /
-    // "related items" primitive. Shape: adjacency sets are one
-    // collect_set aggregate (node-sized output, catalog-bounded), then
-    // each EDGE — never all pairs — probes the broadcast adjacency twice
-    // and intersects two ~avg-degree arrays in-row. Integer (inter,
-    // union) feed one double division, identical IEEE in both engines;
-    // top-k is TakeOrderedAndProject (no global sort), ties broken by
-    // (pa, pb).
-    "graph_neighbor_jaccard" -> ((s, d) => {
-      val e = edges(s, d)
-      val dir = e.select(col("pa").as("u"), col("pb").as("v"))
-        .union(e.select(col("pb").as("u"), col("pa").as("v")))
-      val adj = dir.groupBy(col("u"))
-        .agg(collect_set(col("v")).as("nbrs"), count(lit(1)).as("deg"))
-      e.join(bcast(s, adj.select(col("u").as("pa"),
-          col("nbrs").as("na"), col("deg").as("da"))), "pa")
-        .join(bcast(s, adj.select(col("u").as("pb"),
-          col("nbrs").as("nb"), col("deg").as("db"))), "pb")
-        .select(col("pa"), col("pb"),
-          size(array_intersect(col("na"), col("nb"))).as("inter"),
-          col("da"), col("db"))
-        .select(col("pa"), col("pb"), col("inter"),
-          (col("da") + col("db") - col("inter")).as("un"))
-        .select(col("pa"), col("pb"),
-          (col("inter").cast("double") / col("un")).as("jaccard"))
+    // "related items" primitive — see [[neighborJaccard]] for the
+    // shape and the degree-cap recall contract (exact at every test
+    // SF: the cap sits far above any observed co-purchase degree).
+    "graph_neighbor_jaccard" -> ((s, d) =>
+      neighborJaccard(s, edges(s, d))
         .orderBy(col("jaccard").desc, col("pa"), col("pb"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // Association-rule mining on the co-purchase pairs: support /
     // confidence-free lift = N·n_ab / (n_a·n_b), min support 3, top 20

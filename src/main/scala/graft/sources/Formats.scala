@@ -321,19 +321,22 @@ object Formats {
                  table => 'ns.pevo_t', col => 'b')""")
         true
       }
-      // gated in-session like sink_log_spj_join: the conf matches the
-      // shared builder value, so this never flips the session mid-run
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      val j = s.table("graftq.ns.pevo_t")
-        .join(s.table("graftq.ns.pevo_d").hint("merge"), "b")
-        .groupBy(col("b"))
-        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
-          sum(col("w")).as("sum_w"))
-      val plan = j.queryExecution.executedPlan.toString
-      val spj = (plan.contains("SortMergeJoin") ||
-        plan.contains("ShuffledHashJoin")) && !plan.contains("Exchange")
-      j.select(col("b"), col("n"), col("sum_id"), col("sum_w"),
-        lit(spj).as("spj_resumed_on_new_key"))
+      // gated per-query: the conf is set, the 8-group result (plus
+      // the plan-shape gate) materialized, and the prior value
+      // restored — no planner conf leaks into the shared session
+      withConfMaterialized(s,
+          "spark.sql.sources.v2.bucketing.enabled", "true") {
+        val j = s.table("graftq.ns.pevo_t")
+          .join(s.table("graftq.ns.pevo_d").hint("merge"), "b")
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+            sum(col("w")).as("sum_w"))
+        val plan = j.queryExecution.executedPlan.toString
+        val spj = (plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin")) && !plan.contains("Exchange")
+        j.select(col("b"), col("n"), col("sum_id"), col("sum_w"),
+          lit(spj).as("spj_resumed_on_new_key"))
+      }
     }),
 
     // SQL TRUNCATE TABLE through the driver gate: the unconditional
@@ -1714,24 +1717,25 @@ object Formats {
           .option("path", di).option("partitionCol", "k")
           .mode("overwrite").save()
       // storage-partitioned joins are gated by this conf (off by
-      // default for compatibility); the shared session builder sets it
-      // deliberately session-wide — this set only covers a session
-      // built elsewhere, and matches the builder value, so it never
-      // flips the conf mid-run
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      val fact = s.read.format("graft.sources.GraftLogSource")
-        .option("path", fa).load()
-      val dim = s.read.format("graft.sources.GraftLogSource")
-        .option("path", di).load().hint("merge")
-      val j = fact.join(dim, "k")
-        .groupBy(col("k"))
-        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
-          sum(col("w")).as("sum_w"))
-      val plan = j.queryExecution.executedPlan.toString
-      val spj = (plan.contains("SortMergeJoin") ||
-        plan.contains("ShuffledHashJoin")) && !plan.contains("Exchange")
-      j.select(col("k"), col("n"), col("sum_id"), col("sum_w"),
-        lit(spj).as("spj_no_shuffle"))
+      // default for compatibility); set it for THIS query only — the
+      // 16-group result and plan-shape gate materialize under it, then
+      // the prior value is restored so bench order can't matter
+      withConfMaterialized(s,
+          "spark.sql.sources.v2.bucketing.enabled", "true") {
+        val fact = s.read.format("graft.sources.GraftLogSource")
+          .option("path", fa).load()
+        val dim = s.read.format("graft.sources.GraftLogSource")
+          .option("path", di).load().hint("merge")
+        val j = fact.join(dim, "k")
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+            sum(col("w")).as("sum_w"))
+        val plan = j.queryExecution.executedPlan.toString
+        val spj = (plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin")) && !plan.contains("Exchange")
+        j.select(col("k"), col("n"), col("sum_id"), col("sum_w"),
+          lit(spj).as("spj_no_shuffle"))
+      }
     }),
 
     // Table-valued function over the custom DSv2 source: the extension
@@ -2082,6 +2086,32 @@ object Formats {
         .write.format("graft.sources.GraftLogSource")
         .option("path", fa).option("partitionCol", "k")
         .mode("overwrite").save()
+
+  /** Runs `body` with one session conf temporarily set and EAGERLY
+    * materializes the returned frame before restoring, so the restored
+    * conf can never re-plan it (frames are lazy; returning one after a
+    * finally-restore would plan it under the restored value). The two
+    * callers return a partition-grouped aggregate — ≤16 rows — so the
+    * collect is O(partition values), not O(data); the local frame that
+    * goes back to the driver carries identical schema and values.
+    * Closes ADVICE r9: no query fixture may leak a planner conf into
+    * the shared bench/verify session (order-independence). */
+  private def withConfMaterialized(s: SparkSession, key: String,
+      value: String)(body: => DataFrame): DataFrame = {
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try {
+      val df = body
+      val rows = df.collect().toIndexedSeq
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        df.schema)
+    } finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 
   /** Shared catalog warehouse root for the SQL fixtures (conf set as a
     * side effect). The version suffix is bumped whenever the on-disk

@@ -112,6 +112,44 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("neighbor jaccard degree cap: a celebrity node's adjacency is " +
+      "bounded, low-degree pairs stay exact") {
+    import spark.implicits._
+    // synthetic graph: node 0 is a celebrity (degree 50, far above the
+    // test cap of 8); nodes 100-103 form a low-degree clique whose
+    // Jaccard values must be EXACT under the cap
+    val star = (1L to 50L).map(i => (0L, i))
+    val clique = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L))
+    val e = (star ++ clique).toDF("pa", "pb")
+    val got = graft.queries.Graph.neighborJaccard(spark, e, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // every clique edge: neighbors of each node are the other 3 clique
+    // members; inter = 2, union = 4 → exactly 0.5 (deg 3 ≤ cap)
+    val cliqueScores = got.filter(_._1 >= 100L)
+    assert(cliqueScores.size == 6)
+    assert(cliqueScores.forall(_._3 == 0.5), cliqueScores.toString)
+    // celebrity edges: leaves have one neighbor (node 0), node 0's
+    // SAMPLED adjacency never contains itself, so inter = 0 and the
+    // EXACT degrees still set union = 50 + 1 - 0 → jaccard 0, and the
+    // result remains well-defined (no NaN, no crash, one row per edge)
+    val starScores = got.filter(_._1 == 0L)
+    assert(starScores.size == 50)
+    assert(starScores.forall(_._3 == 0.0), starScores.take(5).toString)
+    // determinism: the hash-rank sample re-runs identically
+    val again = graft.queries.Graph.neighborJaccard(spark, e, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got.toSet == again.toSet)
+    // a cap at/above the max degree reproduces the exact (uncapped)
+    // values everywhere — the exact-regime contract the bench SFs use
+    val exact = graft.queries.Graph.neighborJaccard(spark, e, cap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(exact.filter(_._1 >= 100L) == cliqueScores.toSet)
+  }
+
   test("kcore peel: survivors have core degree >= 2 and match a brute peel") {
     // independent support>=2 edge set: count orders per pair via self-join
     val op = Tables.lineitem(spark, sf0001)

@@ -127,14 +127,31 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
-  test("train order: one global range sort, no join, no aggregate") {
-    // a training-order shuffle IS a global sort by the md5 key — the
-    // plan must be exactly that (single-partition window at test
-    // scale; the sort is the scale-out path) with nothing else bolted
-    // on: no join, no per-doc aggregate, one scan of documents
-    val p = phys("corpus_train_order")
-    assert(!p.contains("Join") && !p.contains("HashAggregate"),
-      p.take(800))
-    assert("Scan parquet".r.findAllIn(p).length <= 1, p.take(800))
+  test("train order: distributed numbering — range sort + offsets, " +
+      "no corpus-wide single-partition window") {
+    // a training-order shuffle IS a global sort by the md5 key, and
+    // the consecutive ordinal must materialize DISTRIBUTEDLY: range-
+    // repartition the corpus, number within partitions (window keyed
+    // on pid — never an empty/constant partition spec over document
+    // rows), broadcast-join the P-row prefix offsets back. The only
+    // single-partition window allowed is the one over the P-row
+    // offsets frame itself.
+    val df = SparkEntry.queries("corpus_train_order")(spark, sf001)
+    // materialize first: the offsets branch re-references the ranged
+    // corpus, and only the FINAL adaptive plan shows AQE collapsing
+    // that second reference into a ReusedExchange/ReusedShuffle —
+    // one physical scan + one range shuffle feed both consumers
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // the per-document window is partitioned by pid — the corpus
+    // never funnels through one task
+    assert("Window \\[row_number\\(\\)[^\\]]*\\], \\[pid".r
+      .findFirstIn(p).isDefined, p.take(1600))
+    assert("Scan parquet".r.findAllIn(p).length <= 1 ||
+      p.contains("ReusedExchange") || p.contains("ShuffleQueryStage"),
+      p.take(1600))
+    assert(!p.contains("CartesianProduct"))
   }
 }
