@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, BufferedReader, File, StringReader}
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.types._
+
+/** `gcol` v1 — the graft-log COLUMNAR part-file container, the
+  * round-10 replacement for whole-file gzip'd TSV. The row payload
+  * keeps the table's canonical cell encoding (the strings the TSV
+  * stored, a one-NUL-character cell as the null sentinel) but
+  * restructures the container the way parquet does — row-group blocks
+  * of per-column
+  * chunks plus a footer index — which buys exactly the three things a
+  * 10 GB part needs at 100 TB:
+  *
+  *  - **Splittable.** Each block is an independently-gzipped unit and
+  *    the footer records every block's byte offset, so the scan plans
+  *    one task per byte RANGE (a block belongs to the range containing
+  *    its start offset — the parquet/FileScanRDD split rule) and a big
+  *    part file fans out over the cluster instead of serializing into
+  *    one task.
+  *  - **Columnar.** A block stores one gzip chunk PER COLUMN, so a
+  *    2-column projection of a 16-column table decompresses 2/16ths of
+  *    the bytes — column pruning skips the I/O, not just the parse.
+  *  - **Block stats.** The footer carries per-block numeric min/max,
+  *    so pushed comparison filters skip blocks INSIDE a file the same
+  *    way manifest stats skip whole files (parquet row-group pruning).
+  *
+  * Layout:
+  * {{{
+  *   [block 0: col-0 gzip chunk][col-1 gzip chunk]...[col-n chunk]
+  *   [block 1: ...] ...
+  *   [footer: gzip'd TSV — cols line + one line per block]
+  *   [8-byte big-endian footer byte length][8-byte magic "GCOLv1\n\0"]
+  * }}}
+  * Footer TSV:
+  * {{{
+  *   cols \t c1,c2,...
+  *   b \t offset \t rows \t firstOrdinal \t len0,len1,... \t c=min,max;...
+  * }}}
+  * Within a chunk, cells are newline-terminated (strings must not
+  * contain tabs/newlines — the format's documented codec contract, so
+  * the separator is unambiguous); a block's row ordinals are global
+  * (`firstOrdinal + rowInBlock`), which keeps deletion vectors and the
+  * `_pos` metadata column exact under any subset of blocks (range
+  * split, stats skip). Old `.tsv.gz`/`.tsv` parts keep reading through
+  * the legacy line path — mixed-vintage tables need no rewrite. */
+object GraftColFile {
+  val Extension = ".gcol"
+  private val Magic: Array[Byte] =
+    "GCOLv1\n\u0000".getBytes(StandardCharsets.ISO_8859_1)
+  require(Magic.length == 8)
+
+  /** Default raw (uncompressed) characters per block. Big enough to
+    * compress well and keep footer size trivial; small enough that a
+    * range split has blocks to balance and block-stats skipping has
+    * resolution. */
+  val DefaultBlockChars: Long = 4L << 20
+
+  def isCol(file: String): Boolean = file.endsWith(Extension)
+
+  /** One block's footer record. `lens(i)` = compressed byte length of
+    * column i's chunk; chunk i starts at `offset + sum(lens(0..i-1))`.
+    * `firstOrdinal` = the file-global row ordinal of the block's first
+    * row — the DV / `_pos` axis. `stats` = per-block numeric min/max
+    * in the manifest's cell encoding (absent for a column whose block
+    * saw an unparseable/NaN value — consumers degrade to may-match). */
+  final case class BlockMeta(offset: Long, rows: Long,
+      lens: Array[Long], firstOrdinal: Long,
+      stats: Map[String, (String, String)]) {
+    def chunkOffset(col: Int): Long = {
+      var o = offset; var i = 0
+      while (i < col) { o += lens(i); i += 1 }
+      o
+    }
+  }
+
+  final case class Footer(cols: Seq[String], blocks: Seq[BlockMeta])
+
+  /** Streaming block writer. `write` takes one row's cells in the
+    * file's column order (the same canonical strings the TSV format
+    * encoded); blocks flush at `blockTargetChars` raw characters. Call
+    * `finish()` exactly once; on failure call `abort()` (the caller
+    * deletes the file). */
+  final class Writer(path: Path, cols: Seq[String],
+      types: Seq[DataType],
+      blockTargetChars: Long = DefaultBlockChars) {
+    private val out =
+      new BufferedOutputStream(Files.newOutputStream(path), 1 << 16)
+    private val nCols = cols.length
+    private val bufs =
+      Array.fill(nCols)(new java.lang.StringBuilder(1 << 12))
+    // 0 = not stats-tracked, 1 = integral (long/int), 2 = double
+    private val tag: Array[Int] = types.map {
+      case LongType | IntegerType => 1
+      case DoubleType => 2
+      case _ => 0
+    }.toArray
+    private val minL = new Array[Long](nCols)
+    private val maxL = new Array[Long](nCols)
+    private val minD = new Array[Double](nCols)
+    private val maxD = new Array[Double](nCols)
+    private val seen = new Array[Boolean](nCols)
+    private val bad = new Array[Boolean](nCols)
+    private var blockRows = 0L
+    private var chars = 0L
+    private var flushedChars = 0L
+    private var totalRows = 0L
+    private var written = 0L
+    private val blocks = ArrayBuffer.empty[BlockMeta]
+
+    def write(cells: Array[String]): Unit = {
+      var i = 0
+      while (i < nCols) {
+        val c = cells(i)
+        bufs(i).append(c).append('\n')
+        chars += c.length + 1
+        if (tag(i) != 0 && !bad(i) && c != GraftLog.NullCell) {
+          // NaN/Infinity (or a frozen writer's junk) poisons the
+          // block's stats for that column: Spark orders NaN above
+          // every value, so a NaN-excluding max could wrongly skip —
+          // drop the column's block stats instead (may-match).
+          if (tag(i) == 1) {
+            try {
+              val v = java.lang.Long.parseLong(c)
+              if (!seen(i)) { minL(i) = v; maxL(i) = v; seen(i) = true }
+              else {
+                if (v < minL(i)) minL(i) = v
+                if (v > maxL(i)) maxL(i) = v
+              }
+            } catch { case _: NumberFormatException => bad(i) = true }
+          } else {
+            val v = java.lang.Double.parseDouble(c)
+            if (java.lang.Double.isNaN(v) ||
+                java.lang.Double.isInfinite(v)) bad(i) = true
+            else if (!seen(i)) { minD(i) = v; maxD(i) = v; seen(i) = true }
+            else {
+              if (v < minD(i)) minD(i) = v
+              if (v > maxD(i)) maxD(i) = v
+            }
+          }
+        }
+        i += 1
+      }
+      blockRows += 1
+      totalRows += 1
+      if (chars >= blockTargetChars) flushBlock()
+    }
+
+    private def flushBlock(): Unit = {
+      if (blockRows == 0L) return
+      val lens = new Array[Long](nCols)
+      val offset = written
+      var i = 0
+      while (i < nCols) {
+        val bytes = gzip(bufs(i).toString
+          .getBytes(StandardCharsets.UTF_8))
+        out.write(bytes)
+        lens(i) = bytes.length.toLong
+        written += bytes.length
+        bufs(i).setLength(0)
+        i += 1
+      }
+      val stats = (0 until nCols).collect {
+        case c if seen(c) && !bad(c) =>
+          val (mn, mx) =
+            if (tag(c) == 1) (minL(c).toString, maxL(c).toString)
+            else (java.lang.Double.toString(minD(c)),
+              java.lang.Double.toString(maxD(c)))
+          cols(c) -> (mn, mx)
+      }.toMap
+      blocks += BlockMeta(offset, blockRows, lens,
+        totalRows - blockRows, stats)
+      java.util.Arrays.fill(seen, false)
+      java.util.Arrays.fill(bad, false)
+      blockRows = 0L
+      flushedChars += chars
+      chars = 0L
+    }
+
+    /** Raw characters buffered + flushed so far — the caller's file-
+      * roll axis (compaction bounds output files by raw size). */
+    def rawChars: Long = flushedChars + chars
+
+    def rows: Long = totalRows
+
+    def finish(): Long = {
+      flushBlock()
+      val sb = new java.lang.StringBuilder
+      sb.append("cols\t").append(cols.mkString(",")).append('\n')
+      blocks.foreach { b =>
+        sb.append("b\t").append(b.offset).append('\t').append(b.rows)
+          .append('\t').append(b.firstOrdinal).append('\t')
+          .append(b.lens.mkString(",")).append('\t')
+          .append(b.stats.toSeq.sortBy(_._1)
+            .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }
+            .mkString(";"))
+          .append('\n')
+      }
+      val footer = gzip(sb.toString.getBytes(StandardCharsets.UTF_8))
+      out.write(footer)
+      val trailer = ByteBuffer.allocate(16)
+      trailer.putLong(footer.length.toLong)
+      trailer.put(Magic)
+      out.write(trailer.array())
+      out.close()
+      totalRows
+    }
+
+    def abort(): Unit =
+      try out.close() catch { case _: Exception => () }
+  }
+
+  def readFooter(f: File): Footer = {
+    val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)
+    try readFooter(ch, f)
+    finally ch.close()
+  }
+
+  def readFooter(ch: FileChannel, f: File): Footer = {
+    val size = ch.size()
+    require(size >= 16, s"not a gcol file (too small): $f")
+    val trailer = ByteBuffer.allocate(16)
+    readFully(ch, trailer, size - 16)
+    trailer.flip()
+    val footerLen = trailer.getLong()
+    val magic = new Array[Byte](8)
+    trailer.get(magic)
+    require(java.util.Arrays.equals(magic, Magic),
+      s"not a gcol file (bad magic): $f")
+    require(footerLen > 0 && footerLen <= size - 16,
+      s"corrupt gcol footer length $footerLen in $f")
+    val fb = ByteBuffer.allocate(footerLen.toInt)
+    readFully(ch, fb, size - 16 - footerLen)
+    val text = new String(gunzip(fb.array()), StandardCharsets.UTF_8)
+    var cols: Seq[String] = Seq.empty
+    val blocks = ArrayBuffer.empty[BlockMeta]
+    text.linesIterator.foreach { l =>
+      val cells = l.split("\t", -1)
+      cells(0) match {
+        case "cols" =>
+          cols = cells(1).split(",", -1).filter(_.nonEmpty).toSeq
+        case "b" =>
+          val stats =
+            if (cells.length < 6 || cells(5).isEmpty)
+              Map.empty[String, (String, String)]
+            else cells(5).split(";").flatMap { kv =>
+              val eq = kv.indexOf('=')
+              val comma = kv.lastIndexOf(',')
+              if (eq < 0 || comma <= eq) None
+              else Some(kv.substring(0, eq) ->
+                (kv.substring(eq + 1, comma), kv.substring(comma + 1)))
+            }.toMap
+          blocks += BlockMeta(cells(1).toLong, cells(2).toLong,
+            cells(4).split(",", -1).filter(_.nonEmpty).map(_.toLong),
+            cells(3).toLong, stats)
+        case _ => ()
+      }
+    }
+    Footer(cols, blocks.toSeq)
+  }
+
+  /** Decode one block's column chunk into its cells. */
+  def readChunk(ch: FileChannel, b: BlockMeta, col: Int): Array[String] = {
+    val buf = ByteBuffer.allocate(b.lens(col).toInt)
+    readFully(ch, buf, b.chunkOffset(col))
+    val text = new String(gunzip(buf.array()), StandardCharsets.UTF_8)
+    val n = b.rows.toInt
+    val out = new Array[String](n)
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val nl = text.indexOf('\n', start)
+      out(i) = text.substring(start, nl)
+      start = nl + 1
+      i += 1
+    }
+    out
+  }
+
+  /** Legacy-shaped line reader over a gcol file: reconstructs the TSV
+    * lines block by block (bounded memory — one block's cells live at
+    * a time). Keeps every line-oriented consumer — compaction's
+    * remap/rewrite streams, the row-based PartitionReader that serves
+    * streaming — working unchanged over the columnar payload. */
+  def lineReader(f: File): BufferedReader = {
+    val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)
+    val footer = readFooter(ch, f)
+    new BufferedReader(new StringReader(""), 1) {
+      private var bi = 0
+      private var row = 0
+      private var rowsInBlock = 0
+      private var cols: Array[Array[String]] = _
+      private val sb = new java.lang.StringBuilder
+      override def readLine(): String = {
+        while (cols == null || row >= rowsInBlock) {
+          if (bi >= footer.blocks.length) return null
+          val b = footer.blocks(bi); bi += 1
+          cols = Array.tabulate(footer.cols.length)(
+            readChunk(ch, b, _))
+          rowsInBlock = b.rows.toInt
+          row = 0
+        }
+        sb.setLength(0)
+        var c = 0
+        while (c < cols.length) {
+          if (c > 0) sb.append('\t')
+          sb.append(cols(c)(row))
+          c += 1
+        }
+        row += 1
+        sb.toString
+      }
+      override def close(): Unit = ch.close()
+    }
+  }
+
+  private def readFully(ch: FileChannel, buf: ByteBuffer,
+      pos: Long): Unit = {
+    var p = pos
+    while (buf.hasRemaining) {
+      val n = ch.read(buf, p)
+      require(n >= 0, "unexpected EOF reading gcol")
+      p += n
+    }
+  }
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(
+      math.max(64, bytes.length / 4))
+    val gz = new GZIPOutputStream(bos, 1 << 14)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 1 << 14)
+    val bos = new java.io.ByteArrayOutputStream(
+      math.max(64, bytes.length * 3))
+    val buf = new Array[Byte](1 << 14)
+    var n = in.read(buf)
+    while (n >= 0) {
+      bos.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    bos.toByteArray
+  }
+}

@@ -46,10 +46,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * on the same commit protocol Delta/Iceberg industrialize:
   *
   *  - Each task's `DataWriter` streams rows to an uncommitted
-  *    `part-<uuid>.tsv.gz` file (gzip'd TSV) and hands back the file
-  *    name, its row count, and per-column min/max stats as its commit
-  *    message; a retried/aborted task deletes its file and its name
-  *    never reaches the driver.
+  *    `part-<uuid>.gcol` file ([[GraftColFile]]: row-group blocks of
+  *    per-column gzip chunks + a footer index — splittable, columnar,
+  *    block-stats-indexed; pre-r10 `.tsv.gz` parts keep reading) and
+  *    hands back the file name, its row count, and per-column min/max
+  *    stats as its commit message; a retried/aborted task deletes its
+  *    file and its name never reaches the driver.
   *  - Visibility is ONLY through the `_manifest` file: each commit
   *    appends `add` entries tagged with the next table version (plus
   *    `remove` entries when compaction retires files) and atomically
@@ -77,6 +79,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Usage: df.write.format("graft.sources.GraftLogSource")
   *   .option("path", dir).mode("append"|"overwrite").save()
   */
+/** An optimistic rewrite lost its concurrency race: between planning
+  * and publish, another commit touched a file the rewrite retires.
+  * RETRYABLE — replan against the current snapshot and re-run; nothing
+  * was committed and no orphan is left visible. (Delta's
+  * ConcurrentModificationException family in miniature.) */
+class GraftConcurrentModificationException(msg: String)
+    extends RuntimeException(msg)
+
 class GraftLogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = GraftLog.dirOf(options.get("path"))
@@ -510,8 +520,15 @@ object GraftLog {
     // ALL retained history, not just the live snapshot: a time-travel
     // read (or RESTORE) can resurrect an older cols-less add, and a
     // positional read under the narrowed schema would serve the WRONG
-    // column's cells for every field past the dropped one
-    val colsless = entries(dir)
+    // column's cells for every field past the dropped one. History
+    // survives in TWO places once expireLog has run — the segment
+    // files (legacy manifest + commit tail) AND the checkpoints the
+    // expired commits were folded into — so the guard must scan both:
+    // a live cols-less add can exist ONLY inside a checkpoint
+    // (ADVICE r9), and entries() never reads checkpoints.
+    val ckptLive = listVersioned(dir, CheckpointPrefix)
+      .flatMap { case (v, f) => readCheckpoint(v, f).live }
+    val colsless = (entries(dir) ++ ckptLive)
       .filter(e => e.isAdd && e.cols.isEmpty && e.rows != 0L)
     require(colsless.isEmpty,
       s"cannot drop '$name': ${colsless.size} file(s) in retained " +
@@ -1616,6 +1633,20 @@ object GraftLog {
     files.filter(_.getName.startsWith(CommitPrefix))
       .sortBy(f => -versionOf(f, CommitPrefix)).foreach(_.delete())
     files.filter(_.getName == ManifestFile).foreach(_.delete())
+    // Version-anchored side state dies WITH the lineage it indexed
+    // (ADVICE r9): a ref pinned at `gold=5` in the retired lineage
+    // must not silently resolve against the new lineage once it
+    // reaches version 5 (wrong snapshot, no error), a branch tip or
+    // pending WAP stage must not republish retired-lineage rows, and
+    // per-version CDC sidecars describe commits that no longer exist.
+    // Deleting them makes every dead handle fail loudly ("no such
+    // ref/branch/staged id") instead of resolving to the wrong data.
+    files.filter(f => f.getName == RefsFile ||
+        f.getName == BranchesFile ||
+        f.getName.startsWith("_branch.") ||
+        f.getName.startsWith(StagedPrefix) ||
+        f.getName.startsWith(CdcPrefix))
+      .foreach(_.delete())
   }
 
   /** Vacuum: delete unreferenced part files — orphans from
@@ -1664,11 +1695,14 @@ object GraftLog {
       .foreach(_.delete())
     // CDC sidecars: referenced while any retained commit names them
     // (the typed feed reads commit files directly, so the reference
-    // set is the full kept ledger); under expireHistory the feed
-    // below the horizon is expired with the history it described.
+    // set is the full kept ledger) — under BOTH modes (ADVICE r9):
+    // vacuum never deletes commit files, so every span the horizon
+    // guard admits still opens its commits' sidecars; emptying the
+    // set under expireHistory left admitted typed-feed/replication
+    // reads dying on a missing file. Sidecars of commits expireLog
+    // already deleted are absent from entries() and get reclaimed.
     val refCdc =
-      (if (expireHistory) Seq.empty
-       else entries(dir).filter(_.action == "cdc")).map(_.file).toSet
+      entries(dir).filter(_.action == "cdc").map(_.file).toSet
     Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(CdcPrefix) &&
         !refCdc.contains(f.getName) && f.lastModified() <= cutoff)
@@ -1700,6 +1734,10 @@ object GraftLog {
     * whose open/listing cost comes to dominate scans. Returns the
     * number of files compacted away (0 = nothing to do). */
   def compact(dir: String): Int = synchronized {
+    // optimistic-concurrency base: same-JVM maintenance serializes on
+    // the object lock, but a CROSS-PROCESS delete/merge racing this
+    // compaction must be detected at publish, not silently undone
+    val compactBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     if (live.size <= 1) return 0
     val schema = DataType.fromJson(new String(
@@ -1833,20 +1871,16 @@ object GraftLog {
           bloom.toSeq ++ ndv.toSeq ++ nulls.toSeq
         }.toMap
       val done = scala.collection.mutable.ArrayBuffer.empty[LogEntry]
+      val curTypes = schema.fields.map(_.dataType).toSeq
       var outName: String = null
-      var out: java.io.BufferedWriter = null
-      var rows = 0L
-      var chars = 0L
+      var out: GraftColFile.Writer = null
       def open(): Unit = {
-        outName = s"part-${UUID.randomUUID()}.tsv.gz"
-        out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          new GZIPOutputStream(
-            Files.newOutputStream(Paths.get(dir, outName))),
-          StandardCharsets.UTF_8))
-        rows = 0L; chars = 0L
+        outName = s"part-${UUID.randomUUID()}${GraftColFile.Extension}"
+        out = new GraftColFile.Writer(Paths.get(dir, outName),
+          curCols, curTypes)
       }
       def closeCurrent(): Unit = if (out != null) {
-        out.close()
+        val rows = out.finish()
         done += LogEntry.add(-1L, outName, rows,
           mergedStats ++ sketchStats ++ pvStat, dataChange = false,
           cols = curCols)
@@ -1854,9 +1888,14 @@ object GraftLog {
       }
       def writeLine(l: String): Unit = {
         if (out == null) open()
-        out.write(l); out.write("\n")
-        rows += 1; chars += l.length + 1
-        if (chars >= targetBytes) closeCurrent()
+        // current-layout lines carry exactly curCols cells; a short
+        // split (trailing empties) pads with the null sentinel
+        val cells = l.split("\t", -1)
+        out.write(
+          if (cells.length == curCols.length) cells
+          else Array.tabulate(curCols.length)(i =>
+            if (i < cells.length) cells(i) else NullCell))
+        if (out.rawChars >= targetBytes) closeCurrent()
       }
       // Rewrite every live row into the CURRENT column layout: a file
       // written before an evolution has fewer cells, so its rows pad
@@ -1917,9 +1956,16 @@ object GraftLog {
     }
 
     val fresh = groups.flatMap { case (pv, es) => writeGroup(es, pv) }
-    commitNew(dir, schema)(v =>
+    try commitNew(dir, schema) { v =>
+      requireNoFileConflicts(dir, compactBase, v,
+        live.map(_.file).toSet, "compaction")
       live.map(e => LogEntry.remove(v, e.file)) ++
-        fresh.map(_.copy(version = v)))
+        fresh.map(_.copy(version = v))
+    } catch {
+      case e: GraftConcurrentModificationException =>
+        fresh.foreach(f => new File(dir, f.file).delete())
+        throw e
+    }
     live.size
   }
 
@@ -2231,6 +2277,7 @@ object GraftLog {
         s"graft-log table not found at $dir"))
     require(filters.nonEmpty && filters.forall(convertible),
       s"unsupported MoR DELETE predicate: ${filters.mkString(", ")}")
+    val morBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     val affected = live.filter(e =>
       filters.forall(f => GraftLogScan.mayMatch(schema, e, f)))
@@ -2273,6 +2320,13 @@ object GraftLog {
           .filter(coalesce(cond, lit(false)))
           .withColumn(ChangeTypeCol, lit("delete")))
     commitNew(dir, schema) { v =>
+      // cross-process race: another rewrite retiring a touched file
+      // between the position scan and this commit would make the DV
+      // annotate a dead add (silently lost delete) — abort retryably.
+      // An orphaned dv-* file from the abort is unreferenced and aged
+      // out by vacuum.
+      requireNoFileConflicts(dir, morBase, v,
+        touched.map(_.file).toSet, "merge-on-read DELETE")
       touched.map { e =>
         val merged = (dvOf(e).map { case (f, _) =>
           GraftLogDv.read(dir, f) }.getOrElse(Array.empty[Long]) ++
@@ -2412,13 +2466,47 @@ object GraftLog {
     * and publish remove(old) + add(new) as one version. Zero-row parts
     * are dropped, not published. `dataChange = false` marks a pure
     * layout rewrite (same rows) that the change feed must skip. */
-  private def rewriteFiles(spark: org.apache.spark.sql.SparkSession,
+  /** Optimistic-concurrency guard for row-level rewrites: between the
+    * snapshot the rewrite PLANNED against (`baseVersion`) and the
+    * version it is CLAIMING, no other commit may have touched a file
+    * this rewrite retires — a remove (someone else rewrote/compacted
+    * it), a DV assignment (rows deleted under us), or a re-add
+    * (RESTORE) all mean the planned replacement rows are stale.
+    * Invoked INSIDE the commit CAS loop, so a lost version race
+    * re-checks the widened span before retrying; a detected conflict
+    * aborts loudly with a retryable error instead of silently
+    * resurrecting overwritten rows (the Delta/Iceberg
+    * concurrent-modification contract). Appends never trip this:
+    * fresh files are new UUIDs, disjoint from any retired set. */
+  private def requireNoFileConflicts(dir: String, baseVersion: Long,
+      claiming: Long, retired: Set[String], op: String): Unit = {
+    if (retired.isEmpty) return
+    val touched = listVersioned(dir, CommitPrefix)
+      .filter { case (ver, _) => ver > baseVersion && ver < claiming }
+      .flatMap { case (_, f) => readEntryLines(f) }
+      .filter(e => retired.contains(e.file))
+    if (touched.nonEmpty)
+      throw new GraftConcurrentModificationException(
+        s"$op on $dir planned against version $baseVersion, but " +
+          s"concurrent commit(s) touched ${touched.size} of its " +
+          "input file(s): " +
+          touched.map(e => s"v${e.version}:${e.action}:${e.file}")
+            .distinct.take(5).mkString(", ") +
+          " — replan against the current snapshot and retry")
+  }
+
+  private[graft] def rewriteFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String, old: Seq[LogEntry],
       replacement: org.apache.spark.sql.DataFrame,
       schema: StructType, dataChange: Boolean = true,
       txn: Option[(String, Long)] = None,
       cdcChanges: Option[org.apache.spark.sql.DataFrame] = None,
-      partitionOverride: Option[String] = None): Unit = {
+      partitionOverride: Option[String] = None,
+      baseVersion: Long = -1L): Unit = {
+    // the conflict-detection base: the newest version when the rewrite
+    // was planned (callers that pre-planned pass their own)
+    val base =
+      if (baseVersion >= 0L) baseVersion else currentVersion(dir)
     // typed CDC sidecars publish in the SAME commit as the rewrite
     val cdcEntries = cdcChanges.map(stageCdc(spark, dir, _))
       .getOrElse(Seq.empty)
@@ -2437,15 +2525,27 @@ object GraftLog {
     fresh.foreach { e =>
       Files.move(Paths.get(scratch, e.file), Paths.get(dir, e.file))
     }
-    commitNew(dir, storedSchema(dir).getOrElse(schema))(v =>
+    try commitNew(dir, storedSchema(dir).getOrElse(schema)) { v =>
+      requireNoFileConflicts(dir, base, v,
+        old.map(_.file).toSet, "rewrite")
       old.map(e => LogEntry.remove(v, e.file)) ++
         fresh.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
           dataChange = dataChange, cols = e.cols)) ++
         cdcEntries.map(_.copy(version = v)) ++
-        txn.map { case (app, tv) => LogEntry.txn(v, app, tv) }.toSeq)
-    Option(new File(scratch).listFiles()).getOrElse(Array.empty)
-      .foreach(_.delete())
-    new File(scratch).delete()
+        txn.map { case (app, tv) => LogEntry.txn(v, app, tv) }.toSeq
+    } catch {
+      case e: GraftConcurrentModificationException =>
+        // the uncommitted replacement files and staged CDC sidecars
+        // are invisible orphans — reclaim them now rather than
+        // leaving them for vacuum's retention horizon
+        fresh.foreach(f => new File(dir, f.file).delete())
+        cdcEntries.foreach(c => new File(dir, c.file).delete())
+        throw e
+    } finally {
+      Option(new File(scratch).listFiles()).getOrElse(Array.empty)
+        .foreach(_.delete())
+      new File(scratch).delete()
+    }
   }
 
   /** Batch commit. Truncate resets history to a NEW lineage (version
@@ -2454,18 +2554,36 @@ object GraftLog {
     * ([[mergeSchemas]]); each entry records its file's own column list
     * so readers decode every vintage. An empty non-truncating append
     * is a no-op; a truncate with zero files is a legitimate empty
-    * table (empty version-0 commit). */
+    * table (empty version-0 commit).
+    *
+    * Concurrency: a PURE append runs LOCK-FREE — fresh part files are
+    * new UUIDs, so two appends can never touch the same file; the
+    * version CAS in [[commitNewUnlocked]] orders them and BOTH commit
+    * without queueing on a table lock (the Delta/Iceberg
+    * disjoint-append rule: appends conflict with nothing). Only two
+    * shapes still take the JVM lock: truncate (the lineage reset +
+    * version-0 commit must not interleave with anything) and a
+    * txn-bearing append (the idempotence read-check must not race its
+    * own marker's commit within this JVM; cross-process idempotence
+    * rides the marker replay as before). */
   def append(dir: String, fresh: Seq[GraftLogCommit], schema: StructType,
-      truncate: Boolean, txn: Option[(String, Long)] = None): Unit =
-    synchronized {
+      truncate: Boolean, txn: Option[(String, Long)] = None): Unit = {
+    require(txn.isEmpty || !truncate,
+      "txnAppId/txnVersion apply to appends only — an overwrite " +
+        "resets the lineage and would wipe the idempotence markers")
+    if (truncate || txn.isDefined)
+      synchronized { appendImpl(dir, fresh, schema, truncate, txn) }
+    else appendImpl(dir, fresh, schema, truncate, txn)
+  }
+
+  private def appendImpl(dir: String, fresh: Seq[GraftLogCommit],
+      schema: StructType, truncate: Boolean,
+      txn: Option[(String, Long)]): Unit = {
     // Idempotent append (Delta's txnAppId/txnVersion write options):
     // with a txn identity, a replayed batch whose (appId, version) is
     // already recorded is a silent no-op — marker and data commit
     // atomically, so a foreachBatch sink retried after a crash can
     // never double-append its micro-batch.
-    require(txn.isEmpty || !truncate,
-      "txnAppId/txnVersion apply to appends only — an overwrite " +
-        "resets the lineage and would wipe the idempotence markers")
     if (txn.exists { case (a, v) => lastTxnVersion(dir, a) >= v }) return
     if (fresh.isEmpty && !truncate && txn.isEmpty) return
     val merged = if (truncate) schema
@@ -2477,7 +2595,7 @@ object GraftLog {
       removeProperties(dir, Seq(DroppedColsProp))
       resetLineage(dir)
     }
-    commitNew(dir, merged, remergeSchema = !truncate)(v =>
+    commitNewUnlocked(dir, merged, remergeSchema = !truncate)(v =>
       fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,
         cols = c.cols)) ++
         txn.map { case (a, tv) => LogEntry.txn(v, a, tv) }.toSeq)
@@ -3297,16 +3415,26 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
   /** Open per-value part files a single writer task may hold. */
   private val MaxOpenPartitions = 1000
 
-  /** One part file in flight: stream + per-column stats + blooms. The
-    * unit a partitioned task keeps one of PER VALUE it sees. */
+  /** Block size for the gcol payload — resolved ONCE, driver-side, at
+    * factory construction (the factory ships serialized to executors,
+    * which have no session). Conf'able so probes/tests can force
+    * multi-block files on small fixtures. */
+  private val blockChars: Long =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+      .flatMap(s => Option(
+        s.conf.get("spark.graft.log.blockBytes", null)))
+      .map(_.toLong).getOrElse(GraftColFile.DefaultBlockChars)
+
+  /** One part file in flight: gcol block writer + per-column stats +
+    * blooms. The unit a partitioned task keeps one of PER VALUE it
+    * sees. */
   private class PartFile(partValue: Option[Any]) {
-    val file = s"part-${UUID.randomUUID()}.tsv.gz"
+    val file = s"part-${UUID.randomUUID()}${GraftColFile.Extension}"
     private val out = {
       GraftLog.ensureDir(dir)
-      new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        new GZIPOutputStream(
-          Files.newOutputStream(Paths.get(dir, file))),
-        StandardCharsets.UTF_8))
+      new GraftColFile.Writer(Paths.get(dir, file),
+        schema.fieldNames.toSeq, schema.fields.map(_.dataType).toSeq,
+        blockChars)
     }
     private var rows = 0L
     // Per-column min/max over the numeric columns, tracked as the
@@ -3378,12 +3506,12 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
         else GraftLogNdv.add(ndvRegs(c), cells(c))
         c += 1
       }
-      out.write(cells.mkString("\t")); out.write("\n")
+      out.write(cells)
       rows += 1
     }
 
     def finish(): GraftLogCommit = {
-      out.close()
+      out.finish()
       val stats = numericIdx.indices.collect {
         case s if mins(s) != null =>
           numericIdx(s)._1.name ->
@@ -3412,7 +3540,7 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
     }
 
     def abort(): Unit = {
-      out.close()
+      out.abort()
       new File(dir, file).delete()
     }
   }
@@ -3618,11 +3746,41 @@ class GraftLogScan(dir: String, tableSchema: StructType,
         val planned = files.filter(e => runtimeFilters.forall(f =>
           GraftLogScan.mayMatch(tableSchema, e, f)))
         cowPlanHook.foreach(_(planned.map(_.file)))
-        planned.map(e => GraftLogPartition(dir, e.file, e.cols,
-          GraftLog.dvOf(e).map(_._1))).toArray
+        // gcol parts SPLIT into byte ranges (driver-side planning has
+        // the session; one stat call per file, same as the stats
+        // estimate). DV'd files split too — DV ordinals are global and
+        // every block's first ordinal is in the footer. Legacy .tsv.gz
+        // parts stay one-task-per-file (gzip is not seekable).
+        val splitBytes: Long = scala.util.Try(
+            org.apache.spark.sql.SparkSession.active).toOption
+          .map(s => Option(
+              s.conf.get("spark.graft.log.splitBytes", null))
+            .map(_.toLong)
+            .getOrElse(s.conf.get(
+              "spark.sql.files.maxPartitionBytes", "134217728")
+              .replaceAll("[^0-9]", "") match {
+                case "" => 134217728L
+                case d => d.toLong
+              }))
+          .getOrElse(134217728L)
+        planned.flatMap { e =>
+          val dv = GraftLog.dvOf(e).map(_._1)
+          val size =
+            if (GraftColFile.isCol(e.file))
+              new File(dir, e.file).length()
+            else 0L
+          if (size > splitBytes) {
+            val n = ((size + splitBytes - 1) / splitBytes).toInt
+            (0 until n).map(k => GraftLogPartition(dir, e.file,
+              e.cols, dv, start = k.toLong * splitBytes,
+              length = splitBytes): InputPartition)
+          } else Seq(GraftLogPartition(dir, e.file, e.cols,
+            dv): InputPartition)
+        }.toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogReaderFactory(tableSchema, required, columnar = true)
+    new GraftLogReaderFactory(tableSchema, required, columnar = true,
+      blockFilters = pushed)
   // Streaming read: the version log doubles as the stream's offset
   // axis. `changesFromVersion` (when set) seeds the stream past
   // history, the Delta `startingVersion` option.
@@ -4146,9 +4304,15 @@ object GraftLogPartValue {
 }
 
 /** `cols` = the file's own column list from its manifest entry (empty
-  * for pre-evolution entries: the file carries the full table schema). */
+  * for pre-evolution entries: the file carries the full table schema).
+  * `start`/`length` bound a BYTE RANGE of a splittable (gcol) part: a
+  * block belongs to the task whose range contains its start offset
+  * (the parquet/FileScanRDD split rule), so a 10 GB part fans out over
+  * many tasks instead of serializing into one. The defaults read the
+  * whole file (non-splittable legacy parts, streaming, groups). */
 case class GraftLogPartition(dir: String, file: String,
-    cols: Seq[String] = Seq.empty, dvFile: Option[String] = None)
+    cols: Seq[String] = Seq.empty, dvFile: Option[String] = None,
+    start: Long = 0L, length: Long = Long.MaxValue)
     extends InputPartition
 
 /** One partition-value GROUP of files — the planning unit of a
@@ -4669,17 +4833,23 @@ case class GraftLogFilesPartition(entries: Seq[LogEntry])
     extends InputPartition
 
 class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    blockFilters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
 
-  /** (dir, chained files with their own column layouts) of a planned
-    * input partition — one file, or a partition-value group read
-    * through one reader. */
-  private def filesOf(p: InputPartition):
-      (String, Seq[(String, Seq[String], Option[String])]) = p match {
+  /** (dir, chained files with their own column layouts + byte range)
+    * of a planned input partition — one file (possibly a range split
+    * of it), or a partition-value group read through one reader
+    * (groups never split: KeyGroupedPartitioning promises one
+    * partition per key). */
+  private def filesOf(p: InputPartition): (String,
+      Seq[(String, Seq[String], Option[String], Long, Long)]) = p match {
     case part: GraftLogPartition =>
-      (part.dir, Seq((part.file, part.cols, part.dvFile)))
-    case g: GraftLogGroupPartition => (g.dir, g.files)
+      (part.dir, Seq((part.file, part.cols, part.dvFile,
+        part.start, part.length)))
+    case g: GraftLogGroupPartition =>
+      (g.dir, g.files.map { case (f, cols, dv) =>
+        (f, cols, dv, 0L, Long.MaxValue) })
     case other => throw new IllegalArgumentException(
       s"unexpected partition $other")
   }
@@ -4736,44 +4906,140 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         s"graft-log does not decode $other")
     })
     val BatchRows = 4096
-    new PartitionReader[ColumnarBatch] {
-      private var fi = 0
-      private var in: BufferedReader = _
-      private var idx: Array[Int] = _
-      private var nameBytes: Array[Byte] = _
-      private var bounds: Array[Int] = new Array[Int](2)
-      private var nCells = 0
-      private var batch: ColumnarBatch = _
-      // deletion-vector walk state: `ord` is the row's physical
-      // ordinal in its file (the `_pos` value); positions arrive in
-      // order, so the sorted DV is consumed with one pointer
-      private var dvArr: Array[Long] = Array.empty
-      private var dvPtr = 0
-      private var ord = -1L
 
-      private def openNext(): Boolean = {
-        if (fi >= files.size) return false
-        val (f, cols, dv) = files(fi); fi += 1
-        in = GraftLogReaderFactory.openLines(dir, f)
-        val (ix, nc) = cellIndexOf(cols)
-        idx = ix; nCells = math.max(nc, 1)
-        if (bounds.length < nCells + 2)
-          bounds = new Array[Int](nCells + 2)
-        nameBytes = f.getBytes(StandardCharsets.UTF_8)
-        dvArr = dv.map(GraftLogDv.read(dir, _)).getOrElse(Array.empty)
-        dvPtr = 0; ord = -1L
+    /** Per-file batch filler: fills up to `max` rows into `vecs` from
+      * row 0, returns rows filled (0 = exhausted). Two shapes - the
+      * native gcol block cursor (decompresses ONLY projected chunks,
+      * honors the byte-range split, skips blocks whose footer stats
+      * refute a pushed filter) and the legacy line cursor for
+      * `.tsv(.gz)` parts. */
+    trait Cursor {
+      def fill(vecs: Array[OnHeapColumnVector], max: Int): Int
+      def close(): Unit
+    }
+
+    final class GcolCursor(f: String, partCols: Seq[String],
+        dv: Option[String], start: Long, length: Long) extends Cursor {
+      private val file = new File(dir, f)
+      private val ch = java.nio.channels.FileChannel.open(
+        file.toPath, java.nio.file.StandardOpenOption.READ)
+      private val footer = GraftColFile.readFooter(ch, file)
+      private val idx: Array[Int] = cellIndexOf(partCols)._1
+      private val nChunks = footer.cols.length
+      private val nameBytes = f.getBytes(StandardCharsets.UTF_8)
+      private val dvArr: Array[Long] =
+        dv.map(GraftLogDv.read(dir, _)).getOrElse(Array.empty)
+      private val rangeEnd =
+        if (length == Long.MaxValue) Long.MaxValue else start + length
+      // range assignment (a block belongs to the range containing its
+      // start offset) + footer-stats block skipping - the in-file
+      // analogue of manifest file skipping, evaluated through the SAME
+      // mayMatch as planning (rename trails, NaN degradation included)
+      private val blocks = footer.blocks.filter { b =>
+        b.offset >= start && b.offset < rangeEnd &&
+          (blockFilters.isEmpty || {
+            val pseudo = LogEntry(-1L, "add", f, b.rows,
+              dataChange = true, b.stats,
+              cols = if (partCols.nonEmpty) partCols else footer.cols)
+            blockFilters.forall(fl =>
+              GraftLogScan.mayMatch(tableSchema, pseudo, fl))
+          })
+      }
+      private var bi = 0
+      private var cells: Array[Array[String]] = _
+      private var rowIn = 0
+      private var blockRows = 0
+      private var firstOrd = 0L
+      private var dvPtr = 0
+
+      private def lowerBound(a: Array[Long], v: Long): Int = {
+        var lo = 0; var hi = a.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (a(m) < v) lo = m + 1 else hi = m
+        }
+        lo
+      }
+
+      private def loadBlock(): Boolean = {
+        if (bi >= blocks.length) return false
+        val b = blocks(bi); bi += 1
+        // decode each DISTINCT projected chunk once (a duplicated
+        // projection must not decompress twice)
+        val byCi = idx.filter(ci => ci >= 0 && ci < nChunks).distinct
+          .map(ci => ci -> GraftColFile.readChunk(ch, b, ci)).toMap
+        cells = idx.map(ci =>
+          if (ci >= 0 && ci < nChunks) byCi(ci) else null)
+        rowIn = 0
+        blockRows = b.rows.toInt
+        firstOrd = b.firstOrdinal
+        dvPtr = lowerBound(dvArr, firstOrd)
         true
       }
 
-      /** Next non-DV'd, non-empty line across the chained files; null
-        * = done. `idx`/`nameBytes`/`ord` always describe the line just
-        * returned. */
-      private def readLineChained(): String = {
+      override def fill(vecs: Array[OnHeapColumnVector],
+          max: Int): Int = {
+        var r = 0
+        while (r < max) {
+          if (cells == null || rowIn >= blockRows) {
+            if (!loadBlock()) return r
+          }
+          val ord = firstOrd + rowIn
+          if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) {
+            dvPtr += 1; rowIn += 1
+          } else {
+            var j = 0
+            while (j < tag.length) {
+              val ci = idx(j)
+              if (ci == -2) vecs(j).putByteArray(r, nameBytes)
+              else if (ci == -3) vecs(j).putLong(r, ord)
+              else if (ci < 0 || ci >= nChunks) vecs(j).putNull(r)
+              else {
+                val cell = cells(j)(rowIn)
+                if (cell.length == 1 && cell.charAt(0) == '\u0000')
+                  vecs(j).putNull(r) // the null sentinel cell
+                else tag(j) match {
+                  case 0 => vecs(j).putLong(r,
+                    java.lang.Long.parseLong(cell))
+                  case 1 => vecs(j).putInt(r,
+                    java.lang.Integer.parseInt(cell))
+                  case 2 => vecs(j).putDouble(r,
+                    java.lang.Double.parseDouble(cell))
+                  case _ => vecs(j).putByteArray(r,
+                    cell.getBytes(StandardCharsets.UTF_8))
+                }
+              }
+              j += 1
+            }
+            rowIn += 1
+            r += 1
+          }
+        }
+        r
+      }
+      override def close(): Unit = ch.close()
+    }
+
+    final class LineCursor(f: String, cols: Seq[String],
+        dv: Option[String]) extends Cursor {
+      private val in = GraftLogReaderFactory.openLines(dir, f)
+      private val ixNc = cellIndexOf(cols)
+      private val idx: Array[Int] = ixNc._1
+      private val nCells = math.max(ixNc._2, 1)
+      private val bounds = new Array[Int](nCells + 2)
+      private val nameBytes = f.getBytes(StandardCharsets.UTF_8)
+      private val dvArr: Array[Long] =
+        dv.map(GraftLogDv.read(dir, _)).getOrElse(Array.empty)
+      private var dvPtr = 0
+      private var ord = -1L
+
+      /** Next non-DV'd, non-empty line; null = done. `ord` always
+        * describes the line just returned. */
+      private def readLine(): String = {
         while (true) {
-          if (in == null && !openNext()) return null
           val l = in.readLine()
-          if (l == null) { in.close(); in = null }
-          else if (l.nonEmpty) {
+          if (l == null) return null
+          if (l.nonEmpty) {
             ord += 1
             if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) dvPtr += 1
             else return l
@@ -4782,14 +5048,11 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         null // unreachable
       }
 
-      override def next(): Boolean = {
-        if (batch != null) { batch.close(); batch = null }
-        var line = readLineChained()
-        if (line == null) return false
-        val vecs = required.fields.map(f =>
-          new OnHeapColumnVector(BatchRows, f.dataType))
+      override def fill(vecs: Array[OnHeapColumnVector],
+          max: Int): Int = {
         var r = 0
-        while (r < BatchRows && line != null) {
+        var line = readLine()
+        while (line != null) {
           // tab walk: cell ci spans (bounds(ci), bounds(ci+1))
           var nt = 0; var i = 0
           bounds(0) = -1
@@ -4824,15 +5087,50 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
             j += 1
           }
           r += 1
-          if (r < BatchRows) line = readLineChained()
+          if (r >= max) return r
+          line = readLine()
         }
-        batch = new ColumnarBatch(vecs.toArray[ColumnVector], r)
+        r
+      }
+      override def close(): Unit = in.close()
+    }
+
+    new PartitionReader[ColumnarBatch] {
+      private var fi = 0
+      private var cur: Cursor = _
+      private var batch: ColumnarBatch = _
+
+      private def advance(): Boolean = {
+        if (cur != null) return true
+        if (fi >= files.size) return false
+        val (f, cols, dv, start, length) = files(fi); fi += 1
+        cur =
+          if (GraftColFile.isCol(f))
+            new GcolCursor(f, cols, dv, start, length)
+          else new LineCursor(f, cols, dv)
         true
+      }
+
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        while (advance()) {
+          val vecs = required.fields.map(fd =>
+            new OnHeapColumnVector(BatchRows, fd.dataType))
+          val n = cur.fill(vecs, BatchRows)
+          if (n == 0) {
+            cur.close(); cur = null
+            vecs.foreach(_.close())
+          } else {
+            batch = new ColumnarBatch(vecs.toArray[ColumnVector], n)
+            return true
+          }
+        }
+        false
       }
       override def get(): ColumnarBatch = batch
       override def close(): Unit = {
         if (batch != null) { batch.close(); batch = null }
-        if (in != null) { in.close(); in = null }
+        if (cur != null) { cur.close(); cur = null }
       }
     }
   }
@@ -4933,12 +5231,17 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
 }
 
 object GraftLogReaderFactory {
-  /** Line reader dispatching on extension: `.gz` part files (current
-    * writer) stream through GZIPInputStream; bare `.tsv` (legacy
-    * tables) read plain. */
-  def openLines(dir: String, file: String): BufferedReader = {
-    val raw = Files.newInputStream(Paths.get(dir, file))
-    val in = if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
-    new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-  }
+  /** Line reader dispatching on extension: `.gcol` parts (current
+    * writer) reconstruct TSV lines from the columnar blocks, `.gz`
+    * parts (the pre-r10 writer) stream through GZIPInputStream, bare
+    * `.tsv` (legacy tables) read plain — mixed-vintage tables read
+    * file by file with no rewrite. */
+  def openLines(dir: String, file: String): BufferedReader =
+    if (GraftColFile.isCol(file))
+      GraftColFile.lineReader(new File(dir, file))
+    else {
+      val raw = Files.newInputStream(Paths.get(dir, file))
+      val in = if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
+      new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    }
 }

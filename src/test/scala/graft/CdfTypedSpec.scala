@@ -287,8 +287,8 @@ class CdfTypedSpec extends SparkSpec {
     }
   }
 
-  test("snapshot reads never see CDC rows; vacuum keeps referenced " +
-      "sidecars and expire-history reclaims them") {
+  test("snapshot reads never see CDC rows; vacuum keeps every sidecar " +
+      "a retained commit names, under BOTH modes") {
     val dir = tmp(); mkTable(dir)
     GraftLog.deleteRange(spark, dir, "id", 0L, 5L)
     assert(spark.read.format(Fmt).option("path", dir).load()
@@ -299,8 +299,24 @@ class CdfTypedSpec extends SparkSpec {
     GraftLog.vacuum(dir, minAgeMs = 0L)
     assert(cdcFiles.forall(f => new java.io.File(dir, f).exists()),
       "a referenced sidecar must survive an ordinary vacuum")
+    // expire-history vacuum must ALSO keep it: the commit files stay,
+    // so requireSpanReplayable still admits a typed-feed span that
+    // opens the sidecar — reclaiming it would turn an admitted read
+    // into a missing-file crash (ADVICE r9). The typed feed over the
+    // full span stays serveable after the aggressive vacuum.
+    GraftLog.vacuum(dir, minAgeMs = 0L, expireHistory = true)
+    assert(cdcFiles.forall(f => new java.io.File(dir, f).exists()),
+      "a sidecar named by a retained commit survives expire-history")
+    val deletes = GraftLog.typedChanges(spark, dir, 0L)
+      .filter(col("_change_type") === "delete").count()
+    assert(deletes == 5L,
+      "the typed feed must still serve the span the horizon admits")
+    // once expireLog retires the commit files themselves, the next
+    // vacuum reclaims the now-unreferenced sidecars with them
+    GraftLog.writeCheckpoint(dir, GraftLog.currentVersion(dir))
+    GraftLog.expireLog(dir, GraftLog.currentVersion(dir) + 1)
     GraftLog.vacuum(dir, minAgeMs = 0L, expireHistory = true)
     assert(cdcFiles.forall(f => !new java.io.File(dir, f).exists()),
-      "expire-history retires the feed with the history it described")
+      "sidecars of expired commits are reclaimed with their history")
   }
 }

@@ -1,0 +1,169 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftColFile, GraftLog}
+
+/** The gcol columnar part-file payload: multi-block round trips, byte-
+  * range splitting (one big part fans out over tasks WITHOUT changing
+  * the data), footer block stats (the in-file skipping index), global
+  * row ordinals under splits (deletion vectors / `_pos`), and mixed-
+  * vintage tables (legacy `.tsv.gz` parts beside gcol parts). */
+class GcolSpec extends SparkSpec {
+  private val Fmt = "graft.sources.GraftLogSource"
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-gcol").toString
+
+  private def withConf[T](key: String, value: String)(body: => T): T = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** One part file with many small blocks. */
+  private def writeOneBigPart(dir: String, n: Long): Unit =
+    withConf("spark.graft.log.blockBytes", (16L << 10).toString) {
+      spark.range(0, n).toDF("id")
+        .withColumn("v", col("id").cast("double") / 2)
+        .withColumn("tag", concat(lit("t"), col("id") % 7))
+        .withColumn("nullable",
+          when(col("id") % 5 === 0, col("id")).otherwise(lit(null)))
+        .coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    }
+
+  test("multi-block part round-trips; footer carries ordered blocks " +
+      "with per-block numeric stats") {
+    val dir = tmp()
+    writeOneBigPart(dir, 50000)
+    val parts = new File(dir).listFiles
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    assert(GraftColFile.isCol(parts.head.getName))
+    val footer = GraftColFile.readFooter(parts.head)
+    assert(footer.cols == Seq("id", "v", "tag", "nullable"))
+    assert(footer.blocks.length > 4, s"expected many blocks, got " +
+      s"${footer.blocks.length}")
+    // blocks tile the row space: firstOrdinal is the running row sum
+    var expectOrd = 0L
+    footer.blocks.foreach { b =>
+      assert(b.firstOrdinal == expectOrd)
+      expectOrd += b.rows
+    }
+    assert(expectOrd == 50000L)
+    // id is written in order, so per-block id stats are disjoint and
+    // monotone — the skipping index has real resolution
+    val idStats = footer.blocks.map(_.stats("id"))
+    idStats.sliding(2).foreach {
+      case Seq((_, mx1), (mn2, _)) => assert(mx1.toLong < mn2.toLong)
+      case _ => ()
+    }
+    // the mostly-null column still stats over its non-null cells
+    assert(footer.blocks.head.stats.contains("nullable"))
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 50000L)
+    assert(back.filter(col("nullable").isNull).count() == 40000L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 50000L).sum)
+  }
+
+  test("byte-range splits fan one part over many tasks with identical " +
+      "results") {
+    val dir = tmp()
+    writeOneBigPart(dir, 50000)
+    val whole = spark.read.format(Fmt).option("path", dir).load()
+      .orderBy("id").collect()
+    val (tasks, split) = withConf("spark.graft.log.splitBytes",
+        (32L << 10).toString) {
+      val df = spark.read.format(Fmt).option("path", dir).load()
+      (df.rdd.getNumPartitions, df.orderBy("id").collect())
+    }
+    assert(tasks > 2, s"one part should fan out, got $tasks task(s)")
+    assert(split.toSeq == whole.toSeq)
+    // every row exactly once — no block double-assigned across ranges
+    assert(split.length == 50000)
+  }
+
+  test("splits preserve global ordinals: _pos and deletion vectors " +
+      "survive range reads") {
+    val dir = tmp()
+    writeOneBigPart(dir, 20000)
+    // merge-on-read DELETE assigns a deletion vector (no rewrite);
+    // the deleted range spans block boundaries mid-file, so a wrong
+    // per-split ordinal base would visibly double- or under-delete
+    val (_, _, usedDv) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 7000L),
+        org.apache.spark.sql.sources.LessThan("id", 9000L)))
+    assert(usedDv, "expected the delete to take the DV path")
+    val (tasks, got) = withConf("spark.graft.log.splitBytes",
+        (32L << 10).toString) {
+      val df = spark.read.format(Fmt).option("path", dir).load()
+      (df.rdd.getNumPartitions, df.agg(
+        count(lit(1)), sum(col("id")), sum(col("_pos"))).head)
+    }
+    assert(tasks > 1)
+    val keep = (0L until 20000L).filterNot(i => i >= 7000L && i < 9000L)
+    assert(got.getLong(0) == keep.size.toLong)
+    assert(got.getLong(1) == keep.sum)
+    // _pos is the file-global physical ordinal (= id here: one part,
+    // written in order), so its sum over survivors must match too
+    assert(got.getLong(2) == keep.sum)
+  }
+
+  test("mixed-vintage table: legacy tsv.gz parts read beside gcol parts") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // forge a legacy part: gzip TSV + a manifest entry for it, exactly
+    // what a pre-gcol writer left behind
+    val legacy = "part-legacy-0000.tsv.gz"
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir, legacy)))
+    gz.write((100 until 150).map(i => s"$i\t${i.toDouble}")
+      .mkString("\n").concat("\n").getBytes("UTF-8"))
+    gz.close()
+    GraftLog.append(dir,
+      Seq(graft.sources.GraftLogCommit(legacy, 50L,
+        Map("id" -> ("100", "149"), "v" -> ("100.0", "149.0")),
+        Seq("id", "v"))),
+      spark.read.format(Fmt).option("path", dir).load().schema,
+      truncate = false)
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 150L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 150L).sum)
+    // compaction rewrites BOTH vintages into one current-layout gcol
+    assert(GraftLog.compact(dir) == 2)
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size == 1 && GraftColFile.isCol(live.head.file))
+    assert(spark.read.format(Fmt).option("path", dir).load()
+      .agg(sum(col("id"))).head.getLong(0) == (0L until 150L).sum)
+  }
+
+  test("block stats skip: a refuted range decodes no block and a " +
+      "narrow filter stays exact") {
+    val dir = tmp()
+    writeOneBigPart(dir, 50000)
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    // narrow in-range filter: exact rows (blocks partially admitted)
+    assert(df.filter(col("id") >= 10000 && col("id") < 10100).count()
+      == 100L)
+    // fully-refuted filter: zero rows (every block's stats refute it;
+    // the file itself is admitted by nothing — manifest skipping may
+    // already drop it, block skipping is the belt to that suspender)
+    assert(df.filter(col("id") > 1000000).count() == 0L)
+    // string column: no block stats, must still read exactly
+    assert(df.filter(col("tag") === "t3").count() ==
+      (0L until 50000L).count(_ % 7 == 3))
+  }
+}
