@@ -16,6 +16,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.Map.empty[String, String]
     SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+      // progress marker BEFORE the run: any engine warning in the log
+      // (e.g. a single-partition WindowExec) is attributable to the
+      // query that follows the marker
+      System.err.println(s"[verify] running $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -72,15 +72,13 @@ object MiniFrame {
     val tagged = df
       .withColumn("__pid", spark_partition_id())
       .withColumn("__rip", monotonically_increasing_id().bitwiseAND(rowInPart))
-    val offsets = tagged.groupBy(col("__pid"))
+    val counts = tagged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum(col("__cnt")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-            .orderBy(col("__pid"))
-            .rowsBetween(
-              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
+    // exclusive prefix over the P-row counts frame WITHOUT a window
+    // (see SmallFrames: a constant-partition window folds to the
+    // empty spec and logs the single-partition warning on every run)
+    val offsets = SmallFrames.selfJoinPrefixSum(counts,
+        Seq("__pid" -> true), "__cnt", "__off")
       .select(col("__pid"), col("__off"))
     tagged.join(broadcast(offsets), "__pid")
       .withColumn(IDX, col("__off") + col("__rip"))

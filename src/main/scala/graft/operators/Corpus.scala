@@ -298,9 +298,10 @@ object Corpus {
         .select(explode(toksOf(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)
-      top.withColumn("rnk", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("token")))
-        .cast("int"))
+      graft.core.SmallFrames.selfJoinRank(top,
+          Seq("cnt" -> false, "token" -> true), "rnk0")
+        .select(col("token"), col("cnt"),
+          col("rnk0").cast("int").as("rnk"))
     }),
 
     // Bigram language-model scoring (the CCNet-style perplexity
@@ -336,15 +337,17 @@ object Corpus {
       val budget = perLang.agg(
         (sum(col("s_tokens")) / 2).cast("long").as("b"),
         count(lit(1)).as("n"))
-      val w = Window.partitionBy(lit(1))
-        .orderBy(col("capacity"), col("lang"))
-      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = perLang.crossJoin(broadcast(budget))
-        .withColumn("i", row_number().over(w).cast("long"))
-        .withColumn("prefix", sum(col("capacity")).over(wc))
+      // ascending-capacity position + exclusive capacity prefix over
+      // the 5-row language table, via the warning-free self-join form
+      // (SmallFrames) instead of constant-partition windows
+      val ord = Seq("capacity" -> true, "lang" -> true)
+      val positioned = graft.core.SmallFrames.selfJoinPrefixSum(
+        graft.core.SmallFrames.selfJoinRank(perLang, ord, "i"),
+        ord, "capacity", "prefix_excl")
+      val ranked = positioned.crossJoin(broadcast(budget))
         .withColumn("capped",
           col("capacity") * (col("n") - col("i") + 1) <=
-            col("b") - (col("prefix") - col("capacity")))
+            col("b") - col("prefix_excl"))
       val caps = ranked.agg(
         sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
         sum(when(col("capped"), col("capacity")).otherwise(0L))
@@ -802,11 +805,15 @@ object Corpus {
           explode(transform(sequence(lit(1), length(col("w")) - 1),
             i => col("w").substr(i, lit(2)))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
-      val w = Window.partitionBy(lit(1))
-        .orderBy(col("n").desc, col("pair"))
-      pc.withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 20)
-        .select(col("rank"), col("pair"), col("n"))
+      // top-20 FIRST (TakeOrderedAndProject — distributed top-k over
+      // the alphabet²-bounded pair table), then rank the 20 survivors
+      // with the warning-free self-join (SmallFrames); the (n, pair)
+      // order is total, so rank-within-top-20 equals global rank
+      val top = pc.orderBy(col("n").desc, col("pair")).limit(20)
+      graft.core.SmallFrames.selfJoinRank(top,
+          Seq("n" -> false, "pair" -> true), "rank0")
+        .select(col("rank0").cast("int").as("rank"), col("pair"),
+          col("n"))
     }),
 
     // Deterministic training-order shuffle: every epoch-level data
@@ -837,13 +844,12 @@ object Corpus {
         .withColumn("lrn", row_number().over(
           Window.partitionBy(col("pid"))
             .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
-      // One row per partition — O(parallelism), not O(data) — so the
-      // explicit single-group window over it is constant-size at any SF.
-      val offsets = local.groupBy(col("pid"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(
-          Window.partitionBy(lit(1)).orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // One row per partition — O(parallelism), not O(data) — prefix
+      // offsets from the P²-pair broadcast self-join (SmallFrames),
+      // not a single-partition window
+      val offsets = graft.core.SmallFrames.selfJoinPrefixSum(
+          local.groupBy(col("pid")).agg(count(lit(1)).as("cnt")),
+          Seq("pid" -> true), "cnt", "off")
         .select(col("pid"), col("off"))
       local.join(broadcast(offsets), "pid")
         .withColumn("ord", (col("off") + col("lrn")).cast("long"))

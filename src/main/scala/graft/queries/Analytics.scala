@@ -196,15 +196,16 @@ object Analytics {
         .withColumn("lrn", row_number().over(
           Window.partitionBy(col("pid"))
             .orderBy(col("c_acctbal"), col("c_custkey"))))
-      // One row per partition — O(parallelism), not O(data) — so the
-      // explicit single-group window over it is constant-size at any SF.
-      val wOne = Window.partitionBy(lit(1))
-      val offsets = local.groupBy(col("pid"))
+      // One row per partition — O(parallelism), not O(data) — prefix
+      // offsets and the grand total come from a P²-pair broadcast
+      // self-join + a global aggregate (SmallFrames: the windowed
+      // form logs the single-partition warning on every run)
+      val counts = local.groupBy(col("pid"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(
-          wOne.orderBy(col("pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(wOne))
+      val total = counts.agg(sum(col("cnt")).as("n"))
+      val offsets = graft.core.SmallFrames.selfJoinPrefixSum(counts,
+          Seq("pid" -> true), "cnt", "off")
+        .crossJoin(broadcast(total))
         .select(col("pid"), col("off"), col("n"))
       val q = floor(col("n") / k)          // small-tile size
       val r = col("n") % k                 // number of large tiles

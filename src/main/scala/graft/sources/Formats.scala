@@ -1625,13 +1625,26 @@ object Formats {
       val lit0 = java.time.Instant.ofEpochMilli(ts0).atZone(zone)
         .format(java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
-      s.sql(s"""
-        SELECT version, n_adds, rows_added,
-          ts_millis >= COALESCE(
-            LAG(ts_millis) OVER (ORDER BY version), 0) AS ts_monotone,
-          (SELECT COUNT(*) FROM graftq.ns.series
-           TIMESTAMP AS OF '$lit0') = 4000 AS ts_travel_v0
+      // predecessor stamp via a broadcast self-join over the O(commit)
+      // history rows, not LAG OVER (ORDER BY ...): Spark plans the
+      // empty-partition window single-partition and warns on every
+      // run, and the noise is indistinguishable from a genuine
+      // data-sized window funnel (same hygiene as SmallFrames)
+      val hist = s.sql(s"""
+        SELECT version, n_adds, rows_added, ts_millis
         FROM graftq.ns.`series$$history`""")
+      val prev = hist.select(col("version").as("__v"),
+        col("ts_millis").as("__ts"))
+      val travel = s.sql(s"""
+        SELECT (SELECT COUNT(*) FROM graftq.ns.series
+                TIMESTAMP AS OF '$lit0') = 4000 AS ts_travel_v0""")
+      hist.join(broadcast(prev), col("__v") < col("version"), "left")
+        .groupBy(hist.columns.map(col): _*)
+        .agg(coalesce(max(col("__ts")), lit(0L)).as("__prev"))
+        .crossJoin(broadcast(travel))
+        .select(col("version"), col("n_adds"), col("rows_added"),
+          (col("ts_millis") >= col("__prev")).as("ts_monotone"),
+          col("ts_travel_v0"))
     }),
 
     // RESTORE to a historical version: a new commit whose live set
@@ -1744,6 +1757,50 @@ object Formats {
     // the SAME SeriesTable the reader API builds — filter-driven slice
     // pruning and column pruning apply identically (SeriesSourceSpec
     // pins the pruning; the oracle pins the values).
+    // Splittable gcol payload driven end to end: ONE half-million-row
+    // part file written with small blocks, read under a 1 MB split
+    // size. Read parallelism must come from BYTE RANGES, not file
+    // counts (gated: >1 planned task over the single file), and the
+    // ranged read must be byte-identical to the whole-file read — the
+    // "a 10 GB part must not serialize into one task" contract at
+    // bench scale. The oracle replays the aggregate in closed form.
+    "sink_log_split_parallel" -> ((s, d) => {
+      val dir = ensureGcolBigPart(s, d)
+      withConfMaterialized(s, "spark.graft.log.splitBytes",
+          (1L << 20).toString) {
+        val df = s.read.format("graft.sources.GraftLogSource")
+          .option("path", dir).load()
+        val tasks = df.rdd.getNumPartitions
+        df.groupBy((col("id") % 13).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+          .select(col("bucket"), col("n"), col("sum_v"),
+            lit(tasks > 1).as("fanned_out"))
+      }
+    }),
+
+    // Block-stats skipping INSIDE one file: the footer's per-block
+    // min/max admit only the blocks overlapping a narrow id range
+    // (gated from the footer itself: admitted < total), and the
+    // filtered aggregate is exact — parquet row-group pruning,
+    // delivered by the format. At 100 TB this is the difference
+    // between decompressing one block and decompressing a 10 GB part
+    // to serve a point-range query.
+    "sink_log_block_skip" -> ((s, d) => {
+      val dir = ensureGcolBigPart(s, d)
+      val part = GraftLog.entriesAsOf(dir, Long.MaxValue).head.file
+      val footer = GraftColFile.readFooter(new java.io.File(dir, part))
+      val admitted = footer.blocks.count(_.stats.get("id").exists {
+        case (mn, mx) => mx.toLong >= 100000L && mn.toLong < 101000L })
+      val df = s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .filter(col("id") >= 100000L && col("id") < 101000L)
+      df.agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .select(col("n"), col("sum_v"), col("min_id"), col("max_id"),
+          lit(admitted < footer.blocks.size && admitted > 0)
+            .as("blocks_skipped"))
+    }),
+
     "sql_tvf_series" -> ((s, _) => {
       s.sql("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2087,6 +2144,31 @@ object Formats {
         .option("path", fa).option("partitionCol", "k")
         .mode("overwrite").save()
 
+  /** The single big multi-block gcol part two queries share
+    * (sink_log_split_parallel, sink_log_block_skip): 500k rows,
+    * ~64 KB raw blocks, coalesced to ONE part file so split fan-out
+    * and block skipping are attributable to the format, not the file
+    * count. Built once per session+fixture. */
+  private def ensureGcolBigPart(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_gcol_big/${new java.io.File(d).getName}"
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    val ready = live.size == 1 && GraftColFile.isCol(live.head.file) &&
+      live.head.rows == 500000L
+    if (!ready) {
+      val prior = s.conf.getOption("spark.graft.log.blockBytes")
+      s.conf.set("spark.graft.log.blockBytes", (64L << 10).toString)
+      try s.range(0, 500000).selectExpr("id", "id * 3 AS v")
+        .coalesce(1)
+        .write.format("graft.sources.GraftLogSource")
+        .option("path", dir).mode("overwrite").save()
+      finally prior match {
+        case Some(v) => s.conf.set("spark.graft.log.blockBytes", v)
+        case None => s.conf.unset("spark.graft.log.blockBytes")
+      }
+    }
+    dir
+  }
+
   /** Runs `body` with one session conf temporarily set and EAGERLY
     * materializes the returned frame before restoring, so the restored
     * conf can never re-plan it (frames are lazy; returning one after a
@@ -2147,6 +2229,21 @@ object Formats {
   }
 
   val oracles: Map[String, String] = Map(
+    "sink_log_split_parallel" ->
+      """SELECT CAST(id % 13 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id * 3) AS BIGINT) AS sum_v,
+           TRUE AS fanned_out
+         FROM range(0, 500000) t(id)
+         GROUP BY bucket""",
+    "sink_log_block_skip" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id * 3) AS BIGINT) AS sum_v,
+           CAST(MIN(id) AS BIGINT) AS min_id,
+           CAST(MAX(id) AS BIGINT) AS max_id,
+           TRUE AS blocks_skipped
+         FROM range(0, 500000) t(id)
+         WHERE id >= 100000 AND id < 101000""",
     "join_bucketed_colocated" ->
       """SELECT o_orderpriority,
          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
