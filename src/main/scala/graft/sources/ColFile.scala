@@ -43,8 +43,14 @@ import org.apache.spark.sql.types._
   * Footer TSV:
   * {{{
   *   cols \t c1,c2,...
-  *   b \t offset \t rows \t firstOrdinal \t len0,len1,... \t c=min,max;...
+  *   b \t offset \t rows \t firstOrdinal \t len0,len1,... \t c=min,max;... \t enc0,enc1,...
   * }}}
+  * A chunk whose block has ≤255 distinct cells (with ≥2 rows per
+  * distinct on average) writes DICTIONARY encoding (enc 1): a dict
+  * header + one u8 index per row — parquet's dictionary page in
+  * miniature. Decode materializes each distinct string once and
+  * shares the instance across rows; high-NDV chunks stay plain
+  * newline-terminated text (enc 0).
   * Within a chunk, cells are newline-terminated (strings must not
   * contain tabs/newlines — the format's documented codec contract, so
   * the separator is unambiguous); a block's row ordinals are global
@@ -64,6 +70,10 @@ object GraftColFile {
     * resolution. */
   val DefaultBlockChars: Long = 4L << 20
 
+  /** Max distinct cells per block for dictionary encoding — indices
+    * are one unsigned byte. */
+  val MaxDict = 255
+
   def isCol(file: String): Boolean = file.endsWith(Extension)
 
   /** One block's footer record. `lens(i)` = compressed byte length of
@@ -71,15 +81,23 @@ object GraftColFile {
     * `firstOrdinal` = the file-global row ordinal of the block's first
     * row — the DV / `_pos` axis. `stats` = per-block numeric min/max
     * in the manifest's cell encoding (absent for a column whose block
-    * saw an unparseable/NaN value — consumers degrade to may-match). */
+    * saw an unparseable/NaN value — consumers degrade to may-match).
+    * `encs(i)` = column i's chunk encoding: 0 = plain newline-
+    * terminated cells, 1 = dictionary (≤255 distinct cells per block:
+    * a dict header + one u8 index per row — parquet's dictionary page
+    * in miniature; decode materializes each distinct string ONCE).
+    * Footer lines without the encodings field (early-r10 files) parse
+    * as all-plain. */
   final case class BlockMeta(offset: Long, rows: Long,
       lens: Array[Long], firstOrdinal: Long,
-      stats: Map[String, (String, String)]) {
+      stats: Map[String, (String, String)],
+      encs: Array[Int] = Array.empty) {
     def chunkOffset(col: Int): Long = {
       var o = offset; var i = 0
       while (i < col) { o += lens(i); i += 1 }
       o
     }
+    def encOf(col: Int): Int = if (col < encs.length) encs(col) else 0
   }
 
   final case class Footer(cols: Seq[String], blocks: Seq[BlockMeta])
@@ -95,8 +113,16 @@ object GraftColFile {
     private val out =
       new BufferedOutputStream(Files.newOutputStream(path), 1 << 16)
     private val nCols = cols.length
+    // cell buffer per column (the block's worth) + a bounded distinct
+    // tracker per column: once a block's column exceeds MaxDict
+    // distinct cells it flushes plain; under it, the chunk writes a
+    // dictionary + u8 indices (categorical columns decode each
+    // distinct string once instead of once per row)
     private val bufs =
-      Array.fill(nCols)(new java.lang.StringBuilder(1 << 12))
+      Array.fill(nCols)(ArrayBuffer.empty[String])
+    private val distinct = Array.fill(nCols)(
+      new java.util.LinkedHashMap[String, Integer]())
+    private val tooMany = new Array[Boolean](nCols)
     // 0 = not stats-tracked, 1 = integral (long/int), 2 = double
     private val tag: Array[Int] = types.map {
       case LongType | IntegerType => 1
@@ -120,8 +146,12 @@ object GraftColFile {
       var i = 0
       while (i < nCols) {
         val c = cells(i)
-        bufs(i).append(c).append('\n')
+        bufs(i) += c
         chars += c.length + 1
+        if (!tooMany(i) && !distinct(i).containsKey(c)) {
+          if (distinct(i).size >= MaxDict) tooMany(i) = true
+          else distinct(i).put(c, distinct(i).size)
+        }
         if (tag(i) != 0 && !bad(i) && c != GraftLog.NullCell) {
           // NaN/Infinity (or a frozen writer's junk) poisons the
           // block's stats for that column: Spark orders NaN above
@@ -157,15 +187,44 @@ object GraftColFile {
     private def flushBlock(): Unit = {
       if (blockRows == 0L) return
       val lens = new Array[Long](nCols)
+      val encs = new Array[Int](nCols)
       val offset = written
       var i = 0
       while (i < nCols) {
-        val bytes = gzip(bufs(i).toString
-          .getBytes(StandardCharsets.UTF_8))
+        val cells = bufs(i)
+        // dictionary pays when the block repeats values: ≤MaxDict
+        // distinct AND at least 2 rows per distinct on average
+        val useDict = !tooMany(i) &&
+          distinct(i).size.toLong * 2 <= cells.length
+        val bytes =
+          if (useDict) {
+            encs(i) = 1
+            val dict = distinct(i)
+            val sb = new java.lang.StringBuilder
+            sb.append(dict.size).append('\n')
+            dict.keySet.forEach(k => sb.append(k).append('\n'))
+            val head = sb.toString.getBytes(StandardCharsets.UTF_8)
+            val idx = new Array[Byte](cells.length)
+            var r = 0
+            while (r < cells.length) {
+              idx(r) = dict.get(cells(r)).intValue.toByte
+              r += 1
+            }
+            val payload = new Array[Byte](head.length + idx.length)
+            System.arraycopy(head, 0, payload, 0, head.length)
+            System.arraycopy(idx, 0, payload, head.length, idx.length)
+            gzip(payload)
+          } else {
+            val sb = new java.lang.StringBuilder
+            cells.foreach(c => sb.append(c).append('\n'))
+            gzip(sb.toString.getBytes(StandardCharsets.UTF_8))
+          }
         out.write(bytes)
         lens(i) = bytes.length.toLong
         written += bytes.length
-        bufs(i).setLength(0)
+        bufs(i).clear()
+        distinct(i).clear()
+        tooMany(i) = false
         i += 1
       }
       val stats = (0 until nCols).collect {
@@ -177,7 +236,7 @@ object GraftColFile {
           cols(c) -> (mn, mx)
       }.toMap
       blocks += BlockMeta(offset, blockRows, lens,
-        totalRows - blockRows, stats)
+        totalRows - blockRows, stats, encs)
       java.util.Arrays.fill(seen, false)
       java.util.Arrays.fill(bad, false)
       blockRows = 0L
@@ -202,6 +261,7 @@ object GraftColFile {
           .append(b.stats.toSeq.sortBy(_._1)
             .map { case (c, (mn, mx)) => s"$c=$mn,$mx" }
             .mkString(";"))
+          .append('\t').append(b.encs.mkString(","))
           .append('\n')
       }
       val footer = gzip(sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -258,29 +318,58 @@ object GraftColFile {
               else Some(kv.substring(0, eq) ->
                 (kv.substring(eq + 1, comma), kv.substring(comma + 1)))
             }.toMap
+          val encs =
+            if (cells.length < 7 || cells(6).isEmpty) Array.empty[Int]
+            else cells(6).split(",", -1).map(_.toInt)
           blocks += BlockMeta(cells(1).toLong, cells(2).toLong,
             cells(4).split(",", -1).filter(_.nonEmpty).map(_.toLong),
-            cells(3).toLong, stats)
+            cells(3).toLong, stats, encs)
         case _ => ()
       }
     }
     Footer(cols, blocks.toSeq)
   }
 
-  /** Decode one block's column chunk into its cells. */
+  /** Decode one block's column chunk into its cells. Dictionary
+    * chunks materialize each DISTINCT string once and share the
+    * instances across rows — the categorical-column decode win. */
   def readChunk(ch: FileChannel, b: BlockMeta, col: Int): Array[String] = {
     val buf = ByteBuffer.allocate(b.lens(col).toInt)
     readFully(ch, buf, b.chunkOffset(col))
-    val text = new String(gunzip(buf.array()), StandardCharsets.UTF_8)
+    val raw = gunzip(buf.array())
     val n = b.rows.toInt
     val out = new Array[String](n)
-    var start = 0
-    var i = 0
-    while (i < n) {
-      val nl = text.indexOf('\n', start)
-      out(i) = text.substring(start, nl)
-      start = nl + 1
-      i += 1
+    if (b.encOf(col) == 1) {
+      // [dictSize '\n'][dict cells '\n'-terminated][u8 index per row]
+      var p = 0
+      while (raw(p) != '\n') p += 1
+      val dictSize = new String(raw, 0, p,
+        StandardCharsets.UTF_8).toInt
+      p += 1
+      val dict = new Array[String](dictSize)
+      var d = 0
+      while (d < dictSize) {
+        var e = p
+        while (raw(e) != '\n') e += 1
+        dict(d) = new String(raw, p, e - p, StandardCharsets.UTF_8)
+        p = e + 1
+        d += 1
+      }
+      var i = 0
+      while (i < n) {
+        out(i) = dict(raw(p + i) & 0xff)
+        i += 1
+      }
+    } else {
+      val text = new String(raw, StandardCharsets.UTF_8)
+      var start = 0
+      var i = 0
+      while (i < n) {
+        val nl = text.indexOf('\n', start)
+        out(i) = text.substring(start, nl)
+        start = nl + 1
+        i += 1
+      }
     }
     out
   }

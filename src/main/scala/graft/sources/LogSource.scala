@@ -563,6 +563,14 @@ object GraftLog {
     * state for free and every reader sees it on the entry it plans. */
   val DvKey = "__dv"
 
+  /** Reserved stats key carrying the part file's exact UNCOMPRESSED
+    * payload size (raw cell characters), stamped by the gcol writer —
+    * the scan's CBO `sizeInBytes` reads it instead of guessing
+    * on-disk × expansion, so auto-broadcast decisions near the
+    * threshold are made on real numbers. Not a column stat (column
+    * keys are `col#suffix`; this is file-level). */
+  val RawBytesKey = "#raw"
+
   /** The entry's DV descriptor, if one is assigned (empty name =
     * cleared). */
   def dvOf(e: LogEntry): Option[(String, Long)] =
@@ -1880,10 +1888,12 @@ object GraftLog {
           curCols, curTypes)
       }
       def closeCurrent(): Unit = if (out != null) {
+        val raw = out.rawChars
         val rows = out.finish()
         done += LogEntry.add(-1L, outName, rows,
-          mergedStats ++ sketchStats ++ pvStat, dataChange = false,
-          cols = curCols)
+          mergedStats ++ sketchStats ++ pvStat +
+            (GraftLog.RawBytesKey -> (raw.toString, "n")),
+          dataChange = false, cols = curCols)
         out = null
       }
       def writeLine(l: String): Unit = {
@@ -3534,8 +3544,10 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
           Map(GraftLogPartValue.key(c) -> GraftLogPartValue.encode(v))
         case _ => Map.empty[String, (String, String)]
       }
+      val rawStat = Map(GraftLog.RawBytesKey ->
+        (out.rawChars.toString, "n"))
       GraftLogCommit(file, rows,
-        stats ++ bloomStats ++ ndvStats ++ pvStat,
+        stats ++ bloomStats ++ ndvStats ++ pvStat ++ rawStat,
         schema.fieldNames.toSeq)
     }
 
@@ -3802,8 +3814,16 @@ class GraftLogScan(dir: String, tableSchema: StructType,
     private val known = files.forall(_.rows >= 0L)
     private val rowCount =
       files.map(e => math.max(GraftLog.effectiveRows(e), 0L)).sum
+    // exact raw size from the writer-stamped manifest stat when
+    // present (gcol parts), the on-disk-times-expansion guess only
+    // for legacy stat-less parts — CBO's broadcast decision reads
+    // this, and "exact" vs "4x guess" flips plans near the threshold
     private val bytes = files.map(e =>
-      new File(dir, e.file).length() * GraftLogScan.GzipExpansion).sum
+      e.stats.get(GraftLog.RawBytesKey)
+        .flatMap(v => scala.util.Try(v._1.toLong).toOption)
+        .getOrElse(
+          new File(dir, e.file).length() * GraftLogScan.GzipExpansion))
+      .sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): java.util.OptionalLong =

@@ -150,6 +150,67 @@ class GcolSpec extends SparkSpec {
       .agg(sum(col("id"))).head.getLong(0) == (0L until 150L).sum)
   }
 
+  test("dictionary encoding: low-NDV chunks go dict, high-NDV stay " +
+      "plain, values identical") {
+    val dir = tmp()
+    writeOneBigPart(dir, 50000)
+    val part = new File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).head
+    val footer = GraftColFile.readFooter(part)
+    // columns: id (high-NDV: plain), v (high-NDV double: plain),
+    // tag (7 distinct: dict), nullable (≤2 distinct per block: dict)
+    val tagIdx = footer.cols.indexOf("tag")
+    val idIdx = footer.cols.indexOf("id")
+    val nullIdx = footer.cols.indexOf("nullable")
+    footer.blocks.foreach { b =>
+      assert(b.encOf(tagIdx) == 1,
+        s"7-distinct tag column must dict-encode: ${b.encs.toSeq}")
+      assert(b.encOf(idIdx) == 0,
+        "all-distinct id column must stay plain")
+      assert(b.encOf(nullIdx) == 1,
+        "mostly-null column must dict-encode")
+    }
+    // values identical through the dict path, nulls included
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.filter(col("tag") === "t3").count() ==
+      (0L until 50000L).count(_ % 7 == 3))
+    assert(back.groupBy(col("tag")).count().count() == 7)
+    assert(back.filter(col("nullable").isNull).count() == 40000L)
+    assert(back.agg(sum(col("nullable"))).head.getLong(0) ==
+      (0L until 50000L).filter(_ % 5 == 0).sum)
+    // the line-reader shim (compaction / row reader path) decodes
+    // dict chunks identically
+    val in = graft.sources.GraftLogReaderFactory.openLines(
+      dir, part.getName)
+    val first = in.readLine(); in.close()
+    assert(first == "0\t0.0\tt0\t0", s"unexpected first line: $first")
+  }
+
+  test("manifest #raw stat: exact uncompressed size drives CBO " +
+      "sizeInBytes") {
+    val dir = tmp()
+    writeOneBigPart(dir, 1000)
+    val e = GraftLog.entriesAsOf(dir, Long.MaxValue).head
+    assert(e.stats.contains(GraftLog.RawBytesKey))
+    val raw = e.stats(GraftLog.RawBytesKey)._1.toLong
+    assert(raw > 0L)
+    // the scan advertises the stamped raw size, not the on-disk ×
+    // expansion guess — broadcast decisions near the threshold are
+    // made on real numbers
+    val df = spark.read.format(Fmt).option("path", dir).load()
+    val sz = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sz == BigInt(raw), s"sizeInBytes $sz != stamped raw $raw")
+    // compaction outputs stamp their own
+    spark.range(1000, 1200).toDF("id")
+      .withColumn("v", col("id").cast("double") / 2)
+      .withColumn("tag", concat(lit("t"), col("id") % 7))
+      .withColumn("nullable", lit(null).cast("long"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(GraftLog.compact(dir) >= 2)
+    val c = GraftLog.entriesAsOf(dir, Long.MaxValue).head
+    assert(c.stats.get(GraftLog.RawBytesKey).exists(_._1.toLong > 0L))
+  }
+
   test("block stats skip: a refuted range decodes no block and a " +
       "narrow filter stays exact") {
     val dir = tmp()
