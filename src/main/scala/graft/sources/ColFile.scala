@@ -330,15 +330,28 @@ object GraftColFile {
     Footer(cols, blocks.toSeq)
   }
 
-  /** Decode one block's column chunk into its cells. Dictionary
-    * chunks materialize each DISTINCT string once and share the
-    * instances across rows — the categorical-column decode win. */
-  def readChunk(ch: FileChannel, b: BlockMeta, col: Int): Array[String] = {
+  /** A decoded chunk: either every cell materialized (plain), or the
+    * dictionary + per-row u8 indices (dict chunks stay in index form
+    * so consumers can decode each DISTINCT value once — parse a long
+    * per distinct, not per row). `cells(i)` materializes either way
+    * for callers that want strings. */
+  sealed trait Chunk {
+    def cell(i: Int): String
+  }
+  final case class PlainChunk(cells: Array[String]) extends Chunk {
+    def cell(i: Int): String = cells(i)
+  }
+  final case class DictChunk(dict: Array[String],
+      idx: Array[Byte]) extends Chunk {
+    def cell(i: Int): String = dict(idx(i) & 0xff)
+  }
+
+  /** Decode one block's column chunk. */
+  def readChunk(ch: FileChannel, b: BlockMeta, col: Int): Chunk = {
     val buf = ByteBuffer.allocate(b.lens(col).toInt)
     readFully(ch, buf, b.chunkOffset(col))
     val raw = gunzip(buf.array())
     val n = b.rows.toInt
-    val out = new Array[String](n)
     if (b.encOf(col) == 1) {
       // [dictSize '\n'][dict cells '\n'-terminated][u8 index per row]
       var p = 0
@@ -355,13 +368,12 @@ object GraftColFile {
         p = e + 1
         d += 1
       }
-      var i = 0
-      while (i < n) {
-        out(i) = dict(raw(p + i) & 0xff)
-        i += 1
-      }
+      val idx = new Array[Byte](n)
+      System.arraycopy(raw, p, idx, 0, n)
+      DictChunk(dict, idx)
     } else {
       val text = new String(raw, StandardCharsets.UTF_8)
+      val out = new Array[String](n)
       var start = 0
       var i = 0
       while (i < n) {
@@ -370,8 +382,8 @@ object GraftColFile {
         start = nl + 1
         i += 1
       }
+      PlainChunk(out)
     }
-    out
   }
 
   /** Legacy-shaped line reader over a gcol file: reconstructs the TSV
@@ -386,7 +398,7 @@ object GraftColFile {
       private var bi = 0
       private var row = 0
       private var rowsInBlock = 0
-      private var cols: Array[Array[String]] = _
+      private var cols: Array[Chunk] = _
       private val sb = new java.lang.StringBuilder
       override def readLine(): String = {
         while (cols == null || row >= rowsInBlock) {
@@ -401,7 +413,7 @@ object GraftColFile {
         var c = 0
         while (c < cols.length) {
           if (c > 0) sb.append('\t')
-          sb.append(cols(c)(row))
+          sb.append(cols(c).cell(row))
           c += 1
         }
         row += 1

@@ -4966,7 +4966,16 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
           })
       }
       private var bi = 0
-      private var cells: Array[Array[String]] = _
+      // per required field: plain cells OR a dict-index view whose
+      // distinct values are decoded ONCE per block - a long is parsed
+      // per DISTINCT, not per row, and string bytes are shared
+      private var plainCells: Array[Array[String]] = _
+      private var dIdx: Array[Array[Byte]] = _
+      private var dNull: Array[Array[Boolean]] = _
+      private var dLong: Array[Array[Long]] = _
+      private var dInt: Array[Array[Int]] = _
+      private var dDouble: Array[Array[Double]] = _
+      private var dBytes: Array[Array[Array[Byte]]] = _
       private var rowIn = 0
       private var blockRows = 0
       private var firstOrd = 0L
@@ -4981,6 +4990,9 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         lo
       }
 
+      private def isNullCell(s: String): Boolean =
+        s.length == 1 && s.charAt(0) == '\u0000'
+
       private def loadBlock(): Boolean = {
         if (bi >= blocks.length) return false
         val b = blocks(bi); bi += 1
@@ -4988,8 +5000,36 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         // projection must not decompress twice)
         val byCi = idx.filter(ci => ci >= 0 && ci < nChunks).distinct
           .map(ci => ci -> GraftColFile.readChunk(ch, b, ci)).toMap
-        cells = idx.map(ci =>
-          if (ci >= 0 && ci < nChunks) byCi(ci) else null)
+        val nJ = idx.length
+        plainCells = new Array(nJ); dIdx = new Array(nJ)
+        dNull = new Array(nJ); dLong = new Array(nJ)
+        dInt = new Array(nJ); dDouble = new Array(nJ)
+        dBytes = new Array(nJ)
+        var j = 0
+        while (j < nJ) {
+          val ci = idx(j)
+          if (ci >= 0 && ci < nChunks) byCi(ci) match {
+            case GraftColFile.PlainChunk(cs) => plainCells(j) = cs
+            case GraftColFile.DictChunk(dict, ix) =>
+              dIdx(j) = ix
+              dNull(j) = dict.map(isNullCell)
+              tag(j) match {
+                case 0 => dLong(j) = dict.map(s =>
+                  if (isNullCell(s)) 0L
+                  else java.lang.Long.parseLong(s))
+                case 1 => dInt(j) = dict.map(s =>
+                  if (isNullCell(s)) 0
+                  else java.lang.Integer.parseInt(s))
+                case 2 => dDouble(j) = dict.map(s =>
+                  if (isNullCell(s)) 0d
+                  else java.lang.Double.parseDouble(s))
+                case _ => dBytes(j) = dict.map(s =>
+                  if (isNullCell(s)) null
+                  else s.getBytes(StandardCharsets.UTF_8))
+              }
+          }
+          j += 1
+        }
         rowIn = 0
         blockRows = b.rows.toInt
         firstOrd = b.firstOrdinal
@@ -5001,7 +5041,7 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
           max: Int): Int = {
         var r = 0
         while (r < max) {
-          if (cells == null || rowIn >= blockRows) {
+          if (plainCells == null || rowIn >= blockRows) {
             if (!loadBlock()) return r
           }
           val ord = firstOrd + rowIn
@@ -5014,9 +5054,18 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
               if (ci == -2) vecs(j).putByteArray(r, nameBytes)
               else if (ci == -3) vecs(j).putLong(r, ord)
               else if (ci < 0 || ci >= nChunks) vecs(j).putNull(r)
-              else {
-                val cell = cells(j)(rowIn)
-                if (cell.length == 1 && cell.charAt(0) == '\u0000')
+              else if (dIdx(j) != null) {
+                val di = dIdx(j)(rowIn) & 0xff
+                if (dNull(j)(di)) vecs(j).putNull(r)
+                else tag(j) match {
+                  case 0 => vecs(j).putLong(r, dLong(j)(di))
+                  case 1 => vecs(j).putInt(r, dInt(j)(di))
+                  case 2 => vecs(j).putDouble(r, dDouble(j)(di))
+                  case _ => vecs(j).putByteArray(r, dBytes(j)(di))
+                }
+              } else {
+                val cell = plainCells(j)(rowIn)
+                if (isNullCell(cell))
                   vecs(j).putNull(r) // the null sentinel cell
                 else tag(j) match {
                   case 0 => vecs(j).putLong(r,
