@@ -166,7 +166,8 @@ object Bench {
       "sql_catalog_branch", "stream_dedup_replay",
       "sql_catalog_stats", "agg_hll_partial_reuse",
       "sink_log_mv_distinct", "sink_log_cdf_typed",
-      "sink_log_replica_sync")
+      "sink_log_replica_sync", "sink_log_split_parallel",
+      "sink_log_dict_groupby", "corpus_train_order")
     val hqs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")

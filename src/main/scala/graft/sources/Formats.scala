@@ -1778,6 +1778,27 @@ object Formats {
       }
     }),
 
+    // Dictionary-encoded categorical column driven end to end under
+    // the oracle: `tag` has 7 distinct values, so every block of the
+    // shared big part stores it as a dict + u8 indices (gated from
+    // the footer), and the grouped aggregate over the DICT DECODE
+    // path must be byte-identical to the closed-form replay. The
+    // parquet-dictionary-page contract, delivered by the format.
+    "sink_log_dict_groupby" -> ((s, d) => {
+      val dir = ensureGcolBigPart(s, d)
+      val part = GraftLog.entriesAsOf(dir, Long.MaxValue).head.file
+      val footer = GraftColFile.readFooter(new java.io.File(dir, part))
+      val tagIdx = footer.cols.indexOf("tag")
+      val allDict = tagIdx >= 0 &&
+        footer.blocks.forall(_.encOf(tagIdx) == 1)
+      s.read.format("graft.sources.GraftLogSource")
+        .option("path", dir).load()
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .select(col("tag"), col("n"), col("sum_v"),
+          lit(allDict).as("dict_encoded"))
+    }),
+
     // Block-stats skipping INSIDE one file: the footer's per-block
     // min/max admit only the blocks overlapping a narrow id range
     // (gated from the footer itself: admitted < total), and the
@@ -2153,11 +2174,14 @@ object Formats {
     val dir = s"/tmp/graft_gcol_big/${new java.io.File(d).getName}"
     val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
     val ready = live.size == 1 && GraftColFile.isCol(live.head.file) &&
-      live.head.rows == 500000L
+      live.head.rows == 500000L && live.head.cols.contains("tag")
     if (!ready) {
       val prior = s.conf.getOption("spark.graft.log.blockBytes")
       s.conf.set("spark.graft.log.blockBytes", (64L << 10).toString)
-      try s.range(0, 500000).selectExpr("id", "id * 3 AS v")
+      // tag: 7 distinct values — every block dictionary-encodes it,
+      // so the dict decode path sits under the DuckDB oracle too
+      try s.range(0, 500000).selectExpr("id", "id * 3 AS v",
+          "concat('t', id % 7) AS tag")
         .coalesce(1)
         .write.format("graft.sources.GraftLogSource")
         .option("path", dir).mode("overwrite").save()
@@ -2236,6 +2260,13 @@ object Formats {
            TRUE AS fanned_out
          FROM range(0, 500000) t(id)
          GROUP BY bucket""",
+    "sink_log_dict_groupby" ->
+      """SELECT 't' || CAST(id % 7 AS VARCHAR) AS tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id * 3) AS BIGINT) AS sum_v,
+           TRUE AS dict_encoded
+         FROM range(0, 500000) t(id)
+         GROUP BY tag""",
     "sink_log_block_skip" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(id * 3) AS BIGINT) AS sum_v,
