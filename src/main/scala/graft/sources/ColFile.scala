@@ -167,7 +167,11 @@ object GraftColFile {
               }
             } catch { case _: NumberFormatException => bad(i) = true }
           } else {
-            val v = java.lang.Double.parseDouble(c)
+            // parse guarded like the long branch: a junk cell from a
+            // legacy part streamed through compaction must drop the
+            // column's block stats, not crash the write task
+            val v = try java.lang.Double.parseDouble(c)
+              catch { case _: NumberFormatException => Double.NaN }
             if (java.lang.Double.isNaN(v) ||
                 java.lang.Double.isInfinite(v)) bad(i) = true
             else if (!seen(i)) { minD(i) = v; maxD(i) = v; seen(i) = true }

@@ -563,6 +563,21 @@ object GraftLog {
     * state for free and every reader sees it on the entry it plans. */
   val DvKey = "__dv"
 
+  /** Session conf as a byte count, parsed with Spark's own byte-string
+    * parser — '128MB', '64k', and plain digits are all valid, exactly
+    * like `spark.sql.files.maxPartitionBytes` itself (a naive digit
+    * strip would read '128MB' as 128 BYTES and plan millions of
+    * splits). Falls back to `default` when no active session, unset,
+    * or unparseable. Driver-side only. */
+  def byteConf(key: String, default: => Long): Long =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
+      .flatMap(s => Option(s.conf.get(key, null)))
+      .flatMap(v => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+        .toOption)
+      .filter(_ > 0L)
+      .getOrElse(default)
+
   /** Reserved stats key carrying the part file's exact UNCOMPRESSED
     * payload size (raw cell characters), stamped by the gcol writer —
     * the scan's CBO `sizeInBytes` reads it instead of guessing
@@ -1089,12 +1104,18 @@ object GraftLog {
       // new column silently vanish from the table (mergeSchemas is
       // additive-at-tail, so remerging is idempotent). A truncate
       // replaces the schema wholesale instead (remergeSchema=false).
+      val stored = storedSchema(dir)
       val persisted =
         if (remergeSchema)
-          storedSchema(dir).map(mergeSchemas(_, schema)).getOrElse(schema)
+          stored.map(mergeSchemas(_, schema)).getOrElse(schema)
         else schema
-      atomicWrite(Paths.get(dir, SchemaFile),
-        persisted.json.getBytes(StandardCharsets.UTF_8))
+      // write ONLY when the content changes: a same-schema (pure)
+      // append re-writing identical bytes would race a concurrent
+      // schema-evolving commit's read-modify-write and clobber its
+      // freshly added column with the stale schema it read
+      if (!stored.contains(persisted))
+        atomicWrite(Paths.get(dir, SchemaFile),
+          persisted.json.getBytes(StandardCharsets.UTF_8))
       val v = currentVersion(dir) + 1
       // an empty entry list is legal exactly once: the version-0
       // commit of a truncate-to-empty (overwrite with zero rows)
@@ -2012,6 +2033,7 @@ object GraftLog {
     val cols = schema.fieldNames.toSeq
     require(cols.forall(updates.columns.contains),
       s"merge batch must carry the full table schema ${cols.mkString(",")}")
+    val rewriteBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     val keyNumeric = schema.fields.find(_.name == keyCol)
       .exists(_.dataType match {
@@ -2160,7 +2182,7 @@ object GraftLog {
         Some(pre.unionByName(post).unionByName(ins))
       }
     rewriteFiles(spark, dir, affected, merged, schema, txn = txn,
-      cdcChanges = cdc)
+      cdcChanges = cdc, baseVersion = rewriteBase)
     (affected.size, live.size)
   }
 
@@ -2175,6 +2197,7 @@ object GraftLog {
     import org.apache.spark.sql.functions.col
     val schema = storedSchema(dir).getOrElse(throw new IllegalArgumentException(
       s"graft-log table not found at $dir"))
+    val rewriteBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     val dlo = java.math.BigDecimal.valueOf(lo)
     val dhi = java.math.BigDecimal.valueOf(hi)
@@ -2198,7 +2221,7 @@ object GraftLog {
         .withColumn(ChangeTypeCol,
           org.apache.spark.sql.functions.lit("delete")))
     rewriteFiles(spark, dir, affected, remaining, schema,
-      cdcChanges = cdc)
+      cdcChanges = cdc, baseVersion = rewriteBase)
     (affected.size, live.size)
   }
 
@@ -2219,6 +2242,7 @@ object GraftLog {
       s"graft-log table not found at $dir"))
     require(filters.forall(convertible),
       s"unsupported DELETE predicate: ${filters.mkString(", ")}")
+    val rewriteBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     // The DSv2 contract ANDs the filter array, so an EMPTY array (or a
     // lone AlwaysTrue — `DELETE FROM t` with no WHERE) is the
@@ -2256,7 +2280,7 @@ object GraftLog {
       else Some(picked.filter(coalesce(cond, lit(false)))
         .withColumn(ChangeTypeCol, lit("delete")))
     rewriteFiles(spark, dir, affected, remaining, schema,
-      cdcChanges = cdc)
+      cdcChanges = cdc, baseVersion = rewriteBase)
     (affected.size, live.size)
   }
 
@@ -2412,6 +2436,7 @@ object GraftLog {
       s"cannot OPTIMIZE ZORDER an identity-partitioned table " +
         s"(partitioned by ${partitionColOf(dir).getOrElse("")}): the " +
         "partition layout owns file placement")
+    val rewriteBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     if (live.isEmpty) return 0
     val replacement = spark.read.format("graft.sources.GraftLogSource")
@@ -2421,7 +2446,7 @@ object GraftLog {
       .repartitionByRange(nFiles, col("__graft_z"))
       .drop("__graft_z")
     rewriteFiles(spark, dir, live, replacement, schema,
-      dataChange = false)
+      dataChange = false, baseVersion = rewriteBase)
     live.size
   }
 
@@ -2447,6 +2472,7 @@ object GraftLog {
     require(schema.fieldNames.contains(col),
       s"no column '$col' at $dir")
     if (partitionColOf(dir).contains(col)) return 0
+    val rewriteBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     if (live.isEmpty) {
       setPartitionCol(dir, col, allowChange = true)
@@ -2465,7 +2491,8 @@ object GraftLog {
     // a crashed evolution leaves the old declaration intact and a
     // retry re-runs instead of silently no-opping on the early return
     rewriteFiles(spark, dir, live, replacement, schema,
-      dataChange = false, partitionOverride = Some(col))
+      dataChange = false, partitionOverride = Some(col),
+      baseVersion = rewriteBase)
     setPartitionCol(dir, col, allowChange = true)
     live.size
   }
@@ -2581,10 +2608,39 @@ object GraftLog {
     require(txn.isEmpty || !truncate,
       "txnAppId/txnVersion apply to appends only — an overwrite " +
         "resets the lineage and would wipe the idempotence markers")
-    if (truncate || txn.isDefined)
+    // a SCHEMA-EVOLVING append (or a first write) also takes the JVM
+    // lock: two evolving appends racing the _schema read-modify-write
+    // could silently drop one's new column; same-schema appends never
+    // write _schema at all (commitNewUnlocked skips identical bytes)
+    lazy val evolving = storedSchema(dir)
+      .forall(s => mergeSchemas(s, schema) != s)
+    if (truncate) synchronized {
+      // truncate additionally excludes the LOCK-FREE appends via the
+      // table's write lock: resetLineage's delete sequence must not
+      // interleave with a concurrent append's version claim (a commit
+      // could land mid-wipe and survive into — or be wrongly deleted
+      // from — the new lineage)
+      val w = rwLockFor(dir).writeLock()
+      w.lock()
+      try appendImpl(dir, fresh, schema, truncate, txn)
+      finally w.unlock()
+    } else if (txn.isDefined || evolving)
       synchronized { appendImpl(dir, fresh, schema, truncate, txn) }
-    else appendImpl(dir, fresh, schema, truncate, txn)
+    else {
+      // PURE append — lock-free among appends (shared read lock only
+      // fences truncate's lineage wipe); the version CAS orders them
+      val r = rwLockFor(dir).readLock()
+      r.lock()
+      try appendImpl(dir, fresh, schema, truncate, txn)
+      finally r.unlock()
+    }
   }
+
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def rwLockFor(dir: String) =
+    tableLocks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
   private def appendImpl(dir: String, fresh: Seq[GraftLogCommit],
       schema: StructType, truncate: Boolean,
@@ -3428,12 +3484,10 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
   /** Block size for the gcol payload — resolved ONCE, driver-side, at
     * factory construction (the factory ships serialized to executors,
     * which have no session). Conf'able so probes/tests can force
-    * multi-block files on small fixtures. */
-  private val blockChars: Long =
-    scala.util.Try(org.apache.spark.sql.SparkSession.active).toOption
-      .flatMap(s => Option(
-        s.conf.get("spark.graft.log.blockBytes", null)))
-      .map(_.toLong).getOrElse(GraftColFile.DefaultBlockChars)
+    * multi-block files on small fixtures; byte-string values
+    * ('4MB', '64k') parse like Spark's own size confs. */
+  private val blockChars: Long = GraftLog.byteConf(
+    "spark.graft.log.blockBytes", GraftColFile.DefaultBlockChars)
 
   /** One part file in flight: gcol block writer + per-column stats +
     * blooms. The unit a partitioned task keeps one of PER VALUE it
@@ -3763,18 +3817,10 @@ class GraftLogScan(dir: String, tableSchema: StructType,
         // estimate). DV'd files split too — DV ordinals are global and
         // every block's first ordinal is in the footer. Legacy .tsv.gz
         // parts stay one-task-per-file (gzip is not seekable).
-        val splitBytes: Long = scala.util.Try(
-            org.apache.spark.sql.SparkSession.active).toOption
-          .map(s => Option(
-              s.conf.get("spark.graft.log.splitBytes", null))
-            .map(_.toLong)
-            .getOrElse(s.conf.get(
-              "spark.sql.files.maxPartitionBytes", "134217728")
-              .replaceAll("[^0-9]", "") match {
-                case "" => 134217728L
-                case d => d.toLong
-              }))
-          .getOrElse(134217728L)
+        val splitBytes: Long = GraftLog.byteConf(
+          "spark.graft.log.splitBytes",
+          GraftLog.byteConf("spark.sql.files.maxPartitionBytes",
+            134217728L))
         planned.flatMap { e =>
           val dv = GraftLog.dvOf(e).map(_._1)
           val size =
@@ -3782,10 +3828,18 @@ class GraftLogScan(dir: String, tableSchema: StructType,
               new File(dir, e.file).length()
             else 0L
           if (size > splitBytes) {
-            val n = ((size + splitBytes - 1) / splitBytes).toInt
+            // splits-per-file capped: a degenerate conf must not
+            // overflow the Int partition count (negative count would
+            // silently plan ZERO partitions for the file) or flood
+            // the driver with empty ranges — blocks per file bound
+            // the useful split count far below this anyway
+            val n = math.min(
+              (size + splitBytes - 1) / splitBytes, 1L << 20).toInt
             (0 until n).map(k => GraftLogPartition(dir, e.file,
               e.cols, dv, start = k.toLong * splitBytes,
-              length = splitBytes): InputPartition)
+              length =
+                if (k == n - 1) Long.MaxValue - k.toLong * splitBytes
+                else splitBytes): InputPartition)
           } else Seq(GraftLogPartition(dir, e.file, e.cols,
             dv): InputPartition)
         }.toArray
@@ -4943,7 +4997,12 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
       private val file = new File(dir, f)
       private val ch = java.nio.channels.FileChannel.open(
         file.toPath, java.nio.file.StandardOpenOption.READ)
-      private val footer = GraftColFile.readFooter(ch, file)
+      // a corrupt/truncated part must not leak the just-opened channel:
+      // the ctor throws before `cur` is assigned, so close() could
+      // never reach it — close here and rethrow
+      private val footer =
+        try GraftColFile.readFooter(ch, file)
+        catch { case e: Throwable => ch.close(); throw e }
       private val idx: Array[Int] = cellIndexOf(partCols)._1
       private val nChunks = footer.cols.length
       private val nameBytes = f.getBytes(StandardCharsets.UTF_8)

@@ -80,8 +80,9 @@ class GcolSpec extends SparkSpec {
     writeOneBigPart(dir, 50000)
     val whole = spark.read.format(Fmt).option("path", dir).load()
       .orderBy("id").collect()
-    val (tasks, split) = withConf("spark.graft.log.splitBytes",
-        (32L << 10).toString) {
+    // byte-string conf value: '32k' must parse like Spark's own size
+    // confs (a digit-strip would read '128MB' as 128 bytes)
+    val (tasks, split) = withConf("spark.graft.log.splitBytes", "32k") {
       val df = spark.read.format(Fmt).option("path", dir).load()
       (df.rdd.getNumPartitions, df.orderBy("id").collect())
     }
