@@ -5294,6 +5294,105 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
 
   private def fileReader(dir: String, file: String,
       partCols: Seq[String],
+      dvFile: Option[String]): PartitionReader[InternalRow] =
+    if (GraftColFile.isCol(file))
+      gcolRowReader(dir, file, partCols, dvFile)
+    else lineRowReader(dir, file, partCols, dvFile)
+
+  /** Row reader over the NATIVE gcol blocks — the streaming source's
+    * path: only PROJECTED chunks decompress (the line shim would
+    * rebuild full rows and decode every column), deletion vectors and
+    * `_pos` ride the footer's global ordinals, and dict chunks share
+    * each distinct string across the block's rows. */
+  private def gcolRowReader(dir: String, file: String,
+      partCols: Seq[String],
+      dvFile: Option[String]): PartitionReader[InternalRow] = {
+    val f = new File(dir, file)
+    val ch = java.nio.channels.FileChannel.open(
+      f.toPath, java.nio.file.StandardOpenOption.READ)
+    val footer =
+      try GraftColFile.readFooter(ch, f)
+      catch { case e: Throwable => ch.close(); throw e }
+    val (cellIdx, _) = cellIndexOf(partCols)
+    val nChunks = footer.cols.length
+    val fileName = UTF8String.fromString(file)
+    val dvArr: Array[Long] =
+      dvFile.map(GraftLogDv.read(dir, _)).getOrElse(Array.empty)
+    new PartitionReader[InternalRow] {
+      private var bi = 0
+      private var chunks: Array[GraftColFile.Chunk] = _
+      private var rowIn = 0
+      private var blockRows = 0
+      private var firstOrd = 0L
+      private var dvPtr = 0
+      private var current: InternalRow = _
+
+      private def loadBlock(): Boolean = {
+        if (bi >= footer.blocks.length) return false
+        val b = footer.blocks(bi); bi += 1
+        val byCi = cellIdx.filter(ci => ci >= 0 && ci < nChunks)
+          .distinct
+          .map(ci => ci -> GraftColFile.readChunk(ch, b, ci)).toMap
+        chunks = cellIdx.map(ci =>
+          if (ci >= 0 && ci < nChunks) byCi(ci) else null)
+        rowIn = 0
+        blockRows = b.rows.toInt
+        firstOrd = b.firstOrdinal
+        // sorted DV consumed from the block's first global ordinal
+        var lo = 0; var hi = dvArr.length
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (dvArr(m) < firstOrd) lo = m + 1 else hi = m
+        }
+        dvPtr = lo
+        true
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (chunks == null || rowIn >= blockRows) {
+            if (!loadBlock()) return false
+          }
+          val ord = firstOrd + rowIn
+          if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) {
+            dvPtr += 1; rowIn += 1
+          } else {
+            val vals = new Array[Any](required.fields.length)
+            var j = 0
+            while (j < vals.length) {
+              val ci = cellIdx(j)
+              if (ci == -2) vals(j) = fileName
+              else if (ci == -3) vals(j) = java.lang.Long.valueOf(ord)
+              else if (ci < 0 || ci >= nChunks) vals(j) = null
+              else {
+                val cell = chunks(j).cell(rowIn)
+                vals(j) =
+                  if (cell == GraftLog.NullCell) null
+                  else required.fields(j).dataType match {
+                    case LongType => java.lang.Long.valueOf(cell)
+                    case IntegerType => java.lang.Integer.valueOf(cell)
+                    case DoubleType => java.lang.Double.valueOf(cell)
+                    case StringType => UTF8String.fromString(cell)
+                    case other => throw new IllegalArgumentException(
+                      s"graft-log does not decode $other")
+                  }
+              }
+              j += 1
+            }
+            rowIn += 1
+            current = new GenericInternalRow(vals)
+            return true
+          }
+        }
+        false // unreachable
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ch.close()
+    }
+  }
+
+  private def lineRowReader(dir: String, file: String,
+      partCols: Seq[String],
       dvFile: Option[String]): PartitionReader[InternalRow] = {
     // ONE projection map for both read paths — cellIndexOf carries
     // the schema-evolution and rename-trail resolution, so the row
