@@ -212,6 +212,61 @@ class GcolSpec extends SparkSpec {
     assert(c.stats.get(GraftLog.RawBytesKey).exists(_._1.toLong > 0L))
   }
 
+  test("corrupt part files fail loudly with a descriptive error, " +
+      "never a silent empty read") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("id").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val part = new File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).head
+    // truncate the file mid-payload: the footer (and trailer magic)
+    // are gone — reads must throw, not serve zero rows
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    java.nio.file.Files.write(part.toPath,
+      java.util.Arrays.copyOf(bytes, math.max(8, bytes.length / 3)))
+    // SUM forces a data read (plain COUNT is answered from the
+    // manifest without opening the file — the metadata-only path,
+    // which is precisely why corruption must fail the DATA path)
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format(Fmt).option("path", dir).load()
+        .agg(sum(col("id"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(err).exists(m => m.contains("gcol")),
+      s"expected a descriptive gcol error, got: ${msgs(err)}")
+  }
+
+  test("eight concurrent lock-free appends all commit exactly once") {
+    val dir = tmp()
+    spark.range(0, 10).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val futures = (0 until 8).map { k =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          gate.await()
+          spark.range(k * 1000, k * 1000 + 100).toDF("id")
+            .withColumn("v", col("id").cast("double"))
+            .coalesce(1)
+            .write.format(Fmt).option("path", dir).mode("append").save()
+        }
+      })
+    }
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 10 + 800)
+    assert(back.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 10L).sum +
+        (0 until 8).map(k => (k * 1000L until k * 1000L + 100).sum).sum)
+    // every append claimed its own version — none lost, none merged
+    assert(graft.sources.GraftLog.currentVersion(dir) == 8L)
+  }
+
   test("block stats skip: a refuted range decodes no block and a " +
       "narrow filter stays exact") {
     val dir = tmp()
