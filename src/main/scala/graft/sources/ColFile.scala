@@ -48,8 +48,13 @@ import org.apache.spark.sql.types._
   * A chunk whose block has ≤255 distinct cells (with ≥2 rows per
   * distinct on average) writes DICTIONARY encoding (enc 1): a dict
   * header + one u8 index per row — parquet's dictionary page in
-  * miniature. Decode materializes each distinct string once and
-  * shares the instance across rows; high-NDV chunks stay plain
+  * miniature; decode materializes each distinct string once and
+  * shares the instance across rows. A high-NDV NUMERIC chunk whose
+  * every cell round-trips losslessly through its canonical rendering
+  * writes TYPED BINARY (enc 2 = int64, enc 3 = float64: null bitmap +
+  * 8-byte LE values) — the scan reads values without parsing a single
+  * string, and `cell(i)` still reproduces the exact original text for
+  * the line-oriented consumers. Anything else stays plain
   * newline-terminated text (enc 0).
   * Within a chunk, cells are newline-terminated (strings must not
   * contain tabs/newlines — the format's documented codec contract, so
@@ -188,6 +193,45 @@ object GraftColFile {
       if (chars >= blockTargetChars) flushBlock()
     }
 
+    /** Typed-binary payload for a numeric chunk — taken ONLY when
+      * every non-null cell round-trips losslessly through its
+      * canonical rendering (Long.toString / Double.toString), so the
+      * decoded chunk can reproduce the exact cell text (compaction
+      * remaps, NDV hashing, and the oracle all see identical bytes).
+      * A legacy cell like '007' or '1e3' falls back to plain text for
+      * the whole chunk. Layout: [ceil(rows/8) null bitmap][8B LE per
+      * row] — nulls carry a zero slot. Returns null when ineligible. */
+    private def tryBinary(cells: ArrayBuffer[String],
+        t: Int): Array[Byte] = {
+      val n = cells.length
+      val bitmap = new Array[Byte]((n + 7) >> 3)
+      val buf = ByteBuffer.allocate(bitmap.length + 8 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.position(bitmap.length)
+      var r = 0
+      try {
+        while (r < n) {
+          val c = cells(r)
+          if (c == GraftLog.NullCell) {
+            bitmap(r >> 3) = (bitmap(r >> 3) | (1 << (r & 7))).toByte
+            buf.putLong(0L)
+          } else if (t == 1) {
+            val v = java.lang.Long.parseLong(c)
+            if (!java.lang.Long.toString(v).equals(c)) return null
+            buf.putLong(v)
+          } else {
+            val v = java.lang.Double.parseDouble(c)
+            if (!java.lang.Double.toString(v).equals(c)) return null
+            buf.putLong(java.lang.Double.doubleToRawLongBits(v))
+          }
+          r += 1
+        }
+      } catch { case _: NumberFormatException => return null }
+      val out = buf.array()
+      System.arraycopy(bitmap, 0, out, 0, bitmap.length)
+      out
+    }
+
     private def flushBlock(): Unit = {
       if (blockRows == 0L) return
       val lens = new Array[Long](nCols)
@@ -219,9 +263,16 @@ object GraftColFile {
             System.arraycopy(idx, 0, payload, head.length, idx.length)
             gzip(payload)
           } else {
-            val sb = new java.lang.StringBuilder
-            cells.foreach(c => sb.append(c).append('\n'))
-            gzip(sb.toString.getBytes(StandardCharsets.UTF_8))
+            val bin =
+              if (tag(i) != 0) tryBinary(cells, tag(i)) else null
+            if (bin != null) {
+              encs(i) = if (tag(i) == 1) 2 else 3
+              gzip(bin)
+            } else {
+              val sb = new java.lang.StringBuilder
+              cells.foreach(c => sb.append(c).append('\n'))
+              gzip(sb.toString.getBytes(StandardCharsets.UTF_8))
+            }
           }
         out.write(bytes)
         lens(i) = bytes.length.toLong
@@ -334,11 +385,14 @@ object GraftColFile {
     Footer(cols, blocks.toSeq)
   }
 
-  /** A decoded chunk: either every cell materialized (plain), or the
-    * dictionary + per-row u8 indices (dict chunks stay in index form
-    * so consumers can decode each DISTINCT value once — parse a long
-    * per distinct, not per row). `cells(i)` materializes either way
-    * for callers that want strings. */
+  /** A decoded chunk: every cell materialized (plain), the dictionary
+    * + per-row u8 indices (dict chunks stay in index form so consumers
+    * decode each DISTINCT value once), or typed binary values (numeric
+    * chunks skip string parsing entirely). `cell(i)` materializes the
+    * CANONICAL cell text either way for callers that want strings —
+    * binary encodings are only chosen when every cell round-trips
+    * losslessly through its canonical rendering, so `cell` reproduces
+    * the exact bytes the writer was handed. */
   sealed trait Chunk {
     def cell(i: Int): String
   }
@@ -349,6 +403,18 @@ object GraftColFile {
       idx: Array[Byte]) extends Chunk {
     def cell(i: Int): String = dict(idx(i) & 0xff)
   }
+  final case class LongsChunk(values: Array[Long],
+      nulls: Array[Boolean]) extends Chunk {
+    def cell(i: Int): String =
+      if (nulls(i)) GraftLog.NullCell
+      else java.lang.Long.toString(values(i))
+  }
+  final case class DoublesChunk(values: Array[Double],
+      nulls: Array[Boolean]) extends Chunk {
+    def cell(i: Int): String =
+      if (nulls(i)) GraftLog.NullCell
+      else java.lang.Double.toString(values(i))
+  }
 
   /** Decode one block's column chunk. */
   def readChunk(ch: FileChannel, b: BlockMeta, col: Int): Chunk = {
@@ -356,7 +422,32 @@ object GraftColFile {
     readFully(ch, buf, b.chunkOffset(col))
     val raw = gunzip(buf.array())
     val n = b.rows.toInt
-    if (b.encOf(col) == 1) {
+    if (b.encOf(col) == 2 || b.encOf(col) == 3) {
+      // [ceil(rows/8) null bitmap][8-byte LE value per row]
+      val bmLen = (n + 7) >> 3
+      val nulls = new Array[Boolean](n)
+      var i = 0
+      while (i < n) {
+        nulls(i) = (raw(i >> 3) & (1 << (i & 7))) != 0
+        i += 1
+      }
+      val bb = ByteBuffer.wrap(raw, bmLen, 8 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (b.encOf(col) == 2) {
+        val vs = new Array[Long](n)
+        var r = 0
+        while (r < n) { vs(r) = bb.getLong(); r += 1 }
+        LongsChunk(vs, nulls)
+      } else {
+        val vs = new Array[Double](n)
+        var r = 0
+        while (r < n) {
+          vs(r) = java.lang.Double.longBitsToDouble(bb.getLong())
+          r += 1
+        }
+        DoublesChunk(vs, nulls)
+      }
+    } else if (b.encOf(col) == 1) {
       // [dictSize '\n'][dict cells '\n'-terminated][u8 index per row]
       var p = 0
       while (raw(p) != '\n') p += 1

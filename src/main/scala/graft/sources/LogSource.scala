@@ -5035,6 +5035,10 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
       private var dInt: Array[Array[Int]] = _
       private var dDouble: Array[Array[Double]] = _
       private var dBytes: Array[Array[Array[Byte]]] = _
+      // typed binary chunks: per-row values + null flags, no parsing
+      private var bLong: Array[Array[Long]] = _
+      private var bDouble: Array[Array[Double]] = _
+      private var bNulls: Array[Array[Boolean]] = _
       private var rowIn = 0
       private var blockRows = 0
       private var firstOrd = 0L
@@ -5064,11 +5068,17 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         dNull = new Array(nJ); dLong = new Array(nJ)
         dInt = new Array(nJ); dDouble = new Array(nJ)
         dBytes = new Array(nJ)
+        bLong = new Array(nJ); bDouble = new Array(nJ)
+        bNulls = new Array(nJ)
         var j = 0
         while (j < nJ) {
           val ci = idx(j)
           if (ci >= 0 && ci < nChunks) byCi(ci) match {
             case GraftColFile.PlainChunk(cs) => plainCells(j) = cs
+            case GraftColFile.LongsChunk(vs, ns) =>
+              bLong(j) = vs; bNulls(j) = ns
+            case GraftColFile.DoublesChunk(vs, ns) =>
+              bDouble(j) = vs; bNulls(j) = ns
             case GraftColFile.DictChunk(dict, ix) =>
               dIdx(j) = ix
               dNull(j) = dict.map(isNullCell)
@@ -5113,7 +5123,36 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
               if (ci == -2) vecs(j).putByteArray(r, nameBytes)
               else if (ci == -3) vecs(j).putLong(r, ord)
               else if (ci < 0 || ci >= nChunks) vecs(j).putNull(r)
-              else if (dIdx(j) != null) {
+              else if (bLong(j) != null) {
+                // binary integral chunk, served under the REQUIRED
+                // type (an int→long/double-widened column reads old
+                // files' values through the numeric conversion)
+                if (bNulls(j)(rowIn)) vecs(j).putNull(r)
+                else {
+                  val v = bLong(j)(rowIn)
+                  tag(j) match {
+                    case 0 => vecs(j).putLong(r, v)
+                    case 1 => vecs(j).putInt(r, v.toInt)
+                    case 2 => vecs(j).putDouble(r, v.toDouble)
+                    case _ => vecs(j).putByteArray(r,
+                      java.lang.Long.toString(v)
+                        .getBytes(StandardCharsets.UTF_8))
+                  }
+                }
+              } else if (bDouble(j) != null) {
+                if (bNulls(j)(rowIn)) vecs(j).putNull(r)
+                else {
+                  val v = bDouble(j)(rowIn)
+                  tag(j) match {
+                    case 2 => vecs(j).putDouble(r, v)
+                    case 0 => vecs(j).putLong(r, v.toLong)
+                    case 1 => vecs(j).putInt(r, v.toInt)
+                    case _ => vecs(j).putByteArray(r,
+                      java.lang.Double.toString(v)
+                        .getBytes(StandardCharsets.UTF_8))
+                  }
+                }
+              } else if (dIdx(j) != null) {
                 val di = dIdx(j)(rowIn) & 0xff
                 if (dNull(j)(di)) vecs(j).putNull(r)
                 else tag(j) match {

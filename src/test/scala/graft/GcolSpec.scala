@@ -158,16 +158,20 @@ class GcolSpec extends SparkSpec {
     val part = new File(dir).listFiles
       .filter(_.getName.startsWith("part-")).head
     val footer = GraftColFile.readFooter(part)
-    // columns: id (high-NDV: plain), v (high-NDV double: plain),
-    // tag (7 distinct: dict), nullable (≤2 distinct per block: dict)
+    // columns: id (high-NDV canonical long: BINARY int64), v (high-NDV
+    // canonical double: BINARY float64), tag (7 distinct: dict),
+    // nullable (≤2 distinct per block: dict wins over binary)
     val tagIdx = footer.cols.indexOf("tag")
     val idIdx = footer.cols.indexOf("id")
+    val vIdx = footer.cols.indexOf("v")
     val nullIdx = footer.cols.indexOf("nullable")
     footer.blocks.foreach { b =>
       assert(b.encOf(tagIdx) == 1,
         s"7-distinct tag column must dict-encode: ${b.encs.toSeq}")
-      assert(b.encOf(idIdx) == 0,
-        "all-distinct id column must stay plain")
+      assert(b.encOf(idIdx) == 2,
+        "all-distinct canonical long column must binary-encode")
+      assert(b.encOf(vIdx) == 3,
+        "all-distinct canonical double column must binary-encode")
       assert(b.encOf(nullIdx) == 1,
         "mostly-null column must dict-encode")
     }
@@ -210,6 +214,48 @@ class GcolSpec extends SparkSpec {
     assert(GraftLog.compact(dir) >= 2)
     val c = GraftLog.entriesAsOf(dir, Long.MaxValue).head
     assert(c.stats.get(GraftLog.RawBytesKey).exists(_._1.toLong > 0L))
+  }
+
+  test("non-canonical numeric cells fall back to plain text, values " +
+      "byte-preserved through compaction") {
+    val dir = tmp()
+    spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id").cast("double"))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // forge a legacy tsv part whose numeric cells are NOT canonical
+    // renderings ('007' reparses to '7') — binary encoding would
+    // silently rewrite the cell text, so such chunks must stay plain
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir, "part-legacy-0001.tsv.gz")))
+    gz.write("007\t3.50\n200\t4.5\n".getBytes("UTF-8"))
+    gz.close()
+    GraftLog.append(dir,
+      Seq(graft.sources.GraftLogCommit("part-legacy-0001.tsv.gz", 2L,
+        Map.empty, Seq("id", "v"))),
+      spark.read.format(Fmt).option("path", dir).load().schema,
+      truncate = false)
+    // values read correctly from the mixed table
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 102L)
+    assert(back.filter(col("id") === 7L).count() == 2L) // 7 and '007'
+    // compaction streams the junk cells through the gcol writer: the
+    // id/v chunks containing them must NOT be binary (enc 0), while
+    // canonical-only blocks may binary-encode freely
+    assert(GraftLog.compact(dir) == 2)
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    val footer = GraftColFile.readFooter(
+      new File(dir, live.head.file))
+    // whichever block holds the junk rows is plain for both columns
+    assert(footer.blocks.exists(b =>
+      b.encOf(footer.cols.indexOf("id")) == 0 &&
+        b.encOf(footer.cols.indexOf("v")) == 0),
+      footer.blocks.map(_.encs.toSeq).toString)
+    val after = spark.read.format(Fmt).option("path", dir).load()
+    assert(after.count() == 102L)
+    assert(after.agg(sum(col("v"))).head.getDouble(0) ==
+      (0 until 100).map(_.toDouble).sum + 3.5 + 4.5)
   }
 
   test("corrupt part files fail loudly with a descriptive error, " +
