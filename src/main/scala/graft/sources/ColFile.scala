@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, BufferedReader, File, StringReader}
+import java.io.{BufferedOutputStream, File}
 import java.nio.ByteBuffer
 import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
@@ -10,6 +10,16 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.types._
+
+/** The whole contract a line-oriented part-file consumer gets: the
+  * next TSV line (null at EOF) and close. Deliberately NOT a
+  * Reader/BufferedReader — the gcol-backed implementation synthesizes
+  * lines from columnar blocks and has no char-stream to delegate the
+  * other 10 Reader methods to. */
+trait TextLines {
+  def readLine(): String
+  def close(): Unit
+}
 
 /** `gcol` v1 — the graft-log COLUMNAR part-file container, the
   * round-10 replacement for whole-file gzip'd TSV. The row payload
@@ -232,6 +242,49 @@ object GraftColFile {
       out
     }
 
+    /** Typed-dictionary payload for a LOW-NDV numeric chunk — the
+      * dictionary entries are 8-byte binary values instead of text,
+      * so the scan's per-block decode parses NOTHING (matching the
+      * enc-2/3 typed path) while rows still cost one u8 index each.
+      * Same lossless round-trip rule as [[tryBinary]], checked over
+      * the ≤255 DISTINCT entries only. Layout: [u8 dictCount]
+      * [dictCount × (u8 isNull + 8B LE bits)][u8 index per row].
+      * Returns null when any entry is ineligible (falls back to the
+      * string dictionary). */
+    private def tryTypedDict(cells: ArrayBuffer[String],
+        dict: java.util.LinkedHashMap[String, Integer],
+        t: Int): Array[Byte] = {
+      val size = dict.size
+      val out = new Array[Byte](1 + 9 * size + cells.length)
+      out(0) = size.toByte
+      val bb = ByteBuffer.wrap(out, 1, 9 * size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val it = dict.keySet.iterator()
+      try {
+        while (it.hasNext) {
+          val c = it.next()
+          if (c == GraftLog.NullCell) { bb.put(1.toByte); bb.putLong(0L) }
+          else if (t == 1) {
+            val v = java.lang.Long.parseLong(c)
+            if (!java.lang.Long.toString(v).equals(c)) return null
+            bb.put(0.toByte); bb.putLong(v)
+          } else {
+            val v = java.lang.Double.parseDouble(c)
+            if (!java.lang.Double.toString(v).equals(c)) return null
+            bb.put(0.toByte)
+            bb.putLong(java.lang.Double.doubleToRawLongBits(v))
+          }
+        }
+      } catch { case _: NumberFormatException => return null }
+      var r = 0
+      val base = 1 + 9 * size
+      while (r < cells.length) {
+        out(base + r) = dict.get(cells(r)).intValue.toByte
+        r += 1
+      }
+      out
+    }
+
     private def flushBlock(): Unit = {
       if (blockRows == 0L) return
       val lens = new Array[Long](nCols)
@@ -246,6 +299,16 @@ object GraftColFile {
           distinct(i).size.toLong * 2 <= cells.length
         val bytes =
           if (useDict) {
+            // a low-NDV NUMERIC chunk prefers the TYPED dict (binary
+            // entries, zero parsing on decode); text entries only
+            // when a cell doesn't round-trip its canonical rendering
+            val typed =
+              if (tag(i) != 0) tryTypedDict(cells, distinct(i), tag(i))
+              else null
+            if (typed != null) {
+              encs(i) = if (tag(i) == 1) 4 else 5
+              gzip(typed)
+            } else {
             encs(i) = 1
             val dict = distinct(i)
             val sb = new java.lang.StringBuilder
@@ -262,6 +325,7 @@ object GraftColFile {
             System.arraycopy(head, 0, payload, 0, head.length)
             System.arraycopy(idx, 0, payload, head.length, idx.length)
             gzip(payload)
+            }
           } else {
             val bin =
               if (tag(i) != 0) tryBinary(cells, tag(i)) else null
@@ -302,6 +366,16 @@ object GraftColFile {
     /** Raw characters buffered + flushed so far — the caller's file-
       * roll axis (compaction bounds output files by raw size). */
     def rawChars: Long = flushedChars + chars
+
+    /** Raw characters currently BUFFERED (unflushed block) — the
+      * task-memory axis: a partitioned write task holding many open
+      * part files sums these against its task-wide cap. */
+    def bufferedChars: Long = chars
+
+    /** Flush the current block early (caller-driven memory relief for
+      * multi-file tasks). Blocks stay independently decodable; an
+      * early flush just yields a smaller block. */
+    def flushNow(): Unit = flushBlock()
 
     def rows: Long = totalRows
 
@@ -415,6 +489,23 @@ object GraftColFile {
       if (nulls(i)) GraftLog.NullCell
       else java.lang.Double.toString(values(i))
   }
+  /** Typed dictionaries: ≤255 DISTINCT binary values + u8 row
+    * indices — the consumer reads numbers with no parsing at all, and
+    * `cell` renders each distinct's canonical text at most ONCE. */
+  final case class LongDictChunk(dict: Array[Long],
+      dictNulls: Array[Boolean], idx: Array[Byte]) extends Chunk {
+    private lazy val text: Array[String] = Array.tabulate(dict.length)(
+      d => if (dictNulls(d)) GraftLog.NullCell
+           else java.lang.Long.toString(dict(d)))
+    def cell(i: Int): String = text(idx(i) & 0xff)
+  }
+  final case class DoubleDictChunk(dict: Array[Double],
+      dictNulls: Array[Boolean], idx: Array[Byte]) extends Chunk {
+    private lazy val text: Array[String] = Array.tabulate(dict.length)(
+      d => if (dictNulls(d)) GraftLog.NullCell
+           else java.lang.Double.toString(dict(d)))
+    def cell(i: Int): String = text(idx(i) & 0xff)
+  }
 
   /** Decode one block's column chunk. */
   def readChunk(ch: FileChannel, b: BlockMeta, col: Int): Chunk = {
@@ -446,6 +537,33 @@ object GraftColFile {
           r += 1
         }
         DoublesChunk(vs, nulls)
+      }
+    } else if (b.encOf(col) == 4 || b.encOf(col) == 5) {
+      // [u8 dictCount][count × (u8 isNull + 8B LE bits)][u8 idx/row]
+      val size = raw(0) & 0xff
+      val dictNulls = new Array[Boolean](size)
+      val bb = ByteBuffer.wrap(raw, 1, 9 * size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val idx = new Array[Byte](n)
+      System.arraycopy(raw, 1 + 9 * size, idx, 0, n)
+      if (b.encOf(col) == 4) {
+        val dict = new Array[Long](size)
+        var d = 0
+        while (d < size) {
+          dictNulls(d) = bb.get() != 0
+          dict(d) = bb.getLong()
+          d += 1
+        }
+        LongDictChunk(dict, dictNulls, idx)
+      } else {
+        val dict = new Array[Double](size)
+        var d = 0
+        while (d < size) {
+          dictNulls(d) = bb.get() != 0
+          dict(d) = java.lang.Double.longBitsToDouble(bb.getLong())
+          d += 1
+        }
+        DoubleDictChunk(dict, dictNulls, idx)
       }
     } else if (b.encOf(col) == 1) {
       // [dictSize '\n'][dict cells '\n'-terminated][u8 index per row]
@@ -485,11 +603,15 @@ object GraftColFile {
     * lines block by block (bounded memory — one block's cells live at
     * a time). Keeps every line-oriented consumer — compaction's
     * remap/rewrite streams, the row-based PartitionReader that serves
-    * streaming — working unchanged over the columnar payload. */
-  def lineReader(f: File): BufferedReader = {
+    * streaming — working unchanged over the columnar payload. Returns
+    * the narrow [[TextLines]] contract, not a BufferedReader: only
+    * readLine/close exist, so a future consumer reaching for read()/
+    * lines()/ready() fails to compile instead of silently getting an
+    * empty delegate's answer. */
+  def lineReader(f: File): TextLines = {
     val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)
     val footer = readFooter(ch, f)
-    new BufferedReader(new StringReader(""), 1) {
+    new TextLines {
       private var bi = 0
       private var row = 0
       private var rowsInBlock = 0

@@ -2171,7 +2171,11 @@ object Formats {
     * and block skipping are attributable to the format, not the file
     * count. Built once per session+fixture. */
   private def ensureGcolBigPart(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_gcol_big/${new java.io.File(d).getName}"
+    // version suffix mirrors the SQL warehouse-root convention: bump
+    // it with any on-disk gcol format change, else a cached part from
+    // an older layout (indistinguishable to the readiness probe)
+    // would be read by the new code. v2 = typed-dict encodings (r11).
+    val dir = s"/tmp/graft_gcol_big_v2/${new java.io.File(d).getName}"
     val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
     val ready = live.size == 1 && GraftColFile.isCol(live.head.file) &&
       live.head.rows == 500000L && live.head.cols.contains("tag")

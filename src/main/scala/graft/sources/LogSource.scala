@@ -1143,10 +1143,24 @@ object GraftLog {
       s"graft-log commit to $dir lost the version race $attempts times")
   }
 
+  /** Last checkpoint version this JVM knows of, per table dir — saves
+    * a directory listing on EVERY commit (measurable on commit-dense
+    * workloads). Conservative under cross-process races: a stale (low)
+    * cached value only means we list again when our own counter says a
+    * checkpoint is due, and writeCheckpoint is idempotent. */
+  private val lastCkptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   private def maybeCheckpoint(dir: String, v: Long): Unit = {
+    val cached = lastCkptCache.getOrDefault(dir, Long.MinValue)
+    if (cached != Long.MinValue && v - cached < CheckpointInterval)
+      return
     val last = listVersioned(dir, CheckpointPrefix).lastOption
       .map(_._1).getOrElse(-1L)
-    if (v - last >= CheckpointInterval) writeCheckpoint(dir, v)
+    if (v - last >= CheckpointInterval) {
+      writeCheckpoint(dir, v)
+      lastCkptCache.put(dir, v)
+    } else lastCkptCache.put(dir, last)
   }
 
   /** Reconciled snapshot checkpoint at `v`: the live add set (original
@@ -1651,6 +1665,10 @@ object GraftLog {
     * would need history-preserving overwrites. */
   private def resetLineage(dir: String): Unit = {
     ensureDir(dir)
+    // the new lineage restarts at version 0 — a carried-over cached
+    // checkpoint version would suppress the fresh lineage's first
+    // checkpoints
+    lastCkptCache.remove(dir)
     val files = Option(new File(dir).listFiles())
       .getOrElse(Array.empty)
     def versionOf(f: File, prefix: String): Long =
@@ -1867,12 +1885,19 @@ object GraftLog {
           val bloom =
             if (f.dataType == StringType && entries.forall(e =>
                 e.stats.get(localKey(e, GraftLogBloom.key)).exists(
-                  _._1.length == GraftLogBloom.Words * 16)))
+                  h => GraftLogBloom.validHex(h._1))))
+              // Inputs may carry different NDV-chosen sizes: fold each
+              // down to the SMALLEST input's size (always sound — a
+              // fold is a coarser bloom), then OR at that size.
               Some(bk -> (GraftLogBloom.serialize(
                 entries.map(e => GraftLogBloom.deserialize(
                     e.stats(localKey(e, GraftLogBloom.key))._1))
-                  .reduce((a, b) => Array.tabulate(
-                    GraftLogBloom.Words)(i => a(i) | b(i)))), "v1"))
+                  .reduce { (a, b) =>
+                    val w = math.min(a.length, b.length)
+                    val fa = GraftLogBloom.foldTo(a, w)
+                    val fb = GraftLogBloom.foldTo(b, w)
+                    Array.tabulate(w)(i => fa(i) | fb(i))
+                  }), "v1"))
             else None
           def sketchOf(e: LogEntry): Option[Array[Byte]] = {
             val local = GraftLog.fileLocalName(schema, e, f.name)
@@ -2518,8 +2543,27 @@ object GraftLog {
   private def requireNoFileConflicts(dir: String, baseVersion: Long,
       claiming: Long, retired: Set[String], op: String): Unit = {
     if (retired.isEmpty) return
-    val touched = listVersioned(dir, CommitPrefix)
+    val span = listVersioned(dir, CommitPrefix)
       .filter { case (ver, _) => ver > baseVersion && ver < claiming }
+    // The check is only sound if every version in the span is still
+    // on disk as a commit file: a concurrent cross-process expireLog
+    // may have folded part of the span into a checkpoint and deleted
+    // those commit files, and a conflicting rewrite hidden in the
+    // folded part would otherwise pass silently and resurrect
+    // overwritten rows. Versions are contiguous (the CAS hands them
+    // out one by one), so coverage = every number in the open span.
+    val present = span.map(_._1).toSet
+    val missing = (baseVersion + 1).until(claiming)
+      .filterNot(present.contains)
+    if (missing.nonEmpty)
+      throw new GraftConcurrentModificationException(
+        s"$op on $dir planned against version $baseVersion, but " +
+          s"commit file(s) for version(s) ${missing.take(5).mkString(",")}" +
+          " in its conflict-check span were expired into a " +
+          "checkpoint by a concurrent log maintenance pass — " +
+          "conflicts there are unverifiable; replan against the " +
+          "current snapshot and retry")
+    val touched = span
       .flatMap { case (_, f) => readEntryLines(f) }
       .filter(e => retired.contains(e.file))
     if (touched.nonEmpty)
@@ -3489,6 +3533,15 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
   private val blockChars: Long = GraftLog.byteConf(
     "spark.graft.log.blockBytes", GraftColFile.DefaultBlockChars)
 
+  /** Task-wide cap on raw characters buffered across ALL open part
+    * files: a partitioned task may hold up to MaxOpenPartitions gcol
+    * writers, each buffering up to a block — unbounded, that is
+    * multi-GB of task heap. Past the cap the task flushes the
+    * LARGEST open blocks early (smaller blocks, same correctness)
+    * until usage halves. */
+  private val taskBufferChars: Long = GraftLog.byteConf(
+    "spark.graft.log.taskBufferBytes", 64L << 20)
+
   /** One part file in flight: gcol block writer + per-column stats +
     * blooms. The unit a partitioned task keeps one of PER VALUE it
     * sees. */
@@ -3512,12 +3565,18 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
     }
     private val mins = Array.fill[Any](numericIdx.length)(null)
     private val maxs = Array.fill[Any](numericIdx.length)(null)
-    // Per-string-column bloom (equality pruning index) — one
-    // fixed-size bit array per column, fed as rows stream through.
+    // Per-string-column bloom (equality pruning index), built
+    // NDV-adaptively: exact value hashes bank in a 16 KB set while
+    // the column stays small (the common case for a partitioned
+    // task's per-value files — a task may hold 1000 of these), and
+    // spill to a max-resolution bit array past SpillLimit distinct.
+    // finish() materializes the right-sized array either way.
     private val stringIdx = schema.fields.zipWithIndex
       .filter(_._1.dataType == StringType)
-    private val blooms = Array.fill(stringIdx.length)(
-      new Array[Long](GraftLogBloom.Words))
+    private val bloomSets = Array.fill(stringIdx.length)(
+      new GraftLogBloom.PackedSet)
+    private val blooms =
+      new Array[Array[Long]](stringIdx.length)
     // Per-column HLL NDV sketch + exact null count over EVERY column,
     // fed from the same canonical cell encoding the TSV stores — the
     // distinct-count stats a columnar footer can't even give you.
@@ -3560,8 +3619,20 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
       var b = 0
       while (b < stringIdx.length) {
         val (_, i) = stringIdx(b)
-        if (!row.isNullAt(i))
-          GraftLogBloom.add(blooms(b), row.getUTF8String(i).toString)
+        if (!row.isNullAt(i)) {
+          val packed = GraftLogBloom.packedHash(
+            row.getUTF8String(i).toString)
+          if (blooms(b) != null) GraftLogBloom.addHashed(blooms(b), packed)
+          else if (!bloomSets(b).add(packed)) {
+            // spill: replay the banked exact hashes into a max-
+            // resolution array and stream from here on
+            val arr = new Array[Long](GraftLogBloom.MaxWords)
+            bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
+            GraftLogBloom.addHashed(arr, packed)
+            blooms(b) = arr
+            bloomSets(b) = null
+          }
+        }
         b += 1
       }
       var c = 0
@@ -3581,9 +3652,26 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
           numericIdx(s)._1.name ->
             (mins(s).toString, maxs(s).toString)
       }.toMap
+      // Materialize each bloom at the size its column's NDV actually
+      // needs (~10 bits/distinct): unspilled columns replay their
+      // EXACT banked hashes into a right-sized array; spilled ones
+      // fold the max-resolution array down per the HLL estimate. A
+      // low-cardinality file pays 64 stats bytes, a 10×-rows file
+      // KEEPS pruning power instead of saturating a fixed array.
       val bloomStats = stringIdx.indices.map { b =>
-        GraftLogBloom.key(stringIdx(b)._1.name) ->
-          (GraftLogBloom.serialize(blooms(b)), "v1")
+        val (f, i) = stringIdx(b)
+        val words =
+          if (blooms(b) != null)
+            GraftLogBloom.foldTo(blooms(b), GraftLogBloom.sizeFor(
+              GraftLogNdv.estimate(ndvRegs(i))) / 64)
+          else {
+            val arr = new Array[Long](
+              GraftLogBloom.sizeFor(bloomSets(b).size) / 64)
+            bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
+            arr
+          }
+        GraftLogBloom.key(f.name) ->
+          (GraftLogBloom.serialize(words), "v1")
       }.toMap
       val ndvStats = schema.fields.indices.flatMap { i =>
         val n = schema.fields(i).name
@@ -3609,6 +3697,12 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
       out.abort()
       new File(dir, file).delete()
     }
+
+    /** Raw chars currently buffered in the open block. */
+    def buffered: Long = out.bufferedChars
+
+    /** Flush the open block early — task-memory relief. */
+    def relieve(): Unit = out.flushNow()
   }
 
   override def createWriter(partitionId: Int,
@@ -3653,7 +3747,33 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
           })
       }
 
-      override def write(row: InternalRow): Unit = routed(row).write(row)
+      // cheap periodic audit of the cross-file buffer total (a per-
+      // row exact sum over 1000 open files would cost more than the
+      // write); 256 rows of drift is ≤ a few KB per file
+      private var sincePoll = 0
+      override def write(row: InternalRow): Unit = {
+        routed(row).write(row)
+        if (partIdx.isDefined) {
+          sincePoll += 1
+          if (sincePoll >= 256) {
+            sincePoll = 0
+            var total = 0L
+            perValue.values.foreach(total += _.buffered)
+            if (total > taskBufferChars) {
+              // flush largest-first until usage halves — bounded
+              // task heap no matter how many partitions stay open
+              val open = perValue.values.toArray
+                .sortBy(-_.buffered)
+              var k = 0
+              while (total > taskBufferChars / 2 && k < open.length) {
+                total -= open(k).buffered
+                open(k).relieve()
+                k += 1
+              }
+            }
+          }
+        }
+      }
       override def commit(): WriterCommitMessage =
         if (partIdx.isEmpty) single.finish()
         else GraftLogTaskCommit(perValue.values.map(_.finish()).toSeq)
@@ -4106,42 +4226,159 @@ object GraftLogScan {
   * equality-pruning index numeric min/max can't provide (a `tag = 'x'`
   * predicate skips every file whose bloom provably lacks 'x', before
   * any I/O; the Delta bloom-index / Parquet bloom idea at manifest
-  * granularity). 4096 bits, k=5 double-hashed probes: ~1% false
-  * positives at ~500 distinct values per file; a high-cardinality
-  * column saturates to all-ones and degrades to may-match — pruning
-  * is only ever conservative. Compaction FOLDS blooms (bitwise OR of
-  * the inputs — a sound superset for the union file), so string
-  * skipping survives the nightly OPTIMIZE pass. */
+  * granularity). SIZED TO THE FILE: the writer feeds a max-resolution
+  * bit array as rows stream through, then at finish folds it down to
+  * the smallest power-of-two size giving ~10 bits per distinct value
+  * (NDV from the same per-file HLL sketch the writer already keeps) —
+  * so a 7-value file carries a 64-byte bloom while a 50k-distinct
+  * file keeps enough bits to actually prune, instead of a one-size
+  * array that saturates to all-ones past ~500 values. The fold is
+  * sound because probe positions are `hash mod 2^a`: OR-ing the top
+  * half onto the bottom IS re-probing mod 2^(a-1), so any fold of a
+  * bloom is a valid (coarser, still conservative) bloom. The hex
+  * serialization is self-describing — length implies word count —
+  * and k=5 double-hashed probes are computed mod the carried size,
+  * which also reads legacy fixed-4096-bit blooms unchanged.
+  * Compaction FOLDS blooms across inputs (align to the smallest
+  * input's size, then bitwise OR — a sound superset for the union
+  * file), so string skipping survives the nightly OPTIMIZE pass. */
 object GraftLogBloom {
-  val Bits = 4096
-  val Words: Int = Bits / 64
+  /** Floor (and the legacy fixed size): 4096 bits = 64 words. */
+  val MinBits = 4096
+  /** Build-time resolution: 2^17 bits = 16 KB of longs per open
+    * string column — prunes up to ~13k NDV at ~1% FP before
+    * saturating; folded away at finish when the file is smaller. */
+  val MaxBits = 131072
+  val MaxWords: Int = MaxBits / 64
   val K = 5
   def key(col: String): String = s"$col#bloom"
 
-  private def probes(v: String): Array[Int] = {
+  /** The value's whole bloom identity — (h1, h2|1) packed in one
+    * long; probe positions derive from it at ANY power-of-two size,
+    * so a writer can bank exact hashes cheaply and materialize the
+    * right-sized bit array once the file's NDV is known. */
+  def packedHash(v: String): Long = {
     val h1 = scala.util.hashing.MurmurHash3.stringHash(v, 0xA5A5A5A5)
     val h2 = scala.util.hashing.MurmurHash3.stringHash(v, 0x5A5A5A5A) | 1
-    Array.tabulate(K)(i => math.floorMod(h1 + i * h2, Bits))
+    (h1.toLong << 32) | (h2 & 0xffffffffL)
+  }
+
+  private def probes(v: String, bits: Int): Array[Int] = {
+    val p = packedHash(v)
+    val h1 = (p >>> 32).toInt
+    val h2 = p.toInt
+    // bits is a power of two, so floorMod is a mask and folding a
+    // bloom in half commutes with probing at the halved size.
+    Array.tabulate(K)(i => (h1 + i * h2) & (bits - 1))
+  }
+
+  def addHashed(words: Array[Long], packed: Long): Unit = {
+    val bits = words.length * 64
+    val h1 = (packed >>> 32).toInt
+    val h2 = packed.toInt
+    var i = 0
+    while (i < K) {
+      val b = (h1 + i * h2) & (bits - 1)
+      words(b >> 6) |= 1L << (b & 63)
+      i += 1
+    }
   }
 
   def add(words: Array[Long], v: String): Unit =
-    probes(v).foreach(b => words(b >> 6) |= 1L << (b & 63))
+    addHashed(words, packedHash(v))
+
+  /** Exact distinct hashes banked before spill — 16 KB flat. */
+  val SpillLimit = 1024
+
+  /** Compact open-addressed set of packed hashes, bounded at
+    * [[SpillLimit]] entries: `add` returns FALSE (rejecting the
+    * insert) once full, signaling the writer to spill to a
+    * max-resolution bit array. ≤0.5 load factor, linear probing,
+    * zero-sentinel slot tracked out of band. */
+  final class PackedSet {
+    private val table = new Array[Long](SpillLimit * 2)
+    private val mask = table.length - 1
+    private var hasZero = false
+    private var count = 0
+    def size: Int = count
+    def add(v: Long): Boolean = {
+      if (v == 0L) {
+        if (!hasZero) {
+          if (count >= SpillLimit) return false
+          hasZero = true; count += 1
+        }
+        return true
+      }
+      var i = java.lang.Long.hashCode(
+        v * 0x9E3779B97F4A7C15L) & mask
+      while (table(i) != 0L) {
+        if (table(i) == v) return true
+        i = (i + 1) & mask
+      }
+      if (count >= SpillLimit) return false
+      table(i) = v
+      count += 1
+      true
+    }
+    def foreach(f: Long => Unit): Unit = {
+      if (hasZero) f(0L)
+      var i = 0
+      while (i < table.length) {
+        if (table(i) != 0L) f(table(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Smallest power-of-two bit count giving ~10 bits/key for the
+    * estimated NDV (≈1% FP at k=5), clamped to [MinBits, MaxBits].
+    * Past the cardinality even MaxBits can't usefully prune (<4
+    * bits/key → >20% FP), the bloom is saturated noise — carry the
+    * floor size instead of 32 KB of near-all-ones per file. */
+  def sizeFor(ndv: Long): Int =
+    if (ndv * 4 > MaxBits) MinBits
+    else {
+      var bits = MinBits
+      while (bits < MaxBits && bits < ndv * 10) bits <<= 1
+      bits
+    }
+
+  /** Fold a bloom down to `targetWords` (power-of-two halving: OR the
+    * top half onto the bottom). Identity when already at or below. */
+  def foldTo(words: Array[Long], targetWords: Int): Array[Long] = {
+    var w = words
+    while (w.length > targetWords) {
+      val half = w.length / 2
+      w = Array.tabulate(half)(i => w(i) | w(i + half))
+    }
+    w
+  }
 
   def serialize(words: Array[Long]): String =
     words.map(w => f"$w%016x").mkString
 
+  /** True when the hex is a structurally valid bloom: a power-of-two
+    * word count within [MinBits/64, MaxWords]. */
+  def validHex(hex: String): Boolean = {
+    val words = hex.length / 16
+    hex.length % 16 == 0 && words >= MinBits / 64 &&
+      words <= MaxWords && java.lang.Integer.bitCount(words) == 1
+  }
+
   def deserialize(hex: String): Array[Long] =
-    Array.tabulate(Words)(i =>
+    Array.tabulate(hex.length / 16)(i =>
       java.lang.Long.parseUnsignedLong(
         hex.substring(i * 16, i * 16 + 16), 16))
 
   /** Conservative membership against an entry's manifest bloom: false
-    * ONLY when a bloom is present and provably lacks the value. */
+    * ONLY when a bloom is present and provably lacks the value. The
+    * carried length sets the probe modulus, so any vintage reads. */
   def mayContain(e: LogEntry, col: String, v: String): Boolean =
     e.stats.get(key(col)) match {
-      case Some((hex, _)) if hex.length == Words * 16 =>
+      case Some((hex, _)) if validHex(hex) =>
         val words = deserialize(hex)
-        probes(v).forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
+        probes(v, words.length * 64)
+          .forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
       case _ => true
     }
 }
@@ -5079,6 +5316,31 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
               bLong(j) = vs; bNulls(j) = ns
             case GraftColFile.DoublesChunk(vs, ns) =>
               bDouble(j) = vs; bNulls(j) = ns
+            case GraftColFile.LongDictChunk(dvs, dns, ix) =>
+              // typed dict: the distinct values arrive as binary —
+              // nothing to parse, just width-adjust to the required
+              // type (a renamed/evolved read can demand another tag)
+              dIdx(j) = ix; dNull(j) = dns
+              tag(j) match {
+                case 0 => dLong(j) = dvs
+                case 1 => dInt(j) = dvs.map(_.toInt)
+                case 2 => dDouble(j) = dvs.map(_.toDouble)
+                case _ => dBytes(j) = Array.tabulate(dvs.length)(d =>
+                  if (dns(d)) null
+                  else java.lang.Long.toString(dvs(d))
+                    .getBytes(StandardCharsets.UTF_8))
+              }
+            case GraftColFile.DoubleDictChunk(dvs, dns, ix) =>
+              dIdx(j) = ix; dNull(j) = dns
+              tag(j) match {
+                case 2 => dDouble(j) = dvs
+                case 0 => dLong(j) = dvs.map(_.toLong)
+                case 1 => dInt(j) = dvs.map(_.toInt)
+                case _ => dBytes(j) = Array.tabulate(dvs.length)(d =>
+                  if (dns(d)) null
+                  else java.lang.Double.toString(dvs(d))
+                    .getBytes(StandardCharsets.UTF_8))
+              }
             case GraftColFile.DictChunk(dict, ix) =>
               dIdx(j) = ix
               dNull(j) = dict.map(isNullCell)
@@ -5305,7 +5567,8 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case part: GraftLogPartition =>
-        fileReader(part.dir, part.file, part.cols, part.dvFile)
+        fileReader(part.dir, part.file, part.cols, part.dvFile,
+          part.start, part.length)
       // a partition-value group: chain its files through one reader
       case g: GraftLogGroupPartition =>
         new PartitionReader[InternalRow] {
@@ -5332,11 +5595,20 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
     }
 
   private def fileReader(dir: String, file: String,
-      partCols: Seq[String],
-      dvFile: Option[String]): PartitionReader[InternalRow] =
+      partCols: Seq[String], dvFile: Option[String],
+      start: Long = 0L,
+      length: Long = Long.MaxValue): PartitionReader[InternalRow] =
     if (GraftColFile.isCol(file))
-      gcolRowReader(dir, file, partCols, dvFile)
-    else lineRowReader(dir, file, partCols, dvFile)
+      gcolRowReader(dir, file, partCols, dvFile, start, length)
+    else {
+      // a legacy line part has no sub-file structure to split on —
+      // a ranged partition reaching here would re-read the whole
+      // file per split and silently duplicate rows N-fold
+      require(start == 0L && length == Long.MaxValue,
+        s"byte-range split of non-columnar part $file " +
+          s"($start+$length) — the line path cannot honor ranges")
+      lineRowReader(dir, file, partCols, dvFile)
+    }
 
   /** Row reader over the NATIVE gcol blocks — the streaming source's
     * path: only PROJECTED chunks decompress (the line shim would
@@ -5344,14 +5616,24 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
     * `_pos` ride the footer's global ordinals, and dict chunks share
     * each distinct string across the block's rows. */
   private def gcolRowReader(dir: String, file: String,
-      partCols: Seq[String],
-      dvFile: Option[String]): PartitionReader[InternalRow] = {
+      partCols: Seq[String], dvFile: Option[String],
+      start: Long = 0L,
+      length: Long = Long.MaxValue): PartitionReader[InternalRow] = {
     val f = new File(dir, file)
     val ch = java.nio.channels.FileChannel.open(
       f.toPath, java.nio.file.StandardOpenOption.READ)
-    val footer =
+    val fullFooter =
       try GraftColFile.readFooter(ch, f)
       catch { case e: Throwable => ch.close(); throw e }
+    // honor a byte-range split exactly like the columnar cursor: a
+    // block belongs to the range containing its start offset — so if
+    // a ranged partition ever reaches the row path (columnar=false,
+    // or a future fallback) it reads its share once, not the whole
+    // file per split
+    val rangeEnd =
+      if (length == Long.MaxValue) Long.MaxValue else start + length
+    val footer = fullFooter.copy(blocks = fullFooter.blocks.filter(
+      b => b.offset >= start && b.offset < rangeEnd))
     val (cellIdx, _) = cellIndexOf(partCols)
     val nChunks = footer.cols.length
     val fileName = UTF8String.fromString(file)
@@ -5502,12 +5784,17 @@ object GraftLogReaderFactory {
     * parts (the pre-r10 writer) stream through GZIPInputStream, bare
     * `.tsv` (legacy tables) read plain — mixed-vintage tables read
     * file by file with no rewrite. */
-  def openLines(dir: String, file: String): BufferedReader =
+  def openLines(dir: String, file: String): TextLines =
     if (GraftColFile.isCol(file))
       GraftColFile.lineReader(new File(dir, file))
     else {
       val raw = Files.newInputStream(Paths.get(dir, file))
       val in = if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
-      new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      val br =
+        new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      new TextLines {
+        override def readLine(): String = br.readLine()
+        override def close(): Unit = br.close()
+      }
     }
 }

@@ -172,8 +172,9 @@ class GcolSpec extends SparkSpec {
         "all-distinct canonical long column must binary-encode")
       assert(b.encOf(vIdx) == 3,
         "all-distinct canonical double column must binary-encode")
-      assert(b.encOf(nullIdx) == 1,
-        "mostly-null column must dict-encode")
+      assert(b.encOf(nullIdx) == 4,
+        "mostly-null canonical LONG column must TYPED-dict-encode " +
+          "(binary entries, no parsing on decode)")
     }
     // values identical through the dict path, nulls included
     val back = spark.read.format(Fmt).option("path", dir).load()
@@ -189,6 +190,73 @@ class GcolSpec extends SparkSpec {
       dir, part.getName)
     val first = in.readLine(); in.close()
     assert(first == "0\t0.0\tt0\t0", s"unexpected first line: $first")
+  }
+
+  test("typed dictionaries: low-NDV DOUBLE chunks carry binary " +
+      "entries (enc 5), values and text identical") {
+    val dir = tmp()
+    withConf("spark.graft.log.blockBytes", (16L << 10).toString) {
+      spark.range(0, 30000).toDF("id")
+        .withColumn("price", (col("id") % 9).cast("double") * 0.5)
+        .coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    }
+    val part = new File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).head
+    val footer = GraftColFile.readFooter(part)
+    val pIdx = footer.cols.indexOf("price")
+    footer.blocks.foreach(b => assert(b.encOf(pIdx) == 5,
+      s"9-distinct double column must typed-dict-encode: " +
+        s"${b.encs.toSeq}"))
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.filter(col("price") === 3.5).count() ==
+      (0L until 30000L).count(_ % 9 == 7))
+    assert(math.abs(back.agg(sum(col("price"))).head.getDouble(0) -
+      (0L until 30000L).map(i => (i % 9) * 0.5).sum) < 1e-6)
+    // the line shim renders each distinct's canonical text once —
+    // identical to what the plain writer would have stored
+    val in = graft.sources.GraftLogReaderFactory.openLines(
+      dir, part.getName)
+    val l0 = in.readLine(); val l1 = in.readLine(); in.close()
+    assert(l0 == "0\t0.0" && l1 == "1\t0.5",
+      s"unexpected lines: $l0 / $l1")
+  }
+
+  test("the row reader honors byte-range splits: ranged partitions " +
+      "tile the file exactly, no duplication") {
+    import graft.sources.{GraftLogPartition, GraftLogReaderFactory}
+    val dir = tmp()
+    writeOneBigPart(dir, 20000)
+    val part = new File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).head
+    val footer = GraftColFile.readFooter(part)
+    assert(footer.blocks.length >= 4, "need a multi-block file")
+    val schema = spark.read.format(Fmt).option("path", dir)
+      .load().schema
+    val fac = new GraftLogReaderFactory(schema, schema)
+    def rowsOf(start: Long, length: Long): Long = {
+      val r = fac.createReader(GraftLogPartition(
+        dir, part.getName, Seq("id", "v", "tag", "nullable"),
+        None, start, length))
+      var n = 0L
+      try while (r.next()) n += 1 finally r.close()
+      n
+    }
+    // split at a mid-block offset: [0, mid) + [mid, ∞) must tile
+    val mid = footer.blocks(footer.blocks.length / 2).offset
+    val a = rowsOf(0L, mid)
+    val b = rowsOf(mid, Long.MaxValue)
+    assert(a > 0L && b > 0L, s"both splits must carry rows ($a/$b)")
+    assert(a + b == 20000L,
+      s"splits must tile the file exactly: $a + $b != 20000 " +
+        "(the latent whole-file re-read would double-count)")
+    // three-way tiling too
+    val off = footer.blocks.map(_.offset)
+    val cut1 = off(off.length / 3)
+    val cut2 = off(2 * off.length / 3)
+    val t = rowsOf(0L, cut1) + rowsOf(cut1, cut2 - cut1) +
+      rowsOf(cut2, Long.MaxValue)
+    assert(t == 20000L, s"3-way tiling lost/duplicated rows: $t")
   }
 
   test("manifest #raw stat: exact uncompressed size drives CBO " +

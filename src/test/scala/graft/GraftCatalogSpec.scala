@@ -619,6 +619,48 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("a catalog registered under a definition-namespace name " +
+      "cannot hijack a stored view's 2-part references") {
+    withCatalog {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.vhij")
+      spark.sql("CREATE TABLE graftcat.vhij.t (id BIGINT)")
+      spark.sql("INSERT INTO graftcat.vhij.t SELECT id FROM range(7)")
+      // the body names the table `vhij.t` — namespace-qualified
+      // relative to the definition catalog, the common habit; the
+      // definition catalog must be CURRENT for that to parse
+      val prevCat = spark.catalog.currentCatalog()
+      val prevDb = spark.catalog.currentDatabase
+      spark.sql("USE graftcat.vhij")
+      try spark.sql("CREATE VIEW graftcat.vhij.v AS " +
+        "SELECT count(*) AS n FROM vhij.t")
+      finally spark.sql(s"USE $prevCat.$prevDb")
+      assert(spark.sql("SELECT n FROM graftcat.vhij.v")
+        .head.getLong(0) == 7)
+      // now register a SESSION CATALOG named exactly like the
+      // definition namespace, with its own decoy table `t` — if the
+      // view body's `vhij.t` re-resolved catalog-first, every read
+      // would silently redirect to the decoy
+      val wh2 = java.nio.file.Files
+        .createTempDirectory("graft-hijack").toString
+      spark.conf.set("spark.sql.catalog.vhij",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.vhij.warehouse", wh2)
+      try {
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS vhij.d")
+        spark.sql("CREATE TABLE vhij.d.t (id BIGINT)")
+        spark.sql("INSERT INTO vhij.d.t SELECT id FROM range(1)")
+        assert(spark.sql("SELECT n FROM graftcat.vhij.v")
+          .head.getLong(0) == 7,
+          "the stored view must keep reading the DEFINITION " +
+            "catalog's table, not the later-registered same-named " +
+            "catalog")
+      } finally {
+        spark.conf.unset("spark.sql.catalog.vhij.warehouse")
+        spark.conf.unset("spark.sql.catalog.vhij")
+      }
+    }
+  }
+
   test("SQL DELETE under deleteMode=mor commits a DV, rewrites nothing") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dvdb")

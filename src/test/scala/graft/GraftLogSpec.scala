@@ -290,6 +290,38 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 1600L)
   }
 
+  test("rewrite conflict check fails loudly when part of its span " +
+      "was expired into a checkpoint") {
+    import graft.sources.{GraftLog, GraftConcurrentModificationException}
+    val dir = tmp()
+    series(1000).coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save() // v0
+    series(500).coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save() // v1
+    val schema = readBack(dir).schema
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    val base = GraftLog.currentVersion(dir)
+    // a concurrent commit lands, then a maintenance pass folds the
+    // log: the commit file the conflict check would need to read is
+    // GONE (only the checkpoint remembers the span)
+    series(100).coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save() // v2
+    GraftLog.writeCheckpoint(dir, GraftLog.currentVersion(dir))
+    assert(GraftLog.expireLog(dir,
+      GraftLog.currentVersion(dir) + 1) > 0)
+    // the check cannot verify the folded span — it must abort
+    // retryably, NOT pass silently and resurrect overwritten rows
+    val err = intercept[GraftConcurrentModificationException] {
+      GraftLog.rewriteFiles(spark, dir, live,
+        readBack(dir).filter(col("id") < 100), schema,
+        baseVersion = base)
+    }
+    assert(err.getMessage.contains("expired into a checkpoint"),
+      s"wrong failure: ${err.getMessage}")
+    // loser left nothing behind
+    assert(readBack(dir).count() == 1600L)
+  }
+
   test("reading a nonexistent table path fails instead of creating it") {
     val ghost = tmp() + "/no_such_table"
     intercept[Exception] { readBack(ghost).count() }
@@ -1329,6 +1361,50 @@ class GraftLogSpec extends SparkSpec {
     }
     GraftLog.dropRef(dir, "gold")
     assert(GraftLog.refs(dir).isEmpty)
+  }
+
+  test("overwrite retires version-anchored side state: a ref, a " +
+      "branch, and a staged WAP id all fail loudly afterwards " +
+      "instead of resolving against the new lineage") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save() // v0
+    series(60).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save() // v1
+    GraftLog.setRef(dir, "gold", 1L)
+    GraftLog.createBranch(dir, "dev")
+    spark.conf.set(GraftLog.WapConf, "aud9")
+    try series(30).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    finally spark.conf.unset(GraftLog.WapConf)
+    // truncate: a NEW lineage from version 0
+    series(10).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    // grow the new lineage to version 1 so a surviving `gold=1`
+    // WOULD silently resolve — the hazard under test
+    series(20).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(GraftLog.currentVersion(dir) == 1L)
+    val eRef = intercept[IllegalArgumentException] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("asOfVersion", "gold").load().count()
+    }
+    assert(eRef.getMessage.contains("no ref 'gold'"),
+      s"a retired-lineage ref must die with its lineage: $eRef")
+    val eBr = intercept[IllegalArgumentException] {
+      spark.read.format(Fmt).option("path", dir)
+        .option("branch", "dev").load().count()
+    }
+    assert(eBr.getMessage.contains("no branch 'dev'"))
+    val eWap = intercept[IllegalArgumentException] {
+      GraftLog.publishStaged(dir, "aud9")
+    }
+    assert(eWap.getMessage.contains("no staged write"),
+      "publishing a retired-lineage WAP id must fail, not " +
+        s"republish retired rows: $eWap")
+    // the new lineage itself is healthy
+    assert(readBack(dir).count() == 30)
   }
 
   test("compaction rolls outputs at the target size — files stay splittable-sized") {

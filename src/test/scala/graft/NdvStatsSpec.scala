@@ -118,6 +118,84 @@ class NdvStatsSpec extends SparkSpec {
       live.head, "tag", "t3"))
   }
 
+  test("blooms scale with NDV: a 10×-distinct file still prunes, a " +
+      "low-NDV file carries the floor size, folds stay sound") {
+    import graft.sources.GraftLogBloom
+    // fold soundness: every value added at max resolution is still
+    // contained after folding to any smaller power-of-two size
+    val full = new Array[Long](GraftLogBloom.MaxWords)
+    (0 until 3000).foreach(i => GraftLogBloom.add(full, s"k$i"))
+    for (w <- Seq(1024, 256, 64)) {
+      val folded = GraftLogBloom.foldTo(full, w)
+      val hex = GraftLogBloom.serialize(folded)
+      assert(GraftLogBloom.validHex(hex) && hex.length == w * 16)
+      val e = graft.sources.LogEntry(0L, "add", "f", 1L, true, Map(
+        GraftLogBloom.key("c") -> (hex, "v1")))
+      assert((0 until 3000).forall(i =>
+        GraftLogBloom.mayContain(e, "c", s"k$i")),
+        s"fold to $w words lost a member — unsound")
+    }
+    // sizing: ~10 bits/key, power of two, clamped; saturated → floor
+    assert(GraftLogBloom.sizeFor(7) == GraftLogBloom.MinBits)
+    assert(GraftLogBloom.sizeFor(5000) == 65536)
+    assert(GraftLogBloom.sizeFor(100000) == GraftLogBloom.MinBits,
+      "past any useful density the bloom is noise — carry the floor")
+
+    val dir = tmp()
+    // 5000 distinct tags — 10× past the old fixed 4096-bit design
+    // point (~500 values), where the one-size bloom saturated to
+    // all-ones and every absent-value probe degraded to may-match
+    spark.range(50000)
+      .selectExpr("id", "concat('u', id % 5000) AS tag")
+      .coalesce(1).write.format(Fmt).option("path", dir)
+      .mode("append").save()
+    val entry = GraftLog.entriesAsOf(dir, Long.MaxValue).head
+    val hex = entry.stats(GraftLogBloom.key("tag"))._1
+    assert(GraftLogBloom.validHex(hex))
+    assert(hex.length >= 1024 * 16,
+      s"5000-NDV file must scale its bloom up (got ${hex.length / 16}" +
+        " words)")
+    val pruned = (0 until 1000).count(i =>
+      !GraftLogBloom.mayContain(entry, "tag", s"absent-$i"))
+    assert(pruned > 900,
+      s"a 10×-rows file must still prune on string equality " +
+        s"(pruned $pruned/1000 absent probes)")
+    assert((0 until 200).forall(i =>
+      GraftLogBloom.mayContain(entry, "tag", s"u$i")),
+      "present values must always pass")
+    // the counterfactual: the same content at the legacy fixed size
+    // is saturated — this is what NDV sizing buys
+    val legacy = GraftLogBloom.foldTo(
+      GraftLogBloom.deserialize(hex), GraftLogBloom.MinBits / 64)
+    val eLegacy = graft.sources.LogEntry(0L, "add", "f", 1L, true, Map(
+      GraftLogBloom.key("tag") ->
+        (GraftLogBloom.serialize(legacy), "v1")))
+    val prunedLegacy = (0 until 1000).count(i =>
+      !GraftLogBloom.mayContain(eLegacy, "tag", s"absent-$i"))
+    assert(prunedLegacy < pruned / 2,
+      s"fixed-size bloom should be (near-)saturated here " +
+        s"($prunedLegacy vs $pruned)")
+
+    // low-NDV second file: floor-sized bloom (64 stats words, not 2k)
+    series(4000).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val tagBlooms = GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .flatMap(_.stats.get(GraftLogBloom.key("tag"))).map(_._1)
+    assert(tagBlooms.exists(_.length == GraftLogBloom.MinBits / 64 * 16),
+      "a 7-value column folds to the floor size")
+    // mixed-size compaction: fold to the smallest input, stay sound
+    assert(GraftLog.compact(dir) == 2)
+    val merged = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(merged.size == 1)
+    val mhex = merged.head.stats(GraftLogBloom.key("tag"))._1
+    assert(GraftLogBloom.validHex(mhex))
+    assert((0 until 200).forall(i =>
+      GraftLogBloom.mayContain(merged.head, "tag", s"u$i")) &&
+      (0 until 7).forall(i =>
+        GraftLogBloom.mayContain(merged.head, "tag", s"t$i")),
+      "the OR-fold across mixed sizes is a superset of both inputs")
+  }
+
   test("columnStats shrink with file skipping and reach the scan") {
     val dir = tmp()
     // range-partitioned layout: id ranges are disjoint per file, so a
