@@ -137,13 +137,35 @@ object Graph {
     val dir = e.select(col("pa").as("u"), col("pb").as("v"))
       .union(e.select(col("pb").as("u"), col("pa").as("v")))
     val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val capped = dir.withColumn("rk", row_number().over(
+    // Only nodes OVER the cap pay for the hash-rank window: the
+    // over-cap node set is tiny by construction (≤ 2|E|/cap — a
+    // handful of celebrities), so it broadcasts, and the under-cap
+    // bulk flows straight to collect_set with no sort. Charging every
+    // node for the window doubled this query's cost for nothing at
+    // any scale where the cap actually matters. Eagerly checkpointed:
+    // it is the build side of FOUR broadcast joins (the anti/semi
+    // pair, each distributed over the union's two branches), and
+    // without materialization each branch would recompute the full
+    // degree aggregate.
+    val hot = deg.filter(col("deg") > cap).localCheckpoint()
+    val hotIds = hot.select(col("u"))
+    val cold = dir.join(bcast(s, hotIds), Seq("u"), "left_anti")
+    val trimmed = dir.join(bcast(s, hotIds), Seq("u"), "left_semi")
+      .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
           .orderBy(xxhash64(col("u"), col("v")), col("v"))))
       .filter(col("rk") <= cap).select(col("u"), col("v"))
-    val adj = capped.groupBy(col("u"))
-      .agg(collect_set(col("v")).as("nbrs"))
-      .join(deg, "u")
+    // ONE aggregation carries both the adjacency array and the count
+    // (the r9 single-shuffle shape); only hot nodes — whose local
+    // count is the trimmed cap, not the true degree — get their exact
+    // degree patched back in from the tiny broadcast.
+    val adj = cold.union(trimmed).groupBy(col("u"))
+      .agg(collect_set(col("v")).as("nbrs"),
+        count(lit(1)).as("degLocal"))
+      .join(bcast(s, hot.withColumnRenamed("deg", "hotDeg")),
+        Seq("u"), "left")
+      .select(col("u"), col("nbrs"),
+        coalesce(col("hotDeg"), col("degLocal")).as("deg"))
     e.join(bcast(s, adj.select(col("u").as("pa"),
         col("nbrs").as("na"), col("deg").as("da"))), "pa")
       .join(bcast(s, adj.select(col("u").as("pb"),
