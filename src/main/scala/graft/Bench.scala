@@ -171,11 +171,18 @@ object Bench {
     val hqs = headline.flatMap(k => results.get(k).map(v =>
       s"\"" + k + "\":" + fmt(v))).mkString("{", ",", "}")
     val errNames = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    // name the unhealthy queries in the committed stdout record
+    // (bounded: the driver tail is 2000 chars), so a steal-poisoned
+    // trivial query is tellable from a real one without opening
+    // BENCH_FULL.json
+    val unhealthyNames = healthyFlag.filter(!_._2).keys.toSeq
+      .sorted.take(12).map(jstr).mkString("[", ",", "]")
     val stdoutJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":$hqs,"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"error_names":$errNames,""" +
         s""""n_unhealthy":$nUnhealthy,""" +
+        s""""unhealthy_names":$unhealthyNames,""" +
         s""""artifact_build_s":${fmt(artifactBuild)},""" +
         s""""control_baseline":${fmt(baseline)},"sf":"$sfDir"}"""
     val fullJson =

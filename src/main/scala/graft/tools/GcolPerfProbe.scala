@@ -26,6 +26,9 @@ object GcolPerfProbe {
       .withColumn("tag", concat(lit("t"), col("id") % 7))
       .withColumn("nl",
         when(col("id") % 5 === 0, col("id")).otherwise(lit(null)))
+      // low-NDV NUMERIC columns — the typed-dictionary path (enc 4/5)
+      .withColumn("bucket", col("id") % 97)
+      .withColumn("price", (col("id") % 9).cast("double") * 0.5)
     df.repartition(8).write.format("graft.sources.GraftLogSource")
       .option("path", s"$base/g").mode("overwrite").save()
     df.repartition(8).write.parquet(s"$base/p")
@@ -51,6 +54,8 @@ object GcolPerfProbe {
       run("range_filter", r => r()
         .filter(col("id") >= 1000000L && col("id") < 1010000L)
         .agg(count(lit(1)), sum(col("nl"))).collect()),
+      run("numdict_agg", r => r().groupBy(col("bucket"))
+        .agg(sum(col("price")), avg(col("price"))).collect()),
       run("full_count", r => assert(r().count() == 2000000L)))
     println("{" + rows.mkString(",") + "}")
     spark.stop()
