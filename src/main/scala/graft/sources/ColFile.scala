@@ -610,7 +610,12 @@ object GraftColFile {
     * empty delegate's answer. */
   def lineReader(f: File): TextLines = {
     val ch = FileChannel.open(f.toPath, StandardOpenOption.READ)
-    val footer = readFooter(ch, f)
+    // a corrupt/truncated part must not leak the just-opened channel:
+    // readFooter throws before the TextLines exists, so the caller's
+    // close() could never reach it
+    val footer =
+      try readFooter(ch, f)
+      catch { case e: Throwable => ch.close(); throw e }
     new TextLines {
       private var bi = 0
       private var row = 0

@@ -1148,12 +1148,17 @@ object GraftLog {
     * workloads). Conservative under cross-process races: a stale (low)
     * cached value only means we list again when our own counter says a
     * checkpoint is due, and writeCheckpoint is idempotent. */
-  private val lastCkptCache =
+  private[graft] val lastCkptCache =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   private def maybeCheckpoint(dir: String, v: Long): Unit = {
     val cached = lastCkptCache.getOrDefault(dir, Long.MinValue)
-    if (cached != Long.MinValue && v - cached < CheckpointInterval)
+    // trust the cache only while versions grow PAST it: a commit at
+    // v <= cached means another process reset the lineage (overwrite
+    // restarts at 0) — a stale-HIGH value would then suppress every
+    // checkpoint of the new lineage, so fall through and re-list
+    if (cached != Long.MinValue && v > cached &&
+        v - cached < CheckpointInterval)
       return
     val last = listVersioned(dir, CheckpointPrefix).lastOption
       .map(_._1).getOrElse(-1L)
@@ -5318,28 +5323,41 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
               bDouble(j) = vs; bNulls(j) = ns
             case GraftColFile.LongDictChunk(dvs, dns, ix) =>
               // typed dict: the distinct values arrive as binary —
-              // nothing to parse, just width-adjust to the required
-              // type (a renamed/evolved read can demand another tag)
+              // nothing to parse on the matching-type path. A
+              // MISMATCHED required type goes through the canonical
+              // text exactly like a plain chunk would (one render +
+              // parse per DISTINCT), so the same cell fails or
+              // converts identically whatever encoding the block
+              // happened to choose — never a silent toInt truncation.
               dIdx(j) = ix; dNull(j) = dns
+              def lText(d: Int): String = java.lang.Long.toString(dvs(d))
               tag(j) match {
                 case 0 => dLong(j) = dvs
-                case 1 => dInt(j) = dvs.map(_.toInt)
-                case 2 => dDouble(j) = dvs.map(_.toDouble)
+                case 1 => dInt(j) = Array.tabulate(dvs.length)(d =>
+                  if (dns(d)) 0
+                  else java.lang.Integer.parseInt(lText(d)))
+                case 2 => dDouble(j) = Array.tabulate(dvs.length)(d =>
+                  if (dns(d)) 0d
+                  else java.lang.Double.parseDouble(lText(d)))
                 case _ => dBytes(j) = Array.tabulate(dvs.length)(d =>
                   if (dns(d)) null
-                  else java.lang.Long.toString(dvs(d))
-                    .getBytes(StandardCharsets.UTF_8))
+                  else lText(d).getBytes(StandardCharsets.UTF_8))
               }
             case GraftColFile.DoubleDictChunk(dvs, dns, ix) =>
               dIdx(j) = ix; dNull(j) = dns
+              def dText(d: Int): String =
+                java.lang.Double.toString(dvs(d))
               tag(j) match {
                 case 2 => dDouble(j) = dvs
-                case 0 => dLong(j) = dvs.map(_.toLong)
-                case 1 => dInt(j) = dvs.map(_.toInt)
+                case 0 => dLong(j) = Array.tabulate(dvs.length)(d =>
+                  if (dns(d)) 0L
+                  else java.lang.Long.parseLong(dText(d)))
+                case 1 => dInt(j) = Array.tabulate(dvs.length)(d =>
+                  if (dns(d)) 0
+                  else java.lang.Integer.parseInt(dText(d)))
                 case _ => dBytes(j) = Array.tabulate(dvs.length)(d =>
                   if (dns(d)) null
-                  else java.lang.Double.toString(dvs(d))
-                    .getBytes(StandardCharsets.UTF_8))
+                  else dText(d).getBytes(StandardCharsets.UTF_8))
               }
             case GraftColFile.DictChunk(dict, ix) =>
               dIdx(j) = ix
@@ -5536,7 +5554,16 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         cur =
           if (GraftColFile.isCol(f))
             new GcolCursor(f, cols, dv, start, length)
-          else new LineCursor(f, cols, dv)
+          else {
+            // mirror the row path's guard: LineCursor has no range
+            // support, so a byte-range split reaching it would
+            // re-read the whole legacy file once PER split and
+            // silently duplicate rows N-fold
+            require(start == 0L && length == Long.MaxValue,
+              s"byte-range split of non-columnar part $f " +
+                s"($start+$length) — the line path cannot honor ranges")
+            new LineCursor(f, cols, dv)
+          }
         true
       }
 

@@ -259,6 +259,64 @@ class GcolSpec extends SparkSpec {
     assert(t == 20000L, s"3-way tiling lost/duplicated rows: $t")
   }
 
+  test("a byte-range split of a LEGACY part fails loudly on BOTH " +
+      "read paths instead of duplicating rows") {
+    import graft.sources.{GraftLogPartition, GraftLogReaderFactory}
+    val dir = tmp()
+    // forge a legacy gzip-TSV part (the pre-gcol vintage)
+    val legacy = "part-legacy-0000.tsv.gz"
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir, legacy)))
+    gz.write((0 until 50).map(i => s"$i\t${i.toDouble}")
+      .mkString("\n").concat("\n").getBytes("UTF-8"))
+    gz.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    // the planner never ranges non-gcol files today; this pins the
+    // LATENT path so a future planner change fails loudly, not by
+    // silently re-reading the whole file once per split
+    val rowFac = new GraftLogReaderFactory(schema, schema)
+    intercept[IllegalArgumentException] {
+      rowFac.createReader(GraftLogPartition(
+        dir, legacy, Seq("id", "v"), None, 10L, 100L))
+    }
+    val colFac =
+      new GraftLogReaderFactory(schema, schema, columnar = true)
+    val cr = colFac.createColumnarReader(GraftLogPartition(
+      dir, legacy, Seq("id", "v"), None, 10L, 100L))
+    intercept[IllegalArgumentException] { cr.next() }
+    // the full range still reads fine on both paths
+    val ok = rowFac.createReader(GraftLogPartition(
+      dir, legacy, Seq("id", "v"), None))
+    var n = 0
+    try while (ok.next()) n += 1 finally ok.close()
+    assert(n == 50)
+  }
+
+  test("a poisoned checkpoint-version cache cannot suppress the " +
+      "fresh lineage's checkpoints (cross-process overwrite)") {
+    val dir = tmp()
+    // simulate another process having committed far ahead before a
+    // cross-process overwrite reset the lineage: this JVM's cache
+    // still holds the OLD lineage's high version for the same dir
+    GraftLog.lastCkptCache.put(dir, 100L)
+    for (k <- 0 until 12)
+      spark.range(k * 10, k * 10 + 10).toDF("id").coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    // a stale-HIGH cache would make every maybeCheckpoint early-
+    // return (v - 100 < interval) and the log would grow unbounded
+    val ckpts = new File(dir).listFiles
+      .filter(_.getName.startsWith("_checkpoint."))
+    assert(ckpts.nonEmpty,
+      "12 commits must have produced a checkpoint despite the " +
+        "poisoned cache — versions at-or-below the cached value " +
+        "must invalidate it")
+  }
+
   test("manifest #raw stat: exact uncompressed size drives CBO " +
       "sizeInBytes") {
     val dir = tmp()
