@@ -297,6 +297,42 @@ class GcolSpec extends SparkSpec {
     assert(n == 50)
   }
 
+  test("task-wide write buffer cap: a partitioned task holding many " +
+      "open part files flushes early, bytes identical") {
+    val dir = tmp()
+    // 64 values × ~interleaved rows in ONE task, buffer cap far below
+    // one default block: without the cap every PartFile would buffer
+    // its whole share; with it, the largest open blocks flush early
+    val prior = spark.conf.getOption("spark.graft.log.taskBufferBytes")
+    spark.conf.set("spark.graft.log.taskBufferBytes", (64L << 10).toString)
+    try spark.range(0, 200000).toDF("id")
+      .withColumn("k", col("id") % 64)
+      .withColumn("pad", concat(lit("x"), col("id")))
+      .coalesce(1)
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.log.taskBufferBytes", v)
+      case None => spark.conf.unset("spark.graft.log.taskBufferBytes")
+    }
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size == 64, s"one part per value: ${live.size}")
+    // the cap forced early flushes: with ~3 MB raw spread over 64
+    // files and a 64 KB task budget, files must carry MULTIPLE small
+    // blocks (one un-capped block would hold a file's whole share)
+    val parts = live.map(e =>
+      GraftColFile.readFooter(new File(dir, e.file)))
+    assert(parts.map(_.blocks.length).sum > 64 * 2,
+      s"expected early-flushed multi-block files, got " +
+        s"${parts.map(_.blocks.length).sum} blocks over 64 files")
+    // and the data is byte-identical to the unconstrained write
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 200000L)
+    assert(back.agg(sum(col("id"))).head.getLong(0) ==
+      (0L until 200000L).sum)
+    assert(back.filter(col("pad") === "x12345").count() == 1L)
+  }
+
   test("a poisoned checkpoint-version cache cannot suppress the " +
       "fresh lineage's checkpoints (cross-process overwrite)") {
     val dir = tmp()
