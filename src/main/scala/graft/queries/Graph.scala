@@ -32,20 +32,22 @@ import graft.sources.Tables
   *    self-join form (3.2 s vs 8.2 s), which paid a third shuffle and a
   *    join for pairs the row already contains.
   *  - The (degree, id) total order is packed into ONE long
-  *    (`rk = ddst<<31 | dst`) so the wedge join's rank condition is a
-  *    single compare, and the closing edge is packed the same way
-  *    (`ekey = src<<31 | dst`) so the probe hits a dense single-long-key
-  *    hash relation instead of a generic two-key one. Together 1.6×
-  *    on the wedge phase (4.5 s vs 7.3 s). Safe while ids and degrees
-  *    stay below 2^31 — true for any realistic part catalog.
-  *  - The wedge intermediate is large but the ADJACENCY is small (one
-  *    row per distinct edge — catalog-bounded, not transaction-bounded),
-  *    so both joins touching wedges are broadcast-hash probes: wedges are
-  *    generated AND closed inside one whole-stage-codegen pipeline and
-  *    never shuffle. Only catalog-sized frames hit an exchange. If the
-  *    adjacency ever outgrows a broadcast (~10M+ edges) the same plan
-  *    runs with the hints removed — sort-merge on src and ekey —
-  *    orientation still bounds the intermediate. */
+  *    (`rk = ddst<<31 | dst`), unique per dst, so rank compares and
+  *    set intersections are single-long operations. Safe while ids
+  *    and degrees stay below 2^31 — true for any realistic catalog.
+  *  - Triangle closing is COMPACT-FORWARD (Latapy 2008): one sorted
+  *    higher-rank adjacency array per node (length bounded O(√m) by
+  *    the orientation) and one `array_intersect` per oriented edge.
+  *    The earlier wedge-expansion form (generate C(outdeg,2) wedge
+  *    rows, close each by a packed-key hash probe) materialized the
+  *    ~72M-row wedge stream through codegen; intersecting two sorted
+  *    bounded arrays per edge does the same enumeration without that
+  *    stream — measured 4.5 → 3.45 s at sf0.1, row-identical. The
+  *    adjacency is catalog-bounded, so both probes broadcast; only
+  *    catalog-sized frames hit an exchange. If the adjacency ever
+  *    outgrows a broadcast (~10M+ edges) the same plan runs with the
+  *    hints removed — sort-merge on src and dst — orientation still
+  *    bounds every intermediate. */
 object Graph {
   type Q = (SparkSession, String) => DataFrame
 
@@ -188,7 +190,7 @@ object Graph {
   /** Edges oriented low-rank → high-rank by (degree, id), the dst rank
     * packed into one long. Eagerly checkpointed: it is the build side of
     * both broadcast joins and the probe side of the wedge scan. */
-  private def oriented(s: SparkSession, d: String): DataFrame = {
+  private[graft] def oriented(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d)
     val deg = degrees(e)
     e.join(deg.withColumnRenamed("v", "pa").withColumnRenamed("deg", "da"), "pa")
@@ -209,17 +211,33 @@ object Graph {
     // Per-node triangle participation counts via degree orientation.
     "graph_triangles" -> ((s, d) => {
       val o = oriented(s, d)
-      // wedges (a→lo, a→hi in rank order), closed by one packed-key probe
-      val wedges = o.as("x").join(bcast(s, o).as("y"),
-          col("x.src") === col("y.src") && col("x.rk") < col("y.rk"))
-        .select(col("x.src").as("a"), col("x.dst").as("lo"),
-          col("y.dst").as("hi"),
-          (shiftleft(col("x.dst"), 31) + col("y.dst")).as("ekey"))
-      wedges
-        .join(bcast(s, o.select(
-          (shiftleft(col("src"), 31) + col("dst")).as("ekey"))), Seq("ekey"))
+      // COMPACT-FORWARD (Latapy 2008): one sorted array of
+      // higher-rank neighbors per node (bounded O(√m) by the
+      // orientation), then ONE array_intersect per oriented edge —
+      // the triangles through edge (u,w) are exactly adjHi(u) ∩
+      // adjHi(w), and rank order counts each once, at its lowest-rank
+      // edge. Replaces the wedge-expansion form (generate C(outdeg,2)
+      // wedge rows, close by packed-key probe): same two broadcast
+      // probes, but the per-edge intersection never materializes the
+      // ~72M-row wedge stream, measured 4.5 → 3.45 s at sf0.1
+      // (TriExperiment, interleaved controls, row-identical output).
+      // `rk` packs (deg,dst), unique per dst, so intersecting rk
+      // arrays intersects neighbor SETS; the corner id unpacks with
+      // one mask. A node of maximal rank has no out-edges and no adj
+      // row — hence the left join + empty-array coalesce.
+      val adj = o.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("rk"))).as("nbrs"))
+      o.as("e")
+        .join(bcast(s, adj).as("x"), col("e.src") === col("x.src"))
+        .join(bcast(s, adj).as("y"),
+          col("e.dst") === col("y.src"), "left")
+        .select(col("e.src").as("u"), col("e.dst").as("w"),
+          array_intersect(col("x.nbrs"),
+            coalesce(col("y.nbrs"), array())).as("common"))
+        .select(explode(col("common")).as("crk"), col("u"), col("w"))
         // credit each triangle to all three corners
-        .select(explode(array(col("a"), col("lo"), col("hi"))).as("part"))
+        .select(explode(array(col("u"), col("w"),
+          col("crk").bitwiseAND(lit((1L << 31) - 1)))).as("part"))
         .groupBy(col("part")).agg(count(lit(1)).as("tri_count"))
     }),
 
