@@ -897,6 +897,50 @@ class GraftLogSpec extends SparkSpec {
       Long.MaxValue).isEmpty)
   }
 
+  test("parallel per-group compaction: 16 values with DVs and a " +
+      "rename in play, results identical to the serial contract") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    for (lo <- Seq(0L, 16000L, 32000L))
+      spark.range(lo, lo + 16000).selectExpr("id", "id % 16 AS k",
+          "id * 2 AS v")
+        .write.format(Fmt).option("path", dir)
+        .option("partitionCol", "k").mode("append").save()
+    // merge-on-read delete leaves DVs on a subset of files; a rename
+    // forces per-group re-keying of stats and cells
+    GraftLog.deleteWhereMoR(spark, dir, Array(
+      org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 100L),
+        org.apache.spark.sql.sources.LessThan("id", 300L))))
+    GraftLog.renameColumn(dir, "v", "val2")
+    val before = readBack(dir).agg(sum(col("id")), sum(col("val2")),
+      count(lit(1))).head
+    assert(GraftLog.compact(dir) == 48)
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size == 16, s"one output per value: ${live.size}")
+    assert(live.forall(e =>
+      graft.sources.GraftLogPartValue.of(e, "k").isDefined &&
+        e.cols == Seq("id", "k", "val2") &&
+        GraftLog.dvOf(e).isEmpty))
+    val after = readBack(dir).agg(sum(col("id")), sum(col("val2")),
+      count(lit(1))).head
+    assert(after == before,
+      "parallel group compaction changed row content")
+    // grouped scan + value pruning still work on the compacted layout
+    val t = readBack(dir)
+    val g = t.groupBy(col("k")).agg(sum(col("id")))
+    g.collect()
+    assert(g.queryExecution.executedPlan.toString
+      .contains("partGroups=16"))
+    // (files=1/16 pruning is NOT asserted here: every group folded a
+    // DV'd input, so compaction correctly dropped the merged min/max
+    // — conservative, reads all files; the no-DV pruning case is
+    // covered by the plain partitioned-compaction test above)
+    val sel = t.filter(col("k") === 7)
+    assert(sel.count() == (0L until 48000L).count(i =>
+      i % 16 == 7 && !(i >= 100 && i < 300)))
+  }
+
   test("streaming writes route per partition value too") {
     val src = tmp(); val dst = tmp(); val ckpt = tmp()
     spark.range(0, 1200).selectExpr("id", "id % 3 AS k").coalesce(1)
