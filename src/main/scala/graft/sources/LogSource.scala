@@ -1285,6 +1285,21 @@ object GraftLog {
   // with the table, not the session that happens to run maintenance.
   val PropsFile = "_properties"
 
+  /** Lineage identity: a fresh UUID stamped by every overwrite — the
+    * only operation that restarts the version axis. A version number
+    * is only meaningful WITHIN one lineage, so any consumer that
+    * persists an applied-through version (materialized view,
+    * replication, external checkpoint) must persist this tag beside
+    * it and re-bootstrap on mismatch: carried across an overwrite,
+    * the marker would otherwise pass every horizon/span guard once
+    * the NEW lineage's head grows past it, and the consumer would
+    * silently merge new-lineage deltas into old-lineage state.
+    * Absent (never-overwritten tables, legacy) reads as "". */
+  val LineageProp = "graft.lineage"
+
+  def lineageOf(dir: String): String =
+    propertiesOf(dir).getOrElse(LineageProp, "")
+
   def propertiesOf(dir: String): Map[String, String] = {
     val f = new File(dir, PropsFile)
     if (!f.exists()) Map.empty
@@ -2742,6 +2757,8 @@ object GraftLog {
     if (truncate) {
       removeProperties(dir, Seq(DroppedColsProp))
       resetLineage(dir)
+      setProperties(dir,
+        Map(LineageProp -> UUID.randomUUID().toString))
     }
     commitNewUnlocked(dir, merged, remergeSchema = !truncate)(v =>
       fresh.map(c => LogEntry.add(v, c.file, c.rows, c.stats,

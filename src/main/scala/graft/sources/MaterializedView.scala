@@ -54,6 +54,9 @@ object MaterializedAgg {
   /** Stable writer identity for the marker: one view table has one
     * maintainer. */
   private val AppId = "materialized-agg"
+  /** MV-side property carrying the SOURCE lineage the marker belongs
+    * to (see [[GraftLog.LineageProp]]). */
+  private val SrcLineageProp = "graft.mv.src-lineage"
 
   private def aggOf(src: DataFrame, keyCol: String,
       sumCols: Seq[String], minMaxCols: Seq[String],
@@ -90,6 +93,19 @@ object MaterializedAgg {
     val head = GraftLog.currentVersion(srcDir)
     val srcTotal = GraftLog.entriesAsOf(srcDir, Long.MaxValue).size
     val last = GraftLog.lastTxnVersion(mvDir, AppId)
+    // A marker is only meaningful WITHIN one source lineage: an
+    // overwrite restarts the version axis, and once the NEW lineage's
+    // head grows past the old marker every horizon/span guard below
+    // passes — the view would silently merge new-lineage deltas into
+    // old-lineage totals. The lineage tag (stamped by every
+    // overwrite) is persisted beside the marker and a mismatch forces
+    // re-bootstrap.
+    val srcLineage = GraftLog.lineageOf(srcDir)
+    val sameLineage =
+      GraftLog.propertiesOf(mvDir).getOrElse(SrcLineageProp, "") ==
+        srcLineage
+    def stampLineage(): Unit =
+      GraftLog.setProperties(mvDir, Map(SrcLineageProp -> srcLineage))
     // A marker below the source's retained horizon means the change
     // feed can no longer prove completeness for the span — fall back
     // to a full re-bootstrap instead of silently missing changes.
@@ -100,7 +116,7 @@ object MaterializedAgg {
     // span containing non-append changes (row-level rewrite, restore,
     // DV delete) also re-bootstraps: the add feed cannot express the
     // retraction, and replaying it would re-count carried rows.
-    val replayable = last >= 0 &&
+    val replayable = sameLineage && last >= 0 &&
       (horizon <= 0L || last >= horizon) &&
       !(last < head &&
         GraftLog.spanHasNonAppendChanges(srcDir, last, head))
@@ -117,9 +133,9 @@ object MaterializedAgg {
       full.write.format(Fmt).option("path", mvDir)
         .mode("overwrite").save()
       GraftLog.commitTxn(mvDir, AppId, head)
-      Refresh(head, "bootstrap", srcTotal, srcTotal,
-        GraftLog.entriesAsOf(mvDir, Long.MaxValue).size,
-        GraftLog.entriesAsOf(mvDir, Long.MaxValue).size)
+      stampLineage()
+      val mvFiles = GraftLog.entriesAsOf(mvDir, Long.MaxValue).size
+      Refresh(head, "bootstrap", srcTotal, srcTotal, mvFiles, mvFiles)
     } else if (head <= last) {
       Refresh(last, "noop", 0, srcTotal, 0,
         GraftLog.entriesAsOf(mvDir, Long.MaxValue).size)
@@ -129,6 +145,7 @@ object MaterializedAgg {
       if (deltaEntries.isEmpty) {
         // versions advanced with no data change (compaction, markers)
         GraftLog.commitTxn(mvDir, AppId, head)
+        stampLineage()
         return Refresh(head, "noop", 0, srcTotal, 0, mvTotal)
       }
       val delta = aggOf(
@@ -182,6 +199,7 @@ object MaterializedAgg {
         try GraftLog.mergeUpsert(spark, mvDir, combined,
           keyCol, txn = Some(AppId -> head))
         finally delta.unpersist()
+      stampLineage()
       Refresh(head, "incremental", deltaEntries.size, srcTotal,
         rewritten, mvTotal)
     }

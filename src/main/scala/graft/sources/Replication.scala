@@ -40,6 +40,13 @@ object Replication {
 
   private val Fmt = "graft.sources.GraftLogSource"
   private val AppId = "graft-replication"
+  /** Mirror-side property carrying the SOURCE lineage the marker
+    * belongs to (see [[GraftLog.LineageProp]]): a source overwrite
+    * restarts the version axis, and a marker carried across it would
+    * pass the horizon guard once the new head grows past it — the
+    * mirror would then replay a fragment of the new lineage into
+    * pre-overwrite rows. Mismatch forces re-bootstrap. */
+  private val SrcLineageProp = "graft.repl.src-lineage"
 
   def sync(spark: SparkSession, srcDir: String, dstDir: String,
       keyCol: String): Sync = {
@@ -51,16 +58,22 @@ object Replication {
     val head = GraftLog.currentVersion(srcDir)
     val last = GraftLog.lastTxnVersion(dstDir, AppId)
     val horizon = GraftLog.oldestReplayableVersion(srcDir)
+    val srcLineage = GraftLog.lineageOf(srcDir)
+    val sameLineage =
+      GraftLog.propertiesOf(dstDir).getOrElse(SrcLineageProp, "") ==
+        srcLineage
     // expire-history deletes the commit file AT the pivot checkpoint
     // (its changes survive only folded into the snapshot), so the
     // oldest replayable CHANGE SPAN starts one past the horizon: a
     // marker of horizon-1 would silently skip version `horizon`
-    val replayable = last >= 0 && (horizon <= 0L || last >= horizon)
+    val replayable = sameLineage && last >= 0 &&
+      (horizon <= 0L || last >= horizon)
     if (GraftLog.storedSchema(dstDir).isEmpty || !replayable) {
       spark.read.format(Fmt).option("path", srcDir).load()
         .write.format(Fmt).option("path", dstDir)
         .mode("overwrite").save()
       GraftLog.commitTxn(dstDir, AppId, head)
+      GraftLog.setProperties(dstDir, Map(SrcLineageProp -> srcLineage))
       return Sync(head, "bootstrap", 0)
     }
     if (head <= last) return Sync(last, "noop", 0)

@@ -34,6 +34,24 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(withNanosAsLong(s)(table(s, d, "events")))
 
+  /** The streaming twin of [[events]] — ONE copy of the readStream
+    * scaffold (raw on-disk schema read under nanos-as-long, directory
+    * source narrowed by pathGlobFilter, in-plan ts normalization), so
+    * the next fixture-generation ts-encoding change is absorbed here
+    * once, not per consumer. `watermark` bounds state for consumers
+    * that aggregate/join; stateful processors that manage their own
+    * state pass None. */
+  def eventsStream(s: SparkSession, d: String,
+      watermark: Option[String] = None): DataFrame =
+    withNanosAsLong(s) {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = normalizeEventTs(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d))
+      watermark.fold(raw)(w => raw.withWatermark("ts", w))
+    }
+
   /** The ts-normalization dispatch, shared with the readStream twins in
     * `streaming.EventWindows`/`streaming.Stateful` (the conversion is a
     * plain projection, so it plans identically in batch and streaming). */

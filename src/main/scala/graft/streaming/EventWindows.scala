@@ -56,18 +56,7 @@ object EventWindows {
     * this frame unchanged — Spark plans the batch and incremental
     * executions from one logical declaration. */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.withNanosAsLong(spark) {
-      // Raw on-disk schema (fixture-generation dependent; see
-      // Tables.normalizeEventTs) — the conversion happens in-plan.
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      // FileStreamSource needs a directory; pathGlobFilter narrows the
-      // scan to the events table within the fixture dir.
-      Tables.normalizeEventTs(
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir))
-        .withWatermark("ts", "1 hour")
-    }
+    Tables.eventsStream(spark, sfDir, watermark = Some("1 hour"))
 
   /** Windowed APPROXIMATE distinct users via the mergeable HLL
     * sketch — the constant-state form the sliding window's scaladoc

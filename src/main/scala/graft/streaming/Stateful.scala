@@ -24,16 +24,11 @@ object Stateful {
   case class Trans(user_id: Long, from_type: String, to_type: String,
       to_event_id: Long)
 
-  /** Raw events as an unbounded stream (ts normalized to session-local
-    * micros in the streaming plan — same dispatch as `Tables.events`). */
+  /** Raw events as an unbounded stream — the shared scaffold in
+    * [[graft.sources.Tables.eventsStream]]; no watermark here (the
+    * stateful processors below manage their own O(users) state). */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame =
-    graft.sources.Tables.withNanosAsLong(spark) {
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      graft.sources.Tables.normalizeEventTs(
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir))
-    }
+    graft.sources.Tables.eventsStream(spark, sfDir)
 
   /** Stream-stream interval join: clicks joined to same-user purchases
     * in the preceding 30 minutes. The watermarks + the time-range bound
@@ -96,23 +91,37 @@ object Stateful {
     * pair with a timeout to expire idle users in production. Within a
     * micro-batch events sort by (ts, event_id), the same total order
     * the batch twin's lead() window uses, and the stored last event
-    * stitches transitions across batch boundaries. The matrix itself is
-    * a downstream aggregate of this append stream (TemporalSpec folds
-    * it and asserts equality with the batch query's counts). */
+    * stitches transitions across batch boundaries. CROSS-BATCH LATE
+    * DATA IS DISCARDED: an event ordering BELOW the stored last would
+    * retroactively split an already-emitted pair, and an append
+    * stream cannot retract — so, like any watermark-bounded operator,
+    * the stream is exact (batch-equal) for per-user event-time-
+    * monotone micro-batches and drops what arrives later than that.
+    * The stored last never regresses, so one late straggler cannot
+    * corrupt the stitching of subsequent in-order batches. The matrix
+    * itself is a downstream aggregate of this append stream
+    * (TemporalSpec folds it and asserts equality with the batch
+    * query's counts). */
   def transitionStream(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val events = eventStream(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev]
+    def ord(e: Ev): (Long, Int, Long) =
+      (e.ts.getTime, e.ts.getNanos, e.event_id)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Ev, Trans](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, it, state: GroupState[Ev]) =>
-          val sorted = it.toSeq
-            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          val chain = state.getOption.toSeq ++ sorted
-          if (sorted.nonEmpty) state.update(sorted.last)
+          val last = state.getOption
+          val fresh = it.toSeq
+            .sortBy(ord)
+            .filter(e => last.forall(l =>
+              implicitly[Ordering[(Long, Int, Long)]]
+                .gt(ord(e), ord(l))))
+          val chain = last.toSeq ++ fresh
+          if (fresh.nonEmpty) state.update(fresh.last)
           chain.sliding(2).collect { case Seq(a, b) =>
             Trans(user, a.event_type, b.event_type, b.event_id)
           }.toSeq.iterator
@@ -131,9 +140,15 @@ object Stateful {
     * State is ONE double per user — O(distinct users) — and each
     * micro-batch's rows fold in (ts, event_id) order, the same total
     * order as the batch twin's window cumsum, with the stored total
-    * stitching across batch boundaries. Batch twin registered as
-    * `stream_stateful_running_total` (EventWindows.queries); equality
-    * asserted in StreamingSpec. */
+    * stitching across batch boundaries. Contract for CROSS-BATCH late
+    * data: a row arriving after a later-ts row was already folded
+    * still adds its value (sum commutes, so every user's FINAL total
+    * is exact under any arrival order), but its emitted per-row
+    * prefix reflects arrival order, not event order — batch-equal
+    * per-row prefixes hold exactly for per-user event-time-monotone
+    * micro-batch splits (what a watermark bounds). Batch twin
+    * registered as `stream_stateful_running_total`
+    * (EventWindows.queries); equality asserted in StreamingSpec. */
   class RunningTotalProcessor
       extends StatefulProcessor[Long, Ev, Running] {
     @transient private var total: ValueState[Double] = _

@@ -56,7 +56,11 @@ object WarehouseStream {
         struct(col("ts"), col("event_id"))).as("m"))
       .select(col("user_id"), unix_micros(col("m.ts")).as("c_ts"),
         col("m.event_id").as("c_eid"), col("m.value").as("c_val"))
-    val dim = readDim(spark, dimDir)
+    // cached for the batch: `hist` and `cur` are both derived from it
+    // and both execute inside the single write plan below — uncached,
+    // every committed dimension file would be read and decoded twice
+    // per micro-batch
+    val dim = readDim(spark, dimDir).cache()
     val hist = dim.filter(col("is_current") === 0)
     val cur = dim.filter(col("is_current") === 1)
     val merged = cur.join(changes, Seq("user_id"), "full_outer")
@@ -103,30 +107,22 @@ object WarehouseStream {
         col("v.is_current").as("is_current"),
         col("v.last_eid").as("last_eid"))
     // publish as ONE atomic commit: remove every pre-batch file and
-    // add the rewrite in the same version (replaceFiles) — the
-    // overwrite path's reset-then-commit pair left a crash window
-    // where the whole dimension vanished, and this also keeps the
-    // dimension's own history time-travelable per micro-batch
+    // add the rewrite in the same version — the overwrite path's
+    // reset-then-commit pair left a crash window where the whole
+    // dimension vanished, and this also keeps the dimension's own
+    // history time-travelable per micro-batch. rewriteFiles is the
+    // shared copy-on-write tail: scratch write, file adoption, ONE
+    // remove+add commit — WITH the conflict guard a hand-rolled
+    // replace lacks (a concurrent commit between snapshotting
+    // `retired` and publishing would otherwise leave its files live
+    // beside the full rewrite, serving rows twice) and with scratch
+    // cleanup on every failure path.
     val out = hist.unionByName(merged)
     val retired = graft.sources.GraftLog
       .entriesAsOf(dimDir, Long.MaxValue)
-    val scratch = s"$dimDir/__scd2-${java.util.UUID.randomUUID()}"
-    out.write.format(Fmt).option("path", scratch)
-      .mode("overwrite").save()
-    val fresh = graft.sources.GraftLog
-      .entriesAsOf(scratch, Long.MaxValue).filter(_.rows > 0L)
-    fresh.foreach(e => java.nio.file.Files.move(
-      java.nio.file.Paths.get(scratch, e.file),
-      java.nio.file.Paths.get(dimDir, e.file)))
-    graft.sources.GraftLog.replaceFiles(dimDir, retired.map(_.file),
-      fresh.map(e => graft.sources.GraftLogCommit(e.file, e.rows,
-        e.stats, e.cols)), out.schema)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(scratch))
+    try graft.sources.GraftLog.rewriteFiles(spark, dimDir, retired,
+      out, out.schema)
+    finally dim.unpersist()
   }
 
   /** The stream: purchase events → per-batch SCD2 merge. */

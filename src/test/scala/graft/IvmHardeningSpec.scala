@@ -51,6 +51,72 @@ class IvmHardeningSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("a source OVERWRITE (lineage reset) forces re-bootstrap even " +
+      "after the new lineage's head passes the old marker") {
+    val src = tmp(); val mv = tmp()
+    def seed(lo: Long, n: Long): Unit =
+      spark.range(lo, lo + n).selectExpr("id", "id % 5 AS k", "id AS v")
+        .coalesce(1).write.format(Fmt).option("path", src)
+        .mode("append").save()
+    seed(0, 100); seed(100, 100); seed(200, 100) // head = 2
+    val r0 = MaterializedAgg.refresh(spark, src, mv, "k", Seq("v"))
+    assert(r0.mode == "bootstrap" && r0.srcVersion == 2L)
+    // OVERWRITE: a brand-new lineage, entirely different rows
+    spark.range(5000, 5400).selectExpr("id", "id % 5 AS k", "id AS v")
+      .coalesce(1).write.format(Fmt).option("path", src)
+      .mode("overwrite").save() // new-lineage v0
+    // grow the NEW lineage PAST the old marker: without a lineage
+    // tag, horizon (0) and span guards all pass and the refresh would
+    // merge a new-lineage fragment into pre-overwrite totals
+    seed(5400, 50); seed(5450, 50); seed(5500, 50) // head = 3 > 2
+    assert(GraftLog.currentVersion(src) > r0.srcVersion)
+    val r1 = MaterializedAgg.refresh(spark, src, mv, "k", Seq("v"))
+    assert(r1.mode == "bootstrap",
+      s"a marker from a retired lineage must re-bootstrap, got " +
+        s"${r1.mode}")
+    val got = spark.read.format(Fmt).option("path", mv).load()
+      .select(col("k"), col("n_rows"), col("sum_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = spark.read.format(Fmt).option("path", src).load()
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want,
+      "the rebuilt view must reflect ONLY the new lineage")
+    // and once re-bootstrapped, the new lineage refreshes
+    // incrementally again
+    seed(6000, 50)
+    val r2 = MaterializedAgg.refresh(spark, src, mv, "k", Seq("v"))
+    assert(r2.mode == "incremental", s"got ${r2.mode}")
+  }
+
+  test("replication re-seeds on a source lineage reset instead of " +
+      "replaying new-lineage deltas into pre-overwrite rows") {
+    val src = tmp(); val dst = tmp()
+    def seed(lo: Long): Unit =
+      spark.range(lo, lo + 100).selectExpr("id", "id AS v")
+        .coalesce(1).write.format(Fmt).option("path", src)
+        .mode("append").save()
+    seed(0); seed(100); seed(200)
+    GraftLog.setProperties(src, Map("graft.cdf.enabled" -> "true"))
+    assert(Replication.sync(spark, src, dst, "id").mode == "bootstrap")
+    // overwrite, re-enable CDF on the new lineage, grow past marker
+    spark.range(9000, 9100).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("overwrite").save()
+    GraftLog.setProperties(src, Map("graft.cdf.enabled" -> "true"))
+    seed(9100); seed(9200); seed(9300)
+    val s1 = Replication.sync(spark, src, dst, "id")
+    assert(s1.mode == "bootstrap",
+      s"retired-lineage marker must re-seed the mirror, got ${s1.mode}")
+    val a = spark.read.format(Fmt).option("path", dst).load()
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val b = spark.read.format(Fmt).option("path", src).load()
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "mirror must equal the new-lineage source exactly")
+  }
+
   test("a span with a source DELETE re-bootstraps the view — the add " +
       "feed cannot retract") {
     val src = tmp(); val mv = tmp()
