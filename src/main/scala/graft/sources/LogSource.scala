@@ -4109,9 +4109,11 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
   private var pinned: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
     pinned = Some(GraftLog.currentVersion(dir))
-  override def initialOffset(): StreamOffset = GraftLogOffset(startVersion)
+  override def initialOffset(): StreamOffset =
+    GraftLogOffset(startVersion, GraftLog.lineageOf(dir))
   override def latestOffset(): StreamOffset =
-    GraftLogOffset(pinned.getOrElse(GraftLog.currentVersion(dir)))
+    GraftLogOffset(pinned.getOrElse(GraftLog.currentVersion(dir)),
+      GraftLog.lineageOf(dir))
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
   // option("maxVersionsPerBatch", k) caps each micro-batch at k
   // versions — the throttled-backfill knob (Delta maxFilesPerTrigger):
@@ -4124,10 +4126,10 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
     val head = pinned.getOrElse(GraftLog.currentVersion(dir))
     val s = start.asInstanceOf[GraftLogOffset].version
     GraftLogOffset(maxVersionsPerBatch.fold(head)(k =>
-      math.min(head, s + math.max(1L, k))))
+      math.min(head, s + math.max(1L, k))), GraftLog.lineageOf(dir))
   }
   override def deserializeOffset(json: String): StreamOffset =
-    GraftLogOffset(json.toLong)
+    GraftLogOffset.parse(json)
   override def commit(end: StreamOffset): Unit = ()
   // Typed mode (`readChangeFeed=true` on readStream — Delta's
   // streaming CDF): each micro-batch is the TYPED change plan for its
@@ -4142,8 +4144,21 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
   // (replication, CDC merge) rely on.
   override def planInputPartitions(start: StreamOffset,
       end: StreamOffset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftLogOffset].version
+    val so = start.asInstanceOf[GraftLogOffset]
+    val s = so.version
     val e = end.asInstanceOf[GraftLogOffset].version
+    // a checkpointed offset from a RETIRED lineage cannot resume: the
+    // source was overwritten, versions restarted, and draining
+    // (s, head] of the new lineage would silently skip its first s
+    // versions (Delta's failOnDataLoss contract — restart from a
+    // fresh checkpoint or re-seed the consumer)
+    val lineage = GraftLog.lineageOf(dir)
+    if (so.lineage != lineage)
+      throw new IllegalStateException(
+        s"streaming checkpoint for $dir holds offset v$s of a " +
+          "RETIRED lineage (the table was overwritten since the " +
+          "checkpoint) — the span cannot be replayed; restart the " +
+          "query from a fresh checkpoint")
     // a checkpointed offset below the retained horizon cannot replay
     // (expire-log truncated those commits) — fail the query loudly
     // instead of silently serving only the surviving tail
@@ -4158,8 +4173,27 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
   override def stop(): Unit = ()
 }
 
-case class GraftLogOffset(version: Long) extends StreamOffset {
-  override def json(): String = version.toString
+/** Streaming offset: a table version PLUS the lineage it belongs to
+  * (see [[GraftLog.LineageProp]]) — a version number is meaningless
+  * across an overwrite, so a restarted query whose checkpoint
+  * predates a source overwrite must fail loudly instead of silently
+  * draining a fragment of the new lineage. Legacy checkpoints (plain
+  * version JSON) parse with an empty lineage, which equals the tag of
+  * any never-overwritten source — so they keep resuming unchanged,
+  * and start failing exactly when an overwrite actually happened. */
+case class GraftLogOffset(version: Long, lineage: String = "")
+    extends StreamOffset {
+  override def json(): String =
+    if (lineage.isEmpty) version.toString else s"$version@$lineage"
+}
+
+object GraftLogOffset {
+  def parse(json: String): GraftLogOffset = {
+    val i = json.indexOf('@')
+    if (i < 0) GraftLogOffset(json.toLong)
+    else GraftLogOffset(json.substring(0, i).toLong,
+      json.substring(i + 1))
+  }
 }
 
 object GraftLogScan {

@@ -117,6 +117,37 @@ class IvmHardeningSpec extends SparkSpec {
     assert(a == b, "mirror must equal the new-lineage source exactly")
   }
 
+  test("a streaming checkpoint from a retired lineage fails loudly " +
+      "on resume instead of draining a new-lineage fragment") {
+    val src = tmp(); val sink = tmp(); val ckpt = tmp()
+    spark.range(0, 100).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt).option("path", src).load()
+        .writeStream.format(Fmt).option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain() // offset committed at the OLD lineage's head
+    // overwrite restarts the version axis, then grow past the offset
+    spark.range(900, 950).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("overwrite").save()
+    spark.range(950, 1000).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    spark.range(1000, 1050).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m =>
+      m != null && m.contains("RETIRED lineage")),
+      s"resume must fail on the lineage change: ${chain(err)}")
+  }
+
   test("a span with a source DELETE re-bootstraps the view — the add " +
       "feed cannot retract") {
     val src = tmp(); val mv = tmp()
