@@ -514,6 +514,11 @@ object Corpus {
     // (no join, no shuffle), explode, substr: linear in output size.
     "corpus_chunk" -> ((s, d) =>
       Tables.documents(s, d)
+        // empty docs produce NO chunks (the oracle's range(1,1,150)
+        // is empty) — and Spark's `sequence` THROWS on 1..0, so the
+        // guard is also what keeps a degenerate document from
+        // failing the whole query
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")), lit(150)))
             .as("chunk_start"))
@@ -822,25 +827,33 @@ object Corpus {
     // gradient quality dies on ordered data). The key is md5 of a
     // salted doc_id — identical bytes in any engine, so a resumed or
     // re-run job replays the exact order. Scale shape: a global sort
-    // by hash key IS the operator (range-partitioned sort, the one
-    // thing a training-order shuffle fundamentally requires); the
-    // consecutive ordinal is materialized distributedly — range-
-    // repartition on the key, number within each range partition in
-    // parallel, then add broadcast per-partition prefix offsets (a
-    // P-row side table, P = parallelism not data size). No row ever
-    // funnels through a single-partition window, so the same plan
-    // runs at 100 TB: two metadata-sized passes over per-range counts.
+    // by hash key IS the operator; the consecutive ordinal is
+    // materialized distributedly — bucket on a DETERMINISTIC prefix
+    // of the key (uniform because md5 is, monotone in key order),
+    // number within each bucket in parallel, then add broadcast
+    // per-bucket prefix offsets (a P-row side table, P = bucket
+    // count, not data size). No row ever funnels through a
+    // single-partition window, so the same plan runs at 100 TB: two
+    // metadata-sized passes over per-bucket counts.
     "corpus_train_order" -> ((s, d) => {
       val keyed = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
             .as("shuffle_key"))
-      // md5 hex keys collide with probability ~0, but the reference
-      // ordinal must be total: break ties on doc_id so the permutation
-      // is deterministic for ANY range boundaries the sampler picks.
+      // The range bucket is DETERMINISTIC — the first hex byte of the
+      // md5 key (uniform by construction, monotone in key order) —
+      // not a sampled RangePartitioner boundary: the offsets subtree
+      // and the join's left side each evaluate this frame, and two
+      // independent samplings could pick different boundaries beyond
+      // reservoir scale (no ReuseExchange guarantee), silently
+      // breaking the permutation. A pure function of the row can
+      // never disagree with itself. 256 buckets ride the ordinary
+      // hash exchange; ties still break on doc_id so the order is
+      // total.
       val local = keyed
-        .repartitionByRange(32, col("shuffle_key"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
+        .withColumn("pid",
+          conv(substring(col("shuffle_key"), 1, 2), 16, 10).cast("int"))
+        .repartition(col("pid"))
         .withColumn("lrn", row_number().over(
           Window.partitionBy(col("pid"))
             .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))

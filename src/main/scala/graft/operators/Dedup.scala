@@ -91,12 +91,26 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     signaturesFrom(wordShingleSets(docs))
 
+  /** Estimated Jaccard from two minhash signature arrays — the
+    * fraction of agreeing hash slots. The SINGLE definition both the
+    * batch candidate generator and the incremental index maintenance
+    * score with: they must never drift, or the incrementally
+    * maintained artifact stops equaling the recomputed one. */
+  private def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
+
+  /** The LSH candidate threshold, shared batch + incremental. */
+  private val EstThreshold = 0.35
+
   /** Candidate near-dup pairs via LSH banding over precomputed
-    * signatures, scored by signature agreement (estimated Jaccard =
-    * fraction of equal minhashes). */
+    * signatures, scored by signature agreement. */
   private def pairsFromSignatures(sigFrame: DataFrame,
       minEstJaccard: Double): DataFrame = {
-    val sigs = sigFrame.cache()
+    // the callers pass already-materialized frames (localCheckpointed
+    // artifacts, or minhashPairs' eager checkpoint) — caching here
+    // again would double-pin the data and leak past the call
+    val sigs = sigFrame
     val buckets = sigs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bucket")))
     val cands = buckets.as("l")
@@ -110,16 +124,18 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / NumHashes)
-          .as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** Candidate near-dup pairs via LSH banding, with estimated Jaccard. */
+  /** Candidate near-dup pairs via LSH banding, with estimated Jaccard.
+    * The signatures are eagerly checkpointed: the pair plan references
+    * them three times (two bucket sides + the score join), and unlike
+    * a bare `.cache()` the checkpoint needs no explicit unpersist
+    * lifecycle across repeated calls. */
   def minhashPairs(docs: DataFrame, minEstJaccard: Double): DataFrame =
-    pairsFromSignatures(minhashSignatures(docs), minEstJaccard)
+    pairsFromSignatures(minhashSignatures(docs).localCheckpoint(),
+      minEstJaccard)
 
   /** Attach exact word-shingle Jaccard to candidate pairs — the
     * candidate-generate → exact-verify chain a production dedup run
@@ -180,7 +196,7 @@ object Dedup {
   /** LSH candidate pairs (est Jaccard >= 0.35) off the cached index. */
   private def lshCandidates(s: SparkSession, d: String): DataFrame =
     artifact(s, d, "cands")(
-      pairsFromSignatures(cachedSignatures(s, d), 0.35))
+      pairsFromSignatures(cachedSignatures(s, d), EstThreshold))
 
   private def exactNearDupPairs(s: SparkSession, d: String): DataFrame =
     artifact(s, d, "verified")(
@@ -262,6 +278,18 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iter += 1
     }
+    // LOUD on non-convergence: min-label propagation moves a label one
+    // hop per round, so a component with diameter > the cap would exit
+    // here with intermediate labels — splitting one cluster into
+    // several "survivors" and silently KEEPING duplicates. Real
+    // near-dup clusters are diameter 2-3; hitting this means the data
+    // is adversarial (a 20+-hop drift chain) and needs the
+    // large-star/small-star contraction, not a partial answer.
+    require(!changed,
+      "near-dup cluster resolution did not converge within " +
+        s"$iter label-propagation rounds (a connected component with " +
+        "diameter beyond the cap) — refusing to return partial " +
+        "labels that would silently keep duplicate documents")
     docs.select(col("doc_id"))
       .join(labels, docs("doc_id") === labels("id"), "left")
       .select(col("doc_id"),
@@ -356,11 +384,8 @@ object Dedup {
           sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
             .join(broadcast(cands), "doc_a")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (a, b) => when(a === b, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast("double") / NumHashes)
-            .as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.35)
+          estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= EstThreshold)
       attachExactJaccard(est, cachedShingles(s, d))
         .filter(col("exact_jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), col("exact_jaccard"))
@@ -410,7 +435,10 @@ object Dedup {
     // and candidates come from the LSH band index instead of a full
     // scan — the same candidate-generate shape as the dedup chain.
     "corpus_hard_negatives" -> ((s, d) => {
-      val sh = wordShingleSets(Tables.documents(s, d))
+      // the ingest-time shingle artifact already holds exactly this
+      // frame — recomputing it here paid the dominant dedup cost
+      // (tokenize -> shingle -> distinct over the corpus) per run
+      val sh = cachedShingles(s, d)
       val anchors = sh.filter(col("doc_id") < 8)
         .select(col("doc_id").as("anchor_id"), col("sh").as("a_sh"),
           col("sz").as("a_sz"))

@@ -134,23 +134,23 @@ class PlanShapeSpec extends SparkSpec {
       p.take(1200))
   }
 
-  test("train order: distributed numbering — range sort + offsets, " +
-      "no corpus-wide single-partition window") {
+  test("train order: distributed numbering — deterministic buckets " +
+      "+ offsets, no corpus-wide single-partition window") {
     // a training-order shuffle IS a global sort by the md5 key, and
-    // the consecutive ordinal must materialize DISTRIBUTEDLY: range-
-    // repartition the corpus, number within partitions (window keyed
-    // on pid — never an empty/constant partition spec over document
-    // rows), broadcast-join the P-row prefix offsets back. The only
-    // single-partition window allowed is the one over the P-row
-    // offsets frame itself.
+    // the consecutive ordinal must materialize DISTRIBUTEDLY: bucket
+    // on a DETERMINISTIC key prefix (a pure function of the row — a
+    // sampled RangePartitioner boundary could differ between the two
+    // subtrees that evaluate the frame), number within buckets
+    // (window keyed on pid — never an empty/constant partition spec
+    // over document rows), broadcast-join the P-row prefix offsets
+    // back. The only single-partition window allowed is the one over
+    // the P-row offsets frame itself.
     val df = SparkEntry.queries("corpus_train_order")(spark, sf001)
-    // materialize first: the offsets branch re-references the ranged
-    // corpus, and only the FINAL adaptive plan shows AQE collapsing
-    // that second reference into a ReusedExchange/ReusedShuffle —
-    // one physical scan + one range shuffle feed both consumers
+    // materialize first: only the FINAL adaptive plan shows the
+    // runtime shuffle stages
     assert(df.collect().nonEmpty)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("Exchange rangepartitioning"), p.take(1200))
+    assert(p.contains("Exchange hashpartitioning(pid"), p.take(1200))
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     // the per-document window is partitioned by pid — the corpus
     // never funnels through one task
