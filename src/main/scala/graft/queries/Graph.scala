@@ -104,18 +104,61 @@ object Graph {
         .filter(col("support") >= 2)
         .select(col("pa"), col("pb")))
 
-  /** Broadcast hint gated on the session's broadcast switch: with
-    * `spark.sql.autoBroadcastJoinThreshold = -1` (the operational
-    * lever for "the adjacency outgrew the executors" at 100× scale)
-    * the hint is DROPPED and every adjacency-sized join falls back to
-    * sort-merge on its keys — same plan shape, orientation still
-    * bounds the wedge intermediate. GraphSpec pins row-identical
-    * triangle counts on that path so the documented fallback cannot
-    * bit-rot. Scalar/1-row frames stay unconditionally hinted. */
-  private def bcast(s: SparkSession, df: DataFrame): DataFrame =
-    if (s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        .trim == "-1") df
-    else broadcast(df)
+  /** Parse a Spark byte-string conf value ("64MB", "10485760");
+    * negative / unparsable reads as -1 (the kill-switch sentinel). */
+  private def bytesOf(v: String): Long = {
+    val t = if (v == null) "" else v.trim
+    if (t.isEmpty || t.startsWith("-")) -1L
+    else try org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(t)
+    catch { case _: NumberFormatException => -1L }
+  }
+
+  /** Spark's out-of-the-box autoBroadcastJoinThreshold (10 MB). */
+  private val SparkDefaultThreshold = 10L << 20
+
+  /** The broadcast budget for graph-shaped build sides, resolved in
+    * order: 0 when the session's broadcast switch is off
+    * (`autoBroadcastJoinThreshold = -1` stays an operational kill
+    * switch); the explicit `spark.graft.graph.broadcastBytes` when
+    * set; a TUNED session threshold exactly as tuned (the operator
+    * follows the user's sizing decision, both the pin's 1 KB and a
+    * production 256 MB); else — untouched 10 MB default — 64 MB:
+    * adjacency/rank/survivor frames are built once and probed by
+    * every task, so they earn a bigger budget than Spark's
+    * conservative default for generic un-hinted relations, while
+    * staying far under any executor's memory and Spark's own
+    * broadcast limits. */
+  private def adjCap(s: SparkSession): Long = {
+    val sess = bytesOf(
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    if (sess <= 0L) 0L
+    else Option(s.conf.get("spark.graft.graph.broadcastBytes", null))
+      .map(bytesOf).filter(_ > 0L)
+      .getOrElse(
+        if (sess != SparkDefaultThreshold) sess else 64L << 20)
+  }
+
+  /** STATS-DRIVEN broadcast hint: the caller passes an estimated
+    * in-memory size for the build side (computed from the degree /
+    * edge aggregates the query already materializes — nodes × row
+    * overhead + adjacency entries × 8), and the hint is applied only
+    * while the estimate fits [[adjCap]]. Past the budget — the
+    * celebrity-adjacency case at 100× scale, where a node-sized array
+    * frame reaches GBs — the join falls back to sort-merge on its
+    * keys AUTOMATICALLY, with no conf to remember: a forced hint
+    * would override Spark's own size check and OOM the driver. Same
+    * plan shape either way (orientation still bounds the wedge
+    * intermediate); GraphSpec pins row-identical results on the
+    * fallback AND pins that an over-budget estimate actually takes
+    * it. estBytes = 0 (provably tiny frames: hot-id slivers, scalar
+    * rows) keeps the unconditional hint, gated only by the session
+    * kill switch. */
+  private def bcast(s: SparkSession, df: DataFrame,
+      estBytes: Long = 0L): DataFrame = {
+    val cap = adjCap(s)
+    if (cap <= 0L || estBytes > cap) df else broadcast(df)
+  }
 
   /** Neighbor-set Jaccard for every edge of `e` (`pa`/`pb` columns,
     * pa < pb), with a DEGREE CAP bounding task memory: adjacency
@@ -138,18 +181,26 @@ object Graph {
       cap: Int = 4096): DataFrame = {
     val dir = e.select(col("pa").as("u"), col("pb").as("v"))
       .union(e.select(col("pb").as("u"), col("pa").as("v")))
+    // The degree aggregate is checkpointed ONCE and everything
+    // size-shaped derives from it for free: the hot (over-cap) node
+    // set — the build side of FOUR broadcast joins (the anti/semi
+    // pair, each distributed over the union's two branches) — and the
+    // EXACT adjacency sizing (nodes, capped entries) that gates the
+    // adjacency broadcasts below. Only nodes OVER the cap pay for the
+    // hash-rank window: the over-cap set is tiny by construction
+    // (≤ 2|E|/cap — a handful of celebrities), so it broadcasts, and
+    // the under-cap bulk flows straight to collect_set with no sort.
     val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // Only nodes OVER the cap pay for the hash-rank window: the
-    // over-cap node set is tiny by construction (≤ 2|E|/cap — a
-    // handful of celebrities), so it broadcasts, and the under-cap
-    // bulk flows straight to collect_set with no sort. Charging every
-    // node for the window doubled this query's cost for nothing at
-    // any scale where the cap actually matters. Eagerly checkpointed:
-    // it is the build side of FOUR broadcast joins (the anti/semi
-    // pair, each distributed over the union's two branches), and
-    // without materialization each branch would recompute the full
-    // degree aggregate.
-    val hot = deg.filter(col("deg") > cap).localCheckpoint()
+      .localCheckpoint()
+    val dims = deg.agg(count(lit(1)).as("n"),
+      sum(least(col("deg"), lit(cap))).as("entries")).head()
+    val nNodes = dims.getLong(0)
+    val entries = if (dims.isNullAt(1)) 0L else dims.getLong(1)
+    // UnsafeRow-ish budget: ~56 B/row of fixed overhead + 8 B per
+    // adjacency entry — exact counts, so the gate trips exactly when
+    // the real relation would bloat
+    val adjEst = nNodes * 56L + entries * 8L
+    val hot = deg.filter(col("deg") > cap)
     val hotIds = hot.select(col("u"))
     val cold = dir.join(bcast(s, hotIds), Seq("u"), "left_anti")
     val trimmed = dir.join(bcast(s, hotIds), Seq("u"), "left_semi")
@@ -169,9 +220,9 @@ object Graph {
       .select(col("u"), col("nbrs"),
         coalesce(col("hotDeg"), col("degLocal")).as("deg"))
     e.join(bcast(s, adj.select(col("u").as("pa"),
-        col("nbrs").as("na"), col("deg").as("da"))), "pa")
+        col("nbrs").as("na"), col("deg").as("da")), adjEst), "pa")
       .join(bcast(s, adj.select(col("u").as("pb"),
-        col("nbrs").as("nb"), col("deg").as("db"))), "pb")
+        col("nbrs").as("nb"), col("deg").as("db")), adjEst), "pb")
       .select(col("pa"), col("pb"),
         size(array_intersect(col("na"), col("nb"))).as("inter"),
         col("da"), col("db"))
@@ -225,11 +276,19 @@ object Graph {
       // arrays intersects neighbor SETS; the corner id unpacks with
       // one mask. A node of maximal rank has no out-edges and no adj
       // row — hence the left join + empty-array coalesce.
+      // adjacency sizing off the checkpointed edge artifact — one
+      // partial-agg job (no shuffle): entries = |oriented edges|
+      // exactly, rows ≈ distinct sources; feeds the stats-driven
+      // broadcast gate so an over-budget adjacency auto-falls-back
+      val odims = o.agg(count(lit(1)).as("m"),
+        approx_count_distinct(col("src")).as("n")).head()
+      val adjEst = odims.getLong(1) * 56L + odims.getLong(0) * 8L
       val adj = o.groupBy(col("src"))
         .agg(sort_array(collect_list(col("rk"))).as("nbrs"))
       o.as("e")
-        .join(bcast(s, adj).as("x"), col("e.src") === col("x.src"))
-        .join(bcast(s, adj).as("y"),
+        .join(bcast(s, adj, adjEst).as("x"),
+          col("e.src") === col("x.src"))
+        .join(bcast(s, adj, adjEst).as("y"),
           col("e.dst") === col("y.src"), "left")
         .select(col("e.src").as("u"), col("e.dst").as("w"),
           array_intersect(col("x.nbrs"),
@@ -257,13 +316,19 @@ object Graph {
         .union(e.select(col("pb").as("u"), col("pa").as("v")))
       val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
+      // the rank vector is NODE-sized: its broadcast is gated on the
+      // exact node count (one tiny job over the checkpointed degrees)
+      // so a 100×-catalog run auto-falls-back to a shuffled join
+      // instead of force-broadcasting a GB-sized vector
+      val rankEst = deg.count() * 48L
       val n = deg.agg(count(lit(1)).as("n"))
       var ranks = deg.crossJoin(broadcast(n))
         .select(col("u").as("v"), (lit(1.0) / col("n")).as("r"))
       for (_ <- 1 to 3) {
         val perNode = ranks.join(deg, ranks("v") === deg("u"))
           .select(ranks("v").as("cu"), (col("r") / col("deg")).as("c"))
-        val contrib = dir.join(bcast(s, perNode), col("u") === col("cu"))
+        val contrib = dir.join(bcast(s, perNode, rankEst),
+            col("u") === col("cu"))
           .groupBy(col("v"))
           .agg(sum(col("c").cast("decimal(18,10)")).as("srank"))
         ranks = contrib.crossJoin(broadcast(n))
@@ -294,18 +359,30 @@ object Graph {
     "graph_kcore_peel" -> ((s, d) => {
       val k = 2
       val e0 = supportEdges(s, d)
+      // survivor sets only SHRINK across rounds, so one node-count
+      // bound off the checkpointed support-edge artifact (a partial
+      // agg, no shuffle) gates every per-round broadcast: at a 100×
+      // catalog the node-sized survivor frame falls back to shuffled
+      // joins automatically
+      val survEst = e0.agg(
+        (approx_count_distinct(col("pa")) +
+          approx_count_distinct(col("pb"))).as("n")).head().getLong(0) * 40L
       var surv = degrees(e0).filter(col("deg") >= k).select(col("v"))
       var e = e0
       for (_ <- 1 to 3) {
         e = e
-          .join(bcast(s, surv.withColumnRenamed("v", "pa")), "pa")
-          .join(bcast(s, surv.withColumnRenamed("v", "pb")), "pb")
+          .join(bcast(s, surv.withColumnRenamed("v", "pa"), survEst),
+            "pa")
+          .join(bcast(s, surv.withColumnRenamed("v", "pb"), survEst),
+            "pb")
           .localCheckpoint()
         surv = degrees(e).filter(col("deg") >= k).select(col("v"))
       }
       val ef = e
-        .join(bcast(s, surv.withColumnRenamed("v", "pa")), "pa")
-        .join(bcast(s, surv.withColumnRenamed("v", "pb")), "pb")
+        .join(bcast(s, surv.withColumnRenamed("v", "pa"), survEst),
+          "pa")
+        .join(bcast(s, surv.withColumnRenamed("v", "pb"), survEst),
+          "pb")
       degrees(ef).select(col("v").as("part"), col("deg").as("core_deg"))
     }),
 
@@ -338,10 +415,17 @@ object Graph {
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
       val item = op.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      // item supports are catalog-sized: gate their broadcast on the
+      // distinct-part estimate (partial agg over the checkpointed
+      // projection, no shuffle) so a 100× catalog auto-falls-back
+      val itemEst = op.agg(approx_count_distinct(col("p")).as("n"))
+        .head().getLong(0) * 40L
       val total = op.agg(countDistinct(col("o")).as("n_orders"))
       pairs
-        .join(bcast(s, item.select(col("p").as("pa"), col("n_item").as("n_a"))), "pa")
-        .join(bcast(s, item.select(col("p").as("pb"), col("n_item").as("n_b"))), "pb")
+        .join(bcast(s, item.select(col("p").as("pa"),
+          col("n_item").as("n_a")), itemEst), "pa")
+        .join(bcast(s, item.select(col("p").as("pb"),
+          col("n_item").as("n_b")), itemEst), "pb")
         .crossJoin(broadcast(total))
         .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
           (col("n_ab").cast("double") * col("n_orders") /

@@ -1300,6 +1300,44 @@ object GraftLog {
   def lineageOf(dir: String): String =
     propertiesOf(dir).getOrElse(LineageProp, "")
 
+  /** Consistent (currentVersion, lineage) pair — ONE planning-time
+    * read instead of several per micro-batch, and atomic against an
+    * overwrite racing between the two file reads: the lineage is
+    * re-read after the version and the pair retried on mismatch, so a
+    * new-lineage version can never be stamped with the old lineage
+    * tag (which would let a checkpointed offset silently cross the
+    * overwrite). */
+  def versionAndLineage(dir: String): (Long, String) = {
+    var attempts = 0
+    while (true) {
+      val before = lineageOf(dir)
+      val v = currentVersion(dir)
+      val after = lineageOf(dir)
+      if (before == after || attempts >= 4) return (v, after)
+      attempts += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** THE lineage guard every consumer that persists an applied-through
+    * version of a source table must pass (see [[LineageProp]]): the
+    * marker is meaningful only when the lineage tag persisted beside
+    * it matches the source's CURRENT lineage. Mismatch (the source
+    * was overwritten since the marker) returns None — the caller
+    * re-bootstraps (materialized view, replication) or fails loudly
+    * (streaming offsets, which cannot re-seed a checkpoint). Marker
+    * ABSENCE stays caller-domain: -1 means "no marker yet" for the
+    * txn-marker consumers but is a real "from the beginning" offset
+    * for the stream. One definition, three consumers — a fourth
+    * consumer adopts the guard by construction, not by convention. */
+  def guardedMarker(marker: Long, markerLineage: String,
+      srcLineage: String): Option[Long] =
+    if (markerLineage == srcLineage) Some(marker) else None
+
+  def guardedMarker(srcDir: String, marker: Long,
+      markerLineage: String): Option[Long] =
+    guardedMarker(marker, markerLineage, lineageOf(srcDir))
+
   def propertiesOf(dir: String): Map[String, String] = {
     val f = new File(dir, PropsFile)
     if (!f.exists()) Map.empty
@@ -1848,187 +1886,119 @@ object GraftLog {
 
     def writeGroup(entries: Seq[LogEntry],
         pv: Option[(String, Any)]): Seq[LogEntry] = {
-      // An input with a deletion vector may have LOST its extremum:
-      // folding its pre-delete min/max would stamp stale stats on the
-      // compacted file, where (the DV gone) the metadata aggregate
-      // path would serve them as exact. No stats = the scan reads the
-      // file — conservative, never wrong. When stats fold, every
-      // rolled output carries the GROUP's [min, max] — wider than the
-      // file's true range but sound for skipping, and the global
-      // MIN/MAX fold over the group still returns the exact extremes.
-      val mergedStats =
-        if (entries.exists(_.stats.isEmpty) ||
-            entries.exists(e => GraftLog.dvOf(e).isDefined))
-          Map.empty[String, (String, String)]
-        else {
-          // min/max under each input's file-LOCAL name (pre-rename
-          // files keyed them under the former name), re-keyed to the
-          // current name on the compacted output; unparseable stats
-          // (NaN) drop the column's fold instead of crashing
-          def localStat(e: LogEntry, f: StructField) =
-            GraftLog.decStat(e,
-              GraftLog.fileLocalName(schema, e, f.name))
-          schema.fields.collect {
-            case f if entries.forall(localStat(_, f).isDefined) =>
-              val mn = entries.map(localStat(_, f).get._1).min
-              val mx = entries.map(localStat(_, f).get._2).max
-              f.name -> (mn.toPlainString, mx.toPlainString)
-          }.toMap
-        }
       val pvStat = pv.fold(Map.empty[String, (String, String)]) {
         case (c, v) => Map(GraftLogPartValue.key(c) ->
           GraftLogPartValue.encode(v))
       }
-      // Sketch stats FOLD across the group instead of dropping:
-      // blooms by bitwise OR (a sound superset of the union file, so
-      // string-equality skipping survives compaction), NDV registers
-      // by max (exactly the union's sketch), null counts by sum. An
-      // input with a DV drops NDV/nulls (its deleted rows polluted
-      // both) but keeps the bloom fold — a superset stays sound. An
-      // evolved input missing a column contributes an empty sketch
-      // and all-null rows, which is exactly what its rewritten rows
-      // hold. Outputs that ROLL each carry the group-level fold —
-      // wider than the file's true set, still sound for skipping and
-      // still exact under the planning-time merge (max of identical
-      // sketches is the sketch).
-      val groupNoDv = entries.forall(e => GraftLog.dvOf(e).isEmpty)
-      val sketchStats: Map[String, (String, String)] =
-        schema.fields.flatMap { f =>
-          // pre-rename input files key the column's bloom/sketch/null
-          // stats under the former name — fold THOSE into the output's
-          // current-name keys (the compacted file is written in the
-          // current layout, so its stats re-key along with its cells)
-          def localKey(e: LogEntry,
-              key: String => String): String =
-            key(GraftLog.fileLocalName(schema, e, f.name))
-          val bk = GraftLogBloom.key(f.name)
-          val bloom =
-            if (f.dataType == StringType && entries.forall(e =>
-                e.stats.get(localKey(e, GraftLogBloom.key)).exists(
-                  h => GraftLogBloom.validHex(h._1))))
-              // Inputs may carry different NDV-chosen sizes: fold each
-              // down to the SMALLEST input's size (always sound — a
-              // fold is a coarser bloom), then OR at that size.
-              Some(bk -> (GraftLogBloom.serialize(
-                entries.map(e => GraftLogBloom.deserialize(
-                    e.stats(localKey(e, GraftLogBloom.key))._1))
-                  .reduce { (a, b) =>
-                    val w = math.min(a.length, b.length)
-                    val fa = GraftLogBloom.foldTo(a, w)
-                    val fb = GraftLogBloom.foldTo(b, w)
-                    Array.tabulate(w)(i => fa(i) | fb(i))
-                  }), "v1"))
-            else None
-          def sketchOf(e: LogEntry): Option[Array[Byte]] = {
-            val local = GraftLog.fileLocalName(schema, e, f.name)
-            if (e.cols.nonEmpty && !e.cols.contains(local))
-              Some(new Array[Byte](GraftLogNdv.M))
-            else GraftLogNdv.of(e, local)
-          }
-          def nullsOf(e: LogEntry): Option[Long] = {
-            val local = GraftLog.fileLocalName(schema, e, f.name)
-            if (e.cols.nonEmpty && !e.cols.contains(local))
-              Some(math.max(e.rows, 0L))
-            else GraftLogNdv.nullsOf(e, local)
-          }
-          val ndv =
-            if (groupNoDv && entries.forall(sketchOf(_).isDefined))
-              Some(GraftLogNdv.key(f.name) -> (GraftLogNdv.serialize(
-                entries.map(sketchOf(_).get)
-                  .reduce(GraftLogNdv.merge)), "v1"))
-            else None
-          val nulls =
-            if (groupNoDv && entries.forall(nullsOf(_).isDefined))
-              Some(GraftLogNdv.nullsKey(f.name) ->
-                (entries.map(nullsOf(_).get).sum.toString, "n"))
-            else None
-          bloom.toSeq ++ ndv.toSeq ++ nulls.toSeq
-        }.toMap
+      // Every output file's stats are computed EXACTLY from the cells
+      // streaming through it — the same [[GraftLogCellStats]] tracker
+      // the append writer runs — never folded from the inputs'
+      // manifest entries. Folding was unsound whenever an input
+      // carried a deletion vector (the deleted rows may have held the
+      // extremum / distinct values / nulls), so it had to drop ALL
+      // stats in exactly the post-DELETE case maintenance exists for:
+      // the big compacted files a maintained 100 TB table is mostly
+      // made of lost range skipping, metadata-only MIN/MAX/COUNT, and
+      // CBO cardinalities. Recomputing is exact for every input
+      // vintage (DV'd, evolved, renamed — the cells are already
+      // remapped to the current layout below), gives each ROLLED
+      // output its own file-tight range instead of the group-wide
+      // fold, and keeps the exact additive null count on every output.
       val done = scala.collection.mutable.ArrayBuffer.empty[LogEntry]
       val curTypes = schema.fields.map(_.dataType).toSeq
       var outName: String = null
       var out: GraftColFile.Writer = null
+      var tracker: GraftLogCellStats = null
       def open(): Unit = {
         outName = s"part-${UUID.randomUUID()}${GraftColFile.Extension}"
         out = new GraftColFile.Writer(Paths.get(dir, outName),
           curCols, curTypes)
+        tracker = new GraftLogCellStats(schema)
       }
       def closeCurrent(): Unit = if (out != null) {
         val raw = out.rawChars
         val rows = out.finish()
         done += LogEntry.add(-1L, outName, rows,
-          mergedStats ++ sketchStats ++ pvStat +
+          tracker.finish() ++ pvStat +
             (GraftLog.RawBytesKey -> (raw.toString, "n")),
           dataChange = false, cols = curCols)
         out = null
+        tracker = null
       }
       def writeLine(l: String): Unit = {
         if (out == null) open()
         // current-layout lines carry exactly curCols cells; a short
         // split (trailing empties) pads with the null sentinel
         val cells = l.split("\t", -1)
-        out.write(
+        val full =
           if (cells.length == curCols.length) cells
           else Array.tabulate(curCols.length)(i =>
-            if (i < cells.length) cells(i) else NullCell))
+            if (i < cells.length) cells(i) else NullCell)
+        tracker.add(full)
+        out.write(full)
         if (out.rawChars >= targetBytes) closeCurrent()
       }
       // Rewrite every live row into the CURRENT column layout: a file
       // written before an evolution has fewer cells, so its rows pad
       // the later columns with the null sentinel. Files already in the
       // current layout stream through unmodified.
-      try entries.foreach { e =>
-        val fileCols = if (e.cols.nonEmpty) e.cols else curCols
-        val remap: Option[Array[Int]] =
-          if (fileCols == curCols) None
-          else Some(schema.fields.map(f =>
-            fileCols.indexOf(
-              GraftLog.fileLocalName(schema, e, f.name))).toArray)
-        // materialize the file's deletion vector: DV'd ordinals are
-        // dropped here and the compacted output carries no DV — the
-        // maintenance pass that keeps DVs from accumulating (Delta's
-        // PURGE inside OPTIMIZE)
-        val dvArr = GraftLog.dvOf(e)
-          .map { case (f, _) => GraftLogDv.read(dir, f) }
-          .getOrElse(Array.empty[Long])
-        var dvPtr = 0
-        var ord = -1L
-        val in = GraftLogReaderFactory.openLines(dir, e.file)
-        try {
-          var line = in.readLine()
-          while (line != null) {
-            if (line.nonEmpty) {
-              ord += 1
-              if (dvPtr < dvArr.length && dvArr(dvPtr) == ord)
-                dvPtr += 1
-              else {
-              val outLine = remap match {
-                case None => line
-                case Some(idx) =>
-                  val cells = line.split("\t", -1)
-                  idx.map(i => if (i < 0) NullCell else cells(i))
-                    .mkString("\t")
+      try {
+        try entries.foreach { e =>
+          val fileCols = if (e.cols.nonEmpty) e.cols else curCols
+          val remap: Option[Array[Int]] =
+            if (fileCols == curCols) None
+            else Some(schema.fields.map(f =>
+              fileCols.indexOf(
+                GraftLog.fileLocalName(schema, e, f.name))).toArray)
+          // materialize the file's deletion vector: DV'd ordinals are
+          // dropped here and the compacted output carries no DV — the
+          // maintenance pass that keeps DVs from accumulating (Delta's
+          // PURGE inside OPTIMIZE)
+          val dvArr = GraftLog.dvOf(e)
+            .map { case (f, _) => GraftLogDv.read(dir, f) }
+            .getOrElse(Array.empty[Long])
+          var dvPtr = 0
+          var ord = -1L
+          val in = GraftLogReaderFactory.openLines(dir, e.file)
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                ord += 1
+                if (dvPtr < dvArr.length && dvArr(dvPtr) == ord)
+                  dvPtr += 1
+                else {
+                  val outLine = remap match {
+                    case None => line
+                    case Some(idx) =>
+                      val cells = line.split("\t", -1)
+                      idx.map(i => if (i < 0) NullCell else cells(i))
+                        .mkString("\t")
+                  }
+                  writeLine(outLine)
+                }
               }
-              writeLine(outLine)
-              }
+              line = in.readLine()
             }
-            line = in.readLine()
+          } finally in.close()
+        } finally closeCurrent()
+        // a group whose every row was DV-deleted still publishes one
+        // empty file so the group's partition record survives
+        // compaction
+        if (done.isEmpty) { open(); closeCurrent() }
+        done.toSeq
+      } catch {
+        // a failing group deletes its OWN already-closed outputs (and
+        // the open one) before propagating, so a parallel compaction's
+        // cleanup never strands them until vacuum
+        case t: Throwable =>
+          if (out != null) {
+            try out.abort() catch { case _: Throwable => () }
+            new File(dir, outName).delete()
           }
-        } finally in.close()
-      } finally closeCurrent()
-      // a group whose every row was DV-deleted still publishes one
-      // empty file so the group's partition record survives compaction
-      if (done.isEmpty) { open(); closeCurrent() }
-      // Group-level stats are idempotent under the planning-time merge
-      // (min/max fold, bloom OR, NDV register max) EXCEPT the null
-      // count, which is additive — stamping the group total on every
-      // rolled output would double-count it. One output keeps it;
-      // rolled outputs drop it (absent = unknown, never wrong).
-      if (done.length > 1) {
-        val nullKeys = schema.fields.map(f =>
-          GraftLogNdv.nullsKey(f.name)).toSet
-        done.toSeq.map(e => e.copy(stats = e.stats -- nullKeys))
-      } else done.toSeq
+          done.foreach(le => new File(dir, le.file).delete())
+          throw t
+      }
     }
 
     // Groups compact in PARALLEL (bounded pool): a partitioned table's
@@ -2057,11 +2027,22 @@ object GraftLog {
         try futs.flatMap(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            // reap whatever completed so a failed group never strands
-            // sibling groups' uncommitted outputs until vacuum
-            futs.foreach(f =>
-              try f.get().foreach(le => new File(dir, le.file).delete())
-              catch { case _: Throwable => () })
+            // Fail fast: stop the pool (queued groups never start,
+            // running ones get an interrupt) and CANCEL undone
+            // futures, so cleanup and error propagation don't block
+            // behind every remaining group's full rewrite. Then reap
+            // completed siblings' outputs; the failing group deleted
+            // its own files in writeGroup's catch. A running group
+            // that ignores the interrupt and completes after this
+            // sweep strands its files until vacuum — best-effort by
+            // design, same as any crashed writer.
+            pool.shutdownNow()
+            futs.foreach { f =>
+              if (!f.isDone) f.cancel(true)
+              else try f.get().foreach(le =>
+                new File(dir, le.file).delete())
+              catch { case _: Throwable => () }
+            }
             throw Option(e.getCause).getOrElse(e)
         } finally pool.shutdown()
       }
@@ -2174,9 +2155,15 @@ object GraftLog {
         val keys: Array[AnyRef] = keyRows.map(r =>
           new java.math.BigDecimal(r.get(0).toString): AnyRef)
         java.util.Arrays.sort(keys)
+        // canonical cell texts for the bloom probe (integral key
+        // columns carry per-file blooms since r12): a file whose
+        // [lo, hi] admits a key but whose bloom provably lacks every
+        // key is skipped — the post-compaction case, where ranges
+        // widen to the whole key span and stop discriminating
+        val keyCells = keyRows.map(_.get(0).toString)
         live.filter { e =>
-          GraftLog.decStat(e,
-              GraftLog.fileLocalName(schema, e, keyCol)) match {
+          val local = GraftLog.fileLocalName(schema, e, keyCol)
+          val inRange = GraftLog.decStat(e, local) match {
             case Some((lo, hi)) =>
               // any key in [lo, hi]? first key >= lo decides
               val i = {
@@ -2188,6 +2175,8 @@ object GraftLog {
                   .compareTo(hi) <= 0
             case None => true
           }
+          inRange && keyCells.exists(k =>
+            GraftLogBloom.mayContain(e, local, k))
         }
       } else {
         val lo = keyRows.map(r =>
@@ -3609,35 +3598,10 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
         blockChars)
     }
     private var rows = 0L
-    // Per-column min/max over the numeric columns, tracked as the
-    // rows stream through — the footer stats a columnar format
-    // collects for free, here paid as two compares per cell.
-    private val numericIdx = schema.fields.zipWithIndex.filter {
-      case (f, _) => f.dataType match {
-        case LongType | IntegerType | DoubleType => true
-        case _ => false
-      }
-    }
-    private val mins = Array.fill[Any](numericIdx.length)(null)
-    private val maxs = Array.fill[Any](numericIdx.length)(null)
-    // Per-string-column bloom (equality pruning index), built
-    // NDV-adaptively: exact value hashes bank in a 16 KB set while
-    // the column stays small (the common case for a partitioned
-    // task's per-value files — a task may hold 1000 of these), and
-    // spill to a max-resolution bit array past SpillLimit distinct.
-    // finish() materializes the right-sized array either way.
-    private val stringIdx = schema.fields.zipWithIndex
-      .filter(_._1.dataType == StringType)
-    private val bloomSets = Array.fill(stringIdx.length)(
-      new GraftLogBloom.PackedSet)
-    private val blooms =
-      new Array[Array[Long]](stringIdx.length)
-    // Per-column HLL NDV sketch + exact null count over EVERY column,
-    // fed from the same canonical cell encoding the TSV stores — the
-    // distinct-count stats a columnar footer can't even give you.
-    private val ndvRegs = Array.fill(schema.fields.length)(
-      new Array[Byte](GraftLogNdv.M))
-    private val nullCnt = new Array[Long](schema.fields.length)
+    // Per-column min/max, NDV-sized blooms, HLL sketches and null
+    // counts — the SAME tracker compaction runs over its rolled
+    // outputs, fed the canonical cells as they stream through.
+    private val tracker = new GraftLogCellStats(schema)
 
     def write(row: InternalRow): Unit = {
       val cells = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -3652,88 +3616,14 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
             s"graft-log does not encode $other")
         }
       }
-      var s = 0
-      while (s < numericIdx.length) {
-        val (f, i) = numericIdx(s)
-        val v: Any = if (row.isNullAt(i)) null else f.dataType match {
-          case LongType => row.getLong(i)
-          case IntegerType => row.getInt(i)
-          case DoubleType => row.getDouble(i)
-          case _ => null
-        }
-        def lt(a: Any, b: Any): Boolean = (a, b) match {
-          case (x: Long, y: Long) => x < y
-          case (x: Int, y: Int) => x < y
-          case (x: Double, y: Double) => x < y
-          case _ => false
-        }
-        if (mins(s) == null || lt(v, mins(s))) mins(s) = v
-        if (maxs(s) == null || lt(maxs(s), v)) maxs(s) = v
-        s += 1
-      }
-      var b = 0
-      while (b < stringIdx.length) {
-        val (_, i) = stringIdx(b)
-        if (!row.isNullAt(i)) {
-          val packed = GraftLogBloom.packedHash(
-            row.getUTF8String(i).toString)
-          if (blooms(b) != null) GraftLogBloom.addHashed(blooms(b), packed)
-          else if (!bloomSets(b).add(packed)) {
-            // spill: replay the banked exact hashes into a max-
-            // resolution array and stream from here on
-            val arr = new Array[Long](GraftLogBloom.MaxWords)
-            bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
-            GraftLogBloom.addHashed(arr, packed)
-            blooms(b) = arr
-            bloomSets(b) = null
-          }
-        }
-        b += 1
-      }
-      var c = 0
-      while (c < cells.length) {
-        if (row.isNullAt(c)) nullCnt(c) += 1
-        else GraftLogNdv.add(ndvRegs(c), cells(c))
-        c += 1
-      }
+      tracker.add(cells)
       out.write(cells)
       rows += 1
     }
 
     def finish(): GraftLogCommit = {
       out.finish()
-      val stats = numericIdx.indices.collect {
-        case s if mins(s) != null =>
-          numericIdx(s)._1.name ->
-            (mins(s).toString, maxs(s).toString)
-      }.toMap
-      // Materialize each bloom at the size its column's NDV actually
-      // needs (~10 bits/distinct): unspilled columns replay their
-      // EXACT banked hashes into a right-sized array; spilled ones
-      // fold the max-resolution array down per the HLL estimate. A
-      // low-cardinality file pays 64 stats bytes, a 10×-rows file
-      // KEEPS pruning power instead of saturating a fixed array.
-      val bloomStats = stringIdx.indices.map { b =>
-        val (f, i) = stringIdx(b)
-        val words =
-          if (blooms(b) != null)
-            GraftLogBloom.foldTo(blooms(b), GraftLogBloom.sizeFor(
-              GraftLogNdv.estimate(ndvRegs(i))) / 64)
-          else {
-            val arr = new Array[Long](
-              GraftLogBloom.sizeFor(bloomSets(b).size) / 64)
-            bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
-            arr
-          }
-        GraftLogBloom.key(f.name) ->
-          (GraftLogBloom.serialize(words), "v1")
-      }.toMap
-      val ndvStats = schema.fields.indices.flatMap { i =>
-        val n = schema.fields(i).name
-        Seq(GraftLogNdv.key(n) ->
-              (GraftLogNdv.serialize(ndvRegs(i)), "v1"),
-            GraftLogNdv.nullsKey(n) -> (nullCnt(i).toString, "n"))
-      }.toMap
+      val fileStats = tracker.finish()
       // the file's identity-partition value, when this is a
       // partitioned write — what the scan groups on for SPJ
       val pvStat = (partitionCol, partValue) match {
@@ -3744,7 +3634,7 @@ class GraftLogWriterFactory(dir: String, schema: StructType,
       val rawStat = Map(GraftLog.RawBytesKey ->
         (out.rawChars.toString, "n"))
       GraftLogCommit(file, rows,
-        stats ++ bloomStats ++ ndvStats ++ pvStat ++ rawStat,
+        fileStats ++ pvStat ++ rawStat,
         schema.fieldNames.toSeq)
     }
 
@@ -4105,15 +3995,23 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // Trigger.AvailableNow: pin the target offset at query start so the
   // run drains exactly the versions committed before it began, then
-  // stops — concurrent commits land in the next run.
-  private var pinned: Option[Long] = None
+  // stops — concurrent commits land in the next run. The pin carries
+  // version AND lineage as one consistent pair — each planning call
+  // reads the `_properties` file at most once (not several times per
+  // micro-batch on commit-dense streams), and an overwrite racing the
+  // reads can never stamp a new-lineage version with the old tag
+  // (GraftLog.versionAndLineage re-reads the lineage around the
+  // version and retries on mismatch).
+  private var pinned: Option[(Long, String)] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    pinned = Some(GraftLog.currentVersion(dir))
+    pinned = Some(GraftLog.versionAndLineage(dir))
   override def initialOffset(): StreamOffset =
-    GraftLogOffset(startVersion, GraftLog.lineageOf(dir))
-  override def latestOffset(): StreamOffset =
-    GraftLogOffset(pinned.getOrElse(GraftLog.currentVersion(dir)),
-      GraftLog.lineageOf(dir))
+    GraftLogOffset(startVersion,
+      pinned.map(_._2).getOrElse(GraftLog.lineageOf(dir)))
+  override def latestOffset(): StreamOffset = {
+    val (v, lin) = pinned.getOrElse(GraftLog.versionAndLineage(dir))
+    GraftLogOffset(v, lin)
+  }
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow):
   // option("maxVersionsPerBatch", k) caps each micro-batch at k
   // versions — the throttled-backfill knob (Delta maxFilesPerTrigger):
@@ -4123,10 +4021,11 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
   // option each batch drains to the head.
   override def latestOffset(start: StreamOffset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): StreamOffset = {
-    val head = pinned.getOrElse(GraftLog.currentVersion(dir))
+    val (head, lin) =
+      pinned.getOrElse(GraftLog.versionAndLineage(dir))
     val s = start.asInstanceOf[GraftLogOffset].version
     GraftLogOffset(maxVersionsPerBatch.fold(head)(k =>
-      math.min(head, s + math.max(1L, k))), GraftLog.lineageOf(dir))
+      math.min(head, s + math.max(1L, k))), lin)
   }
   override def deserializeOffset(json: String): StreamOffset =
     GraftLogOffset.parse(json)
@@ -4151,9 +4050,12 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
     // source was overwritten, versions restarted, and draining
     // (s, head] of the new lineage would silently skip its first s
     // versions (Delta's failOnDataLoss contract — restart from a
-    // fresh checkpoint or re-seed the consumer)
-    val lineage = GraftLog.lineageOf(dir)
-    if (so.lineage != lineage)
+    // fresh checkpoint or re-seed the consumer). The guard compares
+    // against the END offset's lineage — the one this batch's span
+    // was planned under — through the shared GraftLog.guardedMarker,
+    // with no extra `_properties` read per planning call.
+    val lineage = end.asInstanceOf[GraftLogOffset].lineage
+    if (GraftLog.guardedMarker(s, so.lineage, lineage).isEmpty)
       throw new IllegalStateException(
         s"streaming checkpoint for $dir holds offset v$s of a " +
           "RETIRED lineage (the table was overwritten since the " +
@@ -4259,6 +4161,10 @@ object GraftLogScan {
         java.math.BigDecimal)] = GraftLog.decStat(e, col)
     def dec(v: Any): java.math.BigDecimal =
       new java.math.BigDecimal(v.toString)
+    // blooms hash the CANONICAL cell text the writer stored — for the
+    // schema's admissible types (long/int/double/string) the boxed
+    // value's toString IS that encoding, so probes line up bit-exact
+    def canonicalCell(v: Any): String = v.toString
     // Evolution-aware skip: a comparison on a column the file PREDATES
     // can never match (every row reads NULL for it), so the file is
     // skipped outright — schema evolution gets stats-grade pruning for
@@ -4292,8 +4198,16 @@ object GraftLogScan {
       case EqualTo(_, null) => true
       case GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
            LessThan(_, null) | LessThanOrEqual(_, null) => true
+      // Numeric equality prunes on BOTH the [min, max] range and the
+      // per-file bloom (integral columns carry one keyed on the
+      // canonical cell text — `Long.toString` — since r12): the point
+      // lookup / IN-probe on a numeric surrogate key skips files the
+      // range alone can't once compaction widens every file to the
+      // full key span. Files without a bloom (legacy, double columns)
+      // fall back to the range check alone via mayContain=true.
       case EqualTo(a, v) => range(a).forall { case (mn, mx) =>
-        dec(v).compareTo(mn) >= 0 && dec(v).compareTo(mx) <= 0 }
+        dec(v).compareTo(mn) >= 0 && dec(v).compareTo(mx) <= 0 } &&
+        GraftLogBloom.mayContain(e, a, canonicalCell(v))
       case GreaterThan(a, v) =>
         range(a).forall { case (_, mx) => mx.compareTo(dec(v)) > 0 }
       case GreaterThanOrEqual(a, v) =>
@@ -4304,18 +4218,24 @@ object GraftLogScan {
         range(a).forall { case (mn, _) => mn.compareTo(dec(v)) <= 0 }
       case In(a, vs) => range(a).forall { case (mn, mx) =>
         vs.exists(v => v != null && dec(v).compareTo(mn) >= 0 &&
-          dec(v).compareTo(mx) <= 0) }
+          dec(v).compareTo(mx) <= 0 &&
+          GraftLogBloom.mayContain(e, a, canonicalCell(v))) }
       case _ => true
     } catch { case _: NumberFormatException => true }
   }
 }
 
-/** Per-file bloom filter over each STRING column, carried in the
-  * manifest stats map under the reserved key `<col>#bloom` — the
-  * equality-pruning index numeric min/max can't provide (a `tag = 'x'`
-  * predicate skips every file whose bloom provably lacks 'x', before
-  * any I/O; the Delta bloom-index / Parquet bloom idea at manifest
-  * granularity). SIZED TO THE FILE: the writer feeds a max-resolution
+/** Per-file bloom filter over each STRING and INTEGRAL column,
+  * carried in the manifest stats map under the reserved key
+  * `<col>#bloom` — the equality-pruning index min/max ranges can't
+  * provide (a `tag = 'x'` or `key = 42` predicate skips every file
+  * whose bloom provably lacks the value, before any I/O; the Delta
+  * bloom-index / Parquet bloom idea at manifest granularity). Numeric
+  * values hash on their canonical cell text (`Long.toString`), the
+  * same encoding the TSV stores and the prune side re-derives — the
+  * index that matters most post-compaction, when every file's
+  * [min, max] widens to the full surrogate-key span and point lookups
+  * would otherwise stop skipping. SIZED TO THE FILE: the writer feeds a max-resolution
   * bit array as rows stream through, then at finish folds it down to
   * the smallest power-of-two size giving ~10 bits per distinct value
   * (NDV from the same per-file HLL sketch the writer already keeps) —
@@ -4637,6 +4557,146 @@ object GraftLogNdv {
         else None
       f.name -> (ndv, nulls)
     }.toMap
+  }
+}
+
+/** Shared per-file column-stats tracker over the CANONICAL TSV cells
+  * a graft-log part file stores — min/max for numeric columns,
+  * NDV-sized blooms for equality-prunable columns (string AND
+  * integral; see below), an HLL NDV sketch plus exact null count for
+  * every column. Both write paths run it: the append writer
+  * ([[GraftLogWriterFactory]]) feeds the cells it is about to encode,
+  * and COMPACTION feeds the cells it streams into each rolled output —
+  * so maintenance outputs carry file-EXACT stats instead of a fold of
+  * their inputs' manifests. That is what keeps a maintained table
+  * prunable: folding manifest stats had to drop EVERYTHING when any
+  * input carried a deletion vector (the deleted rows may have held the
+  * extremum, the distinct values, the nulls), which meant exactly the
+  * big, long-lived post-DELETE files compaction produces lost range
+  * skipping, metadata-only MIN/MAX/COUNT, and CBO cardinalities.
+  * Recomputing from the surviving cells is exact in every case — DV'd
+  * inputs, evolved/renamed vintages, rolled outputs (each gets its own
+  * file-exact range, tighter than the group-wide fold) — and the exact
+  * per-file null counts stay additive under the planning-time merge,
+  * so rolled groups no longer have to strip them.
+  *
+  * Blooms cover string and integral (long/int) columns, hashed on the
+  * canonical cell text (`Long.toString` — the same encoding the filter
+  * side canonicalizes to in [[GraftLogPrune]]), so point lookups and
+  * IN-probes on numeric surrogate keys prune files the way string tags
+  * always did. Double columns get no bloom: float equality is not a
+  * lookup pattern, and min/max already serves their range predicates. */
+private[sources] final class GraftLogCellStats(schema: StructType) {
+  import org.apache.spark.sql.types._
+  private val fields = schema.fields
+  private val n = fields.length
+  // typed min/max per numeric column (boxed; null = none seen)
+  private val numericIdx: Array[Int] = fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType ||
+      f.dataType == IntegerType || f.dataType == DoubleType => i
+  }
+  private val mins = new Array[Any](n)
+  private val maxs = new Array[Any](n)
+  // equality-bloom per string/integral column: exact packed hashes
+  // bank in a bounded set, spill to a max-resolution array past
+  // SpillLimit distinct; finish() right-sizes from the NDV either way
+  private val bloomIdx: Array[Int] = fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType ||
+      f.dataType == LongType || f.dataType == IntegerType => i
+  }
+  private val bloomSets = Array.fill(bloomIdx.length)(
+    new GraftLogBloom.PackedSet)
+  private val blooms = new Array[Array[Long]](bloomIdx.length)
+  private val bloomSlot: Array[Int] = {
+    val a = Array.fill(n)(-1)
+    bloomIdx.zipWithIndex.foreach { case (c, s) => a(c) = s }
+    a
+  }
+  private val ndvRegs =
+    Array.fill(n)(new Array[Byte](GraftLogNdv.M))
+  private val nullCnt = new Array[Long](n)
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    // NaN compares false both ways, freezing min/max — the same
+    // degrade-to-may-match contract the prune side documents
+    case (x: Double, y: Double) => x < y
+    case _ => false
+  }
+
+  /** One row's canonical cells (NullCell sentinel for SQL NULL),
+    * in the tracker schema's column order. */
+  def add(cells: Array[String]): Unit = {
+    var s = 0
+    while (s < numericIdx.length) {
+      val i = numericIdx(s)
+      val cell = cells(i)
+      if (cell != GraftLog.NullCell) {
+        val v: Any = fields(i).dataType match {
+          case LongType => java.lang.Long.parseLong(cell)
+          case IntegerType => java.lang.Integer.parseInt(cell)
+          case _ => java.lang.Double.parseDouble(cell)
+        }
+        if (mins(i) == null || lt(v, mins(i))) mins(i) = v
+        if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
+      }
+      s += 1
+    }
+    var c = 0
+    while (c < n) {
+      val cell = cells(c)
+      if (cell == GraftLog.NullCell) nullCnt(c) += 1
+      else {
+        GraftLogNdv.add(ndvRegs(c), cell)
+        val b = bloomSlot(c)
+        if (b >= 0) {
+          val packed = GraftLogBloom.packedHash(cell)
+          if (blooms(b) != null)
+            GraftLogBloom.addHashed(blooms(b), packed)
+          else if (!bloomSets(b).add(packed)) {
+            val arr = new Array[Long](GraftLogBloom.MaxWords)
+            bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
+            GraftLogBloom.addHashed(arr, packed)
+            blooms(b) = arr
+            bloomSets(b) = null
+          }
+        }
+      }
+      c += 1
+    }
+  }
+
+  /** The file's exact stats map — min/max under each column's CURRENT
+    * name, right-sized blooms, NDV sketches, null counts. Partition
+    * value and raw-size entries stay with the callers. */
+  def finish(): Map[String, (String, String)] = {
+    val minMax = numericIdx.collect {
+      case i if mins(i) != null =>
+        fields(i).name -> (mins(i).toString, maxs(i).toString)
+    }.toMap
+    val bloomStats = bloomIdx.indices.map { b =>
+      val i = bloomIdx(b)
+      val words =
+        if (blooms(b) != null)
+          GraftLogBloom.foldTo(blooms(b), GraftLogBloom.sizeFor(
+            GraftLogNdv.estimate(ndvRegs(i))) / 64)
+        else {
+          val arr = new Array[Long](
+            GraftLogBloom.sizeFor(bloomSets(b).size) / 64)
+          bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
+          arr
+        }
+      GraftLogBloom.key(fields(i).name) ->
+        (GraftLogBloom.serialize(words), "v1")
+    }.toMap
+    val ndvStats = fields.indices.flatMap { i =>
+      val name = fields(i).name
+      Seq(GraftLogNdv.key(name) ->
+            (GraftLogNdv.serialize(ndvRegs(i)), "v1"),
+          GraftLogNdv.nullsKey(name) -> (nullCnt(i).toString, "n"))
+    }.toMap
+    minMax ++ bloomStats ++ ndvStats
   }
 }
 

@@ -97,13 +97,13 @@ object MaterializedAgg {
     // overwrite restarts the version axis, and once the NEW lineage's
     // head grows past the old marker every horizon/span guard below
     // passes — the view would silently merge new-lineage deltas into
-    // old-lineage totals. The lineage tag (stamped by every
-    // overwrite) is persisted beside the marker and a mismatch forces
-    // re-bootstrap.
+    // old-lineage totals. The shared GraftLog.guardedMarker compares
+    // the lineage tag persisted beside the marker against the
+    // source's current one; a mismatch forces re-bootstrap.
     val srcLineage = GraftLog.lineageOf(srcDir)
-    val sameLineage =
-      GraftLog.propertiesOf(mvDir).getOrElse(SrcLineageProp, "") ==
-        srcLineage
+    val guarded = GraftLog.guardedMarker(last,
+      GraftLog.propertiesOf(mvDir).getOrElse(SrcLineageProp, ""),
+      srcLineage)
     def stampLineage(): Unit =
       GraftLog.setProperties(mvDir, Map(SrcLineageProp -> srcLineage))
     // A marker below the source's retained horizon means the change
@@ -116,7 +116,7 @@ object MaterializedAgg {
     // span containing non-append changes (row-level rewrite, restore,
     // DV delete) also re-bootstraps: the add feed cannot express the
     // retraction, and replaying it would re-count carried rows.
-    val replayable = sameLineage && last >= 0 &&
+    val replayable = guarded.exists(_ >= 0) &&
       (horizon <= 0L || last >= horizon) &&
       !(last < head &&
         GraftLog.spanHasNonAppendChanges(srcDir, last, head))

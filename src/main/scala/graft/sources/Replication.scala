@@ -58,15 +58,19 @@ object Replication {
     val head = GraftLog.currentVersion(srcDir)
     val last = GraftLog.lastTxnVersion(dstDir, AppId)
     val horizon = GraftLog.oldestReplayableVersion(srcDir)
+    // the shared lineage guard (GraftLog.guardedMarker): a marker
+    // carried across a source overwrite reads as absent, forcing the
+    // re-bootstrap below instead of replaying a new-lineage fragment
+    // into pre-overwrite rows
     val srcLineage = GraftLog.lineageOf(srcDir)
-    val sameLineage =
-      GraftLog.propertiesOf(dstDir).getOrElse(SrcLineageProp, "") ==
-        srcLineage
+    val guarded = GraftLog.guardedMarker(last,
+      GraftLog.propertiesOf(dstDir).getOrElse(SrcLineageProp, ""),
+      srcLineage)
     // expire-history deletes the commit file AT the pivot checkpoint
     // (its changes survive only folded into the snapshot), so the
     // oldest replayable CHANGE SPAN starts one past the horizon: a
     // marker of horizon-1 would silently skip version `horizon`
-    val replayable = sameLineage && last >= 0 &&
+    val replayable = guarded.exists(_ >= 0) &&
       (horizon <= 0L || last >= horizon)
     if (GraftLog.storedSchema(dstDir).isEmpty || !replayable) {
       spark.read.format(Fmt).option("path", srcDir).load()

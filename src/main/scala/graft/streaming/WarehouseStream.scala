@@ -38,10 +38,13 @@ object WarehouseStream {
         "last_eid")
   }
 
-  private def readDim(spark: SparkSession, dimDir: String): DataFrame =
-    if (graft.sources.GraftLog.committedFiles(dimDir).isEmpty)
+  private def readDim(spark: SparkSession, dimDir: String,
+      asOf: Long): DataFrame =
+    if (asOf < 0L ||
+        graft.sources.GraftLog.committedFiles(dimDir).isEmpty)
       dimSchemaDf(spark)
-    else spark.read.format(Fmt).option("path", dimDir).load()
+    else spark.read.format(Fmt).option("path", dimDir)
+      .option("asOfVersion", asOf.toString).load()
 
   /** Fold one micro-batch of purchase events into the dimension. */
   def applyScd2Batch(spark: SparkSession, batch: DataFrame,
@@ -56,11 +59,21 @@ object WarehouseStream {
         struct(col("ts"), col("event_id"))).as("m"))
       .select(col("user_id"), unix_micros(col("m.ts")).as("c_ts"),
         col("m.event_id").as("c_eid"), col("m.value").as("c_val"))
+    // The batch's read-modify-write is PINNED to one dimension
+    // version, captured here before anything else: the dim read, the
+    // retired-file listing, and rewriteFiles' conflict-check span all
+    // use `base`, so a concurrent commit landing anywhere in the
+    // batch window either touches a retired file (retryable abort) or
+    // is a pure append whose rows are provably NOT in the rewrite
+    // (the dim snapshot predates it) — never served twice. The
+    // default base inside rewriteFiles is read only after the scratch
+    // write materializes, leaving exactly that window open.
+    val base = graft.sources.GraftLog.currentVersion(dimDir)
     // cached for the batch: `hist` and `cur` are both derived from it
     // and both execute inside the single write plan below — uncached,
     // every committed dimension file would be read and decoded twice
     // per micro-batch
-    val dim = readDim(spark, dimDir).cache()
+    val dim = readDim(spark, dimDir, base).cache()
     val hist = dim.filter(col("is_current") === 0)
     val cur = dim.filter(col("is_current") === 1)
     val merged = cur.join(changes, Seq("user_id"), "full_outer")
@@ -118,10 +131,13 @@ object WarehouseStream {
     // beside the full rewrite, serving rows twice) and with scratch
     // cleanup on every failure path.
     val out = hist.unionByName(merged)
-    val retired = graft.sources.GraftLog
-      .entriesAsOf(dimDir, Long.MaxValue)
+    // retired = the files of the SAME pinned version the dim was read
+    // as-of, and rewriteFiles checks conflicts over (base, publish] —
+    // see the pin comment above
+    val retired = graft.sources.GraftLog.entriesAsOf(dimDir,
+      if (base < 0L) Long.MaxValue else base)
     try graft.sources.GraftLog.rewriteFiles(spark, dimDir, retired,
-      out, out.schema)
+      out, out.schema, baseVersion = base)
     finally dim.unpersist()
   }
 

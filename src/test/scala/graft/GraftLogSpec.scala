@@ -932,11 +932,17 @@ class GraftLogSpec extends SparkSpec {
     g.collect()
     assert(g.queryExecution.executedPlan.toString
       .contains("partGroups=16"))
-    // (files=1/16 pruning is NOT asserted here: every group folded a
-    // DV'd input, so compaction correctly dropped the merged min/max
-    // — conservative, reads all files; the no-DV pruning case is
-    // covered by the plain partitioned-compaction test above)
+    // Compaction stamps file-EXACT stats computed from the surviving
+    // cells, so even though every group folded a DV'd input, each
+    // output carries its true k range (min=max=value) and a value
+    // predicate prunes to exactly one file.
     val sel = t.filter(col("k") === 7)
+    val selDesc = sel.queryExecution.executedPlan.toString
+    val selM = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(selDesc)
+      .getOrElse(fail(s"no files=kept/total in:\n$selDesc"))
+    assert(selM.group(1).toInt == 1 && selM.group(2).toInt == 16,
+      s"post-DV compacted partitions must still prune: " +
+        s"files=${selM.group(1)}/${selM.group(2)}")
     assert(sel.count() == (0L until 48000L).count(i =>
       i % 16 == 7 && !(i >= 100 && i < 300)))
   }
@@ -1296,7 +1302,15 @@ class GraftLogSpec extends SparkSpec {
     val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
     assert(live.size == 1 && live.forall(e => GraftLog.dvOf(e).isEmpty))
     assert(readBack(dir).count() == 1990)
-    assert(readBack(dir).agg(min(col("id"))).head.getLong(0) == 10L)
+    // compaction recomputes stats EXACTLY from the surviving cells, so
+    // post-DV compacted files regain the metadata-only MIN/MAX path —
+    // and the answer reflects the delete, never the stale pre-DV stats
+    val mnAfter = readBack(dir).agg(min(col("id")))
+    assert(mnAfter.head.getLong(0) == 10L)
+    assert(mnAfter.queryExecution.executedPlan.toString.contains(
+      "metaCount="),
+      "MIN after DV-delete + compact must answer from the manifest " +
+        "(compaction stamps file-exact stats)")
   }
 
   test("restore drives deletion-vector state both directions") {

@@ -65,6 +65,44 @@ class GraphSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("the broadcast gate is STATS-DRIVEN: an adjacency estimated " +
+      "past the budget takes the SMJ path with no kill switch set") {
+    // r11 verdict #4: the fallback used to hang off a manual
+    // autoBroadcastJoinThreshold=-1 lever — a forgotten conf at 100×
+    // force-broadcast the full node-sized adjacency. Now the operator
+    // compares its EXACT size estimate (nodes × overhead + entries ×
+    // 8, from the degree aggregate it already runs) against the
+    // session threshold and drops the hint automatically. Tuning the
+    // threshold below the fixture's estimate — a small POSITIVE
+    // value, not the -1 kill switch — must flip the strategy (the
+    // forced hint used to override it) and change no row.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val df = runQ("graph_triangles")
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteTriCounts,
+        "auto-fallback triangle plan diverged from the broadcast plan")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"an over-budget adjacency must auto-fall-back to SMJ:\n" +
+          p.take(800))
+      // jaccard's adjacency trips the same gate
+      val j = runQ("graph_neighbor_jaccard")
+      val jRows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val jp = j.queryExecution.executedPlan.toString
+      assert(jp.contains("SortMergeJoin"),
+        s"jaccard adjacency must auto-fall-back too:\n${jp.take(800)}")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val ref = runQ("graph_neighbor_jaccard").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(jRows == ref,
+        "the gate must change only the join strategy, never a row")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("graph_census invariants hold vs the independent edge set") {
     val row = runQ("graph_census").collect().head
     val (nNodes, nEdges, nWedges, maxDeg) =

@@ -93,6 +93,103 @@ class NdvStatsSpec extends SparkSpec {
     assert(gapNulls.contains(10000L), "null count is exact")
   }
 
+  test("compaction recomputes EXACT per-file stats: a DV'd input no " +
+      "longer strips them, rolled outputs carry file-tight ranges") {
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThan}
+    val dir = tmp()
+    for (k <- 0 until 3)
+      series(4000, idOffset = k * 4000L).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+    // merge-on-read delete of the TOP id range: the manifest max
+    // (11999) is now stale on the DV'd file
+    val (_, _, usedDv) = GraftLog.deleteWhereMoR(spark, dir,
+      Array(And(GreaterThanOrEqual("id", 11900L),
+        LessThan("id", 12000L))))
+    assert(usedDv, "the delete must leave a deletion vector")
+    // small roll target so the compaction emits MULTIPLE outputs
+    spark.conf.set("spark.graft.log.compactTargetBytes", "40000")
+    try assert(GraftLog.compact(dir) == 3)
+    finally spark.conf.unset("spark.graft.log.compactTargetBytes")
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size >= 2, s"expected rolled outputs, got ${live.size}")
+    // every rolled output carries the full stats spine — min/max,
+    // NDV sketch, exact null count, bloom — despite the DV'd input
+    live.foreach { e =>
+      assert(GraftLog.decStat(e, "id").isDefined, s"min/max on ${e.file}")
+      assert(GraftLogNdv.of(e, "id").isDefined, s"NDV on ${e.file}")
+      assert(GraftLogNdv.nullsOf(e, "gap").isDefined, s"nulls on ${e.file}")
+      assert(e.stats.contains(graft.sources.GraftLogBloom.key("tag")),
+        s"bloom on ${e.file}")
+    }
+    // stats are EXACT, not the stale pre-DV fold: the global max
+    // reflects the delete, and null counts stay additive-exact
+    val merged = GraftLogNdv.mergedColumnStats(
+      GraftLog.storedSchema(dir).get, live)
+    assert(merged("gap")._2.contains(6000L - 50L),
+      s"gap nulls must be exact post-compaction: ${merged("gap")._2}")
+    assert(live.flatMap(GraftLog.decStat(_, "id")).map(_._2).max
+      .longValueExact() == 11899L,
+      "the compacted max must reflect the DV'd deletes")
+    // rolled outputs have FILE-TIGHT disjoint ranges (the group-wide
+    // fold would stamp [0, 11999] on all of them), so a range
+    // predicate skips files
+    val q = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("id") < 1000)
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+      fail(s"no files=kept/total in:\n$desc"))
+    assert(m.group(1).toInt < m.group(2).toInt,
+      s"rolled outputs must range-prune: files=${m.group(1)}/${m.group(2)}")
+    assert(q.count() == 1000)
+    // and the metadata-only MIN/MAX path answers from the manifest
+    val mx = spark.read.format(Fmt).option("path", dir).load()
+      .agg(max(col("id")))
+    assert(mx.head.getLong(0) == 11899L)
+    assert(mx.queryExecution.executedPlan.toString.contains("metaCount="),
+      "MAX after DV-delete + compact must be metadata-only")
+  }
+
+  test("integral-key blooms: point lookups and IN-probes skip files " +
+      "whose bloom provably lacks the key") {
+    val dir = tmp()
+    // hash-partition by bucket (int): each file holds a SUBSET of the
+    // 97 bucket values with fully overlapping [min, max] ranges, so
+    // only the bloom can discriminate
+    series(9700).repartition(8, col("bucket"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    def filesOf(df: DataFrame): (Int, Int) = {
+      val desc = df.queryExecution.executedPlan.toString
+      val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).getOrElse(
+        fail(s"no files=kept/total in:\n$desc"))
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val q = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("bucket") === 13)
+    val (kept, total) = filesOf(q)
+    assert(total >= 4 && kept < total,
+      s"numeric bloom must skip bucket-less files: files=$kept/$total")
+    assert(q.count() == 100)
+    // IN-probe prunes to the union of member-bearing files
+    val in2 = spark.read.format(Fmt).option("path", dir).load()
+      .filter(col("bucket").isin(13, 55))
+    val (kept2, total2) = filesOf(in2)
+    assert(kept2 < total2,
+      s"IN-probe must bloom-prune: files=$kept2/$total2")
+    assert(in2.count() == 200)
+    // the miss case needs a value INSIDE every file's [min, max] that
+    // no file holds — only the bloom can refute it: even buckets only,
+    // probe an odd one
+    val dir2 = tmp()
+    series(9700).filter(col("bucket") % 2 === 0)
+      .repartition(4, col("bucket"))
+      .write.format(Fmt).option("path", dir2).mode("append").save()
+    val miss = spark.read.format(Fmt).option("path", dir2).load()
+      .filter(col("bucket") === 13)
+    assert(filesOf(miss)._1 == 0,
+      "an in-range absent value must bloom-prune every file")
+    assert(miss.count() == 0)
+  }
+
   test("compaction folds sketches: NDV, nulls, and blooms survive") {
     val dir = tmp()
     for (k <- 0 until 3)
