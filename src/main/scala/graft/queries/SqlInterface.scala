@@ -564,10 +564,10 @@ object SqlInterface {
                  ps_supplycost,
                  MIN(ps_supplycost) OVER (PARTITION BY p_partkey)
                    AS min_cost
-          FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+          FROM ps JOIN part ON p_partkey = ps_partkey
+          JOIN supplier ON s_suppkey = ps_suppkey
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
-          JOIN part ON p_partkey = ps_partkey
           WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'LARGE')
         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
         FROM eur
