@@ -219,13 +219,21 @@ object Graph {
         Seq("u"), "left")
       .select(col("u"), col("nbrs"),
         coalesce(col("hotDeg"), col("degLocal")).as("deg"))
-    e.join(bcast(s, adj.select(col("u").as("pa"),
-        col("nbrs").as("na"), col("deg").as("da")), adjEst), "pa")
-      .join(bcast(s, adj.select(col("u").as("pb"),
-        col("nbrs").as("nb"), col("deg").as("db")), adjEst), "pb")
+    // The adjacency is materialized ONCE (node-sized — 20k rows /
+    // ~20 MB at sf0.1, bounded by nodes × cap at any scale) and both
+    // endpoint probes broadcast the SAME checkpointed frame: without
+    // this, each probe's broadcast build re-executed the whole
+    // union + collect_set aggregation (the per-side renames defeated
+    // ReuseExchange canonicalization, and even aliased-identical
+    // subplans were rebuilt per exchange).
+    val adjC = adj.localCheckpoint()
+    val adjX = bcast(s, adjC, adjEst)
+    e.join(adjX.as("x"), col("pa") === col("x.u"))
+      .join(adjX.as("y"), col("pb") === col("y.u"))
       .select(col("pa"), col("pb"),
-        size(array_intersect(col("na"), col("nb"))).as("inter"),
-        col("da"), col("db"))
+        size(array_intersect(col("x.nbrs"), col("y.nbrs")))
+          .as("inter"),
+        col("x.deg").as("da"), col("y.deg").as("db"))
       .select(col("pa"), col("pb"), col("inter"),
         (col("da") + col("db") - col("inter")).as("un"))
       .select(col("pa"), col("pb"),

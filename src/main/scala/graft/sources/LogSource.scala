@@ -1884,6 +1884,13 @@ object GraftLog {
         .map(_.toLong))
       .getOrElse(128L << 20)
 
+    // Every output any group closes is registered here BEFORE the
+    // group returns: on a parallel failure the sweep deletes from
+    // this ledger, not from the futures — a future cancelled just as
+    // its task completed reads isCancelled and its get() throws, so
+    // future-based reaping would strand exactly those outputs.
+    val produced = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
     def writeGroup(entries: Seq[LogEntry],
         pv: Option[(String, Any)]): Seq[LogEntry] = {
       val pvStat = pv.fold(Map.empty[String, (String, String)]) {
@@ -1918,6 +1925,7 @@ object GraftLog {
       def closeCurrent(): Unit = if (out != null) {
         val raw = out.rawChars
         val rows = out.finish()
+        produced.add(outName)
         done += LogEntry.add(-1L, outName, rows,
           tracker.finish() ++ pvStat +
             (GraftLog.RawBytesKey -> (raw.toString, "n")),
@@ -1965,6 +1973,12 @@ object GraftLog {
             while (line != null) {
               if (line.nonEmpty) {
                 ord += 1
+                // a cancelled parallel group must ABORT promptly (and
+                // self-clean via the catch below) — gzip streams never
+                // check the interrupt flag on their own
+                if ((ord & 0xfff) == 0L && Thread.interrupted())
+                  throw new InterruptedException(
+                    "compaction group cancelled")
                 if (dvPtr < dvArr.length && dvArr(dvPtr) == ord)
                   dvPtr += 1
                 else {
@@ -2027,22 +2041,25 @@ object GraftLog {
         try futs.flatMap(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
-            // Fail fast: stop the pool (queued groups never start,
-            // running ones get an interrupt) and CANCEL undone
-            // futures, so cleanup and error propagation don't block
-            // behind every remaining group's full rewrite. Then reap
-            // completed siblings' outputs; the failing group deleted
-            // its own files in writeGroup's catch. A running group
-            // that ignores the interrupt and completes after this
-            // sweep strands its files until vacuum — best-effort by
-            // design, same as any crashed writer.
+            // Fail fast AND clean deterministically: stop the pool
+            // (queued groups never start), CANCEL undone futures
+            // (running groups abort at their per-line interrupt
+            // check or run out their short remainder), await the
+            // brief drain, then delete every file in the `produced`
+            // ledger — sibling outputs, whether their group
+            // completed, was cancelled mid-flight, or completed
+            // DESPITE the cancel (its future reads isCancelled, so
+            // reaping via get() would strand exactly that case).
+            // The failing group already deleted its own files in
+            // writeGroup's catch (a double delete is a no-op).
+            // Propagation no longer blocks behind a full sibling
+            // rewrite — the wait is bounded by one interrupt-check
+            // stride per running group.
             pool.shutdownNow()
-            futs.foreach { f =>
-              if (!f.isDone) f.cancel(true)
-              else try f.get().foreach(le =>
-                new File(dir, le.file).delete())
-              catch { case _: Throwable => () }
-            }
+            futs.foreach(f => if (!f.isDone) f.cancel(true))
+            pool.awaitTermination(30,
+              java.util.concurrent.TimeUnit.SECONDS)
+            produced.forEach(f => new File(dir, f).delete())
             throw Option(e.getCause).getOrElse(e)
         } finally pool.shutdown()
       }
@@ -4675,20 +4692,35 @@ private[sources] final class GraftLogCellStats(schema: StructType) {
       case i if mins(i) != null =>
         fields(i).name -> (mins(i).toString, maxs(i).toString)
     }.toMap
-    val bloomStats = bloomIdx.indices.map { b =>
+    val bloomStats = bloomIdx.indices.flatMap { b =>
       val i = bloomIdx(b)
-      val words =
-        if (blooms(b) != null)
-          GraftLogBloom.foldTo(blooms(b), GraftLogBloom.sizeFor(
-            GraftLogNdv.estimate(ndvRegs(i))) / 64)
-        else {
-          val arr = new Array[Long](
-            GraftLogBloom.sizeFor(bloomSets(b).size) / 64)
-          bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
-          arr
-        }
-      GraftLogBloom.key(fields(i).name) ->
-        (GraftLogBloom.serialize(words), "v1")
+      // Past the saturation cardinality (NDV × 4 > MaxBits) even the
+      // max-resolution array is near-all-ones: a carried bloom would
+      // admit everything anyway, so OMIT it — absent reads as
+      // may-match, the same pruning outcome, at zero manifest bytes.
+      // This matters now that every integral column is bloom-eligible:
+      // a unique surrogate-key column in a 128 MB file would otherwise
+      // stamp a useless saturated floor bloom on every file of a
+      // 100 TB table. Unspilled columns (≤1024 exact hashes) are
+      // never in this regime.
+      val ndvEst =
+        if (blooms(b) != null) GraftLogNdv.estimate(ndvRegs(i))
+        else bloomSets(b).size.toLong
+      if (ndvEst * 4L > GraftLogBloom.MaxBits) None
+      else {
+        val words =
+          if (blooms(b) != null)
+            GraftLogBloom.foldTo(blooms(b),
+              GraftLogBloom.sizeFor(ndvEst) / 64)
+          else {
+            val arr = new Array[Long](
+              GraftLogBloom.sizeFor(bloomSets(b).size) / 64)
+            bloomSets(b).foreach(GraftLogBloom.addHashed(arr, _))
+            arr
+          }
+        Some(GraftLogBloom.key(fields(i).name) ->
+          (GraftLogBloom.serialize(words), "v1"))
+      }
     }.toMap
     val ndvStats = fields.indices.flatMap { i =>
       val name = fields(i).name

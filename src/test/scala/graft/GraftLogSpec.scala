@@ -897,6 +897,42 @@ class GraftLogSpec extends SparkSpec {
       Long.MaxValue).isEmpty)
   }
 
+  test("a failing compaction group strands NO output files — its own " +
+      "or completed siblings'") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    spark.range(0, 8000).selectExpr("id", "id % 8 AS k", "id * 2 AS v")
+      .repartition(2)
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    spark.range(8000, 16000).selectExpr("id", "id % 8 AS k",
+        "id * 2 AS v")
+      .repartition(2)
+      .write.format(Fmt).option("path", dir)
+      .option("partitionCol", "k").mode("append").save()
+    val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
+    assert(live.size > 8, "need multi-file groups to compact")
+    // corrupt ONE group's input so its rewrite throws mid-stream —
+    // the parallel pool must propagate the failure promptly AND
+    // every group's uncommitted outputs must be deleted (the failing
+    // group cleans its own in writeGroup's catch; completed siblings
+    // are reaped by the pool's failure sweep)
+    val victim = live.head.file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, victim),
+      Array.fill[Byte](64)(0x7f))
+    val beforeFiles = Option(new java.io.File(dir).listFiles())
+      .get.map(_.getName).filter(_.startsWith("part-")).toSet
+    intercept[Exception](GraftLog.compact(dir))
+    val afterFiles = Option(new java.io.File(dir).listFiles())
+      .get.map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(afterFiles == beforeFiles,
+      s"failed compaction stranded outputs: ${afterFiles -- beforeFiles}")
+    // the manifest is untouched — no version was published
+    assert(GraftLog.entriesAsOf(dir, Long.MaxValue)
+      .map(_.file).toSet == live.map(_.file).toSet)
+  }
+
   test("parallel per-group compaction: 16 values with DVs and a " +
       "rename in play, results identical to the serial contract") {
     import graft.sources.GraftLog

@@ -260,6 +260,11 @@ class NdvStatsSpec extends SparkSpec {
     assert((0 until 200).forall(i =>
       GraftLogBloom.mayContain(entry, "tag", s"u$i")),
       "present values must always pass")
+    // past the saturation cardinality a bloom is all-ones noise: the
+    // 50000-distinct id column must OMIT its bloom entirely (absent
+    // reads as may-match — same outcome, zero manifest bytes)
+    assert(!entry.stats.contains(GraftLogBloom.key("id")),
+      "a saturated-regime column must carry no bloom")
     // the counterfactual: the same content at the legacy fixed size
     // is saturated — this is what NDV sizing buys
     val legacy = GraftLogBloom.foldTo(
