@@ -175,6 +175,83 @@ case class SquaredL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Size of the intersection of two SORTED long arrays — the hot
+  * kernel of neighbor-set similarity (`graph_neighbor_jaccard`
+  * intersects two adjacency arrays for every edge). The composed
+  * `size(array_intersect(a, b))` builds a hash set over one side AND
+  * materializes the intersection array per row, only for `size` to
+  * throw it away; this expression is one allocation-free two-pointer
+  * merge inside whole-stage codegen. Inputs MUST be sorted ascending
+  * with no null elements — `sort_array(collect_set(...))` produces
+  * exactly that, and the type check refuses `containsNull=true`
+  * array types outright rather than miscounting at runtime (nulls
+  * sort first and would desynchronize the pointers). Count semantics
+  * match `size(array_intersect(...))` on set-valued inputs: each
+  * distinct common element counts once. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, false) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_sorted_isect requires two array<bigint> arguments with " +
+        s"non-null elements, got ${left.dataType.simpleString} and " +
+        s"${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_isect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Extension installer: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (set by every session builder in this library — Verify, Bench, Probe,
   * tests). Registers `graft_dot` in the session function registry so it
@@ -189,6 +266,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sqdist"),
       new ExpressionInfo(classOf[SquaredL2].getCanonicalName, "graft_sqdist"),
       (children: Seq[Expression]) => SquaredL2(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_isect"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getCanonicalName,
+        "graft_sorted_isect"),
+      (children: Seq[Expression]) =>
+        SortedIntersectSize(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,

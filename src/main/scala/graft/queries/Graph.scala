@@ -212,8 +212,12 @@ object Graph {
     // (the r9 single-shuffle shape); only hot nodes — whose local
     // count is the trimmed cap, not the true degree — get their exact
     // degree patched back in from the tiny broadcast.
+    // nbrs SORTED at build: the per-edge intersection below runs the
+    // allocation-free two-pointer kernel (graft_sorted_isect) instead
+    // of size(array_intersect(...)), which hashes one side and
+    // materializes the intersection array per edge just to count it
     val adj = cold.union(trimmed).groupBy(col("u"))
-      .agg(collect_set(col("v")).as("nbrs"),
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"),
         count(lit(1)).as("degLocal"))
       .join(bcast(s, hot.withColumnRenamed("deg", "hotDeg")),
         Seq("u"), "left")
@@ -231,8 +235,8 @@ object Graph {
     e.join(adjX.as("x"), col("pa") === col("x.u"))
       .join(adjX.as("y"), col("pb") === col("y.u"))
       .select(col("pa"), col("pb"),
-        size(array_intersect(col("x.nbrs"), col("y.nbrs")))
-          .as("inter"),
+        call_function("graft_sorted_isect",
+          col("x.nbrs"), col("y.nbrs")).as("inter"),
         col("x.deg").as("da"), col("y.deg").as("db"))
       .select(col("pa"), col("pb"), col("inter"),
         (col("da") + col("db") - col("inter")).as("un"))

@@ -222,4 +222,40 @@ class GraphSpec extends SparkSpec {
     // each triangle closes exactly 3 wedges (one per corner)
     assert(triSum <= nWedges)
   }
+
+  test("graft_sorted_isect equals size(array_intersect) on sorted " +
+      "set inputs, incl. empty/disjoint/identical, and refuses " +
+      "nullable elements") {
+    import spark.implicits._
+    // random long SETS, sorted — the exact shape collect_set +
+    // sort_array produces in the jaccard adjacency
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (a, b)
+    } ++ Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),           // empty side
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),           // disjoint
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))       // identical
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        call_function("graft_sorted_isect", col("a"), col("b"))
+          .as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    assert(got.forall(r => r.getInt(0) == r.getInt(1)),
+      got.find(r => r.getInt(0) != r.getInt(1)).toString)
+    // the type check refuses containsNull=true element types rather
+    // than silently miscounting (nulls sort first and would
+    // desynchronize the two-pointer walk)
+    val nullable = Seq((Seq(Option(1L), None), Seq(Option(1L))))
+      .toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      nullable.select(call_function("graft_sorted_isect",
+        col("a"), col("b"))).collect())
+    assert(err.getMessage.contains("graft_sorted_isect"))
+  }
 }
