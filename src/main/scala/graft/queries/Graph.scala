@@ -295,8 +295,14 @@ object Graph {
       val odims = o.agg(count(lit(1)).as("m"),
         approx_count_distinct(col("src")).as("n")).head()
       val adjEst = odims.getLong(1) * 56L + odims.getLong(0) * 8L
+      // materialized ONCE: each broadcast build re-executes its child
+      // plan (even canonically identical ones are rebuilt per
+      // exchange), so without the checkpoint the collect_list
+      // aggregation over every oriented edge ran twice — once per
+      // endpoint probe (the same lesson as the jaccard adjacency)
       val adj = o.groupBy(col("src"))
         .agg(sort_array(collect_list(col("rk"))).as("nbrs"))
+        .localCheckpoint()
       o.as("e")
         .join(bcast(s, adj, adjEst).as("x"),
           col("e.src") === col("x.src"))
