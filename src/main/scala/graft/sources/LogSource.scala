@@ -2142,9 +2142,12 @@ object GraftLog {
           return (0, live.size)
         }
         Seq.empty
-      } else live.filter(e => keys.exists(k =>
-        GraftLogBloom.mayContain(e,
-          GraftLog.fileLocalName(schema, e, keyCol), k)))
+      } else {
+        // hash once per key, deserialize once per file (not k × n)
+        val keyHashes = keys.map(GraftLogBloom.packedHash)
+        live.filter(e => GraftLogBloom.mayContainAny(e,
+          GraftLog.fileLocalName(schema, e, keyCol), keyHashes))
+      }
     } else {
       // Per-KEY file targeting, not per-batch-range: a CDC batch
       // typically mixes a narrow update window with above-max inserts,
@@ -2176,8 +2179,10 @@ object GraftLog {
         // columns carry per-file blooms since r12): a file whose
         // [lo, hi] admits a key but whose bloom provably lacks every
         // key is skipped — the post-compaction case, where ranges
-        // widen to the whole key span and stop discriminating
-        val keyCells = keyRows.map(_.get(0).toString)
+        // widen to the whole key span and stop discriminating.
+        // Hashed once here; each file deserializes its bloom once.
+        val keyHashes = keyRows.map(r =>
+          GraftLogBloom.packedHash(r.get(0).toString))
         live.filter { e =>
           val local = GraftLog.fileLocalName(schema, e, keyCol)
           val inRange = GraftLog.decStat(e, local) match {
@@ -2192,8 +2197,7 @@ object GraftLog {
                   .compareTo(hi) <= 0
             case None => true
           }
-          inRange && keyCells.exists(k =>
-            GraftLogBloom.mayContain(e, local, k))
+          inRange && GraftLogBloom.mayContainAny(e, local, keyHashes)
         }
       } else {
         val lo = keyRows.map(r =>
@@ -4289,15 +4293,6 @@ object GraftLogBloom {
     (h1.toLong << 32) | (h2 & 0xffffffffL)
   }
 
-  private def probes(v: String, bits: Int): Array[Int] = {
-    val p = packedHash(v)
-    val h1 = (p >>> 32).toInt
-    val h2 = p.toInt
-    // bits is a power of two, so floorMod is a mask and folding a
-    // bloom in half commutes with probing at the halved size.
-    Array.tabulate(K)(i => (h1 + i * h2) & (bits - 1))
-  }
-
   def addHashed(words: Array[Long], packed: Long): Unit = {
     val bits = words.length * 64
     val h1 = (packed >>> 32).toInt
@@ -4396,15 +4391,43 @@ object GraftLogBloom {
       java.lang.Long.parseUnsignedLong(
         hex.substring(i * 16, i * 16 + 16), 16))
 
+  /** Membership probe against an ALREADY-DESERIALIZED bloom array. */
+  def containsHashed(words: Array[Long], packed: Long): Boolean = {
+    val bits = words.length * 64
+    val h1 = (packed >>> 32).toInt
+    val h2 = packed.toInt
+    var i = 0
+    while (i < K) {
+      val b = (h1 + i * h2) & (bits - 1)
+      if ((words(b >> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Conservative membership against an entry's manifest bloom: false
     * ONLY when a bloom is present and provably lacks the value. The
     * carried length sets the probe modulus, so any vintage reads. */
   def mayContain(e: LogEntry, col: String, v: String): Boolean =
     e.stats.get(key(col)) match {
       case Some((hex, _)) if validHex(hex) =>
+        containsHashed(deserialize(hex), packedHash(v))
+      case _ => true
+    }
+
+  /** Bulk conservative probe: may the entry contain ANY of the
+    * pre-hashed keys? The bloom hex is deserialized ONCE per entry —
+    * the per-key [[mayContain]] form re-parses it per probe, which at
+    * MERGE file-targeting scale is keys × files hex decodes on the
+    * driver (1000 probe keys × a 100 TB table's file count). Entries
+    * without a valid bloom may match; an EMPTY key set matches
+    * nothing. */
+  def mayContainAny(e: LogEntry, col: String,
+      packed: Array[Long]): Boolean =
+    e.stats.get(key(col)) match {
+      case Some((hex, _)) if validHex(hex) =>
         val words = deserialize(hex)
-        probes(v, words.length * 64)
-          .forall(b => (words(b >> 6) & (1L << (b & 63))) != 0L)
+        packed.exists(containsHashed(words, _))
       case _ => true
     }
 }
