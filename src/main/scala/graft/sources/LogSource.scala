@@ -4315,13 +4315,43 @@ object GraftLogBloom {
     * [[SpillLimit]] entries: `add` returns FALSE (rejecting the
     * insert) once full, signaling the writer to spill to a
     * max-resolution bit array. ≤0.5 load factor, linear probing,
-    * zero-sentinel slot tracked out of band. */
+    * zero-sentinel slot tracked out of band. GROWS from 128 slots
+    * (1 KB) by doubling up to the SpillLimit×2 cap: the writer holds
+    * one of these per bloom-eligible column per OPEN part file, and a
+    * partitioned task may hold 1000 part files of a many-column table
+    * — eagerly allocating the 16 KB cap table per set put ~160 MB of
+    * mostly-empty probe tables on the task heap before a single row
+    * arrived (doubly so once integral columns became bloom-eligible),
+    * while the typical per-value file holds a handful of distincts
+    * and stays in the 1 KB table forever. */
   final class PackedSet {
-    private val table = new Array[Long](SpillLimit * 2)
-    private val mask = table.length - 1
+    private var table = new Array[Long](128)
+    private var mask = table.length - 1
     private var hasZero = false
     private var count = 0
     def size: Int = count
+
+    /** Slot of v in t: its own, or the empty one it belongs in. */
+    private def idxOf(t: Array[Long], m: Int, v: Long): Int = {
+      var i = java.lang.Long.hashCode(
+        v * 0x9E3779B97F4A7C15L) & m
+      while (t(i) != 0L && t(i) != v) i = (i + 1) & m
+      i
+    }
+
+    private def grow(): Unit = {
+      val nt = new Array[Long](table.length * 2)
+      val nm = nt.length - 1
+      var i = 0
+      while (i < table.length) {
+        val v = table(i)
+        if (v != 0L) nt(idxOf(nt, nm, v)) = v
+        i += 1
+      }
+      table = nt
+      mask = nm
+    }
+
     def add(v: Long): Boolean = {
       if (v == 0L) {
         if (!hasZero) {
@@ -4330,13 +4360,16 @@ object GraftLogBloom {
         }
         return true
       }
-      var i = java.lang.Long.hashCode(
-        v * 0x9E3779B97F4A7C15L) & mask
-      while (table(i) != 0L) {
-        if (table(i) == v) return true
-        i = (i + 1) & mask
-      }
+      var i = idxOf(table, mask, v)
+      if (table(i) == v) return true
       if (count >= SpillLimit) return false
+      // hold load ≤ 0.5 until the cap table (SpillLimit×2 slots),
+      // which by construction never needs to grow again
+      if ((count + 1) * 2 > table.length &&
+          table.length < SpillLimit * 2) {
+        grow()
+        i = idxOf(table, mask, v)
+      }
       table(i) = v
       count += 1
       true

@@ -93,6 +93,24 @@ class NdvStatsSpec extends SparkSpec {
     assert(gapNulls.contains(10000L), "null count is exact")
   }
 
+  test("PackedSet grows from its 1 KB seed to the spill cap without " +
+      "losing or duplicating a hash") {
+    import graft.sources.GraftLogBloom
+    val s = new GraftLogBloom.PackedSet
+    val vals = (1L to (GraftLogBloom.SpillLimit - 1L)).map(_ * 0x9E37L) :+ 0L
+    vals.foreach(v => assert(s.add(v), s"insert $v"))
+    // re-adds are idempotent (found, not re-counted)
+    vals.take(50).foreach(v => assert(s.add(v)))
+    assert(s.size == GraftLogBloom.SpillLimit)
+    // the next DISTINCT value rejects — the writer's spill signal
+    assert(!s.add(Long.MinValue))
+    val seen = scala.collection.mutable.Set.empty[Long]
+    s.foreach(seen += _)
+    assert(seen == vals.toSet,
+      s"foreach must yield exactly the inserted set " +
+        s"(${seen.size} vs ${vals.size})")
+  }
+
   test("compaction recomputes EXACT per-file stats: a DV'd input no " +
       "longer strips them, rolled outputs carry file-tight ranges") {
     import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThan}
