@@ -252,6 +252,90 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The intersection VALUES of two SORTED long arrays — the per-edge
+  * kernel of `graph_triangles`, which needs the common higher-rank
+  * neighbors themselves (each one is a triangle's third corner, fed
+  * to `explode` for corner crediting), not just their count.
+  * `array_intersect` builds a hash set over one side per row before
+  * materializing the result; this is one two-pointer merge into a
+  * primitive long buffer, inside whole-stage codegen, with no hashing
+  * and no boxing. Same input contract as [[SortedIntersectSize]]:
+  * sorted ascending, no null elements (the type check refuses
+  * `containsNull=true` outright), as `sort_array(collect_list(...))`
+  * over a distinct edge set produces. On set-valued inputs the output
+  * matches `array_intersect` element-for-element: each distinct
+  * common value once, in ascending (= first-seen sorted) order. */
+case class SortedIntersectValues(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, false) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_sorted_isect_vals requires two array<bigint> arguments " +
+        s"with non-null elements, got ${left.dataType.simpleString} " +
+        s"and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_isect_vals"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    val buf = new Array[Long](math.min(n, m))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (c == buf.length) buf else java.util.Arrays.copyOf(buf, c))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val buf = ctx.freshName("buf")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |long[] $buf = new long[$n < $m ? $n : $m];
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $buf[$c++] = $xv; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(
+         |    $c == $buf.length ? $buf : java.util.Arrays.copyOf($buf, $c));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectValues =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Extension installer: `spark.sql.extensions=graft.functions.GraftExtensions`
   * (set by every session builder in this library — Verify, Bench, Probe,
   * tests). Registers `graft_dot` in the session function registry so it
@@ -272,6 +356,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_isect"),
       (children: Seq[Expression]) =>
         SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_isect_vals"),
+      new ExpressionInfo(classOf[SortedIntersectValues].getCanonicalName,
+        "graft_sorted_isect_vals"),
+      (children: Seq[Expression]) =>
+        SortedIntersectValues(children(0), children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,

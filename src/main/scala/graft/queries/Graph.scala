@@ -276,7 +276,7 @@ object Graph {
       val o = oriented(s, d)
       // COMPACT-FORWARD (Latapy 2008): one sorted array of
       // higher-rank neighbors per node (bounded O(√m) by the
-      // orientation), then ONE array_intersect per oriented edge —
+      // orientation), then ONE sorted-merge intersection per edge —
       // the triangles through edge (u,w) are exactly adjHi(u) ∩
       // adjHi(w), and rank order counts each once, at its lowest-rank
       // edge. Replaces the wedge-expansion form (generate C(outdeg,2)
@@ -287,7 +287,8 @@ object Graph {
       // `rk` packs (deg,dst), unique per dst, so intersecting rk
       // arrays intersects neighbor SETS; the corner id unpacks with
       // one mask. A node of maximal rank has no out-edges and no adj
-      // row — hence the left join + empty-array coalesce.
+      // row — hence the left join (NULL nbrs intersect to NULL, which
+      // explode drops).
       // adjacency sizing off the checkpointed edge artifact — one
       // partial-agg job (no shuffle): entries = |oriented edges|
       // exactly, rows ≈ distinct sources; feeds the stats-driven
@@ -303,14 +304,23 @@ object Graph {
       val adj = o.groupBy(col("src"))
         .agg(sort_array(collect_list(col("rk"))).as("nbrs"))
         .localCheckpoint()
+      // the per-edge intersection runs the two-pointer values kernel
+      // (graft_sorted_isect_vals) over the sorted rk arrays instead of
+      // array_intersect, which hash-builds one side per row before
+      // materializing the result. A max-rank dst has no adj row, so
+      // y.nbrs is NULL after the left join: the null-intolerant kernel
+      // returns NULL and the explode below emits zero rows — the same
+      // outcome the old empty-array coalesce bought, minus the
+      // coalesce (and minus the containsNull=true the array() literal
+      // would smuggle past the kernel's sorted-no-nulls type check)
       o.as("e")
         .join(bcast(s, adj, adjEst).as("x"),
           col("e.src") === col("x.src"))
         .join(bcast(s, adj, adjEst).as("y"),
           col("e.dst") === col("y.src"), "left")
         .select(col("e.src").as("u"), col("e.dst").as("w"),
-          array_intersect(col("x.nbrs"),
-            coalesce(col("y.nbrs"), array())).as("common"))
+          call_function("graft_sorted_isect_vals",
+            col("x.nbrs"), col("y.nbrs")).as("common"))
         .select(explode(col("common")).as("crk"), col("u"), col("w"))
         // credit each triangle to all three corners
         .select(explode(array(col("u"), col("w"),

@@ -4215,7 +4215,12 @@ object GraftLogScan {
       case EqualTo(a, v: String) => GraftLogBloom.mayContain(e, a, v)
       case In(a, vs) if vs.nonEmpty &&
           vs.forall(v => v == null || v.isInstanceOf[String]) =>
-        vs.exists(v => v != null && GraftLogBloom.mayContain(e, a, v.toString))
+        // bulk probe: the file's bloom is deserialized ONCE for the
+        // whole IN list, not once per value (a wide IN across a 100 TB
+        // table's manifest is values × files hex decodes otherwise)
+        val hashes = vs.collect { case v: String =>
+          GraftLogBloom.packedHash(v) }
+        hashes.nonEmpty && GraftLogBloom.mayContainAny(e, a, hashes)
       case EqualTo(_, null) => true
       case GreaterThan(_, null) | GreaterThanOrEqual(_, null) |
            LessThan(_, null) | LessThanOrEqual(_, null) => true
@@ -4237,10 +4242,20 @@ object GraftLogScan {
         range(a).forall { case (mn, _) => mn.compareTo(dec(v)) < 0 }
       case LessThanOrEqual(a, v) =>
         range(a).forall { case (mn, _) => mn.compareTo(dec(v)) <= 0 }
-      case In(a, vs) => range(a).forall { case (mn, mx) =>
-        vs.exists(v => v != null && dec(v).compareTo(mn) >= 0 &&
-          dec(v).compareTo(mx) <= 0 &&
-          GraftLogBloom.mayContain(e, a, canonicalCell(v))) }
+      case In(a, vs) =>
+        // range-filter the IN list first, then ONE bulk bloom probe
+        // over the surviving values (files without stats keep every
+        // value; files without a bloom may-match via the probe) —
+        // never a per-value bloom deserialization
+        val candidates = range(a) match {
+          case Some((mn, mx)) => vs.filter(v => v != null && {
+            val d = dec(v)
+            d.compareTo(mn) >= 0 && d.compareTo(mx) <= 0
+          })
+          case None => vs.filter(_ != null)
+        }
+        candidates.nonEmpty && GraftLogBloom.mayContainAny(e, a,
+          candidates.map(v => GraftLogBloom.packedHash(canonicalCell(v))))
       case _ => true
     } catch { case _: NumberFormatException => true }
   }

@@ -258,4 +258,36 @@ class GraphSpec extends SparkSpec {
         col("a"), col("b"))).collect())
     assert(err.getMessage.contains("graft_sorted_isect"))
   }
+
+  test("graft_sorted_isect_vals equals array_intersect element-for-" +
+      "element on sorted set inputs, and refuses nullable elements") {
+    import spark.implicits._
+    // the exact shape graph_triangles feeds it: sorted long SETS
+    // (sort_array over a distinct edge group's collect_list)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (a, b)
+    } ++ Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),           // empty side
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),           // disjoint
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))       // identical
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+        call_function("graft_sorted_isect_vals", col("a"), col("b"))
+          .as("fast"),
+        array_intersect(col("a"), col("b")).as("ref"))
+      .collect()
+    assert(got.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)),
+      got.find(r => r.getSeq[Long](0) != r.getSeq[Long](1)).toString)
+    val nullable = Seq((Seq(Option(1L), None), Seq(Option(1L))))
+      .toDF("a", "b")
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      nullable.select(call_function("graft_sorted_isect_vals",
+        col("a"), col("b"))).collect())
+    assert(err.getMessage.contains("graft_sorted_isect_vals"))
+  }
 }
