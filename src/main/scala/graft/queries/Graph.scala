@@ -117,16 +117,16 @@ object Graph {
     catch { case _: NumberFormatException => -1L }
   }
 
-  /** Spark's out-of-the-box autoBroadcastJoinThreshold (10 MB). */
-  private val SparkDefaultThreshold = 10L << 20
-
   /** The broadcast budget for graph-shaped build sides, resolved in
     * order: 0 when the session's broadcast switch is off
     * (`autoBroadcastJoinThreshold = -1` stays an operational kill
     * switch); the explicit `spark.graft.graph.broadcastBytes` when
-    * set; a TUNED session threshold exactly as tuned (the operator
-    * follows the user's sizing decision, both the pin's 1 KB and a
-    * production 256 MB); else — untouched 10 MB default — 64 MB:
+    * set; an EXPLICITLY-SET session threshold exactly as set (the
+    * operator follows the user's sizing decision — the pin's 1 KB, a
+    * production 256 MB, and a deliberately pinned 10 MB all count:
+    * explicitness is read from the conf settings map via the shim,
+    * not inferred from the value, so pinning the default value still
+    * pins the budget); else — untouched default — 64 MB:
     * adjacency/rank/survivor frames are built once and probed by
     * every task, so they earn a bigger budget than Spark's
     * conservative default for generic un-hinted relations, while
@@ -139,7 +139,9 @@ object Graph {
     else Option(s.conf.get("spark.graft.graph.broadcastBytes", null))
       .map(bytesOf).filter(_ > 0L)
       .getOrElse(
-        if (sess != SparkDefaultThreshold) sess else 64L << 20)
+        if (org.apache.spark.sql.GraftPlanShim.isConfSet(s,
+            "spark.sql.autoBroadcastJoinThreshold")) sess
+        else 64L << 20)
   }
 
   /** STATS-DRIVEN broadcast hint: the caller passes an estimated
@@ -356,13 +358,17 @@ object Graph {
       val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       // the rank vector is NODE-sized: its broadcast is gated on the
-      // exact node count (one tiny job over the checkpointed degrees)
-      // so a 100×-catalog run auto-falls-back to a shuffled join
-      // instead of force-broadcasting a GB-sized vector
-      val rankEst = deg.count() * 48L
-      val n = deg.agg(count(lit(1)).as("n"))
-      var ranks = deg.crossJoin(broadcast(n))
-        .select(col("u").as("v"), (lit(1.0) / col("n")).as("r"))
+      // exact node count so a 100×-catalog run auto-falls-back to a
+      // shuffled join instead of force-broadcasting a GB-sized vector.
+      // ONE count job over the checkpointed degrees feeds both the
+      // gate and the 1/n terms (the count is exact, so inlining it as
+      // a literal is bit-identical to the old broadcast-scalar
+      // crossJoin — same IEEE division — minus a job and two
+      // crossJoins per query)
+      val nNodes = deg.count()
+      val rankEst = nNodes * 48L
+      var ranks = deg
+        .select(col("u").as("v"), (lit(1.0) / lit(nNodes)).as("r"))
       for (_ <- 1 to 3) {
         val perNode = ranks.join(deg, ranks("v") === deg("u"))
           .select(ranks("v").as("cu"), (col("r") / col("deg")).as("c"))
@@ -370,9 +376,9 @@ object Graph {
             col("u") === col("cu"))
           .groupBy(col("v"))
           .agg(sum(col("c").cast("decimal(18,10)")).as("srank"))
-        ranks = contrib.crossJoin(broadcast(n))
+        ranks = contrib
           .select(col("v"),
-            (lit(0.15) / col("n") +
+            (lit(0.15) / lit(nNodes) +
               lit(0.85) * col("srank").cast("double")).as("r"))
       }
       ranks.select(col("v").as("part"), col("r").as("pagerank"))

@@ -1309,14 +1309,21 @@ object GraftLog {
     * overwrite). */
   def versionAndLineage(dir: String): (Long, String) = {
     var attempts = 0
-    while (true) {
+    while (attempts < 5) {
       val before = lineageOf(dir)
       val v = currentVersion(dir)
       val after = lineageOf(dir)
-      if (before == after || attempts >= 4) return (v, after)
+      if (before == after) return (v, after)
       attempts += 1
     }
-    throw new IllegalStateException("unreachable")
+    // Five straight sandwiches torn by concurrent overwrites: return
+    // NOTHING rather than a (version, lineage) pair that may cross an
+    // overwrite — the exact mis-stamping this function exists to
+    // prevent. Retryable: the planner/caller re-invokes on its next
+    // cycle, and overwrite storms are transient by nature.
+    throw new IllegalStateException(
+      s"could not read a consistent (version, lineage) pair for $dir " +
+        "after 5 attempts — concurrent overwrites in progress; retry")
   }
 
   /** THE lineage guard every consumer that persists an applied-through
@@ -1333,10 +1340,6 @@ object GraftLog {
   def guardedMarker(marker: Long, markerLineage: String,
       srcLineage: String): Option[Long] =
     if (markerLineage == srcLineage) Some(marker) else None
-
-  def guardedMarker(srcDir: String, marker: Long,
-      markerLineage: String): Option[Long] =
-    guardedMarker(marker, markerLineage, lineageOf(srcDir))
 
   def propertiesOf(dir: String): Map[String, String] = {
     val f = new File(dir, PropsFile)
@@ -2033,34 +2036,60 @@ object GraftLog {
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(groups.size, 8))
-        val futs = groups.map { case (pv, es) =>
-          pool.submit(new java.util.concurrent.Callable[Seq[LogEntry]] {
-            override def call(): Seq[LogEntry] = writeGroup(es, pv)
+        // Results are reaped in COMPLETION order (not submission
+        // order): waiting on futures in sequence would sit behind an
+        // earlier group's full rewrite before noticing a later
+        // group's failure. The index threads each result back to its
+        // submission slot so the published entry order stays
+        // deterministic.
+        val ecs = new java.util.concurrent.ExecutorCompletionService[
+          (Int, Seq[LogEntry])](pool)
+        val groupSeq = groups.toIndexedSeq
+        val futs = groupSeq.zipWithIndex.map { case ((pv, es), i) =>
+          ecs.submit(new java.util.concurrent.Callable[
+              (Int, Seq[LogEntry])] {
+            override def call(): (Int, Seq[LogEntry]) =
+              (i, writeGroup(es, pv))
           })
         }
-        try futs.flatMap(_.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
+        try {
+          val byIdx = new Array[Seq[LogEntry]](groupSeq.size)
+          var done = 0
+          while (done < groupSeq.size) {
+            val (i, r) = ecs.take().get() // first failure, promptly
+            byIdx(i) = r
+            done += 1
+          }
+          byIdx.toSeq.flatten
+        } catch {
+          case e @ (_: java.util.concurrent.ExecutionException |
+                    _: InterruptedException) =>
             // Fail fast AND clean deterministically: stop the pool
             // (queued groups never start), CANCEL undone futures
             // (running groups abort at their per-line interrupt
             // check or run out their short remainder), await the
-            // brief drain, then delete every file in the `produced`
-            // ledger — sibling outputs, whether their group
-            // completed, was cancelled mid-flight, or completed
-            // DESPITE the cancel (its future reads isCancelled, so
-            // reaping via get() would strand exactly that case).
-            // The failing group already deleted its own files in
-            // writeGroup's catch (a double delete is a no-op).
-            // Propagation no longer blocks behind a full sibling
-            // rewrite — the wait is bounded by one interrupt-check
-            // stride per running group.
+            // drain, then delete every file in the `produced` ledger
+            // — sibling outputs, whether their group completed, was
+            // cancelled mid-flight, or completed DESPITE the cancel
+            // (its future reads isCancelled, so reaping via get()
+            // would strand exactly that case). The failing group
+            // already deleted its own files in writeGroup's catch (a
+            // double delete is a no-op). The sweep runs ONLY when the
+            // drain actually completed: a straggler still inside a
+            // gzip read could otherwise close and register NEW part
+            // files after the sweep iterated — deleting under a live
+            // writer. On a timed-out drain the outputs stay for
+            // vacuum (the manifest never references them).
             pool.shutdownNow()
             futs.foreach(f => if (!f.isDone) f.cancel(true))
-            pool.awaitTermination(30,
+            val drained = pool.awaitTermination(30,
               java.util.concurrent.TimeUnit.SECONDS)
-            produced.forEach(f => new File(dir, f).delete())
-            throw Option(e.getCause).getOrElse(e)
+            if (drained) produced.forEach(f => new File(dir, f).delete())
+            throw (e match {
+              case ee: java.util.concurrent.ExecutionException =>
+                Option(ee.getCause).getOrElse(ee)
+              case other => other
+            })
         } finally pool.shutdown()
       }
     try commitNew(dir, schema) { v =>
@@ -2109,6 +2138,18 @@ object GraftLog {
     val cols = schema.fieldNames.toSeq
     require(cols.forall(updates.columns.contains),
       s"merge batch must carry the full table schema ${cols.mkString(",")}")
+    // The batch is coerced to the TABLE's column types up front — the
+    // Delta/SQL-MERGE cast-source-to-target contract — so matching,
+    // file targeting, CDC images, and the rewrite all see canonical
+    // values: the schema check above is name-only, and a CDC frame
+    // carrying the key as decimal/double would otherwise (a) hash
+    // "42.00"/"42.0" against blooms that store "42" — silently
+    // DROPPING a file that really holds the key, whose stale row then
+    // survives beside a wrongly-inserted "unmatched" copy — and
+    // (b) write non-canonical cell text through the scratch rewrite
+    // into a long-typed column.
+    val up = updates.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
     val rewriteBase = currentVersion(dir)
     val live = entriesAsOf(dir, Long.MaxValue)
     val keyNumeric = schema.fields.find(_.name == keyCol)
@@ -2127,7 +2168,7 @@ object GraftLog {
       // The probe set is driver-side, so it is capped: a batch with
       // more distinct keys than the cap rewrites everything — such a
       // batch admits most files through the blooms anyway.
-      val keys = updates.select(col(keyCol))
+      val keys = up.select(col(keyCol))
         .filter(col(keyCol).isNotNull).distinct()
         .limit(MaxMergeProbeKeys + 1).collect().map(_.get(0).toString)
       if (keys.length > MaxMergeProbeKeys) live
@@ -2135,7 +2176,7 @@ object GraftLog {
         // EITHER an empty batch (no-op) OR only NULL-keyed rows —
         // which match nothing and must still INSERT (losing them here
         // would contradict the NULL-key contract below).
-        if (updates.limit(1).collect().isEmpty) {
+        if (up.limit(1).collect().isEmpty) {
           // no-op merge still records the txn marker (the consumer's
           // applied-through watermark must advance past empty spans)
           txn.foreach { case (a, tv) => commitTxn(dir, a, tv) }
@@ -2157,14 +2198,14 @@ object GraftLog {
       // the string bloom probe) admits only files that can really
       // hold a matched key. Over the cap, fall back to the global
       // range overlap.
-      val keyRows = updates.select(col(keyCol))
+      val keyRows = up.select(col(keyCol))
         .filter(col(keyCol).isNotNull).distinct()
         .limit(MaxMergeProbeKeys + 1).collect()
       if (keyRows.isEmpty) {
         // EITHER an empty batch (no-op) OR only NULL-keyed rows —
         // which match nothing and must still INSERT (losing them here
         // would contradict the NULL-key contract above).
-        if (updates.limit(1).collect().isEmpty) {
+        if (up.limit(1).collect().isEmpty) {
           // no-op merge still records the txn marker (the consumer's
           // applied-through watermark must advance past empty spans)
           txn.foreach { case (a, tv) => commitTxn(dir, a, tv) }
@@ -2175,14 +2216,35 @@ object GraftLog {
         val keys: Array[AnyRef] = keyRows.map(r =>
           new java.math.BigDecimal(r.get(0).toString): AnyRef)
         java.util.Arrays.sort(keys)
-        // canonical cell texts for the bloom probe (integral key
-        // columns carry per-file blooms since r12): a file whose
-        // [lo, hi] admits a key but whose bloom provably lacks every
-        // key is skipped — the post-compaction case, where ranges
-        // widen to the whole key span and stop discriminating.
-        // Hashed once here; each file deserializes its bloom once.
-        val keyHashes = keyRows.map(r =>
-          GraftLogBloom.packedHash(r.get(0).toString))
+        // Bloom probes hash the TABLE's canonical cell text — the
+        // integral `Long.toString` the writer stored — NOT the updates
+        // frame's raw rendering: the schema check above is name-only,
+        // so a CDC frame may carry the key as decimal/double whose
+        // toString ("42.00"/"42.0") would hash-mismatch the stored
+        // "42" and silently DROP a file that really holds the key (the
+        // stale row would then survive beside a wrongly-inserted
+        // "unmatched" copy). Each key is normalized through
+        // BigDecimal to the column's exact integral value; a value
+        // with a fractional part or out of the column's range can
+        // never equal a stored cell (SQL equality), so it is excluded
+        // — and if EVERY key is excluded the bloom conjunct reads
+        // provably-no-match, which is sound for the same reason.
+        // Double key columns carry no blooms (writer policy), so the
+        // conjunct is skipped outright. Hashed once here; each file
+        // deserializes its bloom once.
+        val keyDt = schema.fields.find(_.name == keyCol).get.dataType
+        val integral = keyDt == LongType || keyDt == IntegerType
+        val keyHashes: Array[Long] =
+          if (!integral) Array.empty
+          else keyRows.flatMap { r =>
+            try {
+              val lv = new java.math.BigDecimal(r.get(0).toString)
+                .longValueExact()
+              if (keyDt == IntegerType &&
+                  (lv < Int.MinValue || lv > Int.MaxValue)) None
+              else Some(GraftLogBloom.packedHash(lv.toString))
+            } catch { case _: ArithmeticException => None }
+          }
         live.filter { e =>
           val local = GraftLog.fileLocalName(schema, e, keyCol)
           val inRange = GraftLog.decStat(e, local) match {
@@ -2197,7 +2259,8 @@ object GraftLog {
                   .compareTo(hi) <= 0
             case None => true
           }
-          inRange && GraftLogBloom.mayContainAny(e, local, keyHashes)
+          inRange && (!integral ||
+            GraftLogBloom.mayContainAny(e, local, keyHashes))
         }
       } else {
         val lo = keyRows.map(r =>
@@ -2219,7 +2282,7 @@ object GraftLog {
     // against a non-nullable key it would write a row that violates
     // the table's own schema, so it rejects (the NOT NULL contract).
     if (!schema.fields.find(_.name == keyCol).exists(_.nullable))
-      require(updates.filter(col(keyCol).isNull).limit(1).collect().isEmpty,
+      require(up.filter(col(keyCol).isNull).limit(1).collect().isEmpty,
         s"merge batch carries a NULL key but table column $keyCol is " +
           "non-nullable")
     // A key matched by MORE than one update row would silently
@@ -2227,7 +2290,7 @@ object GraftLog {
     // Delta MERGE multiple-source-rows-matched contract. (NULL-keyed
     // update rows are exempt: equality never matches them, so each is
     // an independent insert.)
-    val dup = updates.filter(col(keyCol).isNotNull)
+    val dup = up.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -2240,7 +2303,7 @@ object GraftLog {
     // The side marker (not the key) discriminates update rows: a
     // NULL-keyed update row never joins, and keying the when() on
     // u.key would turn it into an all-NULL row and drop its payload.
-    val u = updates.select(cols.map(col): _*)
+    val u = up.select(cols.map(col): _*)
       .withColumn("__graft_u", lit(true))
     val merged = cur.alias("t")
       .join(u.alias("u"), col(s"t.$keyCol") === col(s"u.$keyCol"),
@@ -4067,16 +4130,23 @@ class GraftLogMicroBatchStream(dir: String, tableSchema: StructType,
     val so = start.asInstanceOf[GraftLogOffset]
     val s = so.version
     val e = end.asInstanceOf[GraftLogOffset].version
-    // a checkpointed offset from a RETIRED lineage cannot resume: the
-    // source was overwritten, versions restarted, and draining
-    // (s, head] of the new lineage would silently skip its first s
-    // versions (Delta's failOnDataLoss contract — restart from a
-    // fresh checkpoint or re-seed the consumer). The guard compares
-    // against the END offset's lineage — the one this batch's span
-    // was planned under — through the shared GraftLog.guardedMarker,
-    // with no extra `_properties` read per planning call.
-    val lineage = end.asInstanceOf[GraftLogOffset].lineage
-    if (GraftLog.guardedMarker(s, so.lineage, lineage).isEmpty)
+    // An offset from a RETIRED lineage cannot resume: the source was
+    // overwritten, versions restarted, and draining (s, e] of the new
+    // lineage would silently skip its first s versions (Delta's
+    // failOnDataLoss contract — restart from a fresh checkpoint or
+    // re-seed the consumer). BOTH offsets are checked against the
+    // source's CURRENT lineage (one `_properties` read per planning
+    // call), not merely against each other: on a checkpoint restore
+    // Spark re-plans the last uncommitted batch with start AND end
+    // deserialized from the WAL, so after an overwrite the two stale
+    // offsets agree with each other while the version files on disk
+    // belong to the NEW lineage — an offsets-only comparison would
+    // silently drain new-table rows as a continuation of the old
+    // stream. The shared GraftLog.guardedMarker is the comparator.
+    val lineage = GraftLog.lineageOf(dir)
+    if (GraftLog.guardedMarker(s, so.lineage, lineage).isEmpty ||
+        GraftLog.guardedMarker(e,
+          end.asInstanceOf[GraftLogOffset].lineage, lineage).isEmpty)
       throw new IllegalStateException(
         s"streaming checkpoint for $dir holds offset v$s of a " +
           "RETIRED lineage (the table was overwritten since the " +

@@ -23,4 +23,14 @@ object GraftPlanShim {
       : Array[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils
       .toV1(predicates)
+
+  /** Whether a SQL conf key was EXPLICITLY set (runtime `conf.set`, or
+    * inherited from the cluster/session SparkConf), as opposed to
+    * reading its code default — `conf.get(key, default)` cannot tell
+    * the two apart when the explicit value EQUALS the default (e.g. a
+    * deliberately pinned 10 MB autoBroadcastJoinThreshold).
+    * `SQLConf.contains` consults only the explicit settings map, but
+    * `sessionState` is `private[sql]` — same story as the shims above. */
+  def isConfSet(spark: SparkSession, key: String): Boolean =
+    spark.asInstanceOf[CSparkSession].sessionState.conf.contains(key)
 }

@@ -498,6 +498,43 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 4200)
   }
 
+  test("merge coerces the batch to the TABLE's column types: a " +
+      "decimal/double-keyed batch updates in place instead of " +
+      "hash-missing the bloom and duplicating the key") {
+    val dir = tmp()
+    spark.range(0, 2000).selectExpr("id", "id AS v")
+      .repartitionByRange(4, col("id"))
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    // compact so the single surviving file's [min, max] spans every
+    // key and the INTEGRAL BLOOM is the discriminating targeting
+    // index — the exact shape where a probe hashed on the batch's raw
+    // "42.00"/"42.0" text (instead of the stored canonical "42")
+    // would silently drop the file holding the key (classifying the
+    // update as unmatched → duplicate-key corruption)
+    graft.sources.GraftLog.compact(dir)
+    val updDec = spark.range(40, 45)
+      .selectExpr("CAST(id AS DECIMAL(12,2)) AS id", "-id AS v")
+    val (rw1, _) = graft.sources.GraftLog.mergeUpsert(spark, dir,
+      updDec, "id")
+    assert(rw1 >= 1, s"the file holding keys 40-44 must rewrite, got $rw1")
+    val back = readBack(dir)
+    assert(back.count() == 2000, "no duplicate keys after a typed merge")
+    assert(back.filter(col("id") >= 40 && col("id") < 45 &&
+      col("v") =!= -col("id")).count() == 0,
+      "decimal-keyed rows must UPDATE the stored long keys")
+    // and the double rendering ("42.0") coerces the same way
+    val updDbl = spark.range(50, 55)
+      .selectExpr("CAST(id AS DOUBLE) AS id", "-id AS v")
+    graft.sources.GraftLog.mergeUpsert(spark, dir, updDbl, "id")
+    val back2 = readBack(dir)
+    assert(back2.count() == 2000)
+    assert(back2.filter(col("id") >= 50 && col("id") < 55 &&
+      col("v") =!= -col("id")).count() == 0)
+    // the stored cells stay canonical longs: a fresh scan groups and
+    // filters on the key exactly as before the merges
+    assert(back2.filter(col("id") === 42L).count() == 1)
+  }
+
   test("string-equality bloom pruning skips files lacking the value") {
     val dir = tmp()
     // hash-partition by tag: each of the 7 tags lands wholly in one

@@ -148,6 +148,42 @@ class IvmHardeningSpec extends SparkSpec {
       s"resume must fail on the lineage change: ${chain(err)}")
   }
 
+  test("a checkpoint-restored UNCOMMITTED batch fails loudly after a " +
+      "source overwrite — stale start AND end offsets agreeing with " +
+      "each other is not enough") {
+    // The WAL-replay shape: Spark re-plans the last uncommitted batch
+    // with BOTH offsets deserialized from the checkpoint, so after an
+    // overwrite the two stale offsets carry the SAME retired lineage
+    // and an offsets-only comparison passes — while the version files
+    // on disk belong to the new lineage. The guard must consult the
+    // source's CURRENT lineage.
+    val src = tmp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    spark.range(0, 100).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    spark.range(100, 200).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val staleLineage = GraftLog.lineageOf(src)
+    // overwrite: version axis restarts, lineage tag changes, and the
+    // new lineage grows back past the stale offsets' span
+    spark.range(900, 950).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("overwrite").save()
+    spark.range(950, 1000).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", src).mode("append").save()
+    val stream = new graft.sources.GraftLogMicroBatchStream(
+      src, schema, schema, startVersion = -1L)
+    val err = intercept[IllegalStateException](
+      stream.planInputPartitions(
+        graft.sources.GraftLogOffset(0L, staleLineage),
+        graft.sources.GraftLogOffset(1L, staleLineage)))
+    assert(err.getMessage.contains("RETIRED lineage"),
+      s"stale-WAL replay must fail loudly: ${err.getMessage}")
+  }
+
   test("a span with a source DELETE re-bootstraps the view — the add " +
       "feed cannot retract") {
     val src = tmp(); val mv = tmp()
