@@ -2082,8 +2082,16 @@ object GraftLog {
             // vacuum (the manifest never references them).
             pool.shutdownNow()
             futs.foreach(f => if (!f.isDone) f.cancel(true))
-            val drained = pool.awaitTermination(30,
-              java.util.concurrent.TimeUnit.SECONDS)
+            // an interrupt delivered DURING the drain wait must not
+            // replace the original failure or skip the sweep — treat
+            // it as a timed-out drain (flag restored for the caller)
+            val drained =
+              try pool.awaitTermination(30,
+                java.util.concurrent.TimeUnit.SECONDS)
+              catch {
+                case _: InterruptedException =>
+                  Thread.currentThread().interrupt(); false
+              }
             if (drained) produced.forEach(f => new File(dir, f).delete())
             throw (e match {
               case ee: java.util.concurrent.ExecutionException =>
@@ -2148,6 +2156,31 @@ object GraftLog {
     // survives beside a wrongly-inserted "unmatched" copy — and
     // (b) write non-canonical cell text through the scratch rewrite
     // into a long-typed column.
+    //
+    // The coercion must be LOSSLESS per row (Delta's ANSI
+    // store-assignment policy), but a plain cast() follows the
+    // session's spark.sql.ansi.enabled: with ANSI off a malformed
+    // string key silently casts to NULL (the row would then INSERT as
+    // a garbage NULL-key row while its target stays stale), an
+    // overflowing double saturates onto Long.MaxValue's row, and a
+    // fractional decimal truncates onto a row it never matched under
+    // plain join coercion. Reject loudly instead: any row whose value
+    // does not ROUND-TRIP through the table type (null-safe compare
+    // against the re-cast original) fails the merge. Exact and
+    // widening batches (the legitimate callers) round-trip by
+    // construction and pay one short-circuit probe job only when a
+    // column's type actually differs.
+    val updTypes = updates.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lossy = schema.fields.toSeq
+      .filter(f => updTypes.get(f.name).exists(_ != f.dataType))
+      .map(f => !(col(f.name).cast(f.dataType).cast(updTypes(f.name))
+        <=> col(f.name)))
+      .reduceOption(_ || _)
+    lossy.foreach(cond =>
+      require(updates.filter(cond).limit(1).collect().isEmpty,
+        "merge batch values must cast LOSSLESSLY to the table's " +
+          s"column types ${schema.simpleString} — a value would be " +
+          "nulled, truncated, or saturated by the coercion"))
     val up = updates.select(schema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     val rewriteBase = currentVersion(dir)
@@ -2217,34 +2250,19 @@ object GraftLog {
           new java.math.BigDecimal(r.get(0).toString): AnyRef)
         java.util.Arrays.sort(keys)
         // Bloom probes hash the TABLE's canonical cell text — the
-        // integral `Long.toString` the writer stored — NOT the updates
-        // frame's raw rendering: the schema check above is name-only,
-        // so a CDC frame may carry the key as decimal/double whose
-        // toString ("42.00"/"42.0") would hash-mismatch the stored
-        // "42" and silently DROP a file that really holds the key (the
-        // stale row would then survive beside a wrongly-inserted
-        // "unmatched" copy). Each key is normalized through
-        // BigDecimal to the column's exact integral value; a value
-        // with a fractional part or out of the column's range can
-        // never equal a stored cell (SQL equality), so it is excluded
-        // — and if EVERY key is excluded the bloom conjunct reads
-        // provably-no-match, which is sound for the same reason.
-        // Double key columns carry no blooms (writer policy), so the
+        // integral `Long.toString` the writer stored. keyRows come
+        // from the LOSSLESSLY-coerced batch (`up` above), so for an
+        // integral key column r.get(0) is already the exact boxed
+        // Long/Integer whose toString IS that canonical text. Double
+        // key columns carry no blooms (writer policy), so the
         // conjunct is skipped outright. Hashed once here; each file
         // deserializes its bloom once.
         val keyDt = schema.fields.find(_.name == keyCol).get.dataType
         val integral = keyDt == LongType || keyDt == IntegerType
         val keyHashes: Array[Long] =
           if (!integral) Array.empty
-          else keyRows.flatMap { r =>
-            try {
-              val lv = new java.math.BigDecimal(r.get(0).toString)
-                .longValueExact()
-              if (keyDt == IntegerType &&
-                  (lv < Int.MinValue || lv > Int.MaxValue)) None
-              else Some(GraftLogBloom.packedHash(lv.toString))
-            } catch { case _: ArithmeticException => None }
-          }
+          else keyRows.map(r =>
+            GraftLogBloom.packedHash(r.get(0).toString))
         live.filter { e =>
           val local = GraftLog.fileLocalName(schema, e, keyCol)
           val inRange = GraftLog.decStat(e, local) match {

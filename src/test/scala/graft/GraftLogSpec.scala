@@ -533,6 +533,16 @@ class GraftLogSpec extends SparkSpec {
     // the stored cells stay canonical longs: a fresh scan groups and
     // filters on the key exactly as before the merges
     assert(back2.filter(col("id") === 42L).count() == 1)
+    // the coercion is required LOSSLESS (the Delta ANSI
+    // store-assignment contract, independent of the session's ANSI
+    // flag): a fractional key would truncate onto a row it never
+    // matched under plain join coercion — rejected loudly instead
+    val lossyErr = intercept[IllegalArgumentException](
+      graft.sources.GraftLog.mergeUpsert(spark, dir,
+        spark.sql("SELECT CAST(42.5 AS DECIMAL(12,2)) AS id, " +
+          "CAST(-1 AS BIGINT) AS v"), "id"))
+    assert(lossyErr.getMessage.contains("LOSSLESSLY"),
+      lossyErr.getMessage)
   }
 
   test("string-equality bloom pruning skips files lacking the value") {
