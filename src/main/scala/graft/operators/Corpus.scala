@@ -67,6 +67,50 @@ object Corpus {
   private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
   private val phonePat = "[0-9]{3}-[0-9]{4}"
 
+  // distinct-train-gram NDV for the decontamination bloom, once per
+  // session+fixture (floored at 100k so tiny fixtures keep a roomy
+  // sketch)
+  private val decontTrainGrams =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** doc-tagged overlapping-bigram explode over a tokenized frame
+    * (`tk` column) — ONE definition for the LM and DSIR model builds,
+    * so the bigram shape their oracle-checked scores depend on cannot
+    * drift between the two (same rationale as the shared LCG). Carries
+    * the requested columns through the explode. */
+  private def bigramsOf(tk: DataFrame, carry: Seq[String]): DataFrame =
+    tk.filter(size(col("tk")) >= 2)
+      .select(carry.map(col) :+ explode(
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("t1"),
+            element_at(col("tk"), i + 1).as("t2")))).as("bg"): _*)
+      .select(carry.map(col) :+ col("bg.t1").as("t1") :+
+        col("bg.t2").as("t2"): _*)
+
+  /** Distinct split-tagged word-5-grams of every document — the shared
+    * relation of BOTH decontamination queries, materialized once per
+    * session+fixture (the ingest-time-artifact convention, like the
+    * dedup shingles — one definition so the two queries cannot build
+    * different gram shapes). Zero-token documents are dropped BEFORE
+    * the gram explosion: the short-doc clamp in [[wordGrams]] would
+    * otherwise emit one EMPTY-STRING gram for them, and an empty test
+    * doc would read as "contaminated" by an empty train doc — a
+    * content-free match. The oracles carry the same LEN(tk) >= 1
+    * guard. Tokens materialize behind an exchange (Par.fanout) so
+    * CollapseProject cannot inline the split+filter into the gram
+    * lambda (one full tokenization per gram index per row, measured
+    * 8x at sf0.1). */
+  private def splitGrams(s: SparkSession, d: String): DataFrame =
+    graft.core.ArtifactCache.of(s, d, "corpus_split_grams") {
+      graft.core.Par.fanout(
+          withSplit(Tables.documents(s, d))
+            .select(col("doc_id"), col("split"),
+              toksOf(col("text")).as("tk")))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"), col("split"),
+          explode(array_distinct(wordGrams(col("tk"), 5))).as("gram"))
+    }
+
   /** Bigram language-model scoring (the CCNet-style perplexity quality
     * signal), shared by corpus_lm_score and corpus_ccnet_buckets —
     * materialized ONCE per fixture through [[graft.core.ArtifactCache]]
@@ -90,12 +134,7 @@ object Corpus {
       .select(col("doc_id"), toksOf(col("text")).as("tk")))
     val vocab = tk.select(explode(col("tk")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    val bigrams = tk.filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("tk")) - 1),
-          i => struct(element_at(col("tk"), i).as("t1"),
-            element_at(col("tk"), i + 1).as("t2")))).as("bg"))
-      .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+    val bigrams = bigramsOf(tk, Seq("doc_id"))
     val cb = bigrams.groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("cb"))
     val cu = bigrams.groupBy(col("t1")).agg(count(lit(1)).as("cu"))
@@ -126,13 +165,7 @@ object Corpus {
   private def dsirScoredBuild(s: SparkSession, d: String): DataFrame = {
     val tk = graft.core.Par.fanout(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), toksOf(col("text")).as("tk")))
-    val bigrams = tk.filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(
-        transform(sequence(lit(1), size(col("tk")) - 1),
-          i => struct(element_at(col("tk"), i).as("t1"),
-            element_at(col("tk"), i + 1).as("t2")))).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+    val bigrams = bigramsOf(tk, Seq("doc_id", "lang"))
     val tgt = bigrams.filter(col("lang") === "en")
     val cbR = bigrams.groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("cbr"))
@@ -232,16 +265,7 @@ object Corpus {
     // no broadcast of a corpus-sized set; count per test doc is a
     // partial-aggregated groupBy.
     "corpus_decontaminate" -> ((s, d) => {
-      // Materialize the token array BEHIND an exchange before the gram
-      // lambda: `toks` appears in the transform lambda body, and without
-      // the barrier CollapseProject inlines the split+filter there — one
-      // full tokenization per gram index per row (measured 8x at sf0.1).
-      val tk = graft.core.Par.fanout(
-        withSplit(Tables.documents(s, d))
-          .select(col("doc_id"), col("split"), toksOf(col("text")).as("tk")))
-      val grams = tk
-        .select(col("doc_id"), col("split"),
-          explode(array_distinct(wordGrams(col("tk"), 5))).as("gram"))
+      val grams = splitGrams(s, d)
       val train = grams.filter(col("split") === "train")
         .select(col("gram")).distinct()
       grams.filter(col("split") === "test")
@@ -263,22 +287,29 @@ object Corpus {
     // filters inject this pattern adaptively; the explicit form
     // documents and pins it.)
     "corpus_decontaminate_bloom" -> ((s, d) => {
-      val tk = graft.core.Par.fanout(
-        withSplit(Tables.documents(s, d))
-          .select(col("doc_id"), col("split"), toksOf(col("text")).as("tk")))
-      val grams = tk
-        .select(col("doc_id"), col("split"),
-          explode(array_distinct(wordGrams(col("tk"), 5))).as("gram"))
+      val grams = splitGrams(s, d)
+      // The sketch is sized from the ACTUAL distinct-train-gram count
+      // (~10 bits/item, ~1% fpp), not a constant: the old fixed
+      // 100k-item/800k-bit sketch was already 2x over capacity at
+      // sf0.1 (~190k distinct train grams — fp rate in the tens of
+      // percent) and would saturate to fpp~1 at the 100 TB scale this
+      // shape exists for, silently degrading the prefilter into pure
+      // probe overhead. One approx-distinct job per session over the
+      // checkpointed gram artifact.
+      val nTrain = decontTrainGrams.getOrElseUpdate(d,
+        math.max(100000L, grams.filter(col("split") === "train")
+          .agg(expr("approx_count_distinct(gram)")).head.getLong(0)))
       // BloomFilterMightContain requires the sketch as a scalar
       // subquery (it is evaluated once at the driver and shipped as a
       // literal into every task — the broadcast), so the probe side is
       // declared in SQL over a view of the gram frame.
       grams.createOrReplaceTempView("g_decon")
-      s.sql("""
+      s.sql(s"""
         WITH train AS (
           SELECT DISTINCT gram FROM g_decon WHERE split = 'train'),
         bfq AS (
-          SELECT graft_bloom_agg(xxhash64(gram), 100000L, 800000L) AS bf
+          SELECT graft_bloom_agg(xxhash64(gram), ${nTrain}L,
+            ${nTrain * 10L}L) AS bf
           FROM train)
         SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM (SELECT doc_id, gram FROM g_decon
@@ -335,7 +366,11 @@ object Corpus {
         .groupBy(col("lang")).agg(sum(col("n_tok")).as("s_tokens"))
         .withColumn("capacity", col("s_tokens") * E)
       val budget = perLang.agg(
-        (sum(col("s_tokens")) / 2).cast("long").as("b"),
+        // integer div, NOT IEEE /: past 2^53 total tokens the double
+        // quotient drops low bits and the capped boundary flips vs
+        // the oracle's exact // — the "multiply, never divide" BIGINT
+        // contract above applies to the divisions too
+        expr("sum(s_tokens) div 2").as("b"),
         count(lit(1)).as("n"))
       // ascending-capacity position + exclusive capacity prefix over
       // the 5-row language table, via the warning-free self-join form
@@ -355,8 +390,7 @@ object Corpus {
       ranked.crossJoin(broadcast(caps))
         .withColumn("alloc",
           when(col("capped"), col("capacity"))
-            .otherwise(floor((col("b") - col("capped_sum")) /
-              (col("n") - col("k"))).cast("long")))
+            .otherwise(expr("(b - capped_sum) div (n - k)")))
         .select(col("lang"), col("s_tokens"), col("capacity"),
           col("capped"), col("alloc"),
           (col("alloc").cast("double") / col("s_tokens")).as("epochs"))
@@ -923,7 +957,7 @@ object Corpus {
              unnest(list_distinct(list_transform(
                range(1, GREATEST(LEN(tk) - 4, 1) + 1),
                i -> array_to_string(tk[i:i+4], ' ')))) AS gram
-           FROM toks),
+           FROM toks WHERE LEN(tk) >= 1),
          train AS (SELECT DISTINCT gram FROM g WHERE bucket < 80),
          test AS (SELECT doc_id, gram FROM g WHERE bucket >= 90)
          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -943,7 +977,7 @@ object Corpus {
              unnest(list_distinct(list_transform(
                range(1, GREATEST(LEN(tk) - 4, 1) + 1),
                i -> array_to_string(tk[i:i+4], ' ')))) AS gram
-           FROM toks),
+           FROM toks WHERE LEN(tk) >= 1),
          train AS (SELECT DISTINCT gram FROM g WHERE bucket < 80),
          test AS (SELECT doc_id, gram FROM g WHERE bucket >= 90)
          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
