@@ -71,10 +71,25 @@ object Similarity {
       (((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
     }
 
+  /** SRP plane count — ONE definition shared by the signature builder
+    * (Spark and SQL twins) and the multiprobe bit flips: the flips must
+    * cover exactly the signature's bits, so hardcoding 8 in the probe
+    * loop would silently stop probing the upper planes if the knob
+    * were ever raised. */
+  private[operators] val SrpBits = 8
+
+  /** The exact-integer quantization grid every trained index lives on
+    * (round(v*1000)+1000 — non-negative, so floor-div Lloyd updates
+    * agree across engines). ONE definition: IVF cells and PQ codes
+    * must train on the SAME grid or the composed IVFADC query would
+    * route on one geometry and score on another. */
+  private def quantize(emb: Column): Column =
+    transform(emb, v => (round(v.cast("double") * 1000) + 1000).cast("long"))
+
   /** Sign-random-projection signature of an embedding column: bit `p` is
     * the sign of the dot product with precomputed hyperplane `p`.
     * `dim` must match the embedding dimensionality (64 in the fixtures). */
-  def srpSignature(emb: Column, bits: Int = 8, dim: Int = 64): Column =
+  def srpSignature(emb: Column, bits: Int = SrpBits, dim: Int = 64): Column =
     (0 until bits).map { p =>
       when(dot(emb, typedLit(planeRow(p, dim))) > 0.0, lit(1 << p))
         .otherwise(lit(0))
@@ -112,21 +127,24 @@ object Similarity {
     * uncached, 1 with it). */
   private def ivfIndex(s: SparkSession, d: String): DataFrame =
     graft.core.ArtifactCache.of(s, d, "ivf_index") {
+      // localCheckpoint, NOT cache(): three assignment passes reuse the
+      // quantized corpus either way, but a cache() entry stays pinned in
+      // the CacheManager for the whole session after the artifact is
+      // built (nothing ever unpersisted it — storage memory stolen from
+      // every later query), while checkpoint blocks are reclaimed by the
+      // ContextCleaner once the built index stops referencing them.
       val emb = fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
-          transform(col("embedding"),
-            v => (round(v.cast("double") * 1000) + 1000).cast("long")).as("qv"))
-        .cache()
-      // n / k / stride / sample modulus as a 1-row broadcast frame —
-      // no driver action.
-      val stats = Tables.embeddings(s, d)
-        .agg(count(lit(1)).as("n"))
-        .select(col("n"),
-          floor(sqrt(col("n"))).cast("long").as("k"))
-        .select((col("n") / col("k")).cast("long").as("stride"),
-          greatest(lit(1L),
-            floor(col("n") / greatest(lit(2048L), col("k") * lit(39L)))
-              .cast("long")).as("m"))
+          quantize(col("embedding")).as("qv"))
+        .localCheckpoint()
+      // n / k / stride / sample modulus on the driver: the count is one
+      // tiny job per session, and it lets the empty-corpus case fail
+      // LOUDLY here instead of training a quantizer over zero seeds.
+      val n = Tables.embeddings(s, d).agg(count(lit(1))).head.getLong(0)
+      require(n >= 1, s"IVF index over an empty embeddings table ($d)")
+      val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
+      val stride = n / k
+      val m = math.max(1L, n / math.max(2048L, k * 39L))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist").asc, col("cent_id"))
       def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
@@ -147,13 +165,18 @@ object Similarity {
           .groupBy(col("cent_id"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cmean")))),
             x => x.getField("cmean")).as("cq"))
-      val seeds = emb.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("stride") === 0)
+      // bounded to EXACTLY k seeds (`vec_id < stride * k`): without the
+      // bound, any n not divisible by k yields k+1 seeds — one more cell
+      // than every comment, probe-cost estimate, and the sqrt(n) scaling
+      // claim state (the PQ path always had the equivalent bound)
+      val seeds = emb
+        .filter(col("vec_id") % lit(stride) === 0 &&
+          col("vec_id") < lit(stride * k))
         .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
       // Bounded training sample: every m-th vec_id (deterministic, so
       // the oracle replays the identical slice).
-      val tr = emb.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("m") === 0)
+      val tr = emb
+        .filter(col("vec_id") % lit(m) === 0)
         .select(col("vec_id"), col("embedding"), col("qv"))
       val trained = update(assign(tr, update(assign(tr, seeds))))
       assign(emb, trained)
@@ -170,10 +193,7 @@ object Similarity {
   private def pqSubv(s: SparkSession, d: String): DataFrame =
     graft.core.ArtifactCache.of(s, d, "pq_subv")(
       fanout(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            v => (round(v.cast("double") * 1000) + 1000).cast("long"))
-            .as("qv"))
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
         .select(col("vec_id"), explode(
           transform(sequence(lit(0), lit(PqNumSub - 1)),
             i => struct(i.cast("int").as("sub"),
@@ -216,18 +236,24 @@ object Similarity {
   private def pqCents(s: SparkSession, d: String): DataFrame =
     graft.core.ArtifactCache.of(s, d, "pq_cents") {
       val subv = pqSubv(s, d)
-      val stats = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
-        .select(floor(col("n") / PqK).cast("long").as("stride"),
-          greatest(lit(1L), floor(col("n") / lit(2048L)).cast("long"))
-            .as("m"))
-      val seeds = subv.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("stride") === 0 &&
-          col("vec_id") < col("stride") * PqK)
+      // stride = n/16 is ZERO for a corpus under 16 vectors, and `x % 0`
+      // is NULL in both engines — every filter would drop every row and
+      // all PQ queries would return 0 rows with no error (the oracle
+      // degenerates identically, so the gate would pass vacuously).
+      // Fail loudly instead.
+      val n = Tables.embeddings(s, d).agg(count(lit(1))).head.getLong(0)
+      require(n >= PqK,
+        s"PQ training needs at least $PqK vectors, got $n ($d)")
+      val stride = n / PqK
+      val m = math.max(1L, n / 2048L)
+      val seeds = subv
+        .filter(col("vec_id") % lit(stride) === 0 &&
+          col("vec_id") < lit(stride * PqK))
         .select(col("sub"),
-          floor(col("vec_id") / col("stride")).cast("long").as("cent_id"),
+          floor(col("vec_id") / lit(stride)).cast("long").as("cent_id"),
           col("sqv").as("cq"))
-      val tr = subv.crossJoin(broadcast(stats))
-        .filter(col("vec_id") % col("m") === 0)
+      val tr = subv
+        .filter(col("vec_id") % lit(m) === 0)
         .select(col("vec_id"), col("sub"), col("sqv"))
       pqLloydUpdate(pqAssign(tr, pqLloydUpdate(pqAssign(tr, seeds))))
     }
@@ -251,6 +277,29 @@ object Similarity {
       .join(broadcast(cents), col("dsub") === cents("sub"))
       .select(col("query_id"), col("dsub"),
         col("cent_id").as("dcent"), sqdist(col("sqv"), col("cq")).as("dd"))
+  }
+
+  /** IVFADC candidate scoring — (query_id, vec_id, adc_dist) for the
+    * 8 query vectors, cell-routed and table-looked-up: the shared
+    * first stage of sim_ivfpq_ann (ranks it directly) and
+    * sim_ivfpq_rerank (shortlists then fp-refines). ONE definition so
+    * cell routing and ADC scoring cannot drift between the two. */
+  private def adcDistances(s: SparkSession, d: String): DataFrame = {
+    val cells = ivfIndex(s, d).select(col("vec_id"), col("cent_id"))
+    val codes = pqCodes(s, d)
+    val dt = pqDistTable(s, d)
+    val qcell = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("q_cent"))
+    val cand = cells.join(broadcast(qcell),
+        col("cent_id") === col("q_cent") &&
+          col("vec_id") =!= col("query_id"))
+      .select(col("query_id").as("cq_id"), col("vec_id"))
+      .join(codes, "vec_id")
+    cand.join(broadcast(dt),
+        cand("cq_id") === dt("query_id") &&
+          cand("sub") === dt("dsub") && cand("code") === dt("dcent"))
+      .groupBy(col("cq_id").as("query_id"), col("vec_id"))
+      .agg(sum(col("dd")).as("adc_dist"))
   }
 
   /** Brute-force top-k neighbors for each query vector. */
@@ -289,7 +338,13 @@ object Similarity {
       exact.join(approx, Seq("query_id"), "left")
         .select(col("query_id"),
           col("a_sim").isNotNull.as("has_candidates"),
-          coalesce(col("a_sim") >= col("e_sim") * 0.35, lit(false))
+          // sign-aware "within 65% of the exact best": with a plain
+          // a >= 0.35*e, a NEGATIVE exact best would put the threshold
+          // ABOVE e and even a perfect index would read as a false
+          // regression (fixture cosines are 0.42-0.87, where the two
+          // forms coincide)
+          coalesce(col("a_sim") >=
+              col("e_sim") - abs(col("e_sim")) * 0.65, lit(false))
             .as("ratio_ok"))
     }),
 
@@ -332,7 +387,7 @@ object Similarity {
       val q = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           explode(array(
-            col("sig") +: (0 until 8).map(b =>
+            col("sig") +: (0 until SrpBits).map(b =>
               col("sig").bitwiseXOR(lit(1 << b))): _*)).as("probe_sig"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -438,24 +493,9 @@ object Similarity {
     // exact integer math as the two parent queries; the oracle chains
     // both training replays and agrees bit for bit.
     "sim_ivfpq_ann" -> ((s, d) => {
-      val cells = ivfIndex(s, d).select(col("vec_id"), col("cent_id"))
-      val codes = pqCodes(s, d)
-      val dt = pqDistTable(s, d)
-      // Query cells: the 8 query vectors' own coarse assignments.
-      val qcell = cells.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("cent_id").as("q_cent"))
       val wR = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_dist").asc, col("vec_id"))
-      val cand = cells.join(broadcast(qcell),
-          col("cent_id") === col("q_cent") &&
-            col("vec_id") =!= col("query_id"))
-        .select(col("query_id").as("cq_id"), col("vec_id"))
-        .join(codes, "vec_id")
-      cand.join(broadcast(dt),
-          cand("cq_id") === dt("query_id") &&
-            cand("sub") === dt("dsub") && cand("code") === dt("dcent"))
-        .groupBy(col("cq_id").as("query_id"), col("vec_id"))
-        .agg(sum(col("dd")).as("adc_dist"))
+      adcDistances(s, d)
         .withColumn("rank", row_number().over(wR).cast("int"))
         .filter(col("rank") <= 3)
         .select(col("query_id"), col("rank"), col("vec_id"),
@@ -473,23 +513,9 @@ object Similarity {
     // matters. The oracle replays both stages (the full IVF+PQ
     // training chain, the ADC shortlist, the fp re-rank fold).
     "sim_ivfpq_rerank" -> ((s, d) => {
-      val cells = ivfIndex(s, d).select(col("vec_id"), col("cent_id"))
-      val codes = pqCodes(s, d)
-      val dt = pqDistTable(s, d)
-      val qcell = cells.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("cent_id").as("q_cent"))
       val wA = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_dist").asc, col("vec_id"))
-      val cand = cells.join(broadcast(qcell),
-          col("cent_id") === col("q_cent") &&
-            col("vec_id") =!= col("query_id"))
-        .select(col("query_id").as("cq_id"), col("vec_id"))
-        .join(codes, "vec_id")
-      val short = cand.join(broadcast(dt),
-          cand("cq_id") === dt("query_id") &&
-            cand("sub") === dt("dsub") && cand("code") === dt("dcent"))
-        .groupBy(col("cq_id").as("query_id"), col("vec_id"))
-        .agg(sum(col("dd")).as("adc_dist"))
+      val short = adcDistances(s, d)
         .withColumn("arank", row_number().over(wA))
         .filter(col("arank") <= 10)
         .select(col("query_id"), col("vec_id"))
@@ -650,6 +676,92 @@ object Similarity {
          (acc, v) -> acc + v) > 0.0 THEN ${1 << p} ELSE 0 END"""
     }.mkString("(", " + ", ")")
 
+  /** Shared quantized-corpus CTE (the `quantize` grid's SQL twin). */
+  private val qvSql: String =
+    """qv AS (
+           SELECT vec_id, embedding,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                      * 1000) + 1000 AS BIGINT)) AS qv
+           FROM embeddings)"""
+
+  /** The full IVF coarse-quantizer training replay as a CTE chain —
+    * `${p}st`, `qv`, `${p}tr`, `${p}seeds`, `${p}a1..${p}a3` (final
+    * assignment in `${p}a3`). ONE definition for the four oracles that
+    * replay it (sim_ivf_ann, dedup_semdedup, both IVFADC queries), so
+    * an edit to the training recipe cannot desynchronize them. Seeds
+    * are bounded to EXACTLY k (`vec_id < stride * k`), matching the
+    * Spark side. */
+  private def ivfChainSql(p: String = ""): String =
+    s"""${p}st AS (
+           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS k,
+             GREATEST(1, COUNT(*) // GREATEST(2048,
+               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
+           FROM embeddings),
+         $qvSql,
+         ${p}tr AS (
+           SELECT vec_id, qv FROM qv, ${p}st WHERE vec_id % m = 0),
+         ${p}seeds AS (
+           SELECT vec_id AS cent_id, qv AS cq FROM qv, ${p}st
+           WHERE vec_id % stride = 0 AND vec_id < stride * k),
+         ${ivfAssignSql(s"${p}a1", s"${p}seeds", s"${p}tr")},
+         ${ivfUpdateSql(s"${p}c1", s"${p}a1")},
+         ${ivfAssignSql(s"${p}a2", s"${p}c1", s"${p}tr")},
+         ${ivfUpdateSql(s"${p}c2", s"${p}a2")},
+         ${ivfAssignSql(s"${p}a3", s"${p}c2")}"""
+
+  /** The full PQ training replay as a CTE chain — `${p}st`, `sv`,
+    * `${p}tr`, `${p}seeds`, `${p}a1..codes` (encoded corpus in
+    * `codes`, final codebooks in `${p}c2`). Requires `qv` in scope
+    * ([[qvSql]] or [[ivfChainSql]]). */
+  private def pqChainSql(p: String = ""): String =
+    s"""${p}st AS (SELECT COUNT(*) // 16 AS stride,
+             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
+         sv AS (
+           SELECT vec_id, sub,
+             list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
+           FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
+         ${p}tr AS (
+           SELECT vec_id, sub, sqv FROM sv, ${p}st WHERE vec_id % m = 0),
+         ${p}seeds AS (
+           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
+           FROM sv, ${p}st WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+         ${pqAssignSql(s"${p}a1", s"${p}seeds", s"${p}tr")},
+         ${pqUpdateSql(s"${p}c1", s"${p}a1")},
+         ${pqAssignSql(s"${p}a2", s"${p}c1", s"${p}tr")},
+         ${pqUpdateSql(s"${p}c2", s"${p}a2")},
+         ${pqAssignSql("codes", s"${p}c2")}"""
+
+  /** Cell-routed ADC scoring over the composed chains (`ia3`, `sv`,
+    * `codes`, `pc2` in scope) — the shared stage of both IVFADC
+    * oracles, ending in the `adc` CTE (query_id, vec_id, adc_dist). */
+  private val adcSql: String =
+    """qcell AS (SELECT vec_id AS query_id, cent_id AS q_cent
+                   FROM ia3 WHERE vec_id < 8),
+         qs AS (SELECT vec_id AS query_id, sub, sqv
+                FROM sv WHERE vec_id < 8),
+         dt AS (
+           SELECT q.query_id, c.sub, c.cent_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(q.sqv) + 1),
+                 i -> (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
+                    * (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
+               (acc, x) -> acc + x) AS dd
+           FROM qs q JOIN pc2 c ON q.sub = c.sub),
+         cand AS (
+           SELECT qc.query_id, a.vec_id
+           FROM ia3 a JOIN qcell qc
+             ON a.cent_id = qc.q_cent AND a.vec_id <> qc.query_id),
+         adc AS (
+           SELECT cd.query_id, cd.vec_id,
+             CAST(SUM(d.dd) AS BIGINT) AS adc_dist
+           FROM cand cd
+             JOIN codes k ON k.vec_id = cd.vec_id
+             JOIN dt d ON d.query_id = cd.query_id
+               AND k.sub = d.sub AND k.cent_id = d.cent_id
+           GROUP BY cd.query_id, cd.vec_id)"""
+
   // Every similarity query is oracle-checked end to end: DuckDB
   // recomputes the same strict left-fold dot product via list_reduce, so
   // the doubles are bit-identical, ranks agree, and the hash matches.
@@ -685,27 +797,7 @@ object Similarity {
     // all integer math, and the fp rerank is the shared strict left
     // fold — so every step agrees bit-for-bit.
     "sim_ivf_ann" ->
-      s"""WITH st AS (
-           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
-             GREATEST(1, COUNT(*) // GREATEST(2048,
-               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
-           FROM embeddings),
-         qv AS (
-           SELECT vec_id, embedding,
-             list_transform(range(1, len(embedding) + 1),
-               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                      * 1000) + 1000 AS BIGINT)) AS qv
-           FROM embeddings),
-         tr AS (
-           SELECT vec_id, qv FROM qv, st WHERE vec_id % m = 0),
-         seeds AS (
-           SELECT vec_id AS cent_id, qv AS cq FROM qv, st
-           WHERE vec_id % stride = 0),
-         ${ivfAssignSql("a1", "seeds", "tr")},
-         ${ivfUpdateSql("c1", "a1")},
-         ${ivfAssignSql("a2", "c1", "tr")},
-         ${ivfUpdateSql("c2", "a2")},
-         ${ivfAssignSql("a3", "c2")},
+      s"""WITH ${ivfChainSql()},
          assigned AS (
            SELECT a3.vec_id, e.embedding, a3.cent_id
            FROM a3 JOIN embeddings e ON a3.vec_id = e.vec_id),
@@ -733,28 +825,8 @@ object Similarity {
     // bounded training sample, two Lloyd iterations, encoding, and the
     // ADC table-lookup sum.
     "sim_pq_adc" ->
-      s"""WITH st AS (SELECT COUNT(*) // 16 AS stride,
-             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
-         qv AS (
-           SELECT vec_id,
-             list_transform(range(1, len(embedding) + 1),
-               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                      * 1000) + 1000 AS BIGINT)) AS qv
-           FROM embeddings),
-         sv AS (
-           SELECT vec_id, sub,
-             list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
-           FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
-         tr AS (
-           SELECT vec_id, sub, sqv FROM sv, st WHERE vec_id % m = 0),
-         seeds AS (
-           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
-           FROM sv, st WHERE vec_id % stride = 0 AND vec_id < stride * 16),
-         ${pqAssignSql("a1", "seeds", "tr")},
-         ${pqUpdateSql("c1", "a1")},
-         ${pqAssignSql("a2", "c1", "tr")},
-         ${pqUpdateSql("c2", "a2")},
-         ${pqAssignSql("codes", "c2")},
+      s"""WITH $qvSql,
+         ${pqChainSql()},
          qs AS (SELECT vec_id AS query_id, sub, sqv
                 FROM sv WHERE vec_id < 8),
          dt AS (
@@ -852,27 +924,7 @@ object Similarity {
     // aggregate — the whole dedup decision is deterministic on both
     // engines (integer training + the shared strict-fold double dot).
     "dedup_semdedup" ->
-      s"""WITH st AS (
-           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
-             GREATEST(1, COUNT(*) // GREATEST(2048,
-               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
-           FROM embeddings),
-         qv AS (
-           SELECT vec_id, embedding,
-             list_transform(range(1, len(embedding) + 1),
-               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                      * 1000) + 1000 AS BIGINT)) AS qv
-           FROM embeddings),
-         tr AS (
-           SELECT vec_id, qv FROM qv, st WHERE vec_id % m = 0),
-         seeds AS (
-           SELECT vec_id AS cent_id, qv AS cq FROM qv, st
-           WHERE vec_id % stride = 0),
-         ${ivfAssignSql("a1", "seeds", "tr")},
-         ${ivfUpdateSql("c1", "a1")},
-         ${ivfAssignSql("a2", "c1", "tr")},
-         ${ivfUpdateSql("c2", "a2")},
-         ${ivfAssignSql("a3", "c2")},
+      s"""WITH ${ivfChainSql()},
          assigned AS (
            SELECT a3.vec_id, e.embedding, a3.cent_id
            FROM a3 JOIN embeddings e ON a3.vec_id = e.vec_id),
@@ -899,67 +951,9 @@ object Similarity {
     // query's coarse cell, and score by the ADC table-lookup sum —
     // integer math end to end.
     "sim_ivfpq_ann" ->
-      s"""WITH ist AS (
-           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
-             GREATEST(1, COUNT(*) // GREATEST(2048,
-               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
-           FROM embeddings),
-         qv AS (
-           SELECT vec_id,
-             list_transform(range(1, len(embedding) + 1),
-               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                      * 1000) + 1000 AS BIGINT)) AS qv
-           FROM embeddings),
-         itr AS (
-           SELECT vec_id, qv FROM qv, ist WHERE vec_id % m = 0),
-         iseeds AS (
-           SELECT vec_id AS cent_id, qv AS cq FROM qv, ist
-           WHERE vec_id % stride = 0),
-         ${ivfAssignSql("ia1", "iseeds", "itr")},
-         ${ivfUpdateSql("ic1", "ia1")},
-         ${ivfAssignSql("ia2", "ic1", "itr")},
-         ${ivfUpdateSql("ic2", "ia2")},
-         ${ivfAssignSql("ia3", "ic2")},
-         pst AS (SELECT COUNT(*) // 16 AS stride,
-             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
-         sv AS (
-           SELECT vec_id, sub,
-             list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
-           FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
-         ptr AS (
-           SELECT vec_id, sub, sqv FROM sv, pst WHERE vec_id % m = 0),
-         pseeds AS (
-           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
-           FROM sv, pst WHERE vec_id % stride = 0 AND vec_id < stride * 16),
-         ${pqAssignSql("pa1", "pseeds", "ptr")},
-         ${pqUpdateSql("pc1", "pa1")},
-         ${pqAssignSql("pa2", "pc1", "ptr")},
-         ${pqUpdateSql("pc2", "pa2")},
-         ${pqAssignSql("codes", "pc2")},
-         qcell AS (SELECT vec_id AS query_id, cent_id AS q_cent
-                   FROM ia3 WHERE vec_id < 8),
-         qs AS (SELECT vec_id AS query_id, sub, sqv
-                FROM sv WHERE vec_id < 8),
-         dt AS (
-           SELECT q.query_id, c.sub, c.cent_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, len(q.sqv) + 1),
-                 i -> (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
-                    * (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
-               (acc, x) -> acc + x) AS dd
-           FROM qs q JOIN pc2 c ON q.sub = c.sub),
-         cand AS (
-           SELECT qc.query_id, a.vec_id
-           FROM ia3 a JOIN qcell qc
-             ON a.cent_id = qc.q_cent AND a.vec_id <> qc.query_id),
-         adc AS (
-           SELECT cd.query_id, cd.vec_id,
-             CAST(SUM(d.dd) AS BIGINT) AS adc_dist
-           FROM cand cd
-             JOIN codes k ON k.vec_id = cd.vec_id
-             JOIN dt d ON d.query_id = cd.query_id
-               AND k.sub = d.sub AND k.cent_id = d.cent_id
-           GROUP BY cd.query_id, cd.vec_id),
+      s"""WITH ${ivfChainSql("i")},
+         ${pqChainSql("p")},
+         $adcSql,
          ranked AS (
            SELECT query_id, vec_id, adc_dist,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -971,67 +965,9 @@ object Similarity {
     // top-10 compressed shortlist, exact-dot re-rank (the shared
     // strict left fold), top-3.
     "sim_ivfpq_rerank" ->
-      s"""WITH ist AS (
-           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
-             GREATEST(1, COUNT(*) // GREATEST(2048,
-               CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
-           FROM embeddings),
-         qv AS (
-           SELECT vec_id,
-             list_transform(range(1, len(embedding) + 1),
-               i -> CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                      * 1000) + 1000 AS BIGINT)) AS qv
-           FROM embeddings),
-         itr AS (
-           SELECT vec_id, qv FROM qv, ist WHERE vec_id % m = 0),
-         iseeds AS (
-           SELECT vec_id AS cent_id, qv AS cq FROM qv, ist
-           WHERE vec_id % stride = 0),
-         ${ivfAssignSql("ia1", "iseeds", "itr")},
-         ${ivfUpdateSql("ic1", "ia1")},
-         ${ivfAssignSql("ia2", "ic1", "itr")},
-         ${ivfUpdateSql("ic2", "ia2")},
-         ${ivfAssignSql("ia3", "ic2")},
-         pst AS (SELECT COUNT(*) // 16 AS stride,
-             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
-         sv AS (
-           SELECT vec_id, sub,
-             list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
-           FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
-         ptr AS (
-           SELECT vec_id, sub, sqv FROM sv, pst WHERE vec_id % m = 0),
-         pseeds AS (
-           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
-           FROM sv, pst WHERE vec_id % stride = 0 AND vec_id < stride * 16),
-         ${pqAssignSql("pa1", "pseeds", "ptr")},
-         ${pqUpdateSql("pc1", "pa1")},
-         ${pqAssignSql("pa2", "pc1", "ptr")},
-         ${pqUpdateSql("pc2", "pa2")},
-         ${pqAssignSql("codes", "pc2")},
-         qcell AS (SELECT vec_id AS query_id, cent_id AS q_cent
-                   FROM ia3 WHERE vec_id < 8),
-         qs AS (SELECT vec_id AS query_id, sub, sqv
-                FROM sv WHERE vec_id < 8),
-         dt AS (
-           SELECT q.query_id, c.sub, c.cent_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, len(q.sqv) + 1),
-                 i -> (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)])
-                    * (q.sqv[CAST(i AS INTEGER)] - c.cq[CAST(i AS INTEGER)]))),
-               (acc, x) -> acc + x) AS dd
-           FROM qs q JOIN pc2 c ON q.sub = c.sub),
-         cand AS (
-           SELECT qc.query_id, a.vec_id
-           FROM ia3 a JOIN qcell qc
-             ON a.cent_id = qc.q_cent AND a.vec_id <> qc.query_id),
-         adc AS (
-           SELECT cd.query_id, cd.vec_id,
-             CAST(SUM(d.dd) AS BIGINT) AS adc_dist
-           FROM cand cd
-             JOIN codes k ON k.vec_id = cd.vec_id
-             JOIN dt d ON d.query_id = cd.query_id
-               AND k.sub = d.sub AND k.cent_id = d.cent_id
-           GROUP BY cd.query_id, cd.vec_id),
+      s"""WITH ${ivfChainSql("i")},
+         ${pqChainSql("p")},
+         $adcSql,
          shortl AS (
            SELECT query_id, vec_id FROM (
              SELECT query_id, vec_id,
