@@ -158,7 +158,13 @@ object Temporal {
       Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("ts")).as("first_ts"),
-          min_by(col("event_id"), col("ts")).as("first_event_id"),
+          // (ts, event_id) key, not ts alone: on a ts tie min_by picks
+          // whichever row a partition sees first, so the "equals the
+          // dedup stream" pin (which breaks ties on event_id) would
+          // flake with the data — the composite key pins the same
+          // deterministic winner in batch, stream, and oracle
+          min_by(col("event_id"),
+            struct(col("ts"), col("event_id"))).as("first_event_id"),
           (count(lit(1)) - 1).as("n_dropped"))),
 
     // As-of join with a staleness tolerance (pandas
@@ -365,11 +371,17 @@ object Temporal {
           AND p.p_ts <= c.ts
           AND p.p_ts >= c.ts - INTERVAL 30 MINUTES""",
     "dedup_first_event" ->
-      """SELECT user_id, event_type,
-         MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
-         ARG_MIN(event_id, ts) AS first_event_id,
-         CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-         FROM events GROUP BY user_id, event_type""",
+      """WITH ranked AS (
+           SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+           FROM events)
+         SELECT user_id, event_type, ts AS first_ts,
+           event_id AS first_event_id,
+           CAST(cnt - 1 AS BIGINT) AS n_dropped
+         FROM ranked WHERE rn = 1""",
     "join_asof_tolerance" ->
       """WITH clicks AS (
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts

@@ -2684,6 +2684,10 @@ object GraftLog {
     * resurrecting overwritten rows (the Delta/Iceberg
     * concurrent-modification contract). Appends never trip this:
     * fresh files are new UUIDs, disjoint from any retired set. */
+  /** `rewriteFiles` baseVersion sentinel for "caller did not pre-plan
+    * a base" — distinct from -1, which is a real base (empty table). */
+  private[graft] val UnsetBase: Long = Long.MinValue
+
   private def requireNoFileConflicts(dir: String, baseVersion: Long,
       claiming: Long, retired: Set[String], op: String): Unit = {
     if (retired.isEmpty) return
@@ -2720,6 +2724,30 @@ object GraftLog {
           " — replan against the current snapshot and retry")
   }
 
+  /** Full-replace conflict guard for rewrites planned against an
+    * EMPTY snapshot: with no retired files [[requireNoFileConflicts]]
+    * is vacuous (nothing to touch), yet a concurrent FIRST commit's
+    * rows would be served beside the full rewrite — the exact
+    * duplicate-serving hazard the retired-file check closes for
+    * non-empty plans (two bootstrap SCD2 publishers racing an empty
+    * dimension would each keep the other's rows live). Any dataChange
+    * entry in the span conflicts, retryably. */
+  private def requireNoDataCommits(dir: String, baseVersion: Long,
+      claiming: Long, op: String): Unit = {
+    val data = listVersioned(dir, CommitPrefix)
+      .filter { case (ver, _) => ver > baseVersion && ver < claiming }
+      .flatMap { case (_, f) => readEntryLines(f) }
+      .filter(e => e.dataChange && (e.isAdd || e.action == "remove"))
+    if (data.nonEmpty)
+      throw new GraftConcurrentModificationException(
+        s"$op on $dir planned against an empty snapshot " +
+          s"(v$baseVersion), but concurrent commit(s) landed " +
+          s"${data.size} data entr(ies) in its span: " +
+          data.map(e => s"v${e.version}:${e.action}:${e.file}")
+            .distinct.take(5).mkString(", ") +
+          " — replan against the current snapshot and retry")
+  }
+
   private[graft] def rewriteFiles(spark: org.apache.spark.sql.SparkSession,
       dir: String, old: Seq[LogEntry],
       replacement: org.apache.spark.sql.DataFrame,
@@ -2727,11 +2755,16 @@ object GraftLog {
       txn: Option[(String, Long)] = None,
       cdcChanges: Option[org.apache.spark.sql.DataFrame] = None,
       partitionOverride: Option[String] = None,
-      baseVersion: Long = -1L): Unit = {
-    // the conflict-detection base: the newest version when the rewrite
-    // was planned (callers that pre-planned pass their own)
+      baseVersion: Long = UnsetBase,
+      fullReplace: Boolean = false): Unit = {
+    // The conflict-detection base: the newest version when the rewrite
+    // was planned (callers that pre-planned pass their own). -1 is a
+    // REAL base — "the table was empty at plan time" — honored as-is
+    // so the conflict span covers every version since the beginning;
+    // only the unset sentinel falls back to a late read (which would
+    // re-open the scratch-write window a pre-planned caller closed).
     val base =
-      if (baseVersion >= 0L) baseVersion else currentVersion(dir)
+      if (baseVersion != UnsetBase) baseVersion else currentVersion(dir)
     // typed CDC sidecars publish in the SAME commit as the rewrite
     val cdcEntries = cdcChanges.map(stageCdc(spark, dir, _))
       .getOrElse(Seq.empty)
@@ -2753,6 +2786,11 @@ object GraftLog {
     try commitNew(dir, storedSchema(dir).getOrElse(schema)) { v =>
       requireNoFileConflicts(dir, base, v,
         old.map(_.file).toSet, "rewrite")
+      // a full-table replace planned against an EMPTY snapshot has no
+      // retired files for the check above to defend — any concurrent
+      // data commit in the span conflicts instead
+      if (fullReplace && old.isEmpty)
+        requireNoDataCommits(dir, base, v, "rewrite")
       old.map(e => LogEntry.remove(v, e.file)) ++
         fresh.map(e => LogEntry.add(v, e.file, e.rows, e.stats,
           dataChange = dataChange, cols = e.cols)) ++

@@ -42,15 +42,27 @@ object Tables {
     * that aggregate/join; stateful processors that manage their own
     * state pass None. */
   def eventsStream(s: SparkSession, d: String,
-      watermark: Option[String] = None): DataFrame =
-    withNanosAsLong(s) {
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = normalizeEventTs(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d))
-      watermark.fold(raw)(w => raw.withWatermark("ts", w))
-    }
+      watermark: Option[String] = None): DataFrame = {
+    val schema = withNanosAsLong(s)(
+      s.read.parquet(s"$d/events.parquet").schema)
+    // A NANOS-annotated generation needs the legacy conf at
+    // MICRO-BATCH time, not just while this plan is built: the
+    // streaming engine clones the session (capturing confs) at
+    // .start(), which callers invoke only after this function
+    // returned — a scoped set-and-restore here would leave every
+    // micro-batch read throwing PARQUET_TYPE_ILLEGAL while the batch
+    // twin kept working. Leave the conf set for the session exactly
+    // when the generation IS nanos (it only affects TIMESTAMP(NANOS)
+    // columns, which only this fixture carries); the other
+    // generations never set it.
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+    watermark.fold(raw)(w => raw.withWatermark("ts", w))
+  }
 
   /** The ts-normalization dispatch, shared with the readStream twins in
     * `streaming.EventWindows`/`streaming.Stateful` (the conversion is a

@@ -39,10 +39,8 @@ object WarehouseStream {
   }
 
   private def readDim(spark: SparkSession, dimDir: String,
-      asOf: Long): DataFrame =
-    if (asOf < 0L ||
-        graft.sources.GraftLog.committedFiles(dimDir).isEmpty)
-      dimSchemaDf(spark)
+      asOf: Long, snapshotEmpty: Boolean): DataFrame =
+    if (asOf < 0L || snapshotEmpty) dimSchemaDf(spark)
     else spark.read.format(Fmt).option("path", dimDir)
       .option("asOfVersion", asOf.toString).load()
 
@@ -63,17 +61,24 @@ object WarehouseStream {
     // version, captured here before anything else: the dim read, the
     // retired-file listing, and rewriteFiles' conflict-check span all
     // use `base`, so a concurrent commit landing anywhere in the
-    // batch window either touches a retired file (retryable abort) or
+    // batch window either touches a retired file (retryable abort),
+    // lands in an empty-snapshot plan's span (rewriteFiles'
+    // fullReplace guard — with no retired files the file-level check
+    // is vacuous, and two bootstrap publishers racing an empty
+    // dimension would otherwise each keep the other's rows live), or
     // is a pure append whose rows are provably NOT in the rewrite
-    // (the dim snapshot predates it) — never served twice. The
-    // default base inside rewriteFiles is read only after the scratch
-    // write materializes, leaving exactly that window open.
+    // (the dim snapshot predates it) — never served twice.
     val base = graft.sources.GraftLog.currentVersion(dimDir)
+    // ONE log replay serves the emptiness check, the dim read gate,
+    // and the retired-file list (previously committedFiles +
+    // entriesAsOf walked the log separately every micro-batch)
+    val retired = graft.sources.GraftLog.entriesAsOf(dimDir,
+      if (base < 0L) Long.MaxValue else base)
     // cached for the batch: `hist` and `cur` are both derived from it
     // and both execute inside the single write plan below — uncached,
     // every committed dimension file would be read and decoded twice
     // per micro-batch
-    val dim = readDim(spark, dimDir, base).cache()
+    val dim = readDim(spark, dimDir, base, retired.isEmpty).cache()
     val hist = dim.filter(col("is_current") === 0)
     val cur = dim.filter(col("is_current") === 1)
     val merged = cur.join(changes, Seq("user_id"), "full_outer")
@@ -132,12 +137,11 @@ object WarehouseStream {
     // cleanup on every failure path.
     val out = hist.unionByName(merged)
     // retired = the files of the SAME pinned version the dim was read
-    // as-of, and rewriteFiles checks conflicts over (base, publish] —
-    // see the pin comment above
-    val retired = graft.sources.GraftLog.entriesAsOf(dimDir,
-      if (base < 0L) Long.MaxValue else base)
+    // as-of; rewriteFiles checks conflicts over (base, publish] and —
+    // fullReplace — treats ANY concurrent data commit as a conflict
+    // when the plan's snapshot was empty (see the pin comment above)
     try graft.sources.GraftLog.rewriteFiles(spark, dimDir, retired,
-      out, out.schema, baseVersion = base)
+      out, out.schema, baseVersion = base, fullReplace = true)
     finally dim.unpersist()
   }
 
@@ -145,10 +149,17 @@ object WarehouseStream {
   def scd2Stream(spark: SparkSession, streamInDir: String,
       dimDir: String, checkpoint: String,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
-    val schema = spark.read.parquet(streamInDir).schema
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(streamInDir)
+    // same raw-schema probe + in-plan ts dispatch as
+    // Tables.eventsStream, so a fixture-generation ts-encoding change
+    // (int64 nanos / NTZ / native) is absorbed by the shared
+    // normalizeEventTs projection instead of failing only this
+    // consumer's unix_micros
+    val schema = graft.sources.Tables.withNanosAsLong(spark)(
+      spark.read.parquet(streamInDir).schema)
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(streamInDir))
       .filter(col("event_type") === "purchase")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row],

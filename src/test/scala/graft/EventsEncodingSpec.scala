@@ -48,6 +48,33 @@ class EventsEncodingSpec extends SparkSpec {
     assert(tsMicros(df) == micros)
   }
 
+  test("the STREAMING twin lands the int64 encoding on TimestampType " +
+      "across micro-batches — the reads happen after eventsStream " +
+      "returns, so the dispatch must survive plan building") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-events-enc").toString
+    // a single FILE named events.parquet, like the driver fixtures —
+    // the streaming source globs file names, and a Spark-written
+    // DIRECTORY of part files would not match it
+    micros.map(m => (1L, m * 1000L + 789L)).toDF("event_id", "ts")
+      .coalesce(1).write.parquet(s"$dir/tmp_out")
+    val part = new java.io.File(s"$dir/tmp_out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val stream = graft.sources.Tables.eventsStream(spark, dir)
+    assert(stream.schema("ts").dataType == TimestampType)
+    val q = stream.select(unix_micros(col("ts")).as("m"))
+      .writeStream.format("memory").queryName("enc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("enc_stream").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == micros)
+  }
+
   test("native session-local timestamp ts passes through unchanged") {
     import spark.implicits._
     val df = roundTrip { path =>

@@ -498,6 +498,27 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 4200)
   }
 
+  test("a full replace planned against an EMPTY snapshot aborts " +
+      "retryably when a concurrent first commit lands in its span") {
+    val dir = tmp()
+    // plan against the empty table (base = -1, no retired files): the
+    // file-level conflict check is vacuous here, so without the
+    // fullReplace guard a concurrent bootstrap's rows would stay live
+    // BESIDE the published full rewrite — served twice
+    val base = graft.sources.GraftLog.currentVersion(dir)
+    assert(base == -1L)
+    spark.range(0, 10).selectExpr("id", "id AS v").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    val schema = graft.sources.GraftLog.storedSchema(dir).get
+    intercept[graft.sources.GraftConcurrentModificationException](
+      graft.sources.GraftLog.rewriteFiles(spark, dir, Seq.empty,
+        spark.range(10, 20).selectExpr("id", "id AS v"), schema,
+        baseVersion = base, fullReplace = true))
+    // the aborted rewrite stranded nothing: only the bootstrap's rows
+    val back = spark.read.format(Fmt).option("path", dir).load()
+    assert(back.count() == 10)
+  }
+
   test("merge coerces the batch to the TABLE's column types: a " +
       "decimal/double-keyed batch updates in place instead of " +
       "hash-missing the bloom and duplicating the key") {
