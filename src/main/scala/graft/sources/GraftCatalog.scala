@@ -75,6 +75,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def schemaFile(ident: Identifier): File =
     new File(tableDir(ident), GraftLog.SchemaFile)
 
+  /** Catalog identifiers become DIRECTORY entries: reject separators
+    * and traversal ('/', '\\', '..' — a backquoted `../../tmp/evil`
+    * would write OUTSIDE the warehouse root), the reserved dot prefix
+    * (collides with the hidden `.staged-*`/`.retired-*` layout and the
+    * catalog-visibility filters), empty names, and '$' (the meta-table
+    * suffix marker — a real table named `t$files` would be shadowed by
+    * t's manifest listing at read time, or unreachable). */
+  private def validateName(kind: String, name: String): Unit =
+    require(name.nonEmpty && !name.contains("/") &&
+      !name.contains("\\") && !name.contains("..") &&
+      !name.startsWith(".") && !name.contains("$"),
+      s"invalid graft $kind name '$name': names become directory " +
+        "entries and may not be empty, contain '/', '\\', '..', '$', " +
+        "or start with '.'")
+
+  /** A directory at a table identifier WITHOUT a schema marker is
+    * either an empty husk (external-cleanup debris, safe to clear) or
+    * a real child NAMESPACE holding tables — creating over it (or
+    * clearing it as a husk) would silently take every table in it.
+    * Namespace = it has subdirectories. */
+  private def isNamespaceDir(d: File): Boolean =
+    d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+      .exists(_.isDirectory)
+
+  private def requireNotNamespace(ident: Identifier): Unit = {
+    val d = tableDir(ident)
+    if (!new File(d, GraftLog.SchemaFile).exists() && isNamespaceDir(d))
+      throw new IllegalArgumentException(
+        s"identifier ${ident.toString} collides with a NAMESPACE " +
+          "holding tables — a table cannot be created over it")
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     schemaFile(ident).exists()
 
@@ -151,9 +183,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
         val c = t.references()(0).fieldNames()(0)
-        require(schema.fieldNames.contains(c),
+        // resolve case-INSENSITIVELY (Spark's default resolver
+        // accepts `PARTITIONED BY (ID)` against column `id`) and key
+        // everything downstream on the schema's canonical casing
+        val resolved = schema.fields
+          .find(_.name.equalsIgnoreCase(c)).map(_.name)
+        require(resolved.isDefined,
           s"partition column $c is not in the table schema")
-        Some(c)
+        resolved
       case other => throw new UnsupportedOperationException(
         "graft-log supports only PARTITIONED BY (<column>) " +
           s"(single identity transform), got ${other.mkString(", ")}")
@@ -187,6 +224,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
+    validateName("table", ident.name)
+    requireNotNamespace(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // a VIEW with this name would shadow the new table at read time
     // (view resolution substitutes before table lookup) — reject the
@@ -229,17 +268,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     override def commitStagedChanges(): Unit = {
       val dest = tableDir(ident)
-      // a directory without the schema marker is not a table (an
-      // empty husk from an external cleanup) — clear it, don't let it
-      // masquerade as a create conflict
+      // a directory without the schema marker is not a table — but it
+      // may be a child NAMESPACE holding tables (a namespace is
+      // exactly a schema-less dir), and clearing it as a "husk" would
+      // delete every table in it. Only a dir with NO subdirectories
+      // is debris; a namespace collision aborts the staging.
       if (dest.exists() &&
-          !new File(dest, GraftLog.SchemaFile).exists())
+          !new File(dest, GraftLog.SchemaFile).exists()) {
+        if (isNamespaceDir(dest)) {
+          abortStagedChanges()
+          throw new IllegalArgumentException(
+            s"identifier ${ident.toString} collides with a NAMESPACE " +
+              "holding tables — staged commit aborted")
+        }
         rmTree(dest)
+      }
       if (dest.exists()) {
         if (!replace) {
           abortStagedChanges()
           throw new TableAlreadyExistsException(ident)
         }
+        // The replacement RESTARTS the version axis, so it must carry
+        // a FRESH lineage tag (stamped on the staged dir BEFORE the
+        // swap — no window where the new table is visible under the
+        // old tag): every incremental consumer (MV, replication,
+        // streaming offsets) keys its applied-through marker on the
+        // lineage, and a replace that kept the old tag would let a
+        // marker silently merge new-lineage deltas into pre-replace
+        // state once the new head passed it — the exact hole the
+        // overwrite path already stamps against (appendImpl).
+        GraftLog.setProperties(tmp.getPath, Map(
+          GraftLog.LineageProp -> java.util.UUID.randomUUID().toString))
         // retire the old lineage only now, with the replacement fully
         // built: the one non-atomic window is between these two
         // renames (crash = table briefly absent, old data parked in
@@ -270,6 +329,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable = {
+    validateName("table", ident.name)
+    requireNotNamespace(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     val tmp = stagedDir(ident)
@@ -282,6 +343,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable = {
+    validateName("table", ident.name)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val tmp = stagedDir(ident)
     new GraftStagedTable(ident, tmp,
@@ -293,6 +355,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreateOrReplace(ident: Identifier,
       schema: StructType, partitions: Array[Transform],
       properties: JMap[String, String]): StagedTable = {
+    validateName("table", ident.name)
+    requireNotNamespace(ident)
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     val tmp = stagedDir(ident)
     new GraftStagedTable(ident, tmp,
@@ -307,8 +371,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * former-name trail), and DROP COLUMN (metadata-only narrow with a
     * tombstoned name). Type changes reject loudly — they would strand
     * the already-written part files. */
+  // Serialized on the GraftLog monitor: the body is a read-modify-
+  // write of `_schema`, and an unsynchronized ALTER racing a
+  // concurrent append's schema MERGE (which persists under the same
+  // lock) could write back its pre-merge snapshot — vanishing an
+  // evolved column whose cells are already committed.
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = {
+      changes: TableChange*): Table = GraftLog.synchronized {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tableDir(ident).getPath
     val updated = changes.foldLeft(GraftLog.storedSchema(dir).get) {
@@ -423,6 +492,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
+    validateName("table", to.name)
+    requireNotNamespace(to)
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     // the view resolution rule runs BEFORE table lookup, so a table
@@ -471,6 +542,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createView(info: ViewInfo): View = {
     val ident = info.ident
+    validateName("view", ident.name)
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace))
@@ -494,8 +566,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"schema=${enc(schema.json)}",
       s"qcols=${qCols.map(enc).mkString(",")}",
       s"aliases=${aliases.map(enc).mkString(",")}",
+      // absent comments encode as the sentinel '-' (never a base64
+      // char), NOT as an empty cell: the reader's empty-filtering
+      // split would otherwise drop them POSITIONALLY and attach the
+      // surviving comments to the wrong columns
       s"comments=${Option(comments).getOrElse(Array.empty[String])
-        .map(c => enc(Option(c).getOrElse(""))).mkString(",")}") ++
+        .map(c => Option(c).fold("-")(enc)).mkString(",")}") ++
       props.toSeq.sortBy(_._1).map { case (k, v) =>
         s"prop.${encKey(k)}=${enc(v)}" }
     // atomic publish, matching the manifest/schema path — a crash
@@ -533,7 +609,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .asInstanceOf[StructType]
       override def queryColumnNames(): Array[String] = arr("qcols")
       override def columnAliases(): Array[String] = arr("aliases")
-      override def columnComments(): Array[String] = arr("comments")
+      override def columnComments(): Array[String] = {
+        // length-preserving split: '-' (and a legacy empty cell) is
+        // an ABSENT comment in place, keeping positions aligned with
+        // the aliases; all-absent collapses to empty like the others
+        val raw = m.getOrElse("comments", "")
+        if (raw.isEmpty || raw.split(",", -1).forall(c =>
+            c.isEmpty || c == "-")) Array.empty
+        else raw.split(",", -1).map {
+          case "" | "-" => null
+          case v => dec(v)
+        }
+      }
       override def properties(): JMap[String, String] = {
         val p = new java.util.HashMap[String, String]()
         m.foreach { case (k, v) =>
@@ -573,8 +660,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // -- namespaces: plain subdirectories of the warehouse root --
   override def listNamespaces(): Array[Array[String]] =
+    // same filters as the nested overload: dot-prefixed dirs are
+    // layout-internal staging/retired debris, and a dir WITH a schema
+    // marker is a root-level TABLE, not a namespace
     Option(new File(warehouse).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(f => Array(f.getName))
+      .filter(f => f.isDirectory && !f.getName.startsWith(".") &&
+        !new File(f, GraftLog.SchemaFile).exists())
+      .map(f => Array(f.getName))
   override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
     if (!nsDir(ns).isDirectory) throw new NoSuchNamespaceException(ns)
     // child namespaces = subdirectories that are not tables (no
@@ -593,8 +685,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     java.util.Collections.emptyMap()
   }
   override def createNamespace(ns: Array[String],
-      metadata: JMap[String, String]): Unit =
+      metadata: JMap[String, String]): Unit = {
+    ns.foreach(validateName("namespace", _))
     nsDir(ns).mkdirs()
+  }
   override def alterNamespace(ns: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft namespaces carry no metadata")
@@ -602,7 +696,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       cascade: Boolean): Boolean = {
     val d = nsDir(ns)
     if (!d.isDirectory) return false
-    if (!cascade && Option(d.listFiles()).exists(_.nonEmpty))
+    // emptiness counts only catalog-VISIBLE entries: a crashed
+    // RTAS's parked `.retired-*` dir (hidden from SHOW TABLES) must
+    // not wedge a DROP of a namespace the user already emptied
+    if (!cascade && Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => !f.getName.startsWith(".")))
       throw new IllegalStateException(s"namespace ${ns.mkString(".")} not empty")
     rmTree(d)
     true

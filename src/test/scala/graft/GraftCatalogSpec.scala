@@ -1033,4 +1033,38 @@ class GraftCatalogSpec extends SparkSpec {
         txn.getLong(1) == 1L)
     }
   }
+
+  test("CTAS at a child-namespace identifier aborts instead of " +
+      "deleting the namespace's tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbn.sub")
+    spark.sql("CREATE TABLE graftcat.dbn.sub.inner_t (id BIGINT)")
+    spark.sql("INSERT INTO graftcat.dbn.sub.inner_t VALUES (1), (2)")
+    // dbn.sub is a directory WITHOUT a schema marker — the staged
+    // commit used to clear it as a "husk", deleting inner_t's data
+    val err = intercept[Exception](
+      spark.sql("CREATE TABLE graftcat.dbn.sub AS SELECT 1L AS id"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(err).exists(_.contains("NAMESPACE")), chain(err).toString)
+    // the child table survived intact
+    assert(spark.sql("SELECT COUNT(*) FROM graftcat.dbn.sub.inner_t")
+      .head.getLong(0) == 2L)
+  }
+
+  test("REPLACE TABLE stamps a FRESH lineage: a marker persisted " +
+      "against the old table cannot silently survive the replace") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbl")
+    spark.sql("DROP TABLE IF EXISTS graftcat.dbl.rt")
+    spark.sql("CREATE TABLE graftcat.dbl.rt AS SELECT 1L AS id")
+    val dir = s"$wh/dbl/rt"
+    val before = graft.sources.GraftLog.lineageOf(dir)
+    spark.sql("REPLACE TABLE graftcat.dbl.rt AS SELECT 2L AS id")
+    val after = graft.sources.GraftLog.lineageOf(dir)
+    // the version axis restarted, so the tag MUST change (the empty
+    // "never overwritten" tag matching itself across the replace is
+    // exactly the silent-merge hole the lineage guard exists to close)
+    assert(after != before && after.nonEmpty,
+      s"lineage must change across REPLACE: '$before' -> '$after'")
+    assert(spark.sql("SELECT id FROM graftcat.dbl.rt").head.getLong(0) == 2L)
+  }
 }
