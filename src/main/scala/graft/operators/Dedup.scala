@@ -103,6 +103,34 @@ object Dedup {
   /** The LSH candidate threshold, shared batch + incremental. */
   private val EstThreshold = 0.35
 
+  /** THE payload-attach join shape every verify step uses: the tiny
+    * candidate pair set BROADCASTS into the corpus-sized index twice
+    * (once per endpoint), so the index streams through two broadcast
+    * probes and never shuffles — a checkpointed pair/index frame
+    * carries no size stats, and without the hints the planner
+    * sort-merges the multi-GB index to attach a few thousand pairs
+    * (measured 42 s warm vs 1.3 s hinted at 8x sf0.1). One definition
+    * for the four attach sites, so a forgotten hint or a renamed
+    * payload cannot silently diverge one path from its siblings.
+    * `payload` maps each index column to its (doc_a-side, doc_b-side)
+    * output names; `cands`' own columns (est scores etc.) carry
+    * through. */
+  private def attachBoth(cands: DataFrame, index: DataFrame,
+      payload: Seq[(String, String, String)]): DataFrame = {
+    val aSide = index.select(col("doc_id").as("doc_a") +:
+      payload.map { case (c, a, _) => col(c).as(a) }: _*)
+    val bSide = index.select(col("doc_id").as("doc_b") +:
+      payload.map { case (c, _, b) => col(c).as(b) }: _*)
+    bSide.join(broadcast(aSide.join(broadcast(cands), "doc_a")), "doc_b")
+  }
+
+  /** Exact set Jaccard from an intersection size and the two set
+    * sizes — |∩| / (|A| + |B| − |∩|), ONE definition for every
+    * verify/mining path that scores it. */
+  private def jaccardOf(inter: Column, szA: Column,
+      szB: Column): Column =
+    inter.cast("double") / (szA + szB - inter)
+
   /** Candidate near-dup pairs via LSH banding over precomputed
     * signatures, scored by signature agreement. */
   private def pairsFromSignatures(sigFrame: DataFrame,
@@ -120,9 +148,7 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    attachBoth(cands, sigs, Seq(("sig", "sig_a", "sig_b")))
       .select(col("doc_a"), col("doc_b"),
         estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -153,18 +179,14 @@ object Dedup {
     * volume ever outgrows a broadcast, bucket the index by doc_id at
     * ingest and the attach is shuffle-free on the index side instead. */
   private def attachExactJaccard(cands: DataFrame, sh: DataFrame): DataFrame =
-    sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("sz").as("sz_b"))
-      .join(broadcast(
-        sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-            col("sz").as("sz_a"))
-          .join(broadcast(cands), "doc_a")), "doc_b")
+    attachBoth(cands, sh,
+      Seq(("sh", "sh_a", "sh_b"), ("sz", "sz_a", "sz_b")))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
         col("sz_a"), col("sz_b"))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
-        (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter"))).as("exact_jaccard"))
+        jaccardOf(col("inter"), col("sz_a"), col("sz_b"))
+          .as("exact_jaccard"))
 
   /** The deterministic near-dup pair set: LSH candidates verified by
     * exact word-shingle Jaccard ≥ 0.5. The fixtures are bimodal (random
@@ -342,11 +364,9 @@ object Dedup {
       val shares = (0 until 16)
         .map(i => band(col("sh_a"), i) === band(col("sh_b"), i))
         .reduce(_ || _)
-      sim.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-        .join(broadcast(
-          sim.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-            .join(broadcast(exactNearDupPairs(s, d)
-              .select(col("doc_a"), col("doc_b"))), "doc_a")), "doc_b")
+      attachBoth(exactNearDupPairs(s, d)
+          .select(col("doc_a"), col("doc_b")), sim,
+          Seq(("simhash", "sh_a", "sh_b")))
         .select(col("doc_a"), col("doc_b"),
           (ham <= 15).as("hamming_close"), shares.as("shares_band"))
     }),
@@ -378,11 +398,7 @@ object Dedup {
         .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
           greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
         .distinct()
-      val est = sigs
-        .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-        .join(broadcast(
-          sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-            .join(broadcast(cands), "doc_a")), "doc_b")
+      val est = attachBoth(cands, sigs, Seq(("sig", "sig_a", "sig_b")))
         .select(col("doc_a"), col("doc_b"),
           estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
         .filter(col("est_jaccard") >= EstThreshold)
@@ -411,11 +427,20 @@ object Dedup {
     // window (collisions ~n²/2⁶⁴, negligible); the string form here
     // keeps the DuckDB oracle exact.
     "dedup_substring_spans" -> ((s, d) => {
+      // tokenization runs ABOVE the fanout exchange (parallel across
+      // the session's cores, not on the single pre-shuffle scan task)
+      // and the exploded span frame is materialized ONCE: it feeds
+      // BOTH the span aggregate and the probe join below, whose
+      // exchanges have different children (partial-agg vs bare
+      // project), so ReuseExchange cannot dedupe them — uncheckpointed,
+      // the dominant tokenize+window-explode pipeline ran twice.
       val wins = fanout(Tables.documents(s, d)
-          .select(col("doc_id"), Corpus.toksOf(col("text")).as("tk")))
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), Corpus.toksOf(col("text")).as("tk"))
         .select(col("doc_id"),
           explode(array_distinct(Corpus.wordGrams(col("tk"), 8)))
             .as("span"))
+        .localCheckpoint()
       val shared = wins.groupBy(col("span"))
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
@@ -449,8 +474,7 @@ object Dedup {
           size(array_intersect(col("a_sh"), col("sh"))).as("inter"),
           col("a_sz"), col("sz"))
         .select(col("anchor_id"), col("doc_id"),
-          (col("inter").cast("double") /
-            (col("a_sz") + col("sz") - col("inter"))).as("jaccard"))
+          jaccardOf(col("inter"), col("a_sz"), col("sz")).as("jaccard"))
         .filter(col("jaccard") > 0 && col("jaccard") < 0.5)
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 3)
