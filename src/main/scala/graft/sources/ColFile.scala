@@ -64,8 +64,12 @@ trait TextLines {
   * writes TYPED BINARY (enc 2 = int64, enc 3 = float64: null bitmap +
   * 8-byte LE values) — the scan reads values without parsing a single
   * string, and `cell(i)` still reproduces the exact original text for
-  * the line-oriented consumers. Anything else stays plain
-  * newline-terminated text (enc 0).
+  * the line-oriented consumers. A LOW-NDV numeric chunk whose cells
+  * round-trip writes a TYPED DICTIONARY (enc 4 = int64, enc 5 =
+  * float64: entry count + per-entry null flag + 8-byte LE entry +
+  * one u8 index per row — dictionary compression AND zero-parse
+  * decode). Anything else stays plain newline-terminated text
+  * (enc 0).
   * Within a chunk, cells are newline-terminated (strings must not
   * contain tabs/newlines — the format's documented codec contract, so
   * the separator is unambiguous); a block's row ordinals are global
@@ -91,6 +95,24 @@ object GraftColFile {
 
   def isCol(file: String): Boolean = file.endsWith(Extension)
 
+  /** UTF-8 byte length without encoding — the raw-size stat is named
+    * RawBytesKey and drives byte-targeted rolls (compaction target,
+    * block size), so counting UTF-16 units would under-count CJK-heavy
+    * data up to 3x and roll files past their configured byte budget. */
+  private def utf8Len(s: String): Int = {
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      n += (if (c < 0x80) 1
+        else if (c < 0x800) 2
+        else if (Character.isHighSurrogate(c)) { i += 1; 4 }
+        else 3)
+      i += 1
+    }
+    n
+  }
+
   /** One block's footer record. `lens(i)` = compressed byte length of
     * column i's chunk; chunk i starts at `offset + sum(lens(0..i-1))`.
     * `firstOrdinal` = the file-global row ordinal of the block's first
@@ -98,9 +120,12 @@ object GraftColFile {
     * in the manifest's cell encoding (absent for a column whose block
     * saw an unparseable/NaN value — consumers degrade to may-match).
     * `encs(i)` = column i's chunk encoding: 0 = plain newline-
-    * terminated cells, 1 = dictionary (≤255 distinct cells per block:
-    * a dict header + one u8 index per row — parquet's dictionary page
-    * in miniature; decode materializes each distinct string ONCE).
+    * terminated cells, 1 = TEXT dictionary (≤255 distinct cells per
+    * block: a dict header + one u8 index per row — parquet's
+    * dictionary page in miniature; decode materializes each distinct
+    * string ONCE), 2/3 = typed binary int64/float64 (null bitmap +
+    * 8-byte LE values), 4/5 = TYPED dictionary int64/float64 (binary
+    * entries + u8 indices — see [[tryTypedDict]]).
     * Footer lines without the encodings field (early-r10 files) parse
     * as all-plain. */
   final case class BlockMeta(offset: Long, rows: Long,
@@ -125,6 +150,16 @@ object GraftColFile {
   final class Writer(path: Path, cols: Seq[String],
       types: Seq[DataType],
       blockTargetChars: Long = DefaultBlockChars) {
+    // Column names are footer DELIMITERS: the cols line joins on ','
+    // and the stats field on ';'/'='/','. A name carrying one of those
+    // (Spark permits backquoted names like `a,b`) would re-parse as a
+    // phantom column and shift every chunk offset — reject at write
+    // time rather than decode garbage at read time. Tabs/newlines are
+    // the cell codec's documented contract.
+    cols.foreach(c => require(c.nonEmpty && !c.exists(ch =>
+      ch == ',' || ch == ';' || ch == '=' || ch == '\t' || ch == '\n'),
+      s"graft-log column name '$c' cannot be encoded: names may not " +
+        "be empty or contain ',', ';', '=', tab, or newline"))
     private val out =
       new BufferedOutputStream(Files.newOutputStream(path), 1 << 16)
     private val nCols = cols.length
@@ -162,7 +197,7 @@ object GraftColFile {
       while (i < nCols) {
         val c = cells(i)
         bufs(i) += c
-        chars += c.length + 1
+        chars += utf8Len(c) + 1
         if (!tooMany(i) && !distinct(i).containsKey(c)) {
           if (distinct(i).size >= MaxDict) tooMany(i) = true
           else distinct(i).put(c, distinct(i).size)
@@ -276,13 +311,22 @@ object GraftColFile {
           }
         }
       } catch { case _: NumberFormatException => return null }
+      fillIndexBytes(out, 1 + 9 * size, cells, dict)
+      out
+    }
+
+    /** One u8 dictionary index per row, written into `out` at `base` —
+      * THE index-assignment rule, shared by the text and typed dict
+      * encodings so the two can never diverge (a widened index or a
+      * re-sorted dictionary changes both or neither). */
+    private def fillIndexBytes(out: Array[Byte], base: Int,
+        cells: ArrayBuffer[String],
+        dict: java.util.LinkedHashMap[String, Integer]): Unit = {
       var r = 0
-      val base = 1 + 9 * size
       while (r < cells.length) {
         out(base + r) = dict.get(cells(r)).intValue.toByte
         r += 1
       }
-      out
     }
 
     private def flushBlock(): Unit = {
@@ -316,11 +360,7 @@ object GraftColFile {
             dict.keySet.forEach(k => sb.append(k).append('\n'))
             val head = sb.toString.getBytes(StandardCharsets.UTF_8)
             val idx = new Array[Byte](cells.length)
-            var r = 0
-            while (r < cells.length) {
-              idx(r) = dict.get(cells(r)).intValue.toByte
-              r += 1
-            }
+            fillIndexBytes(idx, 0, cells, distinct(i))
             val payload = new Array[Byte](head.length + idx.length)
             System.arraycopy(head, 0, payload, 0, head.length)
             System.arraycopy(idx, 0, payload, head.length, idx.length)

@@ -1973,8 +1973,16 @@ object GraftLog {
           val in = GraftLogReaderFactory.openLines(dir, e.file)
           try {
             var line = in.readLine()
+            // EVERY line is a row — including the empty line a
+            // single-column table's empty-string cell produces
+            // (well-formed files never yield spurious empties:
+            // readLine drops terminators and EOF reads null, and the
+            // gcol lineReader emits exactly rowCount lines). Skipping
+            // empties desynchronized `ord` from the deletion vector's
+            // ordinals and silently dropped the row from every
+            // line-path scan while the columnar path served it.
             while (line != null) {
-              if (line.nonEmpty) {
+              {
                 ord += 1
                 // a cancelled parallel group must ABORT promptly (and
                 // self-clean via the catch below) — gzip streams never
@@ -5853,17 +5861,18 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
       private var dvPtr = 0
       private var ord = -1L
 
-      /** Next non-DV'd, non-empty line; null = done. `ord` always
-        * describes the line just returned. */
+      /** Next non-DV'd line; null = done. `ord` always describes the
+        * line just returned. EVERY line counts as a row — an empty
+        * line IS a single-column empty-string cell (well-formed files
+        * never yield spurious empties), and skipping it would both
+        * drop the row and shift every later DV ordinal by one. */
       private def readLine(): String = {
         while (true) {
           val l = in.readLine()
           if (l == null) return null
-          if (l.nonEmpty) {
-            ord += 1
-            if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) dvPtr += 1
-            else return l
-          }
+          ord += 1
+          if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) dvPtr += 1
+          else return l
         }
         null // unreachable
       }
@@ -6134,11 +6143,11 @@ class GraftLogReaderFactory(tableSchema: StructType, required: StructType,
         while (!found) {
           line = in.readLine()
           if (line == null) return false
-          if (line.nonEmpty) {
-            ord += 1
-            if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) dvPtr += 1
-            else found = true
-          }
+          // every line is a row (empty = single-column empty cell) —
+          // same ordinal contract as the vectorized and line cursors
+          ord += 1
+          if (dvPtr < dvArr.length && dvArr(dvPtr) == ord) dvPtr += 1
+          else found = true
         }
         val cells = line.split("\t", -1)
         // Decode ONLY the projected columns — column pruning's payoff

@@ -498,6 +498,29 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 4200)
   }
 
+  test("a single-column EMPTY-STRING cell is a row on every path, " +
+      "and DV ordinals stay aligned past it through compaction") {
+    import spark.implicits._
+    val dir = tmp()
+    // "" reconstructs as an EMPTY LINE on the line-oriented paths —
+    // a consumer that skipped empty lines would both lose the row
+    // and shift every later deletion-vector ordinal by one
+    Seq("a", "", "b", "c").toDF("s").coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 4)
+    // MoR-DV delete of "b": its columnar ordinal (2) COUNTS the empty
+    // row, so a line path skipping empties would apply the DV to "c"
+    graft.sources.GraftLog.deleteWhereMoR(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("s", "b")))
+    assert(readBack(dir).as[String].collect().sorted.toSeq ==
+      Seq("", "a", "c"))
+    // compaction streams the LINES — survivors must be identical
+    graft.sources.GraftLog.compact(dir)
+    assert(readBack(dir).as[String].collect().sorted.toSeq ==
+      Seq("", "a", "c"),
+      "the empty-string row must survive the line-path rewrite")
+  }
+
   test("a full replace planned against an EMPTY snapshot aborts " +
       "retryably when a concurrent first commit lands in its span") {
     val dir = tmp()
