@@ -90,7 +90,13 @@ object MaterializedAgg {
       keyCol: String, sumCols: Seq[String],
       mvBuckets: Int = 4, minMaxCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil): Refresh = {
-    val head = GraftLog.currentVersion(srcDir)
+    // head and lineage as ONE consistent pair: read separately, an
+    // overwrite racing between the two calls pairs the OLD lineage's
+    // (large) head with the NEW lineage tag — the bootstrap would
+    // then commit marker=oldHead under the new tag, and every new-
+    // lineage append below that number would read as a noop until
+    // the new head grew past it.
+    val (head, srcLineage) = GraftLog.versionAndLineage(srcDir)
     val srcTotal = GraftLog.entriesAsOf(srcDir, Long.MaxValue).size
     val last = GraftLog.lastTxnVersion(mvDir, AppId)
     // A marker is only meaningful WITHIN one source lineage: an
@@ -100,7 +106,6 @@ object MaterializedAgg {
     // old-lineage totals. The shared GraftLog.guardedMarker compares
     // the lineage tag persisted beside the marker against the
     // source's current one; a mismatch forces re-bootstrap.
-    val srcLineage = GraftLog.lineageOf(srcDir)
     val guarded = GraftLog.guardedMarker(last,
       GraftLog.propertiesOf(mvDir).getOrElse(SrcLineageProp, ""),
       srcLineage)
@@ -141,16 +146,27 @@ object MaterializedAgg {
         GraftLog.entriesAsOf(mvDir, Long.MaxValue).size)
     } else {
       val deltaEntries = GraftLog.changedEntriesBetween(srcDir, last, head)
-      val mvTotal = GraftLog.entriesAsOf(mvDir, Long.MaxValue).size
+      lazy val mvTotal = GraftLog.entriesAsOf(mvDir, Long.MaxValue).size
       if (deltaEntries.isEmpty) {
-        // versions advanced with no data change (compaction, markers)
+        // versions advanced with no data change (compaction, markers);
+        // no lineage re-stamp — this branch is reachable only when the
+        // guard already proved the stored tag equals the current one
         GraftLog.commitTxn(mvDir, AppId, head)
-        stampLineage()
         return Refresh(head, "noop", 0, srcTotal, 0, mvTotal)
       }
+      // The span's delta is read through the CHANGE FEED pinned at
+      // `head` ((last, head] — the scan plans the span's dataChange
+      // adds from the commit files themselves), NOT via pickFiles
+      // over the live snapshot: a compaction inside or concurrent
+      // with the span removes the span's pre-compaction files from
+      // the live set, so a pickFiles read silently planned an
+      // empty/partial delta while the marker still advanced — a
+      // permanent undercount (reproduced: 110 of 120 rows after
+      // append → compact → append → refresh).
       val delta = aggOf(
         spark.read.format(Fmt).option("path", srcDir)
-          .option("pickFiles", deltaEntries.map(_.file).mkString(","))
+          .option("changesFromVersion", last.toString)
+          .option("asOfVersion", head.toString)
           .load(),
         keyCol, sumCols, minMaxCols, distinctCols).cache()
       // Combine with current view state for exactly the touched
@@ -195,13 +211,15 @@ object MaterializedAgg {
                   coalesce(col(s"m.hll_$c"), lit(
                     graft.functions.HllSketchStr.emptyEncoded)))
                 .as(s"hll_$c")))): _*)
-      val (rewritten, _) =
+      // merge returns the MV's live file count — no second manifest
+      // parse; and no lineage re-stamp (the guard above already
+      // proved the stored tag current)
+      val (rewritten, total) =
         try GraftLog.mergeUpsert(spark, mvDir, combined,
           keyCol, txn = Some(AppId -> head))
         finally delta.unpersist()
-      stampLineage()
       Refresh(head, "incremental", deltaEntries.size, srcTotal,
-        rewritten, mvTotal)
+        rewritten, total)
     }
   }
 }

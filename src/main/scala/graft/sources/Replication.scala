@@ -55,14 +55,19 @@ object Replication {
     require(GraftLog.cdfEnabled(srcDir),
       s"replication needs graft.cdf.enabled=true on $srcDir — " +
         "without typed CDC, deletes cannot propagate")
-    val head = GraftLog.currentVersion(srcDir)
+    // head and lineage as ONE consistent pair (the same mis-stamp
+    // shape the MV refresh guards): an overwrite racing two separate
+    // reads would pair the OLD lineage's large head with the NEW tag,
+    // and the bootstrap below would commit marker=oldHead under the
+    // new lineage — every new-lineage append under that number would
+    // then read as a noop
+    val (head, srcLineage) = GraftLog.versionAndLineage(srcDir)
     val last = GraftLog.lastTxnVersion(dstDir, AppId)
     val horizon = GraftLog.oldestReplayableVersion(srcDir)
     // the shared lineage guard (GraftLog.guardedMarker): a marker
     // carried across a source overwrite reads as absent, forcing the
     // re-bootstrap below instead of replaying a new-lineage fragment
     // into pre-overwrite rows
-    val srcLineage = GraftLog.lineageOf(srcDir)
     val guarded = GraftLog.guardedMarker(last,
       GraftLog.propertiesOf(dstDir).getOrElse(SrcLineageProp, ""),
       srcLineage)

@@ -200,6 +200,12 @@ class IvmHardeningSpec extends SparkSpec {
       .agg(sum(col("n_rows"))).head.getLong(0)
     assert(n == 900L, s"the rebuilt view must see the delete, got $n")
     // pure compaction stays incremental-friendly (no false positives)
+    // — and the delta spanning the compaction must LOSE NOTHING: the
+    // pre-compaction append's file is no longer in the live snapshot,
+    // so a delta read planned against live files (the old pickFiles
+    // form) silently dropped its rows while the marker advanced — a
+    // permanent undercount. The change-feed read plans the span's
+    // adds from the commit files themselves.
     spark.range(2000, 2010).selectExpr("id", "id % 4 AS k", "id AS v")
       .coalesce(1).write.format(Fmt).option("path", src)
       .mode("append").save()
@@ -210,6 +216,13 @@ class IvmHardeningSpec extends SparkSpec {
     val r2 = MaterializedAgg.refresh(spark, src, mv, "k", Seq("v"))
     assert(r2.mode == "incremental",
       s"compaction must not force a re-bootstrap, got ${r2.mode}")
+    val n2 = spark.read.format(Fmt).option("path", mv).load()
+      .agg(sum(col("n_rows")), sum(col("sum_v"))).head
+    val want2 = spark.read.format(Fmt).option("path", src).load()
+      .agg(count(lit(1)), sum(col("v"))).head
+    assert(n2.getLong(0) == want2.getLong(0) &&
+      n2.getLong(1) == want2.getLong(1),
+      s"the compaction-spanning delta lost rows: view $n2 vs src $want2")
   }
 
   test("sum combine is null-safe on both sides") {
