@@ -106,7 +106,12 @@ object GraftColFile {
       val c = s.charAt(i)
       n += (if (c < 0x80) 1
         else if (c < 0x800) 2
-        else if (Character.isHighSurrogate(c)) { i += 1; 4 }
+        // a surrogate PAIR encodes to 4 bytes; an UNPAIRED high
+        // surrogate (malformed UTF-16, e.g. at end of string) encodes
+        // to 3 replacement bytes like any other lone BMP unit — only
+        // take the 4-byte/skip branch when the low half is present
+        else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
         else 3)
       i += 1
     }

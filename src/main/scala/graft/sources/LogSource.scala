@@ -2177,12 +2177,16 @@ object GraftLog {
     // against the re-cast original) fails the merge. Exact and
     // widening batches (the legitimate callers) round-trip by
     // construction and pay one short-circuit probe job only when a
-    // column's type actually differs.
+    // column's type actually differs. The probe itself uses try_cast
+    // (null on failure under EITHER ansi setting): with
+    // spark.sql.ansi.enabled a plain cast would throw its own raw
+    // CAST/ARITHMETIC error on the malformed value before the require
+    // below fires, making the diagnostic depend on session config.
     val updTypes = updates.schema.fields.map(f => f.name -> f.dataType).toMap
     val lossy = schema.fields.toSeq
       .filter(f => updTypes.get(f.name).exists(_ != f.dataType))
-      .map(f => !(col(f.name).cast(f.dataType).cast(updTypes(f.name))
-        <=> col(f.name)))
+      .map(f => !(col(f.name).try_cast(f.dataType)
+        .try_cast(updTypes(f.name)) <=> col(f.name)))
       .reduceOption(_ || _)
     lossy.foreach(cond =>
       require(updates.filter(cond).limit(1).collect().isEmpty,
@@ -2739,13 +2743,20 @@ object GraftLog {
     * duplicate-serving hazard the retired-file check closes for
     * non-empty plans (two bootstrap SCD2 publishers racing an empty
     * dimension would each keep the other's rows live). Any dataChange
-    * entry in the span conflicts, retryably. */
+    * entry in the span conflicts, retryably.
+    *
+    * Only dataChange ADDS are tested: [[LogEntry.remove]] hardcodes
+    * dataChange=false, so a remove can never carry the flag itself —
+    * and removes are still covered TRANSITIVELY, because a remove in
+    * the span of a plan made against an EMPTY snapshot can only
+    * retire a file some in-span dataChange add introduced (the base
+    * had no files to retire), and that add trips the guard. */
   private def requireNoDataCommits(dir: String, baseVersion: Long,
       claiming: Long, op: String): Unit = {
     val data = listVersioned(dir, CommitPrefix)
       .filter { case (ver, _) => ver > baseVersion && ver < claiming }
       .flatMap { case (_, f) => readEntryLines(f) }
-      .filter(e => e.dataChange && (e.isAdd || e.action == "remove"))
+      .filter(e => e.isAdd && e.dataChange)
     if (data.nonEmpty)
       throw new GraftConcurrentModificationException(
         s"$op on $dir planned against an empty snapshot " +

@@ -44,8 +44,14 @@ object MaterializedAgg {
   /** What a refresh did: `mode` ∈ bootstrap | incremental | noop;
     * `deltaFiles` = source part files scanned; `srcFilesTotal` = live
     * source files at the head (the bound a full recompute would pay);
-    * `rewrittenMvFiles`/`mvFilesTotal` = the merge's write
-    * amplification. */
+    * `rewrittenMvFiles` = the merge's write amplification;
+    * `mvFilesTotal` = the MV's live file count AFTER the refresh —
+    * the same point in time in every mode (bootstrap counts the files
+    * the overwrite wrote, noop the current snapshot, incremental the
+    * post-merge total straight from mergeUpsert's commit — no second
+    * manifest parse). Telemetry comparing refresh reports across
+    * versions should treat it as the post-refresh state, never the
+    * pre-merge count. */
   case class Refresh(srcVersion: Long, mode: String, deltaFiles: Int,
       srcFilesTotal: Int, rewrittenMvFiles: Int, mvFilesTotal: Int)
 

@@ -40,7 +40,17 @@ object Tables {
     * the next fixture-generation ts-encoding change is absorbed here
     * once, not per consumer. `watermark` bounds state for consumers
     * that aggregate/join; stateful processors that manage their own
-    * state pass None. */
+    * state pass None.
+    *
+    * SIDE EFFECT callers embedding the library must know: when the
+    * fixture's `ts` is INT64(NANOS), this PERMANENTLY sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the shared
+    * session (see the in-body comment for why a scoped restore can't
+    * work for a stream). From then on any unrelated parquet read of a
+    * TIMESTAMP(NANOS) column in the same session silently yields
+    * LongType instead of the loud PARQUET_TYPE_ILLEGAL error. Spark
+    * offers no per-stream read option for this conf today; if one
+    * lands, scope it to the stream's options instead. */
   def eventsStream(s: SparkSession, d: String,
       watermark: Option[String] = None): DataFrame = {
     val schema = withNanosAsLong(s)(
