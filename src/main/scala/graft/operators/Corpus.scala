@@ -101,7 +101,7 @@ object Corpus {
     * lambda (one full tokenization per gram index per row, measured
     * 8x at sf0.1). */
   private def splitGrams(s: SparkSession, d: String): DataFrame =
-    graft.core.ArtifactCache.of(s, d, "corpus_split_grams") {
+    graft.core.ArtifactCache.persisted(s, d, "corpus_split_grams", "v1") {
       graft.core.Par.fanout(
           withSplit(Tables.documents(s, d))
             .select(col("doc_id"), col("split"),
@@ -125,7 +125,7 @@ object Corpus {
     * per-doc average is compared under the gate's 1e-6 tolerance (fp
     * summation order may differ). */
   private def lmScored(s: SparkSession, d: String): DataFrame =
-    graft.core.ArtifactCache.of(s, d, "corpus_lm_scored") {
+    graft.core.ArtifactCache.persisted(s, d, "corpus_lm_scored", "v1") {
       lmScoredBuild(s, d)
     }
 
@@ -147,6 +147,15 @@ object Corpus {
       .agg(count(lit(1)).as("n_bigrams"), avg(col("nll")).as("avg_nll"))
   }
 
+  /** Materialize the shared corpus model artifacts (split grams, the
+    * bigram LM scores, the DSIR scores) for `d` — the bench drive's
+    * build phase calls this directly instead of executing one full
+    * query per model chain. */
+  def warmArtifacts(s: SparkSession, d: String): Unit = {
+    splitGrams(s, d); lmScored(s, d); dsirScored(s, d)
+    ()
+  }
+
   /** DSIR scoring (Xie et al. 2023), shared by corpus_dsir_weights and
     * corpus_dsir_resample — materialized ONCE per fixture through
     * [[graft.core.ArtifactCache]] like the LM model above (the
@@ -158,7 +167,7 @@ object Corpus {
     * unigram-context); the dictionary-sized models join back on gram
     * keys — the corpus never re-scans. */
   private def dsirScored(s: SparkSession, d: String): DataFrame =
-    graft.core.ArtifactCache.of(s, d, "corpus_dsir_scored") {
+    graft.core.ArtifactCache.persisted(s, d, "corpus_dsir_scored", "v1") {
       dsirScoredBuild(s, d)
     }
 

@@ -196,7 +196,7 @@ object Dedup {
     * LSH candidates. */
   private def artifact(s: SparkSession, d: String, key: String)(
       build: => DataFrame): DataFrame =
-    graft.core.ArtifactCache.of(s, d, "dedup_" + key)(build)
+    graft.core.ArtifactCache.persisted(s, d, "dedup_" + key, "v1")(build)
 
   /** Materialized dedup artifacts, built ONCE per session+fixture (the
     * same ingest-time-artifact convention as the graph projection in
@@ -224,6 +224,16 @@ object Dedup {
     artifact(s, d, "verified")(
       attachExactJaccard(lshCandidates(s, d), cachedShingles(s, d))
         .filter(col("exact_jaccard") >= 0.5))
+
+  /** Materialize the whole dedup artifact chain (shingles → signatures
+    * → LSH candidates → verified pairs) for `d` — the bench drive's
+    * build phase calls this DIRECTLY instead of executing a full query
+    * per artifact, so warming costs the builds (or the cross-process
+    * parquet read-back) and nothing else. */
+  def warmArtifacts(s: SparkSession, d: String): Unit = {
+    exactNearDupPairs(s, d)
+    ()
+  }
 
   /** 64-bit SimHash from pre-hashed tokens (bit i set iff the sum of ±1
     * votes from token-hash bit i is positive). Single fold over the hash

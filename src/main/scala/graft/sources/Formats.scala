@@ -116,24 +116,38 @@ object Formats {
     * zero Exchange nodes. The only shuffle left is the final group-by. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_bucketed_colocated" -> ((s, d) => {
-      val base = s"/tmp/graft_bucketed/${new java.io.File(d).getName}"
-      // Build the warehouse layout once per session+fixture: in a real
-      // deployment the fact tables are bucketed at ingest, not per
-      // query, so repeat runs (bench trials) measure the join, not the
-      // one-time write.
-      // Rebuild unless the registered table ACTUALLY POINTS AT this
-      // fixture's path: the table name is session-global while the
-      // path is per-fixture, so "table exists + a _SUCCESS on disk"
-      // alone would let fixture A's registration (plus a stale
-      // _SUCCESS under B's directory from an earlier session) serve
-      // A's rows to B's query — a silent cross-fixture wrong answer.
+      // the path embeds the fixture FINGERPRINT (name + parquet
+      // mtimes/sizes, same key as the persisted artifacts), so a
+      // regenerated fixture can never be served a prior generation's
+      // bucketed rows — which is what makes the cross-process REUSE
+      // below safe
+      val base =
+        s"/tmp/graft_bucketed_v2/${graft.core.ArtifactCache.fixtureTag(d)}"
+      // Build the warehouse layout once per FIXTURE GENERATION: in a
+      // real deployment the fact tables are bucketed at ingest, not
+      // per query, so repeat runs (bench trials) measure the join, not
+      // the one-time write — and a fresh process whose /tmp already
+      // holds this generation's buckets only RE-REGISTERS the external
+      // table (metadata DDL pointing at the existing files; Spark's
+      // bucketed layout is carried by the file naming + the table's
+      // bucket spec), which is why the registration check must still
+      // verify the table ACTUALLY POINTS AT this fixture's path: the
+      // table name is session-global while the path is per-fixture.
       def ensure(table: String, path: String)(df: => DataFrame)(
           bucketCol: String): Unit = {
-        val pointsHere = s.catalog.tableExists(table) &&
+        val complete = new java.io.File(path, "_SUCCESS").exists()
+        val pointsHere = complete && s.catalog.tableExists(table) &&
           scala.util.Try(s.table(table).inputFiles).toOption
             .exists(fs => fs.nonEmpty && fs.forall(_.contains(path)))
-        if (!pointsHere || !new java.io.File(path, "_SUCCESS").exists())
-          writeBucketed(df, table, path, 8, bucketCol)
+        if (!pointsHere) {
+          if (complete) {
+            s.sql(s"DROP TABLE IF EXISTS $table")
+            s.sql(s"CREATE TABLE $table (${df.schema.toDDL}) " +
+              s"USING parquet CLUSTERED BY ($bucketCol) " +
+              s"SORTED BY ($bucketCol) INTO 8 BUCKETS " +
+              s"LOCATION '$path'")
+          } else writeBucketed(df, table, path, 8, bucketCol)
+        }
       }
       ensure("g_orders_bkt", s"$base/orders")(
         Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")))(

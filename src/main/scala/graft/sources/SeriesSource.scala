@@ -92,12 +92,24 @@ class SeriesScanBuilder(n: Long, slices: Int) extends ScanBuilder
     * "any limit rows" is exactly the first `limit` ids of the (already
     * filter-narrowed) span — the scan then plans only the slices that
     * span those ids, the DSv2 analogue of a file source stopping after
-    * the first row groups. */
+    * the first row groups. `lo + limit` saturates instead of wrapping
+    * (a span already near Long.MaxValue must not wrap to an empty
+    * negative bound). */
   override def pushLimit(limit: Int): Boolean = {
-    hi = math.min(hi, lo + limit)
+    hi = math.min(hi, satAdd(lo, limit.toLong))
     true
   }
   override def isPartiallyPushed(): Boolean = false
+
+  /** a + b clamped to Long.MaxValue — the exclusive-bound arithmetic
+    * below turns `id > MaxValue` / `id <= MaxValue` into +1 on the
+    * boundary value; a wrapping add would make the all-false filter
+    * keep every row (it was CONSUMED, so Spark never re-checks) and
+    * the all-true one prune to empty. */
+  private def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0) Long.MaxValue else s
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition {
@@ -109,14 +121,19 @@ class SeriesScanBuilder(n: Long, slices: Int) extends ScanBuilder
       case _ => false
     }
     ok.foreach {
-      case GreaterThan("id", v: java.lang.Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: java.lang.Long) =>
+        // id > MaxValue is all-false: the saturated lo empties the span
+        lo = math.max(lo,
+          if (v.longValue() == Long.MaxValue) Long.MaxValue
+          else v.longValue() + 1)
       case GreaterThanOrEqual("id", v: java.lang.Long) =>
         lo = math.max(lo, v.longValue())
       case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v.longValue())
       case LessThanOrEqual("id", v: java.lang.Long) =>
-        hi = math.min(hi, v + 1)
+        hi = math.min(hi, satAdd(v.longValue(), 1L))
       case EqualTo("id", v: java.lang.Long) =>
-        lo = math.max(lo, v.longValue()); hi = math.min(hi, v + 1)
+        lo = math.max(lo, v.longValue())
+        hi = math.min(hi, satAdd(v.longValue(), 1L))
       case _ => ()
     }
     accepted = ok

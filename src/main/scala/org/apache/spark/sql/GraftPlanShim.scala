@@ -33,4 +33,19 @@ object GraftPlanShim {
     * `sessionState` is `private[sql]` — same story as the shims above. */
   def isConfSet(spark: SparkSession, key: String): Boolean =
     spark.asInstanceOf[CSparkSession].sessionState.conf.contains(key)
+
+  /** Column-level not-null assertion with `nullable = false` output —
+    * the nullability-restore primitive for parquet round-tripped
+    * artifacts (file sources force every read column nullable, but
+    * the codegen kernels type-check `containsNull = false`, and the
+    * artifact builds guarantee it). `AssertNotNull` rather than the
+    * zero-cost `KnownNotNull` tag on purpose: a stale or corrupt
+    * persisted artifact that DOES carry a null fails loudly at
+    * materialization instead of flowing garbage into a kernel that
+    * was promised no nulls. Catalyst-internal expression — same
+    * justification as the shims above. */
+  def assertNotNull(c: Column): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+        org.apache.spark.sql.classic.ExpressionUtils.expression(c)))
 }

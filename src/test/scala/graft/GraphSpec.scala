@@ -103,6 +103,66 @@ class GraphSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("adjCap: the untouched-default 64 MB budget actually applies the " +
+      "broadcast hint under budget; a lowered graft budget drops it and " +
+      "the plan degrades to SMJ without OOM") {
+    // the self-granted 64 MB default (Graph.adjCap) only exists while
+    // the session threshold is UNTOUCHED — earlier tests in this
+    // shared session set-then-restore it, which leaves the key sticky
+    // in the settings map (exactly the explicitness adjCap honors), so
+    // restore the untouched state first and put the explicit value
+    // back in the finally
+    val priorExplicit =
+      if (org.apache.spark.sql.GraftPlanShim.isConfSet(spark,
+          "spark.sql.autoBroadcastJoinThreshold"))
+        Some(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      else None
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(!org.apache.spark.sql.GraftPlanShim.isConfSet(spark,
+      "spark.sql.autoBroadcastJoinThreshold"),
+      "pin precondition: unset must clear the explicit-settings map")
+    val df = runQ("graph_triangles")
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the hint is pinned at the OPTIMIZER level (strategy=broadcast on
+    // the Join), not via the physical operator: with the hint dropped
+    // Spark may still broadcast tiny sides on its own stats, and
+    // that choice is Spark's, not the gate's
+    val hinted = df.queryExecution.optimizedPlan.toString
+    assert(hinted.contains("strategy=broadcast"),
+      s"an under-budget adjacency must carry the broadcast hint:\n" +
+        hinted.take(800))
+    try {
+      // memory-pressure analog: an operator-scoped budget far below
+      // the adjacency estimate — the gate must DROP the forced hint...
+      spark.conf.set("spark.graft.graph.broadcastBytes", "1024")
+      val d2 = runQ("graph_triangles")
+      val rows2 = d2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows2 == rows, "the budget must change strategy, never a row")
+      assert(!d2.queryExecution.optimizedPlan.toString
+        .contains("strategy=broadcast"),
+        "an over-budget adjacency must not carry a forced broadcast hint")
+      // ...and with the session's own threshold also lowered (the
+      // bounded-memory executor), the whole plan runs as sort-merge —
+      // no hint survives to force a build-side allocation
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val d3 = runQ("graph_triangles")
+      val rows3 = d3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows3 == rows)
+      val p3 = d3.queryExecution.executedPlan.toString
+      assert(p3.contains("SortMergeJoin") &&
+        !p3.contains("BroadcastHashJoin"),
+        s"bounded-memory session must degrade to SMJ:\n${p3.take(800)}")
+    } finally {
+      spark.conf.unset("spark.graft.graph.broadcastBytes")
+      priorExplicit match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("graph_census invariants hold vs the independent edge set") {
     val row = runQ("graph_census").collect().head
     val (nNodes, nEdges, nWedges, maxDeg) =

@@ -31,6 +31,16 @@ class SeriesSourceSpec extends SparkSpec {
     assert(df.count() == 50000)
   }
 
+  test("pushed bounds at Long.MaxValue saturate instead of wrapping") {
+    // `id <= MaxValue` is all-true: a wrapping +1 on the exclusive
+    // bound used to prune the whole span to empty
+    assert(load(100).filter(col("id") <= Long.MaxValue).count() == 100)
+    // `id > MaxValue` is all-false AND the filter is CONSUMED by the
+    // source (never re-checked by Spark): the span must empty
+    assert(load(100).filter(col("id") > Long.MaxValue).count() == 0)
+    assert(load(100).filter(col("id") === Long.MaxValue).count() == 0)
+  }
+
   test("projection prunes generated columns out of the reader") {
     val df = load(100).select("id", "value")
     val scanLine = df.queryExecution.executedPlan.toString.linesIterator
