@@ -68,10 +68,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
-  private def tableDir(ident: Identifier): File =
+  /** Traversal guard at the single ident→path choke point: EVERY
+    * identifier part — including on the READ path, which skips
+    * [[validateName]]'s creation-time policy — must be a plain
+    * directory entry. Without this a backquoted `../../tmp/evil`
+    * SELECT would read (and DROP would act) outside the warehouse
+    * root. Creation-time policy ('$', dot prefix) stays in
+    * [[validateName]]: an externally-created oddly-named directory
+    * must still resolve for listing, just never escape. */
+  private def noTraversal(parts: Seq[String]): Unit =
+    parts.foreach(p => require(p.nonEmpty && p != "." && p != ".." &&
+      !p.contains('/') && !p.contains('\\'),
+      s"invalid graft identifier part '$p': parts are directory " +
+        "entries and may not be empty, '.', '..', or contain path " +
+        "separators"))
+
+  private def tableDir(ident: Identifier): File = {
+    noTraversal(ident.namespace.toSeq :+ ident.name)
     new File((warehouse +: ident.namespace :+ ident.name).mkString("/"))
-  private def nsDir(ns: Array[String]): File =
+  }
+  private def nsDir(ns: Array[String]): File = {
+    noTraversal(ns.toSeq)
     new File((warehouse +: ns).mkString("/"))
+  }
   private def schemaFile(ident: Identifier): File =
     new File(tableDir(ident), GraftLog.SchemaFile)
 

@@ -69,10 +69,27 @@ object GraftProcedures {
         ResultScan(resultSchema, run(args))).iterator()
   }
 
-  /** `table => 'ns.t'` resolves under the catalog's warehouse root; the
-    * procedure must not invent tables, so a missing table fails. */
+  /** `table => 'ns.t'` resolved STRICTLY under the catalog's warehouse
+    * root: every dot-separated segment must be a plain name — an
+    * empty, '.', '..', or separator-carrying segment would walk OUT of
+    * the warehouse, and these procedures include destructive
+    * maintenance (vacuum deletes files), so a SQL-facing identifier
+    * must never address an arbitrary filesystem path. */
+  private def pathOf(warehouse: String, table: String): String = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(p =>
+      p.nonEmpty && p != "." && p != ".." &&
+        !p.contains('/') && !p.contains('\\')),
+      s"invalid table identifier '$table': each dot-separated part " +
+        "must be a plain name (no empty parts, '.', '..', or path " +
+        "separators)")
+    (warehouse +: parts).mkString("/")
+  }
+
+  /** [[pathOf]] + existence: the procedure must not invent tables, so
+    * a missing table fails. */
   private def dirOf(warehouse: String, table: String): String = {
-    val dir = (warehouse +: table.split('.').toSeq).mkString("/")
+    val dir = pathOf(warehouse, table)
     require(new java.io.File(dir, GraftLog.SchemaFile).exists(),
       s"no graft-log table '$table' under $warehouse")
     dir
@@ -279,9 +296,9 @@ object GraftProcedures {
           def cols(s: String): Seq[String] =
             s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
           // the view may not exist yet (bootstrap creates it), so its
-          // path resolves without the table-existence check
-          val viewDir = (warehouse +:
-            args.getString(1).split('.').toSeq).mkString("/")
+          // path resolves without the table-existence check — but
+          // still strictly under the warehouse root
+          val viewDir = pathOf(warehouse, args.getString(1))
           val r = MaterializedAgg.refresh(
             org.apache.spark.sql.SparkSession.active,
             dirOf(warehouse, args.getString(0)), viewDir,
@@ -304,9 +321,9 @@ object GraftProcedures {
             StructField("src_version", LongType, false),
             StructField("versions_applied", IntegerType, false)))) {
         override protected def run(args: InternalRow): Array[Any] = {
-          // the mirror may not exist yet (bootstrap creates it)
-          val mirrorDir = (warehouse +:
-            args.getString(1).split('.').toSeq).mkString("/")
+          // the mirror may not exist yet (bootstrap creates it) — but
+          // its path still resolves strictly under the warehouse root
+          val mirrorDir = pathOf(warehouse, args.getString(1))
           val r = Replication.sync(
             org.apache.spark.sql.SparkSession.active,
             dirOf(warehouse, args.getString(0)), mirrorDir,

@@ -21,6 +21,34 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("identifier traversal is rejected on READ and CALL paths — " +
+      "nothing escapes the warehouse root") {
+    withCatalog {
+      // a decoy graft table OUTSIDE the warehouse that traversal
+      // would reach
+      val outside = java.nio.file.Files
+        .createTempDirectory("graft-escape").toString
+      spark.range(3).write.format("graft.sources.GraftLogSource")
+        .option("path", s"$outside/evil").mode("overwrite").save()
+      val rel = java.nio.file.Paths.get(wh).relativize(
+        java.nio.file.Paths.get(s"$outside/evil")).toString
+      // read path: SELECT via a backquoted traversal identifier must
+      // fail the identifier check, not read the outside table
+      val e1 = intercept[Exception](
+        spark.sql(s"SELECT * FROM graftcat.`$rel`").collect())
+      assert(e1.getMessage != null, e1.toString)
+      // procedure path: vacuum DELETES files — a traversal identifier
+      // must never address an arbitrary path
+      val e2 = intercept[Exception](spark.sql(
+        s"CALL graftcat.system.vacuum(`table` => '$rel')").collect())
+      assert(e2.getMessage.contains("invalid table identifier"),
+        e2.getMessage)
+      // the decoy is untouched
+      assert(spark.read.format("graft.sources.GraftLogSource")
+        .option("path", s"$outside/evil").load().count() == 3)
+    }
+  }
+
   test("full SQL lifecycle: create, insert, select, rename, drop") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
