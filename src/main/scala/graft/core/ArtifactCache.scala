@@ -111,8 +111,31 @@ object ArtifactCache {
     val h = java.security.MessageDigest.getInstance("SHA-256")
       .digest((f.getAbsolutePath +: parts).mkString("|")
         .getBytes("UTF-8"))
-    f.getName + "_" + h.take(6).map(b => f"$b%02x").mkString
+    val tag = f.getName + "_" + h.take(6).map(b => f"$b%02x").mkString
+    expireStaleTags(f.getName, tag)
+    tag
   }
+
+  /** Drop persisted artifacts of PRIOR generations of this fixture
+    * (same basename, different fingerprint): a regenerated fixture
+    * gets a fresh tag, and without cleanup every generation's
+    * artifacts accumulate under /tmp forever. Same-name-only, once
+    * per (name, tag) per process. */
+  private val expired = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+  private def expireStaleTags(name: String, tag: String): Unit =
+    if (expired.add(s"$name/$tag")) {
+      val root = new java.io.File(s"/tmp/graft_artifacts_$EnvelopeVersion")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != tag &&
+          f.getName.startsWith(name + "_") &&
+          // a tag is name + "_" + 12 hex chars; don't match a fixture
+          // whose NAME merely starts with this name + "_"
+          f.getName.length == name.length + 13 &&
+          f.getName.drop(name.length + 1)
+            .forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+        .foreach(wipe)
+    }
 
   private def wipe(f: java.io.File): Unit = {
     if (f.isDirectory)
