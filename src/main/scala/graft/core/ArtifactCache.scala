@@ -77,7 +77,9 @@ object ArtifactCache {
     * no registered artifact carries any. */
   def persisted(s: SparkSession, d: String, key: String, ver: String)(
       build: => DataFrame): DataFrame =
-    of(s, d, key) {
+    // the in-memory layer's key carries `ver` too: a version bump must
+    // invalidate IN-PROCESS as well, not just across processes
+    of(s, d, s"$key@$ver") {
       val root = new java.io.File(
         s"/tmp/graft_artifacts_$EnvelopeVersion/" +
           s"${fixtureTag(d)}/${key}_$ver")
