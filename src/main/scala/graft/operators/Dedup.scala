@@ -462,6 +462,15 @@ object Dedup {
           explode(array_distinct(Corpus.wordGrams(col("tk"), 8)))
             .as("span"))
         .localCheckpoint()
+      // Two exchanges of the span frame (the aggregate + the probe
+      // join) — measured ~2× over linear at 8×, and DELIBERATE: the
+      // single-shuffle alternative (collect_list(doc_id) per span,
+      // explode the survivors) materializes every span's full doc
+      // list in one task, so one viral span — boilerplate shared by
+      // millions of documents at 100 TB — blows task memory, while
+      // the join form streams it. Exact string keys kept (a 64-bit
+      // span hash would shuffle 6× fewer bytes but make the exact
+      // oracle probabilistic).
       val shared = wins.groupBy(col("span"))
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)
