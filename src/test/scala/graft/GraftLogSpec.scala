@@ -587,6 +587,20 @@ class GraftLogSpec extends SparkSpec {
           "CAST(-1 AS BIGINT) AS v"), "id"))
     assert(lossyErr.getMessage.contains("LOSSLESSLY"),
       lossyErr.getMessage)
+    // ...and the diagnostic is UNIFORM under spark.sql.ansi.enabled:
+    // the probe runs on try_cast (null on failure either way), so an
+    // ANSI session gets the same loud require, not a raw
+    // CAST/ARITHMETIC task error thrown before it
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val ansiErr = intercept[IllegalArgumentException](
+        graft.sources.GraftLog.mergeUpsert(spark, dir,
+          spark.sql("SELECT CAST(42.5 AS DECIMAL(12,2)) AS id, " +
+            "CAST(-1 AS BIGINT) AS v"), "id"))
+      assert(ansiErr.getMessage.contains("LOSSLESSLY"),
+        s"ANSI session must get the same diagnostic: ${ansiErr.getMessage}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 
   test("string-equality bloom pruning skips files lacking the value") {
