@@ -45,6 +45,7 @@ object Bench {
     // sit in the touch list self-skip on their /tmp readiness probes;
     // a genuinely cold fixture build lands in some query's trial 1 and
     // the min-of-healthy-trials discipline keeps it out of the record.
+    val moduleWarm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val artifactBuild = time {
       Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)](
         ("dedup", graft.operators.Dedup.warmArtifacts),
@@ -60,9 +61,17 @@ object Bench {
               Option(e.getMessage).getOrElse("").take(200))
           }
         }
+        moduleWarm(name) = t
         System.err.println(f"[artifact] warm $name $t%.2f s")
       }
     }
+    // Warm/cold indicator (ADVICE r13): with cross-process persistence
+    // "artifact_build_s" measures parquet read-backs on a warm /tmp but
+    // full builds on a cold one — record which state THIS run saw, per
+    // artifact, so cross-round comparisons can verify parity.
+    val artEvents = graft.core.ArtifactCache.persistedEvents
+    val nBuilt = artEvents.valuesIterator.count(_ == "built")
+    val nRead = artEvents.valuesIterator.count(_ == "read")
     // Healthy-control baseline: median of a short warm burst.
     val baseline = {
       val cs = (1 to 5).map(_ => control()).sorted
@@ -186,10 +195,17 @@ object Bench {
         s""""n_unhealthy":$nUnhealthy,""" +
         s""""unhealthy_names":$unhealthyNames,""" +
         s""""artifact_build_s":${fmt(artifactBuild)},""" +
+        s""""artifacts_built":$nBuilt,"artifacts_read":$nRead,""" +
         s""""control_baseline":${fmt(baseline)},"sf":"$sfDir"}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errsJson,"artifact_build_s":$artifactBuild,""" +
+        s""""artifact_warm_by_module":${
+          moduleWarm.map { case (k, v) => s"\"$k\":" + fmt(v) }
+            .mkString("{", ",", "}")},""" +
+        s""""artifact_events":${
+          artEvents.toSeq.sorted.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+            .mkString("{", ",", "}")},""" +
         s""""control_baseline":$baseline,"controls":$ctrls,""" +
         s""""controls_post":$ctrlsPost,"healthy":$healthyJson,""" +
         s""""sf":"$sfDir"}"""

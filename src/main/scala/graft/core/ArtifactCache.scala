@@ -44,8 +44,78 @@ object ArtifactCache {
     * definition changes bump the caller's `ver` argument instead. */
   private val EnvelopeVersion = "e1"
 
+  /** A per-USER scratch root with owner-only permissions: persisted
+    * artifacts and the bucketed warehouse previously lived under
+    * world-writable fixed /tmp names, so any local user could
+    * pre-plant a poisoned parquet+sidecar at a computable key and
+    * queries would consume it silently. The root is now
+    * `${java.io.tmpdir}/graft-${user.name}` created 0700, and reuse of
+    * an existing root requires the filesystem owner to be the current
+    * user — a pre-planted directory owned by someone else fails LOUDLY
+    * instead of being trusted. Non-POSIX filesystems (no owner/perm
+    * support) skip the check rather than fail. */
+  def userScopedRoot(sub: String): java.io.File = {
+    val user = System.getProperty("user.name", "nouser")
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir", "/tmp"), s"graft-$user")
+    val p = base.toPath
+    try {
+      if (!base.exists()) {
+        val perms = java.nio.file.attribute.PosixFilePermissions
+          .fromString("rwx------")
+        try java.nio.file.Files.createDirectories(p,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(perms))
+        catch {
+          case _: UnsupportedOperationException =>
+            java.nio.file.Files.createDirectories(p)
+        }
+      }
+      val owner = java.nio.file.Files.getOwner(p).getName
+      require(owner == user,
+        s"refusing scratch root $base: owned by '$owner', not '$user' — " +
+          "a pre-existing directory someone else planted would let them " +
+          "feed poisoned artifacts into every query")
+      // tighten perms every run (an old run or umask may have left the
+      // dir group/world-accessible)
+      try java.nio.file.Files.setPosixFilePermissions(p,
+        java.nio.file.attribute.PosixFilePermissions
+          .fromString("rwx------"))
+      catch { case _: UnsupportedOperationException => () }
+    } catch { case _: java.io.IOException => () /* non-POSIX store */ }
+    val f = new java.io.File(base, sub)
+    f.mkdirs()
+    f
+  }
+
+  private def artifactsRoot: java.io.File =
+    userScopedRoot(s"artifacts_$EnvelopeVersion")
+
+  /** Per-user per-fixture scratch path `<user-root>/<sub>/<fixture>` —
+    * the lakehouse fixture trees (`sources.Formats`) and derived
+    * warehouses live here. Same rationale as [[userScopedRoot]]: these
+    * roots trust pre-existing contents (readiness probes, _SUCCESS
+    * markers, log manifests) across processes, which is only sound
+    * when no other local user can write them. */
+  def fixtureScratch(sub: String, d: String): String =
+    new java.io.File(userScopedRoot(sub),
+      new java.io.File(d).getName).getPath
+
+  /** What this process did for each persisted key — "built" (cold /tmp:
+    * paid the full build) or "read" (warm: parquet read-back). The bench
+    * emits the counts so recorded rounds are comparable: ADVICE r13 —
+    * an artifactBuild metric that is sometimes a read-back and sometimes
+    * a full build is meaningless without knowing which state the run
+    * saw. First outcome per key wins (later sessions in the same
+    * process always read warm). */
+  private val events =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def persistedEvents: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    events.asScala.toMap
+  }
+
   /** Cross-PROCESS variant of [[of]]: the artifact additionally
-    * round-trips through parquet under a versioned /tmp key, so the
+    * round-trips through parquet under a versioned per-user key, so the
     * next JVM (the bench drive after the verify drive, round N+1
     * after round N) reads the built artifact back instead of paying
     * the build again — r12's bench spent 58 s rebuilding deterministic
@@ -59,14 +129,20 @@ object ArtifactCache {
     * whenever the artifact's definition changes — same manual
     * convention as the warehouse-root suffix in `sources.Formats` —
     * and (b) a fingerprint of the fixture's parquet files
-    * (name/mtime/length), so a regenerated fixture invalidates every
-    * persisted artifact automatically.
+    * (name/mtime/length, recursing into parquet DIRECTORIES), so a
+    * regenerated fixture invalidates every persisted artifact
+    * automatically.
     *
     * Atomicity: the build lands in a scratch dir (parquet parts, then
     * the schema sidecar LAST) and is renamed into place — a reader
     * either sees a complete artifact (sidecar present) or none; a
-    * lost rename race reads the winner's copy. A dir without the
-    * sidecar (crashed writer) is wiped and rebuilt.
+    * lost rename race reads the winner's copy (two processes warming
+    * the same cold key both succeed — pinned by ArtifactCacheSpec). A
+    * dir without the sidecar (crashed writer) is wiped and rebuilt; a
+    * crashed writer's abandoned SCRATCH dir is expired by the next
+    * cold build once it is over an hour old (young scratches may be a
+    * live concurrent publisher and are left alone — their rename will
+    * simply lose).
     *
     * Nullability: file sources force every read column nullable, but
     * consumers type-check the build's tighter schema (the sorted-
@@ -81,11 +157,11 @@ object ArtifactCache {
     // invalidate IN-PROCESS as well, not just across processes
     of(s, d, s"$key@$ver") {
       val root = new java.io.File(
-        s"/tmp/graft_artifacts_$EnvelopeVersion/" +
-          s"${fixtureTag(d)}/${key}_$ver")
+        new java.io.File(artifactsRoot, fixtureTag(d)), s"${key}_$ver")
       val sidecar = new java.io.File(root, "_graft_schema.json")
       if (!sidecar.isFile) {
         if (root.exists()) wipe(root) // crashed writer — rebuild
+        expireStaleScratch(root)
         val scratch = new java.io.File(root.getParentFile,
           root.getName + ".build-" +
             java.util.UUID.randomUUID().toString.take(8))
@@ -95,40 +171,89 @@ object ArtifactCache {
           scratch.toPath.resolve("_graft_schema.json"),
           built.schema.json)
         if (!scratch.renameTo(root)) wipe(scratch) // lost the race
-      }
+        events.putIfAbsent(s"$key@$ver", "built")
+      } else events.putIfAbsent(s"$key@$ver", "read")
       val want = DataType.fromJson(java.nio.file.Files
         .readString(sidecar.toPath)).asInstanceOf[StructType]
       restoreNullability(s.read.parquet(root.getPath), want)
     }
 
-  /** Fixture key for the /tmp artifact root: readable name + a
-    * fingerprint of the fixture's parquet files (name, mtime, size),
-    * so two fixtures sharing a basename cannot collide and a
-    * REGENERATED fixture (new mtimes) invalidates its artifacts. */
+  /** A crashed publisher (killed JVM mid-parquet-write) leaves a
+    * `<key>_<ver>.build-xxxx` scratch next to its target forever —
+    * [[expireStaleTags]] only reaps whole stale GENERATIONS, not
+    * scratches inside the live tag. Reap them on the next cold build
+    * of any key in the tag, but only past a 1h age floor: a YOUNG
+    * scratch may be a concurrent process mid-publish. */
+  private def expireStaleScratch(target: java.io.File): Unit = {
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(target.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains(".build-") &&
+        f.lastModified() < cutoff)
+      .foreach(wipe)
+  }
+
+  private val PathMarker = "_graft_fixture_path"
+
+  /** Fixture key for the artifact root: readable name + a fingerprint
+    * of the fixture's parquet files (name, mtime, size — recursing
+    * into a `*.parquet` DIRECTORY, because a Spark-written fixture is
+    * a directory whose own mtime/length do NOT change when part files
+    * are rewritten in place under the same names; ADVICE r13), so two
+    * fixtures sharing a basename cannot collide and a REGENERATED
+    * fixture (new mtimes) invalidates its artifacts. Writes the
+    * fixture's absolute path into the tag dir so expiry can tell a
+    * prior GENERATION of this fixture (same path — reap) from a
+    * different fixture that merely shares the basename (keep). */
   private[graft] def fixtureTag(d: String): String = {
     val f = new java.io.File(d)
+    def walk(file: java.io.File, rel: String): Seq[String] =
+      if (file.isDirectory)
+        Option(file.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).toSeq
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${file.lastModified()}:${file.length()}")
     val parts = Option(f.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(p => s"${p.getName}:${p.lastModified()}:${p.length()}")
+      .flatMap(p => walk(p, p.getName)).toSeq
     val h = java.security.MessageDigest.getInstance("SHA-256")
       .digest((f.getAbsolutePath +: parts).mkString("|")
         .getBytes("UTF-8"))
     val tag = f.getName + "_" + h.take(6).map(b => f"$b%02x").mkString
-    expireStaleTags(f.getName, tag)
+    val tagDir = new java.io.File(artifactsRoot, tag)
+    val marker = new java.io.File(tagDir, PathMarker)
+    if (!marker.isFile) {
+      tagDir.mkdirs()
+      try java.nio.file.Files.writeString(marker.toPath, f.getAbsolutePath)
+      catch { case _: java.io.IOException => () }
+    }
+    expireStaleTags(f.getName, tag, f.getAbsolutePath)
     tag
   }
 
   /** Drop persisted artifacts of PRIOR generations of this fixture
-    * (same basename, different fingerprint): a regenerated fixture
-    * gets a fresh tag, and without cleanup every generation's
-    * artifacts accumulate under /tmp forever. Same-name-only, once
-    * per (name, tag) per process. */
+    * (same basename, same recorded fixture PATH, different
+    * fingerprint): a regenerated fixture gets a fresh tag, and without
+    * cleanup every generation's artifacts accumulate forever. A tag
+    * whose recorded path DIFFERS is a distinct live fixture that
+    * happens to share the basename — left alone (ADVICE r13: the old
+    * same-basename rule wiped it). A same-path stale tag younger than
+    * the grace window (`graft.artifacts.expireGraceMs`, default 15
+    * min) is also left alone: a concurrent process may still be
+    * scanning the prior generation, and reaping it mid-query turns a
+    * graceful invalidation into FileNotFoundException — the NEXT
+    * process past the window reaps it. Once per (name, tag) per
+    * process. */
   private val expired = java.util.concurrent.ConcurrentHashMap
     .newKeySet[String]()
-  private def expireStaleTags(name: String, tag: String): Unit =
+  private def expireStaleTags(name: String, tag: String,
+      path: String): Unit =
     if (expired.add(s"$name/$tag")) {
-      val root = new java.io.File(s"/tmp/graft_artifacts_$EnvelopeVersion")
-      Option(root.listFiles()).getOrElse(Array.empty)
+      val grace =
+        try System.getProperty(
+          "graft.artifacts.expireGraceMs", "900000").toLong
+        catch { case _: NumberFormatException => 900000L }
+      val cutoff = System.currentTimeMillis() - grace
+      Option(artifactsRoot.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName != tag &&
           f.getName.startsWith(name + "_") &&
           // a tag is name + "_" + 12 hex chars; don't match a fixture
@@ -136,6 +261,13 @@ object ArtifactCache {
           f.getName.length == name.length + 13 &&
           f.getName.drop(name.length + 1)
             .forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+        .filter { f =>
+          val m = new java.io.File(f, PathMarker)
+          val samePath = !m.isFile || // legacy dir: keep old behavior
+            (try java.nio.file.Files.readString(m.toPath) == path
+             catch { case _: java.io.IOException => false })
+          samePath && f.lastModified() < cutoff
+        }
         .foreach(wipe)
     }
 
@@ -197,4 +329,39 @@ object ArtifactCache {
       }
     }
   }
+
+  /** Cross-PROCESS variant of [[scalarOf]] for a scalar that is a pure
+    * function of a PERSISTED artifact (its broadcast-gate size bound,
+    * its row count): the value rides a tiny sidecar file inside the
+    * artifact's own envelope dir, so it shares the artifact's exact
+    * invalidation (version bump, fixture fingerprint, generation
+    * expiry) and a warm session answers it with ZERO Spark jobs —
+    * previously these sizing aggregates re-ran once per (session,
+    * fixture) as the last per-session jobs before first query. The
+    * sidecar is published via same-dir atomic rename; a lost race or
+    * an unwritable dir just serves the computed value uncached. Call
+    * AFTER the owning `persisted(key, ver)` so the envelope dir
+    * exists. */
+  def persistedScalar(s: SparkSession, d: String, key: String,
+      ver: String, stat: String)(compute: => Long): Long =
+    scalarOf(s, d, s"$key@$ver#$stat") {
+      val root = new java.io.File(
+        new java.io.File(artifactsRoot, fixtureTag(d)), s"${key}_$ver")
+      val f = new java.io.File(root, s"_graft_stat_$stat.json")
+      if (f.isFile)
+        try java.nio.file.Files.readString(f.toPath).trim.toLong
+        catch { case _: Exception => compute } // corrupt — recompute
+      else {
+        val v = compute
+        if (root.isDirectory) try {
+          val tmp = java.nio.file.Files.createTempFile(
+            root.toPath, s"_graft_stat_$stat", ".tmp")
+          java.nio.file.Files.writeString(tmp, v.toString)
+          java.nio.file.Files.move(tmp, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch { case _: java.io.IOException => () }
+        v
+      }
+    }
 }

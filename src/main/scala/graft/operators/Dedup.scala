@@ -216,18 +216,19 @@ object Dedup {
     artifact(s, d, "sigs")(signaturesFrom(cachedShingles(s, d)))
 
   /** The exploded LSH band index — (doc_id, band, bucket) — the probe
-    * structure incremental dedup maintains at ingest. */
-  private def bandIndex(s: SparkSession, d: String): DataFrame =
+    * structure incremental dedup maintains at ingest. (private[graft]:
+    * tools.DedupScaleProbe reads candidate/index counts at 10×.) */
+  private[graft] def bandIndex(s: SparkSession, d: String): DataFrame =
     artifact(s, d, "bands")(cachedSignatures(s, d)
       .select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bucket"))))
 
   /** LSH candidate pairs (est Jaccard >= 0.35) off the cached index. */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame =
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
     artifact(s, d, "cands")(
       pairsFromSignatures(cachedSignatures(s, d), EstThreshold))
 
-  private def exactNearDupPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def exactNearDupPairs(s: SparkSession, d: String): DataFrame =
     artifact(s, d, "verified")(
       attachExactJaccard(lshCandidates(s, d), cachedShingles(s, d))
         .filter(col("exact_jaccard") >= 0.5))
@@ -290,6 +291,13 @@ object Dedup {
     * @param pairs (doc_a, doc_b) undirected near-dup edges
     * @return (doc_id, keep_id, is_survivor): keep_id = min doc_id of the
     *         cluster; survivor = the kept copy. */
+  /** Rounds the last [[resolveClusters]] call took to converge — a
+    * measurement hook for the scale probes (label propagation is
+    * diameter-bounded, so the count should hold flat as the corpus
+    * grows 10×: fresh near-dup CLUSTERS multiply, their diameter
+    * doesn't). Probe-only; not consulted by any query. */
+  @volatile private[graft] var lastResolveIterations: Int = -1
+
   def resolveClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -325,6 +333,7 @@ object Dedup {
     // near-dup clusters are diameter 2-3; hitting this means the data
     // is adversarial (a 20+-hop drift chain) and needs the
     // large-star/small-star contraction, not a partial answer.
+    lastResolveIterations = iter
     require(!changed,
       "near-dup cluster resolution did not converge within " +
         s"$iter label-propagation rounds (a connected component with " +
@@ -455,12 +464,25 @@ object Dedup {
       // exchanges have different children (partial-agg vs bare
       // project), so ReuseExchange cannot dedupe them — uncheckpointed,
       // the dominant tokenize+window-explode pipeline ran twice.
+      //
+      // spark.graft.dedup.spanHash=true swaps the shuffled span key
+      // for xxhash64(span): ~8 bytes per window instead of the ~50-byte
+      // 8-word string, the 100 TB shape (collisions ~n²/2⁶⁴ — at 10¹²
+      // windows P[any] < 3%, and a collision only inflates one doc's
+      // span COUNT by 1, it cannot merge documents). Default OFF so
+      // the committed oracle stays bit-exact; row-set equality of both
+      // forms is pinned by DedupSpec at test SF.
+      val hashSpans =
+        s.conf.getOption("spark.graft.dedup.spanHash").contains("true")
+      val spanKey =
+        if (hashSpans) xxhash64(col("span0")) else col("span0")
       val wins = fanout(Tables.documents(s, d)
           .select(col("doc_id"), col("text")))
         .select(col("doc_id"), Corpus.toksOf(col("text")).as("tk"))
         .select(col("doc_id"),
           explode(array_distinct(Corpus.wordGrams(col("tk"), 8)))
-            .as("span"))
+            .as("span0"))
+        .select(col("doc_id"), spanKey.as("span"))
         .localCheckpoint()
       // Two exchanges of the span frame (the aggregate + the probe
       // join) — measured ~2× over linear at 8×, and DELIBERATE: the
@@ -468,9 +490,7 @@ object Dedup {
       // explode the survivors) materializes every span's full doc
       // list in one task, so one viral span — boilerplate shared by
       // millions of documents at 100 TB — blows task memory, while
-      // the join form streams it. Exact string keys kept (a 64-bit
-      // span hash would shuffle 6× fewer bytes but make the exact
-      // oracle probabilistic).
+      // the join form streams it.
       val shared = wins.groupBy(col("span"))
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") >= 2)

@@ -273,8 +273,8 @@ object Graph {
   private def jaccAdj(s: SparkSession, d: String): (DataFrame, Long) = {
     val adjC = graft.core.ArtifactCache.persisted(s, d,
       "graph_jacc_adj", "v1")(jaccardAdjacency(s, edges(s, d)))
-    val est = graft.core.ArtifactCache.scalarOf(s, d,
-      "graph_jacc_adj_est")(adjSizeEstimate(adjC))
+    val est = graft.core.ArtifactCache.persistedScalar(s, d,
+      "graph_jacc_adj", "v1", "est")(adjSizeEstimate(adjC))
     (adjC, est)
   }
 
@@ -378,8 +378,8 @@ object Graph {
       // oriented edge ran twice — once per endpoint probe (the same
       // lesson as the jaccard adjacency)
       val adj = triAdjacency(s, d)
-      val adjEst = graft.core.ArtifactCache.scalarOf(s, d,
-        "graph_tri_adj_est")(adjSizeEstimate(adj))
+      val adjEst = graft.core.ArtifactCache.persistedScalar(s, d,
+        "graph_tri_adj", "v1", "est")(adjSizeEstimate(adj))
       // the per-edge intersection runs the two-pointer values kernel
       // (graft_sorted_isect_vals) over the sorted rk arrays instead of
       // array_intersect, which hash-builds one side per row before
@@ -442,8 +442,8 @@ object Graph {
       // a literal is bit-identical to the old broadcast-scalar
       // crossJoin — same IEEE division — minus a job and two
       // crossJoins per query)
-      val nNodes = graft.core.ArtifactCache.scalarOf(s, d,
-        "graph_pagerank_n_nodes")(deg.count())
+      val nNodes = graft.core.ArtifactCache.persistedScalar(s, d,
+        "graph_pagerank_deg", "v1", "n_nodes")(deg.count())
       val rankEst = nNodes * 48L
       var ranks = deg
         .select(col("u").as("v"), (lit(1.0) / lit(nNodes)).as("r"))
@@ -490,8 +490,8 @@ object Graph {
       // alone, so it rides the scalar cache — without it every bench
       // TRIAL paid the sizing job again (r12: kcore +0.24 s, adjudicated
       // to exactly this per-query aggregate).
-      val survEst = graft.core.ArtifactCache.scalarOf(s, d,
-        "graph_kcore_surv_est")(e0.agg(
+      val survEst = graft.core.ArtifactCache.persistedScalar(s, d,
+        "graph_pair_support", "v1", "kcore_surv_est")(e0.agg(
           (approx_count_distinct(col("pa")) +
             approx_count_distinct(col("pb"))).as("n")).head().getLong(0) * 40L)
       var surv = degrees(e0).filter(col("deg") >= k).select(col("v"))
@@ -546,8 +546,8 @@ object Graph {
       // item supports are catalog-sized: gate their broadcast on the
       // distinct-part estimate (partial agg over the checkpointed
       // projection, no shuffle) so a 100× catalog auto-falls-back
-      val itemEst = graft.core.ArtifactCache.scalarOf(s, d,
-        "graph_lift_item_est")(
+      val itemEst = graft.core.ArtifactCache.persistedScalar(s, d,
+        "graph_op", "v1", "lift_item_est")(
         op.agg(approx_count_distinct(col("p")).as("n"))
           .head().getLong(0) * 40L)
       val total = op.agg(countDistinct(col("o")).as("n_orders"))

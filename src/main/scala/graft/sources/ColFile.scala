@@ -99,19 +99,23 @@ object GraftColFile {
     * RawBytesKey and drives byte-targeted rolls (compaction target,
     * block size), so counting UTF-16 units would under-count CJK-heavy
     * data up to 3x and roll files past their configured byte budget. */
-  private def utf8Len(s: String): Int = {
+  private[graft] def utf8Len(s: String): Int = {
     var i = 0
     var n = 0
     while (i < s.length) {
       val c = s.charAt(i)
       n += (if (c < 0x80) 1
         else if (c < 0x800) 2
-        // a surrogate PAIR encodes to 4 bytes; an UNPAIRED high
-        // surrogate (malformed UTF-16, e.g. at end of string) encodes
-        // to 3 replacement bytes like any other lone BMP unit — only
-        // take the 4-byte/skip branch when the low half is present
-        else if (Character.isHighSurrogate(c) && i + 1 < s.length &&
-          Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
+        // a surrogate PAIR encodes to 4 bytes; an UNPAIRED surrogate
+        // (malformed UTF-16, e.g. a high half at end of string) is
+        // substituted by Java's UTF-8 encoder with '?' — ONE byte, not
+        // a 3-byte U+FFFD — and the writer encodes cells via
+        // String.getBytes(UTF_8), so the stat must count what the
+        // encoder actually emits or byte-targeted rolls drift
+        else if (Character.isSurrogate(c))
+          (if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+            Character.isLowSurrogate(s.charAt(i + 1))) { i += 1; 4 }
+          else 1)
         else 3)
       i += 1
     }

@@ -121,8 +121,12 @@ object Formats {
       // regenerated fixture can never be served a prior generation's
       // bucketed rows — which is what makes the cross-process REUSE
       // below safe
-      val base =
-        s"/tmp/graft_bucketed_v2/${graft.core.ArtifactCache.fixtureTag(d)}"
+      // under the 0700 per-user scratch root (not a fixed world-writable
+      // /tmp name): trusting any _SUCCESS-bearing directory is only safe
+      // when no other local user can have planted it
+      val base = new java.io.File(
+        graft.core.ArtifactCache.userScopedRoot("bucketed_v2"),
+        graft.core.ArtifactCache.fixtureTag(d)).getPath
       // Build the warehouse layout once per FIXTURE GENERATION: in a
       // real deployment the fact tables are bucketed at ingest, not
       // per query, so repeat runs (bench trials) measure the join, not
@@ -192,7 +196,7 @@ object Formats {
     "sink_custom_dsv2_roundtrip" -> ((s, d) => {
       // _v2: versioned-manifest format (time travel) — old bare-name
       // manifests in a stale /tmp cache must not be parsed
-      val dir = s"/tmp/graft_log_v2/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_v2", d)
       if (GraftLog.committedFiles(dir).isEmpty)
         s.read.format("graft.sources.SeriesSource")
           .option("n", "50000").option("slices", "8").load()
@@ -796,7 +800,7 @@ object Formats {
     // rewrite/reclaim cycle is a hash miss against the closed-form
     // oracle.
     "sink_log_compact_vacuum" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_compact/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_compact", d)
       val compacted = GraftLog.entries(dir).exists(!_.isAdd)
       if (!compacted) {
         wipeDir(dir)
@@ -831,7 +835,7 @@ object Formats {
     // rolled file, every row must survive, and the folded group
     // stats must still serve the exact global extremes.
     "sink_log_compact_target" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_ctarget/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_ctarget", d)
       val done = GraftLog.entries(dir).exists(!_.isAdd)
       if (!done) {
         wipeDir(dir)
@@ -867,7 +871,7 @@ object Formats {
     // difference between touching an append's worth of data and the
     // whole table, every refresh cycle.
     "sink_log_incremental_agg" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_incr/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_incr", d)
       if (GraftLog.currentVersion(dir) != 1L) {
         wipeDir(dir)
         for ((lo, hi) <- Seq((0L, 4000L), (4000L, 6000L)))
@@ -900,7 +904,7 @@ object Formats {
     // closed-form. At 100 TB this is the difference between reading a
     // tile and reading a stripe.
     "sink_log_zorder_pruned" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_zorder/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_zorder", d)
       if (GraftLog.committedFiles(dir).isEmpty)
         s.range(0, 65536)
           .selectExpr("id", "id % 256 AS x", "id DIV 256 AS y")
@@ -932,7 +936,7 @@ object Formats {
     // over both vintages; n_pruned_files pins the evolution-aware skip
     // inside the driver-gated result itself.
     "sink_log_schema_evolution" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_evolve/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_evolve", d)
       val built = GraftLog.currentVersion(dir) == 1L &&
         GraftLog.storedSchema(dir).exists(_.fieldNames.contains("score"))
       if (!built) {
@@ -977,7 +981,7 @@ object Formats {
     // the append rate, never the table size. Pipeline runs once per
     // session; repeat trials measure the destination read.
     "sink_log_stream_source" -> ((s, d) => {
-      val base = s"/tmp/graft_log_stream/${new java.io.File(d).getName}"
+      val base = graft.core.ArtifactCache.fixtureScratch("log_stream", d)
       val src = s"$base/src"; val dst = s"$base/dst"
       rebuildOnce(streamBuilt, base) {
         val ckpt = s"$base/ckpt"
@@ -1022,7 +1026,7 @@ object Formats {
     // version feed), and the merge rewrite by the touched key range
     // (manifest stats) — a derived table maintained at delta cost.
     "sink_log_stream_cdc_apply" -> ((s, d) => {
-      val base = s"/tmp/graft_log_cdc/${new java.io.File(d).getName}"
+      val base = graft.core.ArtifactCache.fixtureScratch("log_cdc", d)
       val src = s"$base/src"; val dst = s"$base/dst"
       rebuildOnce(cdcBuilt, base) {
         val ckpt = s"$base/ckpt"
@@ -1073,7 +1077,7 @@ object Formats {
     // combine is a hash miss. At 100 TB: refresh cost = O(append) +
     // O(touched view files), never O(table).
     "sink_log_mv_incremental" -> ((s, d) => {
-      val base = s"/tmp/graft_log_mv/${new java.io.File(d).getName}"
+      val base = graft.core.ArtifactCache.fixtureScratch("log_mv", d)
       val src = s"$base/src"; val mv = s"$base/mv"
       val (deltaBounded, mergeBounded, noopOk) =
         rebuildOnce(mvStats, base) {
@@ -1138,7 +1142,7 @@ object Formats {
     "sink_log_stream_cdf_typed" -> ((s, d) => {
       val dir = ensureCdfTypedFixture(s, d)
       val base =
-        s"/tmp/graft_log_cdfstream/${new java.io.File(d).getName}"
+        graft.core.ArtifactCache.fixtureScratch("log_cdfstream", d)
       val sink = s"$base/sink"
       rebuildOnce(cdfStreamBuilt, base) {
         val q = GraftLog.typedChangesStream(s, dir, fromVersion = 0L)
@@ -1189,7 +1193,7 @@ object Formats {
     // scaffolding).
     "sink_log_replica_sync" -> ((s, d) => {
       import graft.sources.Replication
-      val base = s"/tmp/graft_log_repl/${new java.io.File(d).getName}"
+      val base = graft.core.ArtifactCache.fixtureScratch("log_repl", d)
       val src = s"$base/src"; val dst = s"$base/dst"
       val (modesOk, identicalOk) = rebuildOnce(replStats, base) {
         s.range(0, 1000).selectExpr("id", "id AS v").coalesce(2)
@@ -1228,7 +1232,7 @@ object Formats {
     // users per segment, always fresh" without ever rescanning.
     "sink_log_mv_distinct" -> ((s, d) => {
       import graft.functions.HllSketchStr
-      val base = s"/tmp/graft_log_mvd/${new java.io.File(d).getName}"
+      val base = graft.core.ArtifactCache.fixtureScratch("log_mvd", d)
       val src = s"$base/src"; val mv = s"$base/mv"
       val (incBounded, lossless) = rebuildOnce(mvDistinctStats, base) {
         s.range(0, 3000).selectExpr("id", "id % 20 AS bucket",
@@ -1307,7 +1311,7 @@ object Formats {
     // the property that makes daily upserts affordable. Merges run
     // once per session; repeat trials measure the merged read.
     "sink_log_merge_cow" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_merge/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_merge", d)
       val (r1, t1, r2) = rebuildOnce(mergeStats, dir) {
         s.range(0, 40000).selectExpr("id", "id AS v")
           .repartitionByRange(8, col("id"))
@@ -1699,7 +1703,7 @@ object Formats {
     // every join pays an exchange; at 100 TB this single integration
     // decides whether dimension joins move gigabytes or kilobytes.
     "sink_log_broadcast_join" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_dim/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_dim", d)
       if (GraftLog.committedFiles(dir).isEmpty)
         s.range(0, 25).selectExpr("id AS n_key", "id % 5 AS grp")
           .coalesce(1)
@@ -1732,7 +1736,7 @@ object Formats {
     // gate parses the executed plan; the oracle replays the join in
     // closed form.
     "sink_log_spj_join" -> ((s, d) => {
-      val base = s"/tmp/graft_log_spj/${new java.io.File(d).getName}"
+      val base = graft.core.ArtifactCache.fixtureScratch("log_spj", d)
       val fa = s"$base/fact"; val di = s"$base/dim"
       ensureSpjFact(s, fa)
       // built independently of the fact: another query
@@ -1852,7 +1856,7 @@ object Formats {
     // its catalog; at 100 TB the difference between a manifest read
     // and a full scan. Reuses the SPJ fact fixture (16 values).
     "sink_log_groupby_meta" -> ((s, d) => {
-      val fa = s"/tmp/graft_log_spj/${new java.io.File(d).getName}/fact"
+      val fa = graft.core.ArtifactCache.fixtureScratch("log_spj", d) + "/fact"
       ensureSpjFact(s, fa)
       val g = s.read.format("graft.sources.GraftLogSource")
         .option("path", fa).load()
@@ -1877,7 +1881,7 @@ object Formats {
     // never the raw corpus. Ingest runs once per session+fixture;
     // repeat trials measure the pruned read.
     "corpus_lakehouse_e2e" -> ((s, d) => {
-      val dir = s"/tmp/graft_lakehouse/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("lakehouse", d)
       if (GraftLog.committedFiles(dir).isEmpty)
         Tables.documents(s, d)
           .filter(length(col("text")) >= 100)
@@ -1923,7 +1927,7 @@ object Formats {
     // 100 TB this is the nightly layout job that turns exploratory
     // 2-D slicing from full scans into tile reads.
     "sink_log_optimize_zorder" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_optz/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_optz", d)
       def tileScan() = s.read.format("graft.sources.GraftLogSource")
         .option("path", dir).load()
         .filter(col("x") >= 64L && col("x") < 96L &&
@@ -1960,7 +1964,7 @@ object Formats {
     // dictionary-ish string columns (language, source, shard) from
     // full scans into single-file reads.
     "sink_log_bloom_pruned" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_bloom/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_bloom", d)
       if (GraftLog.committedFiles(dir).isEmpty)
         s.range(0, 70000)
           .selectExpr("id", "concat('t', id % 7) AS tag")
@@ -1985,7 +1989,7 @@ object Formats {
     // bounded_rewrite gate pins the file-targeting behavior that makes
     // GDPR-style deletes affordable on a 100 TB table.
     "sink_log_delete_cow" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_delete/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_delete", d)
       val (r, t) = rebuildOnce(deleteStats, dir) {
         s.range(0, 40000).selectExpr("id", "id AS v")
           .repartitionByRange(8, col("id"))
@@ -2011,7 +2015,7 @@ object Formats {
     // cost O(deleted positions), not O(affected file bytes). The
     // oracle recomputes the surviving rows from closed form.
     "sink_log_delete_dv" -> ((s, d) => {
-      val dir = s"/tmp/graft_log_dv/${new java.io.File(d).getName}"
+      val dir = graft.core.ArtifactCache.fixtureScratch("log_dv", d)
       val (dv1, dv2, noRewrite, dvFiles) = rebuildOnce(dvStats, dir) {
         s.range(0, 40000).selectExpr("id", "id AS v")
           .repartitionByRange(8, col("id"))
@@ -2082,7 +2086,7 @@ object Formats {
     * 0..99 and inserting 10000..10049 (v1), a range delete of
     * [200, 300) (v2) — sidecars on, each key touched at most once. */
   private def ensureCdfTypedFixture(s: SparkSession, d: String): String = {
-    val base = s"/tmp/graft_log_cdft/${new java.io.File(d).getName}"
+    val base = graft.core.ArtifactCache.fixtureScratch("log_cdft", d)
     val dir = s"$base/t"
     rebuildOnce(cdfTypedBuilt, base) {
       s.range(0, 3000).selectExpr("id",
@@ -2183,7 +2187,7 @@ object Formats {
     // it with any on-disk gcol format change, else a cached part from
     // an older layout (indistinguishable to the readiness probe)
     // would be read by the new code. v2 = typed-dict encodings (r11).
-    val dir = s"/tmp/graft_gcol_big_v2/${new java.io.File(d).getName}"
+    val dir = graft.core.ArtifactCache.fixtureScratch("gcol_big_v2", d)
     val live = GraftLog.entriesAsOf(dir, Long.MaxValue)
     val ready = live.size == 1 && GraftColFile.isCol(live.head.file) &&
       live.head.rows == 500000L && live.head.cols.contains("tag")
@@ -2238,7 +2242,7 @@ object Formats {
   private def catalogWarehouse(s: SparkSession, d: String): String = {
     // v5: part files before the NDV/null-count manifest sketches lack
     // the `#ndv`/`#nulls` stats keys sql_catalog_stats asserts on
-    val wh = s"/tmp/graft_cat_wh_v5/${new java.io.File(d).getName}"
+    val wh = graft.core.ArtifactCache.fixtureScratch("cat_wh_v5", d)
     s.conf.set("spark.sql.catalog.graftq", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graftq.warehouse", wh)
     wh
@@ -2252,7 +2256,7 @@ object Formats {
     * another. Single atomic overwrite commit, so the committedFiles
     * gate is exact. */
   private def ensurePrunedSeries(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_log_pruned/${new java.io.File(d).getName}"
+    val dir = graft.core.ArtifactCache.fixtureScratch("log_pruned", d)
     if (GraftLog.committedFiles(dir).isEmpty)
       s.read.format("graft.sources.SeriesSource")
         .option("n", "50000").option("slices", "8").load()

@@ -48,8 +48,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catName = name
+    // default warehouse under the 0700 per-user scratch root — a fixed
+    // world-writable /tmp name would let another local user pre-plant
+    // table directories the catalog then trusts
     warehouse = Option(options.get("warehouse"))
-      .getOrElse(s"/tmp/graft_warehouse/$name")
+      .getOrElse(new File(graft.core.ArtifactCache
+        .userScopedRoot("warehouse"), name).getPath)
     new File(warehouse).mkdirs()
   }
   override def name(): String = catName

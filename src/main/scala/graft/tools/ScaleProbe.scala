@@ -14,14 +14,11 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleProbe [baseSfDir] [copies]
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).map(_.toInt).getOrElse(8)
+  /** Build (or reuse) the key-shifted N× amplified fixture dir for
+    * `base` and return its path — shared with [[TpchScaleProbe]], which
+    * runs the full TPC-H board over the same corpus. */
+  def ensureAmp(spark: SparkSession, base: String, copies: Int): String = {
     val amp = s"/tmp/graft_amp_${copies}x_${new java.io.File(base).getName}"
-    val spark = graft.functions.GraftExtensions
-      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]",
-        "32").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
     def amplify(table: String, keyCols: Seq[String],
         saltText: Boolean = false): Unit = {
@@ -119,6 +116,17 @@ object ScaleProbe {
         s"$t: amplified $na rows != $copies x $nb — stale $amp, rm -rf it")
     }
     java.nio.file.Files.writeString(marker, fingerprint)
+    amp
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = graft.functions.GraftExtensions
+      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]",
+        "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val amp = ensureAmp(spark, base, copies)
 
     val li = spark.read.parquet(s"$amp/lineitem.parquet")
     def time(body: => Unit): Double = {

@@ -5,11 +5,13 @@ import org.apache.spark.sql.types._
 
 /** The cross-process persisted-artifact envelope
   * (core.ArtifactCache.persisted): parquet round-trip under a
-  * fingerprinted /tmp key, schema-sidecar nullability restore, version
-  * and fixture-fingerprint invalidation, stale-generation expiry.
+  * fingerprinted per-user key, schema-sidecar nullability restore,
+  * version and fixture-fingerprint invalidation, stale-generation
+  * expiry with path markers and a grace window, racing-publisher
+  * resolution, crashed-scratch reaping, and scalar stat sidecars.
   * "Another process" is simulated with `spark.newSession()` — the
   * in-memory layer is keyed by session instance, so a new session
-  * misses it and must take the /tmp read-back path. */
+  * misses it and must take the read-back path. */
 class ArtifactCacheSpec extends SparkSpec {
   import graft.core.ArtifactCache
 
@@ -20,6 +22,19 @@ class ArtifactCacheSpec extends SparkSpec {
     spark.range(5).coalesce(1).write.mode("overwrite")
       .parquet(s"$d/t.parquet")
     d.toString
+  }
+
+  private def artifactsRoot: java.io.File =
+    ArtifactCache.userScopedRoot("artifacts_e1")
+
+  /** Run `body` with the expiry grace window forced to `ms`. */
+  private def withGrace[A](ms: Long)(body: => A): A = {
+    val k = "graft.artifacts.expireGraceMs"
+    val old = System.getProperty(k)
+    System.setProperty(k, ms.toString)
+    try body
+    finally if (old == null) System.clearProperty(k)
+    else System.setProperty(k, old)
   }
 
   test("read-back serves the persisted bytes (build NOT re-run) and " +
@@ -47,7 +62,7 @@ class ArtifactCacheSpec extends SparkSpec {
   }
 
   test("a version bump and a fixture regeneration each invalidate; " +
-      "stale generations are expired from /tmp") {
+      "stale generations are expired past the grace window") {
     val d = mkFixture()
     var builds = 0
     def build = { builds += 1; spark.range(3).select(col("id")) }
@@ -65,18 +80,153 @@ class ArtifactCacheSpec extends SparkSpec {
     Thread.sleep(1100) // mtime granularity
     spark.range(9).coalesce(1).write.mode("overwrite")
       .parquet(s"$d/t.parquet")
-    val newTag = ArtifactCache.fixtureTag(d)
-    assert(newTag != oldTag, "fingerprint must change with the fixture")
+    withGrace(0) {
+      val newTag = ArtifactCache.fixtureTag(d)
+      assert(newTag != oldTag, "fingerprint must change with the fixture")
+      val s2 = spark.newSession()
+      ArtifactCache.persisted(s2, d, "spec_inv", "v2")(build).count()
+      assert(builds == 3, "a regenerated fixture must rebuild")
+      // the prior generation's directory is expired (same name, same
+      // recorded path, different fingerprint) once past the grace window
+      assert(new java.io.File(artifactsRoot, newTag).exists(),
+        "the new generation must be persisted")
+      assert(!new java.io.File(artifactsRoot, oldTag).exists(),
+        s"stale generation $oldTag must be expired")
+    }
+  }
+
+  test("rewriting a part file IN PLACE inside a parquet directory " +
+      "(same names, same dir mtime) changes the fingerprint") {
+    // ADVICE r13: the old fingerprint read only the top-level
+    // (name, mtime, length) of each *.parquet entry — for a DIRECTORY
+    // those are constant under in-place part rewrites, silently
+    // serving stale artifacts for a regenerated fixture.
+    val d = mkFixture()
+    val before = ArtifactCache.fixtureTag(d)
+    val parts = new java.io.File(s"$d/t.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty, "precondition: directory-shaped fixture")
+    // same name, same length, new mtime — only a recursive walk sees it
+    parts.foreach(p => assert(p.setLastModified(p.lastModified() + 5000)))
+    assert(ArtifactCache.fixtureTag(d) != before,
+      "part-file mtime must reach the fingerprint")
+  }
+
+  test("expiry keeps a same-basename tag whose recorded fixture PATH " +
+      "differs, and keeps same-path stale tags inside the grace window") {
+    // two fixtures named alike under different parents — only
+    // generations of the SAME path may be reaped (ADVICE r13: the old
+    // basename-only rule deleted the other live fixture's artifacts)
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ac-a")
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ac-b")
+    val (d1, d2) = (s"$p1/twin", s"$p2/twin")
+    spark.range(3).coalesce(1).write.parquet(s"$d1/t.parquet")
+    spark.range(4).coalesce(1).write.parquet(s"$d2/t.parquet")
+    withGrace(0) {
+      ArtifactCache.persisted(spark, d1, "spec_twin", "v1")(
+        spark.range(1).toDF()).count()
+      val tag1 = ArtifactCache.fixtureTag(d1)
+      // using the OTHER fixture must not reap tag1 even with zero grace
+      ArtifactCache.persisted(spark, d2, "spec_twin", "v1")(
+        spark.range(1).toDF()).count()
+      assert(new java.io.File(artifactsRoot, tag1).exists(),
+        "a different fixture sharing the basename must survive expiry")
+    }
+    // grace window: a stale generation of the SAME path survives while
+    // recent (a concurrent process may still be scanning it)
+    val d = mkFixture()
+    ArtifactCache.persisted(spark, d, "spec_grace", "v1")(
+      spark.range(2).toDF()).count()
+    val oldTag = ArtifactCache.fixtureTag(d)
+    Thread.sleep(1100)
+    spark.range(7).coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/t.parquet")
+    withGrace(3600L * 1000) {
+      val s2 = spark.newSession()
+      ArtifactCache.persisted(s2, d, "spec_grace", "v1")(
+        spark.range(2).toDF()).count()
+      assert(new java.io.File(artifactsRoot, oldTag).exists(),
+        "a young stale generation must survive the grace window")
+    }
+    withGrace(0) {
+      // force a fresh expiry pass via a new (name, tag) memo key:
+      // regenerate once more so fixtureTag sees an unseen tag
+      Thread.sleep(1100)
+      spark.range(8).coalesce(1).write.mode("overwrite")
+        .parquet(s"$d/t.parquet")
+      ArtifactCache.fixtureTag(d)
+      assert(!new java.io.File(artifactsRoot, oldTag).exists(),
+        "past the grace window the stale generation is reaped")
+    }
+  }
+
+  test("two publishers racing the same cold key: the loser's rename " +
+      "is discarded cleanly and both serve the winner's bytes") {
+    val d = mkFixture()
+    var builds = 0
     val s2 = spark.newSession()
-    ArtifactCache.persisted(s2, d, "spec_inv", "v2")(build).count()
-    assert(builds == 3, "a regenerated fixture must rebuild")
-    // the prior generation's directory is expired (same name,
-    // different fingerprint) from whichever envelope root is current
-    val roots = new java.io.File("/tmp").listFiles()
-      .filter(_.getName.startsWith("graft_artifacts_")).toSeq
-    assert(roots.exists(r => new java.io.File(r, newTag).exists()),
-      "the new generation must be persisted")
-    assert(roots.forall(r => !new java.io.File(r, oldTag).exists()),
-      s"stale generation $oldTag must be expired")
+    // the outer (s) build publishes the artifact through ANOTHER
+    // session mid-build — exactly the cross-process shape of bench and
+    // verify warming the same cold key concurrently: the outer writer
+    // then loses the rename, wipes its scratch, and reads the winner
+    val out = ArtifactCache.persisted(spark, d, "spec_race", "v1") {
+      ArtifactCache.persisted(s2, d, "spec_race", "v1") {
+        builds += 1; spark.range(6).select(col("id"))
+      }.count()
+      builds += 1
+      spark.range(6).select(col("id")) // deterministic: same bytes
+    }
+    assert(builds == 2, "both publishers must have run")
+    assert(out.count() == 6, "the loser must serve the winner's copy")
+    val tagDir = new java.io.File(artifactsRoot, ArtifactCache.fixtureTag(d))
+    val scratches = Option(tagDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains(".build-"))
+    assert(scratches.isEmpty,
+      s"the losing scratch must be wiped: ${scratches.mkString(",")}")
+    // a third session sees one complete artifact
+    val s3 = spark.newSession()
+    assert(ArtifactCache.persisted(s3, d, "spec_race", "v1")(
+      sys.error("must read back")).count() == 6)
+  }
+
+  test("a crashed publisher's abandoned scratch (old mtime) is reaped " +
+      "by the next cold build; a young scratch is left alone") {
+    val d = mkFixture()
+    val tagDir = new java.io.File(artifactsRoot, ArtifactCache.fixtureTag(d))
+    tagDir.mkdirs()
+    val dead = new java.io.File(tagDir, "spec_scr_v1.build-deadbeef")
+    val young = new java.io.File(tagDir, "spec_other_v1.build-cafebabe")
+    dead.mkdirs(); young.mkdirs()
+    assert(dead.setLastModified(
+      System.currentTimeMillis() - 2 * 3600L * 1000))
+    ArtifactCache.persisted(spark, d, "spec_scr", "v1")(
+      spark.range(1).toDF()).count()
+    assert(!dead.exists(), "a 2h-old scratch is a crashed writer: reaped")
+    assert(young.exists(), "a young scratch may be a live publisher: kept")
+    young.delete()
+  }
+
+  test("persistedScalar publishes a stat sidecar inside the artifact " +
+      "envelope; a fresh session answers it with zero computes") {
+    val d = mkFixture()
+    ArtifactCache.persisted(spark, d, "spec_stat", "v1")(
+      spark.range(10).toDF()).count()
+    var computes = 0
+    val v = ArtifactCache.persistedScalar(spark, d, "spec_stat", "v1",
+      "est") { computes += 1; 420L }
+    assert(v == 420L && computes == 1)
+    // same session: in-memory memo
+    assert(ArtifactCache.persistedScalar(spark, d, "spec_stat", "v1",
+      "est")(sys.error("memoized")) == 420L)
+    // fresh session: the sidecar serves it — compute must not run
+    val s2 = spark.newSession()
+    assert(ArtifactCache.persistedScalar(s2, d, "spec_stat", "v1",
+      "est")(sys.error("sidecar must serve")) == 420L)
+    // the sidecar shares the artifact's invalidation axes: a version
+    // bump is a different envelope dir, so the stat recomputes
+    ArtifactCache.persisted(spark, d, "spec_stat", "v2")(
+      spark.range(10).toDF()).count()
+    assert(ArtifactCache.persistedScalar(spark, d, "spec_stat", "v2",
+      "est")(7L) == 7L)
   }
 }

@@ -9,6 +9,21 @@ import graft.sources.Tables
   * and hamming-band pigeonhole guarantees. */
 class DedupSpec extends SparkSpec {
 
+  test("spanHash=true (8-byte shuffled span keys, the 100 TB shape) " +
+      "returns the exact same rows as the default string keys") {
+    val q = Dedup.queries("dedup_substring_spans")
+    val exact = q(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spark.conf.set("spark.graft.dedup.spanHash", "true")
+    try {
+      val hashed = q(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(hashed.toSeq == exact.toSeq,
+        "xxhash64 span keys must be row-identical at test SF")
+      assert(exact.nonEmpty, "fixture must contain shared spans")
+    } finally spark.conf.unset("spark.graft.dedup.spanHash")
+  }
+
   test("minhash estimate tracks exact shingle Jaccard on planted dups") {
     val docs = Tables.documents(spark, sf0001)
     // exact word-3-shingle Jaccard for all pairs sharing a planted dup

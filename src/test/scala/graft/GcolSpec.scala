@@ -39,6 +39,25 @@ class GcolSpec extends SparkSpec {
         .write.format(Fmt).option("path", dir).mode("overwrite").save()
     }
 
+  test("utf8Len counts exactly what the writer's UTF-8 encoder emits, " +
+      "including unpaired surrogates (substituted as one '?' byte)") {
+    // the RawBytesKey stat drives byte-targeted block rolls, and the
+    // writer encodes via String.getBytes(UTF_8) — the stat must match
+    // the encoder byte for byte (ADVICE r13: a lone surrogate is
+    // substituted with '?', ONE byte, not a 3-byte U+FFFD)
+    val cases = Seq(
+      "", "ascii", "café", "中文",      // 1/2/3-byte planes
+      "😀",                                 // proper pair: 4
+      "\ud83d",                                       // lone high at end
+      "x\udc00y",                                     // lone low mid-string
+      "\ud83d😀",                           // high then pair
+      "a\ud800\ud800b")                               // two lone highs
+    for (s <- cases)
+      assert(graft.sources.GraftColFile.utf8Len(s) ==
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length,
+        s"utf8Len mismatch for ${s.toCharArray.map(_.toInt).mkString(",")}")
+  }
+
   test("multi-block part round-trips; footer carries ordered blocks " +
       "with per-block numeric stats") {
     val dir = tmp()
