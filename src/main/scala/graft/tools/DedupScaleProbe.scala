@@ -116,7 +116,15 @@ object DedupScaleProbe {
       "dedup_ngram_jaccard", "dedup_incremental_update",
       "dedup_resolve_clusters", "dedup_substring_spans",
       "dedup_embedding_cosine", "dedup_semdedup",
-      "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_ivfpq_ann")
+      "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_ann", "sim_ivfpq_ann",
+      // the corpus family reads only documents(+embeddings), so the
+      // same key-correct amplifier covers it — the shared lineitem
+      // amplifier's 8× sweep distorted these (PERF_r19 §8b)
+      "corpus_decontaminate", "corpus_decontaminate_bloom",
+      "corpus_lm_score", "corpus_gopher_quality", "corpus_dsir_weights",
+      "corpus_ccnet_buckets", "corpus_tfidf_topterms",
+      "corpus_quality_classifier", "corpus_bpe_pair_counts",
+      "corpus_pack_batches", "corpus_train_order", "corpus_pipeline_e2e")
     for (dir <- Seq(base, amp); r <- 1 to 2; n <- qs) {
       val c = control()
       val df = graft.SparkEntry.queries(n)(spark, dir)
