@@ -347,15 +347,28 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
-    // Exact dedup: hash-aggregate on the full text. At scale group on
-    // xxhash64(text) first, verify within groups; here text is the key.
-    "dedup_exact" -> ((s, d) =>
+    // Exact dedup: hash-aggregate on the full text.
+    // spark.graft.dedup.exactHash=true swaps the GROUP KEY for
+    // xxhash64(text) — the 100 TB shape: the map-side partial
+    // aggregate then shuffles 8 bytes per distinct document instead
+    // of the full text (collisions ~n²/2⁶⁴; a collision merges two
+    // distinct texts into one group — at 10¹² docs P[any] < 3%, and
+    // production pipelines pair this with a within-group verify at
+    // the consumer). Default OFF so the committed oracle groups on
+    // the exact key; DedupSpec pins row-identity of both forms.
+    "dedup_exact" -> ((s, d) => {
+      val byHash =
+        s.conf.getOption("spark.graft.dedup.exactHash").contains("true")
+      val key = if (byHash) xxhash64(col("text")) else col("text")
       Tables.documents(s, d)
-        .groupBy(col("text"))
+        .groupBy(key.as("k"))
         .agg(min(col("doc_id")).as("keep_id"),
-          count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"), length(col("text"))
-          .as("text_len"))),
+          count(lit(1)).as("n_copies"),
+          // all group members share one text (modulo 64-bit collision),
+          // so MIN(length) ≡ length of the group's text
+          min(length(col("text"))).as("text_len"))
+        .select(col("keep_id"), col("n_copies"), col("text_len"))
+    }),
 
     // MinHash LSH candidates verified by exact word-shingle Jaccard.
     // est_ok asserts the estimator is within 0.2 of truth on every

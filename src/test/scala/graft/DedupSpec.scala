@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.dedup.spanHash")
   }
 
+  test("exactHash=true (8-byte group keys, the 100 TB shape) returns " +
+      "the exact same rows as grouping on the full text") {
+    val q = Dedup.queries("dedup_exact")
+    def rows() = q(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val exact = rows()
+    spark.conf.set("spark.graft.dedup.exactHash", "true")
+    try {
+      assert(rows().toSeq == exact.toSeq,
+        "xxhash64 group keys must be row-identical at test SF")
+      assert(exact.nonEmpty)
+    } finally spark.conf.unset("spark.graft.dedup.exactHash")
+  }
+
   test("minhash estimate tracks exact shingle Jaccard on planted dups") {
     val docs = Tables.documents(spark, sf0001)
     // exact word-3-shingle Jaccard for all pairs sharing a planted dup
