@@ -125,7 +125,14 @@ object DedupScaleProbe {
       "corpus_ccnet_buckets", "corpus_tfidf_topterms",
       "corpus_quality_classifier", "corpus_bpe_pair_counts",
       "corpus_pack_batches", "corpus_train_order", "corpus_pipeline_e2e")
-    for (dir <- Seq(base, amp); r <- 1 to 2; n <- qs) {
+    // Optional focus list (comma-separated substrings) — same contract
+    // as ScaleProbe's SPARK_GRAFT_PROBE_ONLY: probe one family at a
+    // larger N without paying the whole sweep.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probeQs = only.map(o => qs.filter(q => o.exists(q.contains)))
+      .getOrElse(qs)
+    for (dir <- Seq(base, amp); r <- 1 to 2; n <- probeQs) {
       val c = control()
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val t = time(df.write.mode("overwrite").format("noop").save())
