@@ -70,7 +70,14 @@ object GraphScaleProbe {
 
     val graphQs = Seq("graph_triangles", "graph_pagerank",
       "graph_neighbor_jaccard", "graph_kcore_peel")
-    for (dir <- Seq(base, amp); r <- 1 to 2; n <- graphQs) {
+    // Optional focus list (comma-separated substrings) — same contract
+    // as the other probes' SPARK_GRAFT_PROBE_ONLY: re-bracket one query
+    // after a steal-poisoned run without paying the whole family.
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probeQs = only.map(o => graphQs.filter(q => o.exists(q.contains)))
+      .getOrElse(graphQs)
+    for (dir <- Seq(base, amp); r <- 1 to 2; n <- probeQs) {
       val c = control()
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val t = time(df.write.mode("overwrite").format("noop").save())
