@@ -81,6 +81,15 @@ object Corpus {
   private val decontBloom =
     new scala.collection.concurrent.TrieMap[String, Array[Byte]]()
 
+  /** Cache key for the decontamination bloom/NDV: the fixture's FILE
+    * FINGERPRINT, not its path — a fixture regenerated in place within
+    * one process must rebuild the sketch, because a stale bloom's
+    * false NEGATIVES would prune genuinely-contaminated grams before
+    * the exact join (unlike its harmless false positives). Same
+    * staleness axis as the persisted-artifact envelope. */
+  private def decontKey(d: String): String =
+    graft.core.ArtifactCache.fixtureTag(d)
+
   /** doc-tagged overlapping-bigram explode over a tokenized frame
     * (`tk` column) — ONE definition for the LM and DSIR model builds,
     * so the bigram shape their oracle-checked scores depend on cannot
@@ -313,7 +322,7 @@ object Corpus {
       // shape exists for, silently degrading the prefilter into pure
       // probe overhead. One approx-distinct job per session over the
       // checkpointed gram artifact.
-      val nTrain = decontTrainGrams.getOrElseUpdate(d,
+      val nTrain = decontTrainGrams.getOrElseUpdate(decontKey(d),
         math.max(100000L, grams.filter(col("split") === "train")
           .agg(expr("approx_count_distinct(gram)")).head.getLong(0)))
       // The sketch ships into every task as a BINARY LITERAL — the
@@ -321,7 +330,7 @@ object Corpus {
       // fixture and cached driver-side (an ingest pipeline folds new
       // train docs into the sketch incrementally; repeat queries must
       // not re-aggregate the whole train gram set).
-      val bf = decontBloom.getOrElseUpdate(d,
+      val bf = decontBloom.getOrElseUpdate(decontKey(d),
         grams.filter(col("split") === "train")
           .select(col("gram")).distinct()
           .agg(call_function("graft_bloom_agg",
