@@ -95,6 +95,15 @@ object Bench {
     // that every trial was steal-poisoned). A query that THROWS is
     // recorded in `errors`, never in `queries` — a regression must not
     // masquerade as a 60 ms speedup (r6 lesson).
+    // Control-NORMALIZED per-query time (VERDICT r14 #3): each trial's
+    // wall divided by the mean of its bracketing control scans — the
+    // unit becomes "multiples of the fixed control scan", which cancels
+    // host steal phases that three consecutive rounds spent adjudicating
+    // by hand (q21 r12, q3 r13, four movers r14: raw walls moved with
+    // the controls; normalized they hold). Mover adjudication reads
+    // THIS map: a query is a real mover only when its normalized ratio
+    // across rounds exceeds 1.3x.
+    val normalized = scala.collection.mutable.Map.empty[String, Double]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       var trials = List.empty[(Double, Double, Double)] // (pre, sec, post)
       var err: Option[String] = None
@@ -126,6 +135,8 @@ object Bench {
           val healthy = healthyOf(trials)
           healthyFlag(name) = healthy.nonEmpty
           val pool = if (healthy.nonEmpty) healthy else trials
+          normalized(name) = pool.map(tr =>
+            tr._2 / math.max((tr._1 + tr._3) / 2, 1e-3)).min
           Some(name -> pool.map(_._2).min)
       }
     }
@@ -197,8 +208,14 @@ object Bench {
         s""""artifact_build_s":${fmt(artifactBuild)},""" +
         s""""artifacts_built":$nBuilt,"artifacts_read":$nRead,""" +
         s""""control_baseline":${fmt(baseline)},"sf":"$sfDir"}"""
+    val nqs = normalized.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val rootBytes = try graft.core.ArtifactCache.artifactRootBytes()
+      catch { case _: Throwable => -1L }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_normalized":$nqs,""" +
+        s""""artifact_root_bytes":$rootBytes,""" +
         s""""errors":$errsJson,"artifact_build_s":$artifactBuild,""" +
         s""""artifact_warm_by_module":${
           moduleWarm.map { case (k, v) => s"\"$k\":" + fmt(v) }

@@ -58,33 +58,64 @@ object ArtifactCache {
     val user = System.getProperty("user.name", "nouser")
     val base = new java.io.File(
       System.getProperty("java.io.tmpdir", "/tmp"), s"graft-$user")
+    ensureSafeRoot(base, user)
+    val f = new java.io.File(base, sub)
+    f.mkdirs()
+    f
+  }
+
+  /** Create-or-validate a scratch root for `user` (factored out of
+    * [[userScopedRoot]] so the refusal paths are spec-testable against
+    * an arbitrary path without mutating global `java.io.tmpdir`). */
+  private[graft] def ensureSafeRoot(base: java.io.File,
+      user: String): Unit = {
     val p = base.toPath
-    try {
-      if (!base.exists()) {
-        val perms = java.nio.file.attribute.PosixFilePermissions
-          .fromString("rwx------")
-        try java.nio.file.Files.createDirectories(p,
-          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(perms))
-        catch {
-          case _: UnsupportedOperationException =>
-            java.nio.file.Files.createDirectories(p)
-        }
+    if (!base.exists()) {
+      val perms = java.nio.file.attribute.PosixFilePermissions
+        .fromString("rwx------")
+      try java.nio.file.Files.createDirectories(p,
+        java.nio.file.attribute.PosixFilePermissions.asFileAttribute(perms))
+      catch {
+        case _: UnsupportedOperationException =>
+          java.nio.file.Files.createDirectories(p)
+        case _: java.nio.file.FileAlreadyExistsException => ()
       }
-      val owner = java.nio.file.Files.getOwner(p).getName
+    }
+    // ADVICE r14: a symlink planted at the root path would pass the
+    // owner check (getOwner follows links to the victim-owned target)
+    // and redirect every artifact write into the target — refuse any
+    // non-plain-directory, reading attributes WITHOUT following links.
+    // The ownership check itself must fail LOUDLY on I/O errors (a
+    // silently skipped check reverts to trusting the directory); only
+    // genuine no-owner-concept stores (non-POSIX) skip it.
+    val attrs =
+      try Some(java.nio.file.Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes],
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      catch { case _: UnsupportedOperationException => None }
+    attrs.foreach { a =>
+      require(a.isDirectory && !a.isSymbolicLink,
+        s"refusing scratch root $base: exists but is not a plain " +
+          "directory (symlink or file planted at the per-user path " +
+          "would redirect artifact writes)")
+    }
+    try {
+      val owner = java.nio.file.Files.getOwner(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS).getName
       require(owner == user,
         s"refusing scratch root $base: owned by '$owner', not '$user' — " +
           "a pre-existing directory someone else planted would let them " +
           "feed poisoned artifacts into every query")
-      // tighten perms every run (an old run or umask may have left the
-      // dir group/world-accessible)
-      try java.nio.file.Files.setPosixFilePermissions(p,
-        java.nio.file.attribute.PosixFilePermissions
-          .fromString("rwx------"))
-      catch { case _: UnsupportedOperationException => () }
-    } catch { case _: java.io.IOException => () /* non-POSIX store */ }
-    val f = new java.io.File(base, sub)
-    f.mkdirs()
-    f
+    } catch { case _: UnsupportedOperationException => () }
+    // tighten perms every run (an old run or umask may have left the
+    // dir group/world-accessible)
+    try java.nio.file.Files.setPosixFilePermissions(p,
+      java.nio.file.attribute.PosixFilePermissions
+        .fromString("rwx------"))
+    catch {
+      case _: UnsupportedOperationException => ()
+      case _: java.io.IOException => ()
+    }
   }
 
   private def artifactsRoot: java.io.File =
@@ -159,9 +190,19 @@ object ArtifactCache {
       val root = new java.io.File(
         new java.io.File(artifactsRoot, fixtureTag(d)), s"${key}_$ver")
       val sidecar = new java.io.File(root, "_graft_schema.json")
-      if (!sidecar.isFile) {
-        if (root.exists()) wipe(root) // crashed writer — rebuild
+      // ADVICE r14 TOCTOU: a concurrent publisher can complete its
+      // rename between the outer completeness check and the wipe of an
+      // apparently-crashed dir — re-check the sidecar IMMEDIATELY
+      // before wiping (wipe only while still incomplete), then once
+      // more after, so a just-published COMPLETE artifact is read, not
+      // destroyed out from under the winner's lazy DataFrame.
+      val complete = sidecar.isFile || {
+        if (root.exists() && !sidecar.isFile) wipe(root)
+        sidecar.isFile
+      }
+      if (!complete) {
         expireStaleScratch(root)
+        sweepDiskBudget()
         val scratch = new java.io.File(root.getParentFile,
           root.getName + ".build-" +
             java.util.UUID.randomUUID().toString.take(8))
@@ -226,8 +267,66 @@ object ArtifactCache {
       try java.nio.file.Files.writeString(marker.toPath, f.getAbsolutePath)
       catch { case _: java.io.IOException => () }
     }
+    // LRU recency signal for the disk-budget sweep: touch the marker
+    // once per process so "least recently USED across processes" is an
+    // mtime sort, not a guess (tag-dir mtime only moves on child
+    // create/delete, never on reads).
+    if (touchedTags.add(tag))
+      marker.setLastModified(System.currentTimeMillis())
     expireStaleTags(f.getName, tag, f.getAbsolutePath)
     tag
+  }
+
+  private val touchedTags = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[String]()
+
+  /** Total bytes under the persisted-artifact root — the bench reports
+    * it per round so unbounded growth is visible, not silent. */
+  def artifactRootBytes(): Long = dirBytes(artifactsRoot)
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+    else f.length()
+
+  /** Size-budgeted LRU sweep of the artifact root (VERDICT r14 #7):
+    * [[expireStaleTags]] reaps prior GENERATIONS of a fixture, but
+    * probe fixtures under fresh paths (10×/30× amplified corpora)
+    * accumulate distinct live tags indefinitely. At cold-build time,
+    * if the root exceeds `graft.artifacts.maxBytes` (default 16 GiB —
+    * generous; sweeping is for runaway accumulation, not steady
+    * state), reap least-recently-USED tags (marker mtime, touched once
+    * per process per tag) until under budget. A tag is NEVER reaped
+    * if (a) this process has used it (it may back a live lazy plan),
+    * or (b) its marker mtime is inside the expiry grace window — a
+    * concurrent process that just touched it may be mid-query. */
+  private[graft] def sweepDiskBudget(): Unit = {
+    val budget =
+      try System.getProperty(
+        "graft.artifacts.maxBytes", (16L << 30).toString).toLong
+      catch { case _: NumberFormatException => 16L << 30 }
+    val tagDirs = Option(artifactsRoot.listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory)
+    val sized = tagDirs.map(t => (t, dirBytes(t)))
+    var total = sized.map(_._2).sum
+    if (total > budget) {
+      val grace =
+        try System.getProperty(
+          "graft.artifacts.expireGraceMs", "900000").toLong
+        catch { case _: NumberFormatException => 900000L }
+      val cutoff = System.currentTimeMillis() - grace
+      def recency(t: java.io.File): Long = {
+        val m = new java.io.File(t, PathMarker)
+        if (m.isFile) m.lastModified() else t.lastModified()
+      }
+      val victims = sized
+        .filterNot { case (t, _) => touchedTags.contains(t.getName) }
+        .filter { case (t, _) => recency(t) < cutoff }
+        .sortBy { case (t, _) => recency(t) }
+      victims.foreach { case (t, bytes) =>
+        if (total > budget) { wipe(t); total -= bytes }
+      }
+    }
   }
 
   /** Drop persisted artifacts of PRIOR generations of this fixture
@@ -348,10 +447,17 @@ object ArtifactCache {
       val root = new java.io.File(
         new java.io.File(artifactsRoot, fixtureTag(d)), s"${key}_$ver")
       val f = new java.io.File(root, s"_graft_stat_$stat.json")
-      if (f.isFile)
-        try java.nio.file.Files.readString(f.toPath).trim.toLong
-        catch { case _: Exception => compute } // corrupt — recompute
-      else {
+      val cached: Option[Long] =
+        if (f.isFile)
+          try Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+          catch { case _: Exception =>
+            // ADVICE r14: a corrupt sidecar left in place made EVERY
+            // future session re-run the sizing job forever — reap it so
+            // the recompute below re-publishes a good one
+            f.delete(); None
+          }
+        else None
+      cached.getOrElse {
         val v = compute
         if (root.isDirectory) try {
           val tmp = java.nio.file.Files.createTempFile(

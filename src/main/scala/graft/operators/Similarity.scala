@@ -100,7 +100,7 @@ object Similarity {
     * built-at-ingest structure, and five queries (both LSH ANN forms,
     * the bucket histogram, the recall evaluation, embedding-cosine
     * dedup) consume the same one. */
-  private def srpIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def srpIndex(s: SparkSession, d: String): DataFrame =
     graft.core.ArtifactCache.persisted(s, d, "srp_index", "v1")(
       fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
@@ -125,7 +125,7 @@ object Similarity {
     * assignment — the index build itself. The quantized corpus is
     * cached because three assignment passes reference it (10 scans
     * uncached, 1 with it). */
-  private def ivfIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
     graft.core.ArtifactCache.persisted(s, d, "ivf_index", "v1") {
       // localCheckpoint, NOT cache(): three assignment passes reuse the
       // quantized corpus either way, but a cache() entry stays pinned in
@@ -581,12 +581,36 @@ object Similarity {
     // lower cut keeps the result non-vacuous on the identical plan.
     // Output: per-cluster dedup report (size, dropped, kept) — the
     // summary a 100 TB dedup job publishes per partition.
+    //
+    // Scale envelope: with k = ⌊√n⌋ cells of ~√n members, the exact
+    // within-cell pair population is Σ_c (n_c choose 2) ≈ n^1.5/2 —
+    // superlinear by design (measured on the 1×/10×/30× orthogonal-copy
+    // ladder: see tools.AnnScaleProbe). The escape hatch for a corpus
+    // where n^1.5 stops fitting the budget is
+    // `spark.graft.semdedup.cellPairCap=C`: each vector is compared
+    // only against the C nearest PRECEDING cell members in vec_id
+    // order (a banded self-join on within-cell rank), bounding the
+    // pair population to n·C — linear, at the cost of missing a dup
+    // whose witness sits further than C back in the cell. Same
+    // pattern as `spark.graft.dedup.spanHash`: default OFF so the
+    // committed DuckDB oracle replays the exact unbounded form;
+    // SimilaritySpec pins row-identity of both forms at a cap that
+    // does not bind, and the monotone drop property at one that does.
     "dedup_semdedup" -> ((s, d) => {
-      val idx = ivfIndex(s, d)
+      val cap = s.conf.getOption("spark.graft.semdedup.cellPairCap")
+        .map(_.toInt)
+      val wCell = Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))
+      val base = ivfIndex(s, d)
         .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val pairs = idx.as("l").join(idx.as("r"),
-          col("l.cent_id") === col("r.cent_id") &&
-            col("l.vec_id") < col("r.vec_id"))
+      // the rank column (and its within-cell sort) exists only under
+      // the cap — the default exact path keeps its committed plan
+      val idx = cap.fold(base)(_ =>
+        base.withColumn("rn", row_number().over(wCell)))
+      val joinCond = cap.foldLeft(
+        col("l.cent_id") === col("r.cent_id") &&
+          col("l.vec_id") < col("r.vec_id"))(
+        (c, n) => c && col("r.rn") - col("l.rn") <= n)
+      val pairs = idx.as("l").join(idx.as("r"), joinCond)
         .select(col("r.vec_id").as("dup_id"),
           dot(col("l.embedding"), col("r.embedding")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)

@@ -836,6 +836,26 @@ object GraftLog {
     commitNew(dir, schema)(v => Seq(LogEntry.txn(v, appId, txnVersion)))
   }
 
+  /** Every part file ANY log structure references: full mainline
+    * history (a removed file still serves older snapshots), checkpoint
+    * live sets (after [[expireLog]] they may be the ONLY reference),
+    * branch commits, staged audits. The abort paths delete only files
+    * NOT in this set — Spark calls `BatchWrite.abort` when `commit()`
+    * throws, and a commit can throw AFTER its hard-link CAS has
+    * already published the version (tmp delete, checkpoint I/O; found
+    * by the r15 kill-window torture), so an unconditional delete of
+    * the "aborted" files would tear a committed snapshot. */
+  def referencedFiles(dir: String): Set[String] = {
+    val sideEntries = Option(new File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => !f.getName.contains(".tmp.") &&
+        (f.getName.startsWith("_branch.") ||
+          f.getName.startsWith(CheckpointPrefix)))
+      .flatMap(readEntryLines).toSeq
+    val staged = listStagedIds(dir).flatMap(stagedEntries(dir, _))
+    (entries(dir) ++ sideEntries ++ staged).map(_.file).toSet
+  }
+
   def entriesAsOf(dir: String, version: Long): Seq[LogEntry] =
     snapshotAsOf(dir, version).entries
 
@@ -1126,9 +1146,11 @@ object GraftLog {
         s"$CommitPrefix$v.tmp.${UUID.randomUUID()}")
       Files.write(tmp, stamped.map(_.serialize).mkString("\n")
         .getBytes(StandardCharsets.UTF_8))
+      crashWindow(dir, "preLink") // crash-torture hook (no-op unarmed)
       try {
         Files.createLink(
           Paths.get(dir, versionedName(CommitPrefix, v)), tmp)
+        crashWindow(dir, "postLink")
         Files.delete(tmp)
         maybeCheckpoint(dir, v)
         return v
@@ -1142,6 +1164,22 @@ object GraftLog {
     throw new IllegalStateException(
       s"graft-log commit to $dir lost the version race $attempts times")
   }
+
+  /** Crash-torture instrumentation (tools.CrashPublisher): when
+    * `-Dgraft.log.crashWindow=<name>` arms a window, the committing
+    * process announces reaching it (a marker file the orchestrator
+    * polls for) and then parks, so `destroyForcibly()` kills the JVM at
+    * a DETERMINISTIC point in the commit protocol — just before the
+    * hard-link CAS (torn state: parts + tmp, no commit) or just after
+    * it (commit visible, tmp orphaned, checkpoint skipped). Unarmed
+    * (every production and test run that doesn't set the property)
+    * this is a single map lookup. */
+  private def crashWindow(dir: String, name: String): Unit =
+    sys.props.get("graft.log.crashWindow").filter(_ == name).foreach { _ =>
+      try Files.writeString(Paths.get(dir, s"_crash_window_$name"), "")
+      catch { case _: java.io.IOException => () }
+      Thread.sleep(120000) // parked: the orchestrator kills us here
+    }
 
   /** Last checkpoint version this JVM knows of, per table dir — saves
     * a directory listing on EVERY commit (measurable on commit-dense
@@ -3584,9 +3622,15 @@ class GraftLogStreamingWrite(dir: String, schema: StructType,
       GraftLogCommit.all(messages), schema)
   }
   override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    GraftLogCommit.all(messages).foreach(c =>
-      new File(dir, c.file).delete())
+      messages: Array[WriterCommitMessage]): Unit = {
+    // same post-publish-throw guard as the batch abort: epoch commits
+    // go through the identical hard-link CAS tail
+    val live =
+      try GraftLog.referencedFiles(dir)
+      catch { case _: Throwable => return }
+    GraftLogCommit.all(messages).filterNot(c => live.contains(c.file))
+      .foreach(c => new File(dir, c.file).delete())
+  }
 }
 
 case class GraftLogCommit(file: String, rows: Long,
@@ -3717,9 +3761,17 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    GraftLogCommit.all(messages).foreach(c =>
-      new File(dir, c.file).delete())
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // commit() can throw AFTER its version is already published (the
+    // post-link tail) — delete only files no log structure references;
+    // an unreadable log proves nothing, so keep the orphans (invisible
+    // either way) rather than risk tearing a committed snapshot
+    val live =
+      try GraftLog.referencedFiles(dir)
+      catch { case _: Throwable => return }
+    GraftLogCommit.all(messages).filterNot(c => live.contains(c.file))
+      .foreach(c => new File(dir, c.file).delete())
+  }
 }
 
 class GraftLogWriterFactory(dir: String, schema: StructType,

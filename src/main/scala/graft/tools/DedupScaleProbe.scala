@@ -35,17 +35,14 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.DedupScaleProbe [baseSfDir] [copies]
   */
 object DedupScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+  /** Build (or reuse) the key-correct N× documents+embeddings corpus
+    * for `base` and return its path — shared with [[AnnScaleProbe]],
+    * which drives the embeddings family up the same ladder. */
+  def ensureAmp(spark: org.apache.spark.sql.SparkSession, base: String,
+      copies: Int): String = {
     val amp = new java.io.File(
       graft.core.ArtifactCache.userScopedRoot("amp_dedup"),
       s"${copies}x_" + new java.io.File(base).getName).getPath
-    val spark = graft.functions.GraftExtensions
-      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") +
-        "]", "32").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
     val docSrc = new java.io.File(s"$base/documents.parquet")
     val embSrc = new java.io.File(s"$base/embeddings.parquet")
     val fingerprint = s"v1;base=${docSrc.getAbsolutePath};copies=$copies;" +
@@ -89,8 +86,19 @@ object DedupScaleProbe {
       require(da == db * copies, s"amplified docs $da != $copies x $db")
       java.nio.file.Files.writeString(marker, fingerprint)
     }
+    amp
+  }
 
-    val ctrlScan = spark.read.parquet(docSrc.getPath)
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.functions.GraftExtensions
+      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") +
+        "]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val amp = ensureAmp(spark, base, copies)
+
+    val ctrlScan = spark.read.parquet(s"$base/documents.parquet")
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }

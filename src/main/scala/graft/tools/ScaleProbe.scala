@@ -18,7 +18,15 @@ object ScaleProbe {
     * `base` and return its path — shared with [[TpchScaleProbe]], which
     * runs the full TPC-H board over the same corpus. */
   def ensureAmp(spark: SparkSession, base: String, copies: Int): String = {
-    val amp = s"/tmp/graft_amp_${copies}x_${new java.io.File(base).getName}"
+    // ADVICE r14: the amp cache trusts pre-existing contents via its
+    // freshness marker, whose fingerprint is computable from
+    // world-readable metadata — under a fixed world-writable /tmp name
+    // another local user could pre-plant a poisoned corpus+marker. Same
+    // fix as every other scratch root: per-user 0700 ownership-checked
+    // root (DedupScaleProbe's amp_dedup already lives there).
+    val amp = new java.io.File(
+      graft.core.ArtifactCache.userScopedRoot("amp"),
+      s"${copies}x_${new java.io.File(base).getName}").getPath
 
     def amplify(table: String, keyCols: Seq[String],
         saltText: Boolean = false): Unit = {

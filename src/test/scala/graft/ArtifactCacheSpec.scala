@@ -229,4 +229,108 @@ class ArtifactCacheSpec extends SparkSpec {
     assert(ArtifactCache.persistedScalar(spark, d, "spec_stat", "v2",
       "est")(7L) == 7L)
   }
+
+  test("a corrupt stat sidecar is reaped and re-published, not " +
+      "re-computed forever") {
+    // ADVICE r14: the old parse-failure path returned compute() but
+    // left the bad file in place — every future session paid the
+    // sizing job again, silently losing the zero-job warm read.
+    val d = mkFixture()
+    ArtifactCache.persisted(spark, d, "spec_corrupt", "v1")(
+      spark.range(10).toDF()).count()
+    ArtifactCache.persistedScalar(spark, d, "spec_corrupt", "v1",
+      "est")(99L)
+    val tagDir = new java.io.File(artifactsRoot, ArtifactCache.fixtureTag(d))
+    val f = new java.io.File(new java.io.File(tagDir, "spec_corrupt_v1"),
+      "_graft_stat_est.json")
+    assert(f.isFile, "precondition: sidecar published")
+    java.nio.file.Files.writeString(f.toPath, "not a number")
+    // a fresh session hits the corrupt file: recompute once AND repair
+    val s2 = spark.newSession()
+    var computes = 0
+    assert(ArtifactCache.persistedScalar(s2, d, "spec_corrupt", "v1",
+      "est") { computes += 1; 77L } == 77L)
+    assert(computes == 1)
+    assert(java.nio.file.Files.readString(f.toPath).trim == "77",
+      "the sidecar must be repaired in place")
+    // the session after the repair reads warm again — zero computes
+    val s3 = spark.newSession()
+    assert(ArtifactCache.persistedScalar(s3, d, "spec_corrupt", "v1",
+      "est")(sys.error("repaired sidecar must serve")) == 77L)
+  }
+
+  test("ensureSafeRoot refuses a symlink or plain file planted at the " +
+      "per-user root path, and a root owned by someone else") {
+    val t = java.nio.file.Files.createTempDirectory("graft-safe")
+    val victim = java.nio.file.Files.createTempDirectory("graft-victim")
+    // symlink → victim dir: getOwner FOLLOWING links would see the
+    // victim (current user) and pass; NOFOLLOW must refuse instead
+    val link = t.resolve("root-link")
+    java.nio.file.Files.createSymbolicLink(link, victim)
+    val user = System.getProperty("user.name", "nouser")
+    val e1 = intercept[IllegalArgumentException] {
+      ArtifactCache.ensureSafeRoot(link.toFile, user)
+    }
+    assert(e1.getMessage.contains("not a plain directory"))
+    // a regular file at the path is refused the same way
+    val file = t.resolve("root-file")
+    java.nio.file.Files.writeString(file, "x")
+    intercept[IllegalArgumentException] {
+      ArtifactCache.ensureSafeRoot(file.toFile, user)
+    }
+    // a directory owned by "someone else" (simulated via a wrong
+    // expected user — the owner comparison is symmetric) is refused
+    val dir = t.resolve("root-dir")
+    java.nio.file.Files.createDirectory(dir)
+    val e2 = intercept[IllegalArgumentException] {
+      ArtifactCache.ensureSafeRoot(dir.toFile, user + "-not-me")
+    }
+    assert(e2.getMessage.contains("owned by"))
+    // the happy path still works
+    ArtifactCache.ensureSafeRoot(dir.toFile, user)
+  }
+
+  test("disk-budget sweep reaps least-recently-used foreign tags but " +
+      "never a tag this process has used, never inside the grace window") {
+    val d = mkFixture()
+    ArtifactCache.persisted(spark, d, "spec_lru", "v1")(
+      spark.range(64).toDF()).count()
+    val liveTag = ArtifactCache.fixtureTag(d)
+    // plant two fake stale tags (valid tag shape, never touched by this
+    // process): an OLD one past the grace window and a YOUNG one inside
+    def plant(name: String, ageMs: Long): java.io.File = {
+      val dir = new java.io.File(artifactsRoot, name)
+      dir.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "_graft_fixture_path").toPath,
+        s"/nonexistent/$name")
+      java.nio.file.Files.write(
+        new java.io.File(dir, "payload.bin").toPath,
+        Array.fill[Byte](1 << 20)(7))
+      val m = new java.io.File(dir, "_graft_fixture_path")
+      assert(m.setLastModified(System.currentTimeMillis() - ageMs))
+      dir
+    }
+    val old = plant("zzfake_aaaaaaaaaaaa", 2 * 3600L * 1000)
+    val young = plant("zzfake_bbbbbbbbbbbb", 0L)
+    val budgetKey = "graft.artifacts.maxBytes"
+    val prior = System.getProperty(budgetKey)
+    System.setProperty(budgetKey, "1") // force over-budget
+    try withGrace(900000) {
+      ArtifactCache.sweepDiskBudget()
+      assert(!old.exists(), "the old untouched tag must be reaped")
+      assert(young.exists(),
+        "a tag touched inside the grace window must survive")
+      assert(new java.io.File(artifactsRoot, liveTag).exists(),
+        "a tag this process used must NEVER be reaped, even over budget")
+    } finally {
+      if (prior == null) System.clearProperty(budgetKey)
+      else System.setProperty(budgetKey, prior)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(young); rm(old)
+    }
+  }
 }

@@ -29,6 +29,72 @@ class GraftLogSpec extends SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  /** Drive an append into the armed crash window
+    * (LogSource.crashWindow) on a sacrificial thread, then interrupt it
+    * there — the deterministic in-process twin of
+    * tools.CrashPublisher's real `destroyForcibly()`: the commit dies
+    * at exactly the chosen point in the protocol and leaves the same
+    * on-disk torn state. */
+  private def dieInWindow(dir: String, phase: String,
+      write: => Unit): Unit = {
+    val t = new Thread(() => {
+      try write catch { case _: Throwable => () }
+    })
+    System.setProperty("graft.log.crashWindow", phase)
+    try {
+      t.start()
+      val marker = new java.io.File(dir, s"_crash_window_$phase")
+      val deadline = System.currentTimeMillis() + 60000
+      while (!marker.isFile && t.isAlive &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(marker.isFile, s"writer never reached the $phase window")
+      t.interrupt()
+      t.join(60000)
+      assert(!t.isAlive, "interrupted writer must terminate")
+    } finally System.clearProperty("graft.log.crashWindow")
+  }
+
+  private def tmpOrphans(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.contains(".tmp."))
+
+  test("kill window BEFORE the hard-link CAS: readers stay on the old " +
+      "version (parts + tmp invisible) and the next append self-heals") {
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    dieInWindow(dir, "preLink",
+      series(50).write.format(Fmt).option("path", dir).mode("append").save())
+    // torn state: the dead writer's tmp commit (and part files) exist,
+    // but no version was claimed — readers see exactly the 200 acked rows
+    assert(tmpOrphans(dir) >= 1, "expected the dead writer's tmp orphan")
+    assert(graft.sources.GraftLog.currentVersion(dir) == 1L,
+      "no version may be claimed by a pre-link death")
+    assert(readBack(dir).count() == 200)
+    // self-heal: the next writer claims the version the dead one never
+    // linked, and the table stays consistent
+    series(25).write.format(Fmt).option("path", dir).mode("append").save()
+    assert(graft.sources.GraftLog.currentVersion(dir) == 2L)
+    assert(readBack(dir).count() == 225)
+  }
+
+  test("kill window AFTER the hard-link CAS: the commit is fully " +
+      "visible (atomic link of a complete tmp), orphan tmp and skipped " +
+      "checkpoint are cosmetic, and the next append self-heals") {
+    val dir = tmp()
+    series(100).write.format(Fmt).option("path", dir).mode("append").save()
+    dieInWindow(dir, "postLink",
+      series(60).write.format(Fmt).option("path", dir).mode("append").save())
+    // the link happened before the death: version claimed, rows visible
+    assert(graft.sources.GraftLog.currentVersion(dir) == 1L,
+      "a post-link death has already committed its version")
+    assert(readBack(dir).count() == 160)
+    assert(tmpOrphans(dir) >= 1, "the tmp delete was skipped by the death")
+    series(40).write.format(Fmt).option("path", dir).mode("append").save()
+    assert(graft.sources.GraftLog.currentVersion(dir) == 2L)
+    assert(readBack(dir).count() == 200)
+  }
+
   test("second append accumulates; overwrite truncates") {
     val dir = tmp()
     series(100).write.format(Fmt).option("path", dir).mode("append").save()

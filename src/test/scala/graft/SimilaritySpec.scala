@@ -56,6 +56,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getLong(1)).sum == n)
   }
 
+  test("semdedup cellPairCap: a non-binding cap is row-identical to " +
+      "the exact form; a binding cap only ever drops FEWER duplicates") {
+    // the linear-envelope escape hatch (VERDICT r14 #1): capped pairs
+    // compare each vector against only the C nearest preceding cell
+    // members — with C >= max cell size the banded join degenerates to
+    // the exact unbounded one and the committed-oracle result must be
+    // IDENTICAL, row for row
+    def rows(capped: Option[Int]) = {
+      capped match {
+        case Some(c) =>
+          spark.conf.set("spark.graft.semdedup.cellPairCap", c.toString)
+        case None => spark.conf.unset("spark.graft.semdedup.cellPairCap")
+      }
+      try Similarity.queries("dedup_semdedup")(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      finally spark.conf.unset("spark.graft.semdedup.cellPairCap")
+    }
+    val exact = rows(None)
+    assert(rows(Some(1000000)) == exact,
+      "a cap beyond every cell size must not change a single row")
+    // a binding cap is a candidate-pair SUBSET: every cluster keeps at
+    // least as many members (a missed witness can only un-drop)
+    val capped = rows(Some(1)).map(t => t._1 -> t._3).toMap
+    val exactD = exact.map(t => t._1 -> t._3).toMap
+    assert(capped.keySet == exactD.keySet, "same clusters either way")
+    capped.foreach { case (cell, d) =>
+      assert(d <= exactD(cell),
+        s"cell $cell: capped form dropped MORE ($d > ${exactD(cell)})")
+    }
+  }
+
   test("ivfpq candidates come from the query's cell; adc ranks ascend") {
     val res = Similarity.queries("sim_ivfpq_ann")(spark, sf0001).collect()
     assert(res.nonEmpty)
