@@ -115,10 +115,11 @@ object Similarity {
     * k-means clustering per embedding space.
     *
     * Training (see the sim_ivf_ann scaladoc for the full rationale):
-    * k = ⌊√n⌋ cells seeded by every ⌊n/k⌋-th vec_id, two Lloyd
-    * iterations over a bounded deterministic sample (every m-th
-    * vec_id, m = max(1, n / max(2048, 39k)) — the FAISS
-    * train-on-a-sample rule), all in exact integer arithmetic
+    * k = ⌊√n⌋ cells seeded by every (sample/k)-th RANK of the bounded
+    * deterministic training sample (every m-th vec_id, m = max(1,
+    * n / max(2048, 39k)) — the FAISS train-on-a-sample rule; rank,
+    * not raw id, so sparse id spaces still yield k seeds), two Lloyd
+    * iterations over that sample, all in exact integer arithmetic
     * (round(v·1000)+1000 quantization, codegen'd `graft_sqdist`
     * assignment, floor-div centroid update) so the DuckDB oracles
     * replay the run bit for bit. The one full pass is the final cell
@@ -126,7 +127,7 @@ object Similarity {
     * cached because three assignment passes reference it (10 scans
     * uncached, 1 with it). */
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
-    graft.core.ArtifactCache.persisted(s, d, "ivf_index", "v1") {
+    graft.core.ArtifactCache.persisted(s, d, "ivf_index", "v2") {
       // localCheckpoint, NOT cache(): three assignment passes reuse the
       // quantized corpus either way, but a cache() entry stays pinned in
       // the CacheManager for the whole session after the artifact is
@@ -143,7 +144,6 @@ object Similarity {
       val n = Tables.embeddings(s, d).agg(count(lit(1))).head.getLong(0)
       require(n >= 1, s"IVF index over an empty embeddings table ($d)")
       val k = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong)
-      val stride = n / k
       val m = math.max(1L, n / math.max(2048L, k * 39L))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist").asc, col("cent_id"))
@@ -165,19 +165,32 @@ object Similarity {
           .groupBy(col("cent_id"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cmean")))),
             x => x.getField("cmean")).as("cq"))
-      // bounded to EXACTLY k seeds (`vec_id < stride * k`): without the
-      // bound, any n not divisible by k yields k+1 seeds — one more cell
-      // than every comment, probe-cost estimate, and the sqrt(n) scaling
-      // claim state (the PQ path always had the equivalent bound)
-      val seeds = emb
-        .filter(col("vec_id") % lit(stride) === 0 &&
-          col("vec_id") < lit(stride * k))
-        .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
       // Bounded training sample: every m-th vec_id (deterministic, so
       // the oracle replays the identical slice).
       val tr = emb
         .filter(col("vec_id") % lit(m) === 0)
         .select(col("vec_id"), col("embedding"), col("qv"))
+      // Seeds: every (sample/k)-th member of the training sample BY
+      // RANK, bounded to exactly k. Rank, not raw id — the earlier
+      // `vec_id % stride` rule assumed ids dense in 0..n-1 and
+      // collapsed on a sparse id space (the 10x orthogonal-copy probe:
+      // 15 live cells where k=141, max cell 1434, candidate pairs 9.4x
+      // the n^1.5 envelope — any production corpus has sparse ids).
+      // The rank window runs over the BOUNDED sample (max(2048, 39k)
+      // rows), not the corpus, so the single-partition sort is a
+      // constant-ish cost however big the table — the FAISS shape:
+      // seeds come from the training slice. On a dense-id fixture
+      // sample rank == vec_id and the seed set is bit-identical to the
+      // old rule (every committed oracle result is unchanged).
+      val sn = tr.agg(count(lit(1))).head.getLong(0)
+      require(sn >= k, s"IVF training sample $sn smaller than k=$k")
+      val sstride = sn / k
+      val wSample = Window.orderBy(col("vec_id"))
+      val seeds = tr
+        .withColumn("srn", row_number().over(wSample).cast("long") - 1)
+        .filter(col("srn") % lit(sstride) === 0 &&
+          col("srn") < lit(sstride * k))
+        .select(col("vec_id").as("cent_id"), col("qv").as("cq"))
       val trained = update(assign(tr, update(assign(tr, seeds))))
       assign(emb, trained)
         .select(col("vec_id"), col("embedding"), col("cent_id"))
@@ -234,7 +247,7 @@ object Similarity {
     * final encoding touches every vector. m = 1 at the driver fixtures
     * (results unchanged); the oracle replays the identical slice. */
   private def pqCents(s: SparkSession, d: String): DataFrame =
-    graft.core.ArtifactCache.persisted(s, d, "pq_cents", "v1") {
+    graft.core.ArtifactCache.persisted(s, d, "pq_cents", "v2") {
       val subv = pqSubv(s, d)
       // stride = n/16 is ZERO for a corpus under 16 vectors, and `x % 0`
       // is NULL in both engines — every filter would drop every row and
@@ -244,17 +257,28 @@ object Similarity {
       val n = Tables.embeddings(s, d).agg(count(lit(1))).head.getLong(0)
       require(n >= PqK,
         s"PQ training needs at least $PqK vectors, got $n ($d)")
-      val stride = n / PqK
       val m = math.max(1L, n / 2048L)
-      val seeds = subv
-        .filter(col("vec_id") % lit(stride) === 0 &&
-          col("vec_id") < lit(stride * PqK))
-        .select(col("sub"),
-          floor(col("vec_id") / lit(stride)).cast("long").as("cent_id"),
-          col("sqv").as("cq"))
       val tr = subv
         .filter(col("vec_id") % lit(m) === 0)
         .select(col("vec_id"), col("sub"), col("sqv"))
+      // Seeds by rank WITHIN the bounded sample, not by raw vec_id —
+      // the same sparse-id robustness fix as the IVF quantizer (see
+      // ivfIndex): on a dense-id fixture sample rank == vec_id and
+      // seed set + cent ids are bit-identical to the old
+      // `vec_id % (n/16)` rule. The rank window is per-subspace over
+      // the ≤2048-id sample — bounded, never the corpus.
+      val sn = tr.agg(count(lit(1))).head.getLong(0) / PqNumSub
+      require(sn >= PqK,
+        s"PQ training sample $sn smaller than $PqK ($d)")
+      val sstride = sn / PqK
+      val wSub = Window.partitionBy(col("sub")).orderBy(col("vec_id"))
+      val seeds = tr
+        .withColumn("srn", row_number().over(wSub).cast("long") - 1)
+        .filter(col("srn") % lit(sstride) === 0 &&
+          col("srn") < lit(sstride * PqK))
+        .select(col("sub"),
+          floor(col("srn") / lit(sstride)).cast("long").as("cent_id"),
+          col("sqv").as("cq"))
       pqLloydUpdate(pqAssign(tr, pqLloydUpdate(pqAssign(tr, seeds))))
     }
 
@@ -262,7 +286,7 @@ object Similarity {
     * word — 64× smaller than the raw floats, which is what keeps
     * billion-vector indexes RAM-resident at 100 TB. */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
-    graft.core.ArtifactCache.persisted(s, d, "pq_codes", "v1")(
+    graft.core.ArtifactCache.persisted(s, d, "pq_codes", "v2")(
       pqAssign(pqSubv(s, d), pqCents(s, d))
         .select(col("vec_id"), col("sub"), col("cent_id").as("code")))
 
@@ -419,8 +443,9 @@ object Similarity {
 
     // IVF (inverted-file) ANN with a TRAINED coarse quantizer:
     // k = ⌊√n⌋ cells (the classic IVF cell count — probe cost and cell
-    // size both ~√n), seeded by every ⌊n/k⌋-th vec_id and refined by two
-    // Lloyd iterations of k-means over a BOUNDED deterministic sample:
+    // size both ~√n), seeded by every (sample/k)-th rank of the training
+    // sample and refined by two Lloyd iterations of k-means over that
+    // BOUNDED deterministic sample:
     // every m-th vec_id with m = max(1, n / max(2048, 39k)) — the FAISS
     // train-on-a-sample rule (≈39+ vectors per centroid suffice for a
     // coarse quantizer), so Lloyd cost is O(sample·k), not O(n·k), and
@@ -599,23 +624,44 @@ object Similarity {
     "dedup_semdedup" -> ((s, d) => {
       val cap = s.conf.getOption("spark.graft.semdedup.cellPairCap")
         .map(_.toInt)
-      val wCell = Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))
       val base = ivfIndex(s, d)
         .select(col("vec_id"), col("embedding"), col("cent_id"))
-      // the rank column (and its within-cell sort) exists only under
-      // the cap — the default exact path keeps its committed plan
-      val idx = cap.fold(base)(_ =>
-        base.withColumn("rn", row_number().over(wCell)))
-      val joinCond = cap.foldLeft(
-        col("l.cent_id") === col("r.cent_id") &&
-          col("l.vec_id") < col("r.vec_id"))(
-        (c, n) => c && col("r.rn") - col("l.rn") <= n)
-      val pairs = idx.as("l").join(idx.as("r"), joinCond)
-        .select(col("r.vec_id").as("dup_id"),
-          dot(col("l.embedding"), col("r.embedding")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.3)
-      val dropped = pairs.select(col("dup_id")).distinct()
-      idx.join(dropped, idx("vec_id") === dropped("dup_id"), "left")
+      val pairs = cap match {
+        case None =>
+          base.as("l").join(base.as("r"),
+            col("l.cent_id") === col("r.cent_id") &&
+              col("l.vec_id") < col("r.vec_id"))
+            .select(col("r.vec_id").as("dup_id"),
+              dot(col("l.embedding"), col("r.embedding")).as("cos_sim"))
+        case Some(c) =>
+          // BANDED equi-join, not a post-match filter: bands of `c`
+          // consecutive within-cell ranks; a pair within rank distance
+          // c sits in the same or adjacent band, so the left side
+          // probes exactly two band keys and the join enumerates
+          // O(n·c) candidates instead of all (n_cell choose 2) — the
+          // first cut of this cap expressed the bound as a filter ON
+          // the cent_id join and saved nothing (measured: cap=64 at
+          // 10x ran the same 2.3 s as unbounded).
+          val wCell = Window.partitionBy(col("cent_id"))
+            .orderBy(col("vec_id"))
+          val idx = base
+            .withColumn("rn", row_number().over(wCell).cast("long") - 1)
+            .withColumn("band", floor(col("rn") / c).cast("long"))
+          val probes = idx.select(col("vec_id").as("l_vec"),
+            col("embedding").as("l_emb"), col("cent_id").as("l_cent"),
+            col("rn").as("l_rn"),
+            explode(array(col("band"), col("band") + 1)).as("probe"))
+          probes.join(idx.as("r"),
+            col("l_cent") === col("r.cent_id") &&
+              col("probe") === col("r.band") &&
+              col("r.rn") > col("l_rn") &&
+              col("r.rn") - col("l_rn") <= c)
+            .select(col("r.vec_id").as("dup_id"),
+              dot(col("l_emb"), col("r.embedding")).as("cos_sim"))
+      }
+      val verified = pairs.filter(col("cos_sim") >= 0.3)
+      val dropped = verified.select(col("dup_id")).distinct()
+      base.join(dropped, base("vec_id") === dropped("dup_id"), "left")
         .groupBy(col("cent_id"))
         .agg(count(lit(1)).as("n_vectors"),
           count(col("dup_id")).as("n_dropped"),
@@ -723,21 +769,27 @@ object Similarity {
     * assignment in `${p}a3`). ONE definition for the four oracles that
     * replay it (sim_ivf_ann, dedup_semdedup, both IVFADC queries), so
     * an edit to the training recipe cannot desynchronize them. Seeds
-    * are bounded to EXACTLY k (`vec_id < stride * k`), matching the
-    * Spark side. */
+    * are every (sample/k)-th rank of the training sample, bounded to
+    * EXACTLY k, matching the Spark side (rank-based so sparse id
+    * spaces still seed k cells). */
   private def ivfChainSql(p: String = ""): String =
     s"""${p}st AS (
-           SELECT COUNT(*) // CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride,
-             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS k,
+           SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS k,
              GREATEST(1, COUNT(*) // GREATEST(2048,
                CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) * 39)) AS m
            FROM embeddings),
          $qvSql,
          ${p}tr AS (
            SELECT vec_id, qv FROM qv, ${p}st WHERE vec_id % m = 0),
+         ${p}sst AS (
+           SELECT COUNT(*) // (SELECT k FROM ${p}st) AS sstride
+           FROM ${p}tr),
          ${p}seeds AS (
-           SELECT vec_id AS cent_id, qv AS cq FROM qv, ${p}st
-           WHERE vec_id % stride = 0 AND vec_id < stride * k),
+           SELECT cent_id, cq FROM (
+             SELECT vec_id AS cent_id, qv AS cq,
+               ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS srn
+             FROM ${p}tr) t, ${p}st, ${p}sst
+           WHERE srn % sstride = 0 AND srn < sstride * k),
          ${ivfAssignSql(s"${p}a1", s"${p}seeds", s"${p}tr")},
          ${ivfUpdateSql(s"${p}c1", s"${p}a1")},
          ${ivfAssignSql(s"${p}a2", s"${p}c1", s"${p}tr")},
@@ -749,17 +801,23 @@ object Similarity {
     * `codes`, final codebooks in `${p}c2`). Requires `qv` in scope
     * ([[qvSql]] or [[ivfChainSql]]). */
   private def pqChainSql(p: String = ""): String =
-    s"""${p}st AS (SELECT COUNT(*) // 16 AS stride,
-             GREATEST(1, COUNT(*) // 2048) AS m FROM embeddings),
+    s"""${p}st AS (SELECT GREATEST(1, COUNT(*) // 2048) AS m
+           FROM embeddings),
          sv AS (
            SELECT vec_id, sub,
              list_slice(qv, sub * 16 + 1, sub * 16 + 16) AS sqv
            FROM qv, (SELECT UNNEST([0, 1, 2, 3]) AS sub) subs),
          ${p}tr AS (
            SELECT vec_id, sub, sqv FROM sv, ${p}st WHERE vec_id % m = 0),
+         ${p}sst AS (
+           SELECT COUNT(*) // 16 AS sstride FROM ${p}tr WHERE sub = 0),
          ${p}seeds AS (
-           SELECT sub, vec_id // stride AS cent_id, sqv AS cq
-           FROM sv, ${p}st WHERE vec_id % stride = 0 AND vec_id < stride * 16),
+           SELECT sub, srn // sstride AS cent_id, sqv AS cq FROM (
+             SELECT sub, sqv,
+               ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                 AS srn
+             FROM ${p}tr) t, ${p}sst
+           WHERE srn % sstride = 0 AND srn < sstride * 16),
          ${pqAssignSql(s"${p}a1", s"${p}seeds", s"${p}tr")},
          ${pqUpdateSql(s"${p}c1", s"${p}a1")},
          ${pqAssignSql(s"${p}a2", s"${p}c1", s"${p}tr")},

@@ -2572,7 +2572,7 @@ object GraftLog {
           .load()
           .filter(coalesce(cond, lit(false)))
           .withColumn(ChangeTypeCol, lit("delete")))
-    commitNew(dir, schema) { v =>
+    try commitNew(dir, schema) { v =>
       // cross-process race: another rewrite retiring a touched file
       // between the position scan and this commit would make the DV
       // annotate a dead add (silently lost delete) — abort retryably.
@@ -2587,6 +2587,12 @@ object GraftLog {
         LogEntry.dv(v, e.file,
           Some((GraftLogDv.write(dir, merged), merged.length.toLong)))
       } ++ cdcEntries.map(_.copy(version = v))
+    } catch {
+      case e: GraftConcurrentModificationException =>
+        // reclaim the staged CDC sidecars promptly (same as the
+        // rewrite path) instead of leaving them to vacuum's horizon
+        cdcEntries.foreach(c => new File(dir, c.file).delete())
+        throw e
     }
     (touched.size, live.size, true)
   }
@@ -3588,9 +3594,13 @@ class GraftLogCountScan(dir: String, tableSchema: StructType,
 object GraftLogCountScan {
   def liveEntries(dir: String, asOfVersion: Long,
       changesFromVersion: Long): Seq[LogEntry] =
-    if (changesFromVersion >= 0L)
+    if (changesFromVersion >= 0L) {
+      // same horizon guard as the row-scan feed path: a COUNT pushed
+      // down to manifest arithmetic over a partly-expired span would
+      // otherwise silently count only the surviving tail
+      GraftLog.requireSpanReplayable(dir, changesFromVersion)
       GraftLog.changedEntriesBetween(dir, changesFromVersion, asOfVersion)
-    else GraftLog.entriesAsOf(dir, asOfVersion)
+    } else GraftLog.entriesAsOf(dir, asOfVersion)
 }
 
 case class GraftLogCountPartition(rows: Seq[Array[Any]])

@@ -67,10 +67,24 @@ object Tables {
     // generations never set it.
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rdr = s.readStream.schema(schema)
+    // Replay rate limit: bound each micro-batch to N source files so a
+    // historical fixture drains as a sequence of watermark-advancing
+    // batches instead of one giant one — the shape a live stream has,
+    // and what tools.StreamScaleProbe measures state/latency under.
+    // Unset (every production read) the source keeps its default.
+    s.conf.getOption("spark.graft.stream.maxFilesPerTrigger")
+      .foreach(rdr.option("maxFilesPerTrigger", _))
+    // The driver fixtures store events as a single FILE
+    // `events.parquet`; Spark-written fixtures (the amplified replay
+    // corpora) are a DIRECTORY of part files under the same name. The
+    // glob-filter form only matches the file layout — a directory is
+    // streamed directly (it holds nothing but event parts), which also
+    // gives the file-source one part per listing entry to rate-limit.
+    val evDir = new java.io.File(d, "events.parquet")
     val raw = normalizeEventTs(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d))
+      if (evDir.isDirectory) rdr.parquet(evDir.getPath)
+      else rdr.option("pathGlobFilter", "events.parquet").parquet(d))
     watermark.fold(raw)(w => raw.withWatermark("ts", w))
   }
 

@@ -132,7 +132,15 @@ object DedupScaleProbe {
       "corpus_lm_score", "corpus_gopher_quality", "corpus_dsir_weights",
       "corpus_ccnet_buckets", "corpus_tfidf_topterms",
       "corpus_quality_classifier", "corpus_bpe_pair_counts",
-      "corpus_pack_batches", "corpus_train_order", "corpus_pipeline_e2e")
+      "corpus_pack_batches", "corpus_train_order", "corpus_pipeline_e2e",
+      // the multimodal family synthesizes payloads from documents(+
+      // embeddings), so the same key-correct amplifier is its ladder
+      // (VERDICT r14 #6); per-row decode is embarrassingly parallel —
+      // the probe's peak-memory column is what catches a hidden
+      // rebuild-per-row amplification
+      "multimodal_binary_meta", "multimodal_decode_features",
+      "multimodal_resize", "multimodal_frame_sample",
+      "multimodal_contrastive_pairs")
     // Optional focus list (comma-separated substrings) — same contract
     // as ScaleProbe's SPARK_GRAFT_PROBE_ONLY: probe one family at a
     // larger N without paying the whole sweep.
@@ -140,10 +148,27 @@ object DedupScaleProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val probeQs = only.map(o => qs.filter(q => o.exists(q.contains)))
       .getOrElse(qs)
+    // Per-query peak task execution memory (max across tasks): a
+    // memory-amplification surprise (an operator that rebuilds
+    // per-row state superlinearly) shows here while wall time still
+    // reads linear. Listener events land asynchronously — the short
+    // post-query sleep bounds the undercount to stragglers.
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) peakMem.getAndUpdate(p =>
+            math.max(p, m.peakExecutionMemory))
+        }
+      })
     for (dir <- Seq(base, amp); r <- 1 to 2; n <- probeQs) {
       val c = control()
+      peakMem.set(0)
       val df = graft.SparkEntry.queries(n)(spark, dir)
       val t = time(df.write.mode("overwrite").format("noop").save())
+      Thread.sleep(200) // drain the listener bus
       val p = df.queryExecution.executedPlan.toString
       val bhj = p.sliding("BroadcastHashJoin".length)
         .count(_ == "BroadcastHashJoin")
@@ -153,7 +178,7 @@ object DedupScaleProbe {
       val extra = if (n == "dedup_resolve_clusters")
         s" rounds=${graft.operators.Dedup.lastResolveIterations}" else ""
       println(f"[dscale] $tag rep=$r ctrl=$c%.2f $n=$t%.2f " +
-        s"bhj=$bhj smj=$smj$extra")
+        s"bhj=$bhj smj=$smj peak_task_mb=${peakMem.get() >> 20}$extra")
     }
     // substring_spans with the 8-byte hashed span key (the 100 TB
     // shuffle shape) at both scales, against the string-key runs above

@@ -533,6 +533,30 @@ class GraftLogSpec extends SparkSpec {
     assert(cdfCnt.head.getLong(0) == 80L)
   }
 
+  test("a change-feed COUNT over a partly-expired span fails loudly " +
+      "on the manifest-only path too, never counting just the tail") {
+    val dir = tmp()
+    // 12 commits -> a checkpoint exists; expire the early commits
+    (1 to 12).foreach(i => series(i).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save())
+    assert(graft.sources.GraftLog.expireLog(dir, 11L) > 0,
+      "precondition: history expired below a checkpoint")
+    val h = graft.sources.GraftLog.oldestReplayableVersion(dir)
+    assert(h > 0L, "precondition: a horizon exists")
+    val cnt = spark.read.format(Fmt).option("path", dir)
+      .option("changesFromVersion", "0").load().agg(count(lit(1)))
+    val e = intercept[Exception] { cnt.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("retained horizon")),
+      s"expected the horizon guard, got: $e")
+    // a span at-or-above the horizon still answers
+    assert(spark.read.format(Fmt).option("path", dir)
+      .option("changesFromVersion", h.toString).load()
+      .agg(count(lit(1))).head.getLong(0) > 0L)
+  }
+
   test("copy-on-write merge rewrites only stats-affected files; " +
       "upserts and inserts land, history survives") {
     val dir = tmp()
