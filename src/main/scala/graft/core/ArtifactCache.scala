@@ -300,12 +300,14 @@ object ArtifactCache {
     * if (a) this process has used it (it may back a live lazy plan),
     * or (b) its marker mtime is inside the expiry grace window — a
     * concurrent process that just touched it may be mid-query. */
-  private[graft] def sweepDiskBudget(): Unit = {
+  private[graft] def sweepDiskBudget(
+      root: java.io.File = artifactsRoot,
+      inUse: java.util.Set[String] = touchedTags): Unit = {
     val budget =
       try System.getProperty(
         "graft.artifacts.maxBytes", (16L << 30).toString).toLong
       catch { case _: NumberFormatException => 16L << 30 }
-    val tagDirs = Option(artifactsRoot.listFiles())
+    val tagDirs = Option(root.listFiles())
       .getOrElse(Array.empty).filter(_.isDirectory)
     val sized = tagDirs.map(t => (t, dirBytes(t)))
     var total = sized.map(_._2).sum
@@ -320,7 +322,7 @@ object ArtifactCache {
         if (m.isFile) m.lastModified() else t.lastModified()
       }
       val victims = sized
-        .filterNot { case (t, _) => touchedTags.contains(t.getName) }
+        .filterNot { case (t, _) => inUse.contains(t.getName) }
         .filter { case (t, _) => recency(t) < cutoff }
         .sortBy { case (t, _) => recency(t) }
       victims.foreach { case (t, bytes) =>

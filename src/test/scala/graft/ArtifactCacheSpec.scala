@@ -291,15 +291,15 @@ class ArtifactCacheSpec extends SparkSpec {
   }
 
   test("disk-budget sweep reaps least-recently-used foreign tags but " +
-      "never a tag this process has used, never inside the grace window") {
-    val d = mkFixture()
-    ArtifactCache.persisted(spark, d, "spec_lru", "v1")(
-      spark.range(64).toDF()).count()
-    val liveTag = ArtifactCache.fixtureTag(d)
-    // plant two fake stale tags (valid tag shape, never touched by this
-    // process): an OLD one past the grace window and a YOUNG one inside
+      "never an in-use tag, never inside the grace window") {
+    // an ISOLATED scratch root, NOT the real artifactsRoot: a 1-byte
+    // budget against the shared root would reap every warm artifact
+    // of every other process on the machine (this spec's first cut
+    // did exactly that — the next bench paid a 21 s rebuild)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lru-root").toFile
     def plant(name: String, ageMs: Long): java.io.File = {
-      val dir = new java.io.File(artifactsRoot, name)
+      val dir = new java.io.File(root, name)
       dir.mkdirs()
       java.nio.file.Files.writeString(
         new java.io.File(dir, "_graft_fixture_path").toPath,
@@ -311,18 +311,21 @@ class ArtifactCacheSpec extends SparkSpec {
       assert(m.setLastModified(System.currentTimeMillis() - ageMs))
       dir
     }
+    val live = plant("zzfake_cccccccccccc", 2 * 3600L * 1000)
     val old = plant("zzfake_aaaaaaaaaaaa", 2 * 3600L * 1000)
     val young = plant("zzfake_bbbbbbbbbbbb", 0L)
+    val inUse = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    inUse.add(live.getName)
     val budgetKey = "graft.artifacts.maxBytes"
     val prior = System.getProperty(budgetKey)
     System.setProperty(budgetKey, "1") // force over-budget
     try withGrace(900000) {
-      ArtifactCache.sweepDiskBudget()
+      ArtifactCache.sweepDiskBudget(root, inUse)
       assert(!old.exists(), "the old untouched tag must be reaped")
       assert(young.exists(),
         "a tag touched inside the grace window must survive")
-      assert(new java.io.File(artifactsRoot, liveTag).exists(),
-        "a tag this process used must NEVER be reaped, even over budget")
+      assert(live.exists(),
+        "an in-use tag must NEVER be reaped, even over budget and old")
     } finally {
       if (prior == null) System.clearProperty(budgetKey)
       else System.setProperty(budgetKey, prior)
@@ -330,7 +333,7 @@ class ArtifactCacheSpec extends SparkSpec {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete()
       }
-      rm(young); rm(old)
+      rm(root)
     }
   }
 }
