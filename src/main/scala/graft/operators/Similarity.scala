@@ -303,17 +303,65 @@ object Similarity {
         col("cent_id").as("dcent"), sqdist(col("sqv"), col("cq")).as("dd"))
   }
 
+  /** The probed cell set per query — (query_id, p_cent): always the
+    * query's OWN assigned cell, plus, under
+    * `spark.graft.ivf.nprobe=P` (default 1 — the committed oracle
+    * form, bit-identical by construction since probe #1 IS the
+    * assignment), the P−1 nearest OTHER cells by integer squared-L2
+    * between the query's quantized vector and each cell's integer
+    * mean on the same grid (floor-div per dimension — the Lloyd
+    * update rule, so the routing surrogate matches the trained
+    * centroid's arithmetic). This is FAISS's nprobe: the recall
+    * lever for IVF-routed search — §2 of the r15 notes measured
+    * single-cell recall@3 at 0.25–0.29 under 10–30× occupancy, and
+    * extra probes buy recall linearly in scan cost (P·√n candidates).
+    * The cell-mean table is k rows — broadcast, never a shuffle of
+    * the corpus. */
+  private def queryProbeCells(s: SparkSession, d: String): DataFrame = {
+    val assigned = ivfIndex(s, d)
+    val own = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("p_cent"))
+    val nprobe = s.conf.getOption("spark.graft.ivf.nprobe")
+      .map(_.toInt).getOrElse(1)
+    if (nprobe <= 1) own
+    else {
+      val means = assigned
+        .select(col("cent_id"),
+          posexplode(quantize(col("embedding"))).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("long").as("cmean"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cmean")))),
+          x => x.getField("cmean")).as("cq"))
+      val q = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          quantize(col("embedding")).as("qv"), col("cent_id").as("own"))
+      val wP = Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("cent_id"))
+      val extra = q.join(broadcast(means), col("cent_id") =!= col("own"))
+        .select(col("query_id"), col("cent_id"),
+          sqdist(col("qv"), col("cq")).as("dist"))
+        .withColumn("prn", row_number().over(wP))
+        .filter(col("prn") <= nprobe - 1)
+        .select(col("query_id"), col("cent_id").as("p_cent"))
+      own.unionByName(extra)
+    }
+  }
+
   /** IVFADC candidate scoring — (query_id, vec_id, adc_dist) for the
     * 8 query vectors, cell-routed and table-looked-up: the shared
     * first stage of sim_ivfpq_ann (ranks it directly) and
     * sim_ivfpq_rerank (shortlists then fp-refines). ONE definition so
-    * cell routing and ADC scoring cannot drift between the two. */
+    * cell routing and ADC scoring cannot drift between the two.
+    * Routing honors `spark.graft.ivf.nprobe` via [[queryProbeCells]]
+    * (default: the committed single-cell form). */
   private def adcDistances(s: SparkSession, d: String): DataFrame = {
     val cells = ivfIndex(s, d).select(col("vec_id"), col("cent_id"))
     val codes = pqCodes(s, d)
     val dt = pqDistTable(s, d)
-    val qcell = cells.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("cent_id").as("q_cent"))
+    val qcell = queryProbeCells(s, d)
+      .select(col("query_id"), col("p_cent").as("q_cent"))
     val cand = cells.join(broadcast(qcell),
         col("cent_id") === col("q_cent") &&
           col("vec_id") =!= col("query_id"))
@@ -468,9 +516,12 @@ object Similarity {
     // saving of a production IVF index.
     "sim_ivf_ann" -> ((s, d) => {
       val assigned = ivfIndex(s, d)
+      // probe set per query (own cell; + nearest others under the
+      // `spark.graft.ivf.nprobe` recall lever — see queryProbeCells)
       val q = assigned.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("cent_id").as("q_cent"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .join(queryProbeCells(s, d), "query_id")
+        .select(col("query_id"), col("q_emb"), col("p_cent").as("q_cent"))
       val wRank = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       assigned.join(broadcast(q),

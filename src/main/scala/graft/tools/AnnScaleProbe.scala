@@ -128,7 +128,7 @@ object AnnScaleProbe {
       }
 
       for (m <- Seq("sim_lsh_ann", "sim_lsh_ann_multiprobe", "sim_ivf_ann",
-          "sim_ivfpq_ann")) {
+          "sim_ivfpq_ann", "sim_ivfpq_rerank")) {
         val res = graft.SparkEntry.queries(m)(spark, dir)
           .select(col("query_id"), col("vec_id"), col("rank"))
         // exact cosine of every returned candidate (ivfpq ranks by ADC
@@ -158,6 +158,41 @@ object AnnScaleProbe {
           s"cand_scanned_avg=${scans.sum / scans.size} " +
           s"cand_scanned_max=${scans.max} corpus_n=$nS")
       }
+
+      // the IVF recall lever: same evaluation under nprobe=4 (own cell
+      // + 3 nearest others — candidates ~4·√n, the linear trade §2's
+      // policy names); scanned is the probe arithmetic, 4× the mean
+      // cell, since the probe set lives inside the query plan
+      spark.conf.set("spark.graft.ivf.nprobe", "4")
+      for (m <- Seq("sim_ivf_ann", "sim_ivfpq_ann", "sim_ivfpq_rerank")) {
+        val res = graft.SparkEntry.queries(m)(spark, dir)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+        val sims = res.join(emb, "vec_id")
+          .join(broadcast(qIds.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"))), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            graft.operators.Similarity.dot(col("q_emb"), col("embedding"))
+              .as("sim"))
+          .collect().map(r => (r.getAs[Number](0).longValue,
+            r.getAs[Number](1).longValue, r.getDouble(2)))
+        val byQ = sims.groupBy(_._1)
+        val queries = exactTop3.keySet.toSeq.sorted
+        val recalls = queries.map { q =>
+          val got = byQ.getOrElse(q, Array.empty[(Long, Long, Double)])
+            .map(_._2).toSet
+          exactTop3(q).intersect(got).size.toDouble / 3.0
+        }
+        val ratios = queries.map { q =>
+          byQ.getOrElse(q, Array.empty[(Long, Long, Double)])
+            .map(_._3).maxOption.getOrElse(Double.NegativeInfinity) /
+            exactBest(q)
+        }
+        println(f"[ann] $tag $m[nprobe=4]: " +
+          f"recall@3=${recalls.sum / recalls.size}%.3f " +
+          f"ratio_best=${ratios.sum / ratios.size}%.3f " +
+          s"cand_scanned_est=${4 * nI / kI}")
+      }
+      spark.conf.unset("spark.graft.ivf.nprobe")
     }
     spark.stop()
   }

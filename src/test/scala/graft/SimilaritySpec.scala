@@ -88,6 +88,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf nprobe: 1 is row-identical to the committed single-cell " +
+      "form; more probes only improve every query's best candidate") {
+    def withNprobe[A](n: Option[Int])(body: => A): A = {
+      n match {
+        case Some(v) => spark.conf.set("spark.graft.ivf.nprobe", v.toString)
+        case None => spark.conf.unset("spark.graft.ivf.nprobe")
+      }
+      try body finally spark.conf.unset("spark.graft.ivf.nprobe")
+    }
+    def ivfRows(n: Option[Int]) = withNprobe(n) {
+      Similarity.queries("sim_ivf_ann")(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    val committed = ivfRows(None)
+    assert(ivfRows(Some(1)) == committed,
+      "nprobe=1 must be the committed form bit for bit")
+    // nprobe=4: candidates are a superset (3 extra whole cells), so
+    // the rank-1 similarity can only rise, per query
+    val best1 = committed.filter(_._2 == 1).map(t => t._1 -> t._4).toMap
+    val best4 = ivfRows(Some(4)).filter(_._2 == 1)
+      .map(t => t._1 -> t._4).toMap
+    assert(best4.keySet == best1.keySet)
+    best1.foreach { case (q, s1) =>
+      assert(best4(q) >= s1 - 1e-12,
+        s"query $q: nprobe=4 best ${best4(q)} < single-cell best $s1")
+    }
+    // the ADC path routes through the same probe set: rank-1 distance
+    // can only shrink
+    def adcBest(n: Option[Int]) = withNprobe(n) {
+      Similarity.queries("sim_ivfpq_ann")(spark, sf0001).collect()
+        .filter(_.getInt(1) == 1)
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    }
+    val (a1, a4) = (adcBest(None), adcBest(Some(4)))
+    assert(a4.keySet == a1.keySet)
+    a1.foreach { case (q, d1) =>
+      assert(a4(q) <= d1, s"query $q: nprobe=4 adc ${a4(q)} > $d1")
+    }
+  }
+
   test("ivfpq candidates come from the query's cell; adc ranks ascend") {
     val res = Similarity.queries("sim_ivfpq_ann")(spark, sf0001).collect()
     assert(res.nonEmpty)
