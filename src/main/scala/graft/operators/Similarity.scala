@@ -598,11 +598,25 @@ object Similarity {
     // matters. The oracle replays both stages (the full IVF+PQ
     // training chain, the ADC shortlist, the fp re-rank fold).
     "sim_ivfpq_rerank" -> ((s, d) => {
+      // Shortlist depth = 10 × nprobe (FAISS's k_factor rule),
+      // overridable via spark.graft.ivfpq.shortlist. The r15 recall
+      // probe measured WHY the depth must scale with the probe count:
+      // at 30× occupancy under nprobe=4, a FIXED 10-deep shortlist
+      // saturates with 64×-compression ADC noise before the true
+      // neighbors make the cut (recall .125→.042 despite 4× more
+      // candidates); widening the shortlist with the probe count
+      // restores the exact re-rank's chance to see them. At the
+      // committed default (nprobe unset → depth 10) the oracle form
+      // is unchanged.
+      val nprobe = s.conf.getOption("spark.graft.ivf.nprobe")
+        .map(_.toInt).getOrElse(1)
+      val depth = s.conf.getOption("spark.graft.ivfpq.shortlist")
+        .map(_.toInt).getOrElse(10 * math.max(1, nprobe))
       val wA = Window.partitionBy(col("query_id"))
         .orderBy(col("adc_dist").asc, col("vec_id"))
       val short = adcDistances(s, d)
         .withColumn("arank", row_number().over(wA))
-        .filter(col("arank") <= 10)
+        .filter(col("arank") <= depth)
         .select(col("query_id"), col("vec_id"))
       val emb = fanout(Tables.embeddings(s, d))
       val q = emb.filter(col("vec_id") < 8)

@@ -1650,9 +1650,11 @@ object GraftLog {
           s"${branchPrefix(name)}$v.tmp.${UUID.randomUUID()}")
         Files.write(tmp, es.map(_.serialize).mkString("\n")
           .getBytes(StandardCharsets.UTF_8))
+        crashWindow(dir, "preLink") // same torture hook as mainline
         try {
           Files.createLink(
             Paths.get(dir, versionedName(branchPrefix(name), v)), tmp)
+          crashWindow(dir, "postLink")
           Files.delete(tmp)
           return
         } catch {

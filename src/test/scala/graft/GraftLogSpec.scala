@@ -95,6 +95,39 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 200)
   }
 
+  test("kill windows on the BRANCH append tail: a pre-link death " +
+      "leaves the branch head unmoved, a post-link death has already " +
+      "published; both self-heal") {
+    import graft.sources.GraftLog
+    val dir = tmp()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    GraftLog.createBranch(dir, "dev")
+    spark.conf.set(GraftLog.BranchConf, "dev")
+    try {
+      series(150).filter(col("id") >= 100).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+      assert(readBack(dir).count() == 150) // fork 100 + branch 50
+      dieInWindow(dir, "preLink",
+        series(200).filter(col("id") >= 150).coalesce(1)
+          .write.format(Fmt).option("path", dir).mode("append").save())
+      assert(readBack(dir).count() == 150,
+        "a pre-link branch death must not move the branch head")
+      dieInWindow(dir, "postLink",
+        series(200).filter(col("id") >= 150).coalesce(1)
+          .write.format(Fmt).option("path", dir).mode("append").save())
+      assert(readBack(dir).count() == 200,
+        "a post-link branch death has already committed its batch")
+      assert(tmpOrphans(dir) >= 1)
+      // self-heal: the next branch append lands on the next version
+      series(230).filter(col("id") >= 200).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("append").save()
+      assert(readBack(dir).count() == 230)
+    } finally spark.conf.unset(GraftLog.BranchConf)
+    // main never saw any of it
+    assert(readBack(dir).count() == 100)
+  }
+
   test("second append accumulates; overwrite truncates") {
     val dir = tmp()
     series(100).write.format(Fmt).option("path", dir).mode("append").save()
