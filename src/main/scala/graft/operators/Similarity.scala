@@ -645,8 +645,26 @@ object Similarity {
     // keeps the operator result non-vacuous while exercising the
     // identical plan shape.
     "dedup_embedding_cosine" -> ((s, d) => {
-      val emb = srpIndex(s, d)
-        .select(col("vec_id"), col("embedding"), col("sig").as("blk"))
+      // The scale knob the r15 ladder measured the need for: fixed
+      // 8-bit blocking is n²/512 candidate pairs — quadratic (9.2k →
+      // 936k → 8.4M at 1×/10×/30×). `spark.graft.dedup.srpBlockBits=B`
+      // blocks on a B-bit signature instead (same deterministic plane
+      // matrix, planes 8..B-1 added on the fly): each added plane
+      // halves expected occupancy, so B grows with log₂(n) to hold
+      // per-bucket pair cost constant. The first 8 planes are a
+      // PREFIX of the wider signature, so the widened pair set is a
+      // strict SUBSET of the committed one with identical cosines —
+      // spec-pinned. Default 8 replays the committed oracle; the
+      // trade at B>8 is recall of pairs whose cosine rides between
+      // planes (production pairs this with multiprobe or a second
+      // plane table, as the ANN side does).
+      val bits = s.conf.getOption("spark.graft.dedup.srpBlockBits")
+        .map(_.toInt).getOrElse(SrpBits)
+      val idx = srpIndex(s, d)
+      val emb = (if (bits <= SrpBits) idx.select(col("vec_id"),
+          col("embedding"), col("sig").as("blk"))
+        else idx.select(col("vec_id"), col("embedding"),
+          srpSignature(col("embedding"), bits).as("blk")))
       emb.as("l").join(emb.as("r"),
           col("l.blk") === col("r.blk") &&
             col("l.vec_id") < col("r.vec_id"))

@@ -79,6 +79,26 @@ object AnnScaleProbe {
           .write.mode("overwrite").format("noop").save())
         println(f"[ann] $tag rep=$r ctrl=$c%.2f $q=$t%.2f")
       }
+      // the SRP blocking-width knob: 12-bit blocks (4096 buckets) cut
+      // the quadratic pair population 16× at the same corpus
+      spark.conf.set("spark.graft.dedup.srpBlockBits", "12")
+      val srp12 = graft.operators.Similarity.srpIndex(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("blk", graft.operators.Similarity
+          .srpSignature(col("embedding"), 12))
+      val (n12, k12, p12, m12) = pairStats(srp12, "blk")
+      println(s"[ann] $tag srp12_buckets: n=$n12 k=$k12 pairs=$p12 " +
+        s"max_bucket=$m12")
+      for (r <- 1 to 2) {
+        val c = control()
+        val t = time(
+          graft.SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+            .write.mode("overwrite").format("noop").save())
+        println(f"[ann] $tag rep=$r ctrl=$c%.2f " +
+          f"dedup_embedding_cosine[bits=12]=$t%.2f")
+      }
+      spark.conf.unset("spark.graft.dedup.srpBlockBits")
+
       spark.conf.set("spark.graft.semdedup.cellPairCap", "64")
       for (r <- 1 to 2) {
         val c = control()

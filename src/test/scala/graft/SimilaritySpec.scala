@@ -88,6 +88,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding-cosine srpBlockBits: 8 is the committed form; wider " +
+      "blocking yields a strict subset of pairs with identical cosines") {
+    def pairs(bits: Option[Int]) = {
+      bits match {
+        case Some(b) =>
+          spark.conf.set("spark.graft.dedup.srpBlockBits", b.toString)
+        case None => spark.conf.unset("spark.graft.dedup.srpBlockBits")
+      }
+      try Similarity.queries("dedup_embedding_cosine")(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      finally spark.conf.unset("spark.graft.dedup.srpBlockBits")
+    }
+    val committed = pairs(None)
+    assert(pairs(Some(8)) == committed, "bits=8 must be the default form")
+    val wide = pairs(Some(12))
+    // the first 8 planes are a prefix of the 12-bit signature: equal
+    // 12-bit blocks imply equal 8-bit blocks, so wide ⊆ committed
+    assert(wide.keySet.subsetOf(committed.keySet),
+      s"wide blocking must not invent pairs: ${wide.keySet -- committed.keySet}")
+    wide.foreach { case (k, sim) =>
+      assert(sim == committed(k), s"pair $k cosine drifted")
+    }
+  }
+
   test("ivf nprobe: 1 is row-identical to the committed single-cell " +
       "form; more probes only improve every query's best candidate") {
     def withNprobe[A](n: Option[Int])(body: => A): A = {
