@@ -128,6 +128,39 @@ class GraftLogSpec extends SparkSpec {
     assert(readBack(dir).count() == 100)
   }
 
+  test("kill window inside OVERWRITE: a death between the lineage " +
+      "reset and the version-0 link leaves a consistent EMPTY table " +
+      "(never a torn mix of lineages) and the retry completes") {
+    val dir = tmp()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    series(100).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 200)
+    // the preLink window of the truncate's version-0 commit sits
+    // exactly between resetLineage (old metadata gone) and the new
+    // lineage's first link — the overwrite protocol's documented
+    // non-atomic window (an atomic full replace is the rewrite path's
+    // remove+add single commit; DSv2 overwrite deliberately RESETS
+    // the lineage instead)
+    dieInWindow(dir, "preLink",
+      series(30).coalesce(1)
+        .write.format(Fmt).option("path", dir).mode("overwrite").save())
+    assert(readBack(dir).count() == 0,
+      "mid-overwrite death must read as consistent-empty, not torn")
+    assert(graft.sources.GraftLog.currentVersion(dir) == -1L,
+      "no version of either lineage may be visible in the window")
+    // self-heal: retrying the overwrite lands the new lineage at v0
+    series(30).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("overwrite").save()
+    assert(graft.sources.GraftLog.currentVersion(dir) == 0L)
+    assert(readBack(dir).count() == 30)
+    // and ordinary appends continue on the fresh lineage
+    series(45).filter(col("id") >= 30).coalesce(1)
+      .write.format(Fmt).option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 45)
+  }
+
   test("second append accumulates; overwrite truncates") {
     val dir = tmp()
     series(100).write.format(Fmt).option("path", dir).mode("append").save()
