@@ -2249,7 +2249,7 @@ object Formats {
   }
 
   /** The shared 50k-row range-layout graft-log fixture
-    * (`/tmp/graft_log_pruned/<fixture>`) used by three queries
+    * (the per-user `log_pruned/<fixture>` scratch) used by three queries
     * (sink_custom_dsv2_pruned, sink_log_count_meta,
     * sink_log_file_meta): one definition so a layout change cannot
     * leave two queries building one shape and the third expecting

@@ -49,7 +49,8 @@ object CdcScaleProbe {
     println("size | seed_s | batch1_s | batch1_rewrites | batch2_s | " +
       "batch2_rewrites | plan_segments")
     sizes.foreach { n =>
-      val base = new java.io.File(s"/tmp/graft_cdc_probe/$n")
+      val base = new java.io.File(
+        graft.core.ArtifactCache.userScopedRoot("cdc_probe"), s"$n")
       rmrf(base); base.mkdirs()
       val src = s"$base/src"; val dst = s"$base/dst"
       val ckpt = s"$base/ckpt"

@@ -46,7 +46,8 @@ object CdfStreamScaleProbe {
     println("size | seed_s | bootstrap_s | change_s | drain_s | " +
       "noop_s | drained_rows | typed_ok")
     sizes.foreach { n =>
-      val base = new java.io.File(s"/tmp/graft_cdfstream_probe/$n")
+      val base = new java.io.File(
+        graft.core.ArtifactCache.userScopedRoot("cdfstream_probe"), s"$n")
       rmrf(base); base.mkdirs()
       val src = s"$base/src"; val sink = s"$base/sink"
       val ckpt = s"$base/ckpt"

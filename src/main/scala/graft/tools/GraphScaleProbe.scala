@@ -30,8 +30,12 @@ object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
-    val amp = s"/tmp/graft_amp_graph_${copies}x_" +
-      new java.io.File(base).getName
+    // per-user 0700 root, not fixed /tmp: this cache TRUSTS its
+    // freshness marker across runs (same ADVICE-r14 poisoning vector
+    // the shared ScaleProbe amp had)
+    val amp = new java.io.File(
+      graft.core.ArtifactCache.userScopedRoot("amp_graph"),
+      s"${copies}x_" + new java.io.File(base).getName).getPath
     val spark = graft.functions.GraftExtensions
       .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") +
         "]", "32").getOrCreate()

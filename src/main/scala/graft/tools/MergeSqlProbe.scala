@@ -20,7 +20,9 @@ object MergeSqlProbe {
       .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]",
         "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val wh = s"/tmp/graft_merge_sql_probe_${System.nanoTime()}"
+    val wh = new java.io.File(
+      graft.core.ArtifactCache.userScopedRoot("merge_sql_probe"),
+      System.nanoTime().toString).getPath
     spark.conf.set("spark.sql.catalog.gmp", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gmp.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gmp.ns")

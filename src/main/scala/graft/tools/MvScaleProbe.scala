@@ -48,7 +48,8 @@ object MvScaleProbe {
     println("size | seed_s | bootstrap_s | refresh_s | delta_files | " +
       "mv_rw/mv_total | noop_s | full_recompute_s")
     sizes.foreach { n =>
-      val base = new java.io.File(s"/tmp/graft_mv_probe/$n")
+      val base = new java.io.File(
+        graft.core.ArtifactCache.userScopedRoot("mv_probe"), s"$n")
       rmrf(base); base.mkdirs()
       val src = s"$base/src"; val mv = s"$base/mv"
       val (_, seedS) = time {

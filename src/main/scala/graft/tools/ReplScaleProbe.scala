@@ -44,7 +44,8 @@ object ReplScaleProbe {
     println("size | seed_s | bootstrap_s | change_s | sync_s | " +
       "versions | noop_s | identical")
     sizes.foreach { n =>
-      val base = new java.io.File(s"/tmp/graft_repl_probe/$n")
+      val base = new java.io.File(
+        graft.core.ArtifactCache.userScopedRoot("repl_probe"), s"$n")
       rmrf(base); base.mkdirs()
       val src = s"$base/src"; val dst = s"$base/dst"
       val (_, seedS) = time {

@@ -23,7 +23,9 @@ object SpjProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val base = s"/tmp/graft_spj_probe_${System.nanoTime()}"
+    val base = new java.io.File(
+      graft.core.ArtifactCache.userScopedRoot("spj_probe"),
+      System.nanoTime().toString).getPath
 
     def write(df: DataFrame, dir: String, part: Boolean): Unit = {
       val w = df.write.format("graft.sources.GraftLogSource")

@@ -46,7 +46,8 @@ object WapScaleProbe {
     println("size | seed_s | stage_s | audit_read_s | audit_rows | " +
       "publish_s | read_s")
     sizes.foreach { n =>
-      val base = new java.io.File(s"/tmp/graft_wap_probe/$n")
+      val base = new java.io.File(
+        graft.core.ArtifactCache.userScopedRoot("wap_probe"), s"$n")
       rmrf(base); base.mkdirs()
       val dir = s"$base/t"
       val (_, seedS) = time {
