@@ -101,11 +101,20 @@ object ArtifactCache {
     }
     try {
       val owner = java.nio.file.Files.getOwner(p,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS).getName
-      require(owner == user,
-        s"refusing scratch root $base: owned by '$owner', not '$user' — " +
-          "a pre-existing directory someone else planted would let them " +
-          "feed poisoned artifacts into every query")
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)
+      // ADVICE r15: compare PRINCIPALS where the store can resolve one
+      // (on stores with decorated owner names — e.g. DOMAIN\user — the
+      // raw string never equals user.name and a legitimate root would
+      // be refused); fall back to the raw-name comparison when the
+      // lookup itself cannot resolve the user. Either match accepts.
+      val principalMatch =
+        try p.getFileSystem.getUserPrincipalLookupService
+          .lookupPrincipalByName(user) == owner
+        catch { case _: Exception => false }
+      require(principalMatch || owner.getName == user,
+        s"refusing scratch root $base: owned by '${owner.getName}', " +
+          s"not '$user' — a pre-existing directory someone else planted " +
+          "would let them feed poisoned artifacts into every query")
     } catch { case _: UnsupportedOperationException => () }
     // tighten perms every run (an old run or umask may have left the
     // dir group/world-accessible)
@@ -183,7 +192,14 @@ object ArtifactCache {
     * nested deeper than array-of-primitive keep the read schema;
     * no registered artifact carries any. */
   def persisted(s: SparkSession, d: String, key: String, ver: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    // ADVICE r15: a sibling process's over-budget sweep honors only the
+    // grace window, so a process alive LONGER than the window must keep
+    // refreshing its live tags' marker mtimes or lose them mid-query —
+    // the once-per-process touch in fixtureTag only protects the
+    // sweeping process itself. Throttled to once per grace/3 per
+    // fixture, so warm reads stay filesystem-free between refreshes.
+    maybeRefreshRecency(d)
     // the in-memory layer's key carries `ver` too: a version bump must
     // invalidate IN-PROCESS as well, not just across processes
     of(s, d, s"$key@$ver") {
@@ -202,7 +218,7 @@ object ArtifactCache {
       }
       if (!complete) {
         expireStaleScratch(root)
-        sweepDiskBudget()
+        maybeSweepDiskBudget()
         val scratch = new java.io.File(root.getParentFile,
           root.getName + ".build-" +
             java.util.UUID.randomUUID().toString.take(8))
@@ -218,6 +234,49 @@ object ArtifactCache {
         .readString(sidecar.toPath)).asInstanceOf[StructType]
       restoreNullability(s.read.parquet(root.getPath), want)
     }
+  }
+
+  /** Shared grace window (sweep protection + generation expiry). */
+  private def graceMs: Long =
+    try System.getProperty(
+      "graft.artifacts.expireGraceMs", "900000").toLong
+    catch { case _: NumberFormatException => 900000L }
+
+  /** Throttled refresh of this fixture's tag-marker mtime — the LRU
+    * recency signal a SIBLING process's disk-budget sweep reads. At
+    * most once per grace/3 per fixture so three refreshes always land
+    * inside any window a sweeper honors; the first call per fixture
+    * pays the fixtureTag fingerprint walk it would pay anyway. */
+  private val lastRecency =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def maybeRefreshRecency(d: String): Unit = {
+    val now = System.currentTimeMillis()
+    val last = lastRecency.get(d)
+    if (last == null || now - last > graceMs / 3) {
+      lastRecency.put(d, now)
+      val marker = new java.io.File(
+        new java.io.File(artifactsRoot, fixtureTag(d)), PathMarker)
+      if (marker.isFile) marker.setLastModified(now)
+    }
+  }
+
+  /** Rate-limited wrapper for the cold-build path: the sweep walks the
+    * ENTIRE artifact root (O(total files)) to size it, which ADVICE r15
+    * flagged as a per-cold-build tax even far under budget — sweep at
+    * most once per `graft.artifacts.sweepIntervalMs` (default 5 min)
+    * per process. Direct calls to [[sweepDiskBudget]] (specs) are
+    * unthrottled. */
+  private val lastSweepMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def maybeSweepDiskBudget(): Unit = {
+    val interval =
+      try System.getProperty(
+        "graft.artifacts.sweepIntervalMs", "300000").toLong
+      catch { case _: NumberFormatException => 300000L }
+    val now = System.currentTimeMillis()
+    val last = lastSweepMs.get()
+    if (now - last >= interval && lastSweepMs.compareAndSet(last, now))
+      sweepDiskBudget()
+  }
 
   /** A crashed publisher (killed JVM mid-parquet-write) leaves a
     * `<key>_<ver>.build-xxxx` scratch next to its target forever —
@@ -312,11 +371,7 @@ object ArtifactCache {
     val sized = tagDirs.map(t => (t, dirBytes(t)))
     var total = sized.map(_._2).sum
     if (total > budget) {
-      val grace =
-        try System.getProperty(
-          "graft.artifacts.expireGraceMs", "900000").toLong
-        catch { case _: NumberFormatException => 900000L }
-      val cutoff = System.currentTimeMillis() - grace
+      val cutoff = System.currentTimeMillis() - graceMs
       def recency(t: java.io.File): Long = {
         val m = new java.io.File(t, PathMarker)
         if (m.isFile) m.lastModified() else t.lastModified()
@@ -349,11 +404,7 @@ object ArtifactCache {
   private def expireStaleTags(name: String, tag: String,
       path: String): Unit =
     if (expired.add(s"$name/$tag")) {
-      val grace =
-        try System.getProperty(
-          "graft.artifacts.expireGraceMs", "900000").toLong
-        catch { case _: NumberFormatException => 900000L }
-      val cutoff = System.currentTimeMillis() - grace
+      val cutoff = System.currentTimeMillis() - graceMs
       Option(artifactsRoot.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName != tag &&
           f.getName.startsWith(name + "_") &&

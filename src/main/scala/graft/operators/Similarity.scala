@@ -89,11 +89,17 @@ object Similarity {
   /** Sign-random-projection signature of an embedding column: bit `p` is
     * the sign of the dot product with precomputed hyperplane `p`.
     * `dim` must match the embedding dimensionality (64 in the fixtures). */
-  def srpSignature(emb: Column, bits: Int = SrpBits, dim: Int = 64): Column =
+  def srpSignature(emb: Column, bits: Int = SrpBits, dim: Int = 64): Column = {
+    // Int-shift wraps silently past bit 31 (1 << 32 == 1), which would
+    // collide plane bits into a corrupted blocking key — refuse loudly.
+    require(bits >= 1 && bits <= 31,
+      s"srpSignature bits must be in [1, 31], got $bits " +
+        "(spark.graft.dedup.srpBlockBits caps at 31)")
     (0 until bits).map { p =>
       when(dot(emb, typedLit(planeRow(p, dim))) > 0.0, lit(1 << p))
         .otherwise(lit(0))
     }.reduce(_ bitwiseOR _)
+  }
 
   /** The SRP index — (vec_id, embedding, 8-bit signature) — as a
     * session+fixture artifact: an ANN index is the canonical

@@ -3639,7 +3639,9 @@ class GraftLogStreamingWrite(dir: String, schema: StructType,
     // go through the identical hard-link CAS tail
     val live =
       try GraftLog.referencedFiles(dir)
-      catch { case _: Throwable => return }
+      // NonFatal only: swallowing OOM/interrupt here would clear the
+      // thread's interrupt status and hide a dying JVM
+      catch { case scala.util.control.NonFatal(_) => return }
     GraftLogCommit.all(messages).filterNot(c => live.contains(c.file))
       .foreach(c => new File(dir, c.file).delete())
   }
@@ -3780,7 +3782,9 @@ class GraftLogBatchWrite(dir: String, schema: StructType,
     // either way) rather than risk tearing a committed snapshot
     val live =
       try GraftLog.referencedFiles(dir)
-      catch { case _: Throwable => return }
+      // NonFatal only: swallowing OOM/interrupt here would clear the
+      // thread's interrupt status and hide a dying JVM
+      catch { case scala.util.control.NonFatal(_) => return }
     GraftLogCommit.all(messages).filterNot(c => live.contains(c.file))
       .foreach(c => new File(dir, c.file).delete())
   }
