@@ -535,8 +535,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // exactly what makes it the governance surface of a warehouse: the
   // curated interface can evolve without rewriting a byte of data.
 
-  private def viewFile(ident: Identifier): File =
+  // Same traversal guard as tableDir: the view NAME becomes a file
+  // name, and every view path (exists/load/drop/rename/alter) resolves
+  // through here — without it a backquoted `../../x` identifier would
+  // read, delete, or move `<outside>.view` files past the warehouse
+  // root (tables were guarded at their choke point; views were not).
+  private def viewFile(ident: Identifier): File = {
+    noTraversal(Seq(ident.name))
     new File(nsDir(ident.namespace), s"${ident.name}.view")
+  }
   private val B64 = java.util.Base64.getEncoder
   // property KEYS sit before the '=' separator, so they encode
   // WITHOUT padding — a padded key's trailing '=' would be consumed
@@ -674,6 +681,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     viewFile(ident).delete()
 
   override def renameView(from: Identifier, to: Identifier): Unit = {
+    // creation-time policy on the TARGET, matching renameTable: a
+    // rename onto a dot-prefixed or '$'-carrying name would create a
+    // catalog-invisible or meta-table-shadowed view
+    validateName("view", to.name)
     if (!viewExists(from)) throw new NoSuchViewException(from)
     if (viewExists(to) || tableExists(to))
       throw new ViewAlreadyExistsException(to)

@@ -49,6 +49,55 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("view identifiers are traversal-guarded: a backquoted name " +
+      "cannot read, drop, or rename-move a .view file outside the " +
+      "warehouse") {
+    withCatalog {
+      // a decoy view file OUTSIDE the warehouse that traversal would
+      // delete or overwrite
+      val outside = java.nio.file.Files
+        .createTempDirectory("graft-view-escape")
+      val decoy = outside.resolve("evil.view")
+      java.nio.file.Files.writeString(decoy, "sql=eA==")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.dbv")
+      spark.sql(
+        "CREATE VIEW graftcat.dbv.inside AS SELECT 1 AS one")
+      // the name part is relative to the NAMESPACE dir (the rule only
+      // intercepts 3-part identifiers, so the traversal rides the name)
+      val rel = java.nio.file.Paths.get(wh, "dbv").relativize(
+        outside.resolve("evil")).toString
+      // DROP via a traversal identifier must fail the check, never
+      // delete the outside file (delete() returning false would have
+      // silently no-opped here — but a '..' name that RESOLVES would
+      // delete; the guard must reject it loudly)
+      val e1 = intercept[Exception](
+        spark.sql(s"DROP VIEW graftcat.dbv.`$rel`"))
+      assert(chainOf(e1).exists(_.contains("invalid graft identifier")),
+        chainOf(e1).toString)
+      assert(java.nio.file.Files.exists(decoy), "decoy must survive")
+      // RENAME onto a traversal target must fail, not move the .view
+      // payload outside the warehouse
+      val e2 = intercept[Exception](spark.sql(
+        s"ALTER VIEW graftcat.dbv.inside RENAME TO graftcat.dbv.`$rel`"))
+      assert(chainOf(e2).exists(m =>
+          m.contains("invalid graft identifier") ||
+          m.contains("invalid graft view name")),
+        chainOf(e2).toString)
+      // rename-to-hidden is creation policy, same as CREATE VIEW
+      val e3 = intercept[Exception](spark.sql(
+        "ALTER VIEW graftcat.dbv.inside RENAME TO graftcat.dbv.`.sneaky`"))
+      assert(chainOf(e3).exists(_.contains("invalid graft view name")),
+        chainOf(e3).toString)
+      // the inside view still resolves
+      assert(spark.sql("SELECT * FROM graftcat.dbv.inside")
+        .head.getInt(0) == 1)
+    }
+  }
+
+  private def chainOf(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ chainOf(t.getCause)
+
   test("full SQL lifecycle: create, insert, select, rename, drop") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
