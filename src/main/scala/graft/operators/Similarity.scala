@@ -389,6 +389,24 @@ object Similarity {
     ()
   }
 
+  /** Apply the recommended ANN SERVING profile (VERDICT r15 #4). The
+    * committed defaults (nprobe=1, shortlist 10, srpBlockBits=8) exist
+    * for bit-exact oracle replay and are the WORST quality point a
+    * deployment can ship; the 30× ladder measured the trade (PERF_r21
+    * §1–2): nprobe=4 lifts IVF recall@3 .292→.417 (ratio_best
+    * .914→.958) for 4× candidates, the rerank shortlist must scale
+    * 10×nprobe or ADC noise saturates it (recall .042→.167 under
+    * nprobe=4 at 30×), and 12 blocking bits cut embedding-dedup
+    * candidate pairs 13.8× at 30× (a pair SUBSET with identical
+    * cosines). One call, so the production posture is a decision, not
+    * three scattered conf lookups. Values are pinned by spec against
+    * the README table. */
+  def servingConfs(s: SparkSession): Unit = {
+    s.conf.set("spark.graft.ivf.nprobe", "4")
+    s.conf.set("spark.graft.ivfpq.shortlist", "40")
+    s.conf.set("spark.graft.dedup.srpBlockBits", "12")
+  }
+
   /** Brute-force top-k neighbors for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queriesDf: DataFrame, k: Int): DataFrame = {
     val q = queriesDf.select(col("vec_id").as("query_id"),
@@ -715,7 +733,25 @@ object Similarity {
         .map(_.toInt)
       val base = ivfIndex(s, d)
         .select(col("vec_id"), col("embedding"), col("cent_id"))
-      val pairs = cap match {
+      val pairs = semdedupPairs(base, cap)
+      val verified = pairs.filter(col("cos_sim") >= 0.3)
+      val dropped = verified.select(col("dup_id")).distinct()
+      base.join(dropped, base("vec_id") === dropped("dup_id"), "left")
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          count(col("dup_id")).as("n_dropped"),
+          (count(lit(1)) - count(col("dup_id"))).as("n_kept"))
+    })
+  )
+
+  /** SemDeDup candidate pairs over the shared IVF cells — factored out
+    * of the `dedup_semdedup` body so the scale probes can measure the
+    * capped form's DROPPED-SET recall against the exact unbounded one
+    * (VERDICT r15 #5) without duplicating the banded-join logic. Plan
+    * identical to the pre-factor inline form. */
+  private[graft] def semdedupPairs(base: DataFrame,
+      cap: Option[Int]): DataFrame = {
+    val pairs = cap match {
         case None =>
           base.as("l").join(base.as("r"),
             col("l.cent_id") === col("r.cent_id") &&
@@ -747,16 +783,9 @@ object Similarity {
               col("r.rn") - col("l_rn") <= c)
             .select(col("r.vec_id").as("dup_id"),
               dot(col("l_emb"), col("r.embedding")).as("cos_sim"))
-      }
-      val verified = pairs.filter(col("cos_sim") >= 0.3)
-      val dropped = verified.select(col("dup_id")).distinct()
-      base.join(dropped, base("vec_id") === dropped("dup_id"), "left")
-        .groupBy(col("cent_id"))
-        .agg(count(lit(1)).as("n_vectors"),
-          count(col("dup_id")).as("n_dropped"),
-          (count(lit(1)) - count(col("dup_id"))).as("n_kept"))
-    })
-  )
+    }
+    pairs
+  }
 
   /** One IVF assignment step as a DuckDB CTE: every quantized vector of
     * `src` to its nearest centroid by integer squared-L2, ties to the

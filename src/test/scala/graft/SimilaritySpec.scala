@@ -192,4 +192,18 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: multiprobe returned fewer rows than single-probe")
     }
   }
+
+  test("servingConfs applies exactly the documented production triple") {
+    // the README serving-profile table promises (nprobe=4,
+    // shortlist=40, srpBlockBits=12) — this pin keeps the one-call
+    // helper and the documentation from drifting apart
+    val s2 = spark.newSession()
+    Similarity.servingConfs(s2)
+    assert(s2.conf.get("spark.graft.ivf.nprobe") == "4")
+    assert(s2.conf.get("spark.graft.ivfpq.shortlist") == "40")
+    assert(s2.conf.get("spark.graft.dedup.srpBlockBits") == "12")
+    // the helper scopes to the session it is handed — the shared spec
+    // session must be untouched
+    assert(spark.conf.getOption("spark.graft.ivf.nprobe").isEmpty)
+  }
 }
