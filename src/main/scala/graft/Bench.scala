@@ -21,6 +21,30 @@ object Bench {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     def control(): Double =
       time(li.filter(col("l_quantity") <= 25.0).select(col("l_orderkey")).count())
+    // CPU-bound control (VERDICT r15 #2): the scan control is IO-light,
+    // so a CPU-SELECTIVE host phase (the kind that inflated
+    // graph_triangles two rounds running while scan controls stayed
+    // calm) is invisible to it. This control is the exact kernel shape
+    // triangles is bound on — an allocation-free two-pointer sorted
+    // intersection (functions/VectorExpressions SortedIntersectSize) —
+    // over fixed in-JVM arrays: no Spark job, no IO, its wall tracks
+    // host CPU speed and nothing else. ~15 ms on a calm host.
+    val cpuA = Array.tabulate(4096)(i => i.toLong * 3)
+    val cpuB = Array.tabulate(4096)(i => i.toLong * 5)
+    var cpuSink = 0L // consumed below so the JIT cannot drop the loop
+    def cpuControl(): Double = time {
+      var rep = 0
+      while (rep < 2000) {
+        var i = 0; var j = 0; var c = 0
+        while (i < cpuA.length && j < cpuB.length) {
+          val x = cpuA(i); val y = cpuB(j)
+          if (x == y) { c += 1; i += 1; j += 1 }
+          else if (x < y) i += 1 else j += 1
+        }
+        cpuSink += c
+        rep += 1
+      }
+    }
     // Warm the session before timing: codegen compiler, broadcast infra,
     // file-index caches — fixed costs a resident service pays once, not
     // per query. ~5s at local[32].
@@ -77,6 +101,11 @@ object Bench {
       val cs = (1 to 5).map(_ => control()).sorted
       cs(cs.length / 2)
     }
+    cpuControl() // JIT warm
+    val cpuBaseline = {
+      val cs = (1 to 5).map(_ => cpuControl()).sorted
+      cs(cs.length / 2)
+    }
     val controlsPre = scala.collection.mutable.Map
       .empty[String, List[Double]].withDefaultValue(Nil)
     val controlsPost = scala.collection.mutable.Map
@@ -104,15 +133,26 @@ object Bench {
     // THIS map: a query is a real mover only when its normalized ratio
     // across rounds exceeds 1.3x.
     val normalized = scala.collection.mutable.Map.empty[String, Double]
+    // CPU-normalized variant: wall over the mean of the bracketing
+    // CPU-kernel controls. For kernel-bound queries (triangles,
+    // neighbor-jaccard) THIS is the mover gauge that indexes
+    // CPU-selective host phases the scan control cannot see.
+    val normalizedCpu = scala.collection.mutable.Map.empty[String, Double]
+    val cpuPre = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    val cpuPost = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    // (scanPre, cpuPre, sec, cpuPost, scanPost)
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
-      var trials = List.empty[(Double, Double, Double)] // (pre, sec, post)
+      var trials = List.empty[(Double, Double, Double, Double, Double)]
       var err: Option[String] = None
-      def healthyOf(ts: List[(Double, Double, Double)]) =
-        ts.filter(tr => tr._1 <= 3 * baseline && tr._3 <= 3 * baseline)
+      def healthyOf(ts: List[(Double, Double, Double, Double, Double)]) =
+        ts.filter(tr => tr._1 <= 3 * baseline && tr._5 <= 3 * baseline)
       while (err.isEmpty && (trials.size < 2 ||
           (healthyOf(trials).isEmpty && trials.size < 8))) {
         if (trials.size >= 2) Thread.sleep(3000) // let the phase pass
         val c0 = control()
+        val u0 = cpuControl()
         val t = time {
           try { fn(spark, sfDir).count(); () } catch {
             case e: Throwable =>
@@ -120,12 +160,15 @@ object Bench {
               err = Some(s"${e.getClass.getSimpleName}: $msg")
           }
         }
+        val u1 = cpuControl()
         val c1 = control()
         spark.catalog.clearCache()
-        trials ::= (c0, t, c1)
+        trials ::= (c0, u0, t, u1, c1)
       }
       controlsPre(name) = trials.map(_._1).reverse
-      controlsPost(name) = trials.map(_._3).reverse
+      controlsPost(name) = trials.map(_._5).reverse
+      cpuPre(name) = trials.map(_._2).reverse
+      cpuPost(name) = trials.map(_._4).reverse
       err match {
         case Some(m) =>
           System.err.println(s"[bench] $name FAILED: $m")
@@ -136,8 +179,10 @@ object Bench {
           healthyFlag(name) = healthy.nonEmpty
           val pool = if (healthy.nonEmpty) healthy else trials
           normalized(name) = pool.map(tr =>
-            tr._2 / math.max((tr._1 + tr._3) / 2, 1e-3)).min
-          Some(name -> pool.map(_._2).min)
+            tr._3 / math.max((tr._1 + tr._5) / 2, 1e-3)).min
+          normalizedCpu(name) = pool.map(tr =>
+            tr._3 / math.max((tr._2 + tr._4) / 2, 1e-4)).min
+          Some(name -> pool.map(_._3).min)
       }
     }
     def fmt(v: Double): String = f"$v%.3f"
@@ -207,14 +252,22 @@ object Bench {
         s""""unhealthy_names":$unhealthyNames,""" +
         s""""artifact_build_s":${fmt(artifactBuild)},""" +
         s""""artifacts_built":$nBuilt,"artifacts_read":$nRead,""" +
-        s""""control_baseline":${fmt(baseline)},"sf":"$sfDir"}"""
+        s""""control_baseline":${fmt(baseline)},""" +
+        s""""cpu_control_baseline":${fmt(cpuBaseline)},"sf":"$sfDir"}"""
     val nqs = normalized.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val nqsCpu = normalizedCpu.map { case (k, v) =>
+      s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val rootBytes = try graft.core.ArtifactCache.artifactRootBytes()
       catch { case _: Throwable => -1L }
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_normalized":$nqs,""" +
+        s""""queries_normalized_cpu":$nqsCpu,""" +
+        s""""cpu_control_baseline":$cpuBaseline,""" +
+        s""""cpu_sink":$cpuSink,""" +
+        s""""controls_cpu_pre":${ctrlJson(cpuPre)},""" +
+        s""""controls_cpu_post":${ctrlJson(cpuPost)},""" +
         s""""artifact_root_bytes":$rootBytes,""" +
         s""""errors":$errsJson,"artifact_build_s":$artifactBuild,""" +
         s""""artifact_warm_by_module":${
