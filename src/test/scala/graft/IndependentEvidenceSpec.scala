@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Independent-evidence pins for the three highest-risk REPLAY-style
+  * oracles (VERDICT r15 #3): `sim_ivfpq_rerank`, `dedup_semdedup`, and
+  * `corpus_quality_classifier` are gate-checked against DuckDB oracles
+  * that replay the implementation's own training/hashing arithmetic in
+  * SQL — internal consistency, not external truth (a misconception
+  * shared by both derivations passes both sides; the r15 IVF seeding
+  * bug was caught by a probe, not an oracle). Each test here runs the
+  * REAL registered query on a tiny HAND-CONSTRUCTED fixture whose
+  * expected output is derived on paper in the comments — literal
+  * numbers and structural arguments that do NOT flow through the
+  * implementation's math (the classifier expectations were computed by
+  * hand from the published algorithm; the ANN expectations follow from
+  * a construction that makes clustering and PQ encoding provably
+  * trivial).
+  *
+  * Fixture-construction arguments used below:
+  *  - k-means with one seed per well-separated group and identical (or
+  *    near-identical) in-group members provably assigns each group to
+  *    its own cell: in-group squared distances are ≤ hundreds on the
+  *    integer grid while cross-group distances are ≥ 2·(2000)² = 8e6.
+  *  - PQ with n == PqK and all per-subspace training subvectors
+  *    DISTINCT seeds every subvector as its own centroid; Lloyd keeps
+  *    each singleton centroid fixed, so encoding is LOSSLESS and the
+  *    ADC distance equals the exact integer squared-L2 — the search
+  *    stage can then be predicted with grade-school arithmetic. */
+class IndependentEvidenceSpec extends SparkSpec {
+
+  private def writeFixture(rows: Seq[Row], schema: StructType,
+      dir: java.nio.file.Path, table: String): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType, false),
+    StructField("embedding", ArrayType(FloatType, false), false),
+    StructField("label", IntegerType, false)))
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, false),
+    StructField("text", StringType, false),
+    StructField("lang", StringType, false),
+    StructField("source", StringType, false),
+    StructField("n_chars", LongType, false)))
+
+  test("dedup_semdedup on a paper-derivable fixture: three orthogonal " +
+      "triples dedup to (3 vectors, 2 dropped, 1 kept) per cell") {
+    // 9 vectors, dim 4: vecs {0,1,2} = e1, {3,4,5} = e2, {6,7,8} = e3.
+    // Quantized grid: 1.0 -> 2000, 0.0 -> 1000. k = ⌊√9⌋ = 3; the
+    // bounded sample is all 9 (m = 1) and ANY stride-3 rank selection
+    // picks exactly one seed per triple (the triples are contiguous in
+    // vec_id rank), so k-means has one seed per group; in-group
+    // distance is 0, cross-group is 2·10⁶ — assignment and both Lloyd
+    // rounds are degenerate and each triple IS a cell, by construction,
+    // not by replaying the trainer. Within a cell every cosine is
+    // exactly 1 ≥ 0.3, so the min-id member is kept and the other two
+    // drop: every cell reads (3, 2, 1). No arithmetic here shares code
+    // or derivation with the Scala/SQL pipelines.
+    val dir = java.nio.file.Files.createTempDirectory("graft-indep-sem")
+    val rows = (0 until 9).map { i =>
+      val a = Array.fill(4)(0.0f)
+      a(i / 3) = 1.0f
+      Row(i.toLong, a.toSeq, 0)
+    }
+    writeFixture(rows, embSchema, dir, "embeddings")
+    val out = SparkEntry.queries("dedup_semdedup")(spark, dir.toString)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("n_vectors")),
+        r.getLong(r.fieldIndex("n_dropped")),
+        r.getLong(r.fieldIndex("n_kept"))))
+      .toSeq.sorted
+    assert(out == Seq((3L, 2L, 1L), (3L, 2L, 1L), (3L, 2L, 1L)),
+      s"expected three (3,2,1) cells, got $out")
+  }
+
+  test("sim_ivfpq_rerank on a paper-derivable fixture: lossless PQ + " +
+      "group cells make the exact top-3 predictable by hand") {
+    // 16 vectors, dim 64, four groups of four. Vector i (group
+    // g = i/4): dim g·16 = 2.0, and dim s·16+15 = 0.001·(i+1) for
+    // every subspace s (the per-vector jitter that makes all 16
+    // subvectors DISTINCT in every subspace).
+    //  - IVF: k = ⌊√16⌋ = 4, seeds at sample ranks {0,4,8,12} = one
+    //    per group; in-group sqdist ≤ 4·15² = 900, cross-group
+    //    ≥ 2·2000² — each group is a cell.
+    //  - PQ: n = 16 = PqK and all 16 subvectors distinct per subspace
+    //    ⇒ every training subvector seeds its own centroid and Lloyd
+    //    fixes it ⇒ encoding is lossless ⇒ ADC = exact integer
+    //    squared-L2 = 4·(q−c)² for same-group q,c (only the jitter
+    //    dims differ).
+    //  - Search: candidates = the query's 3 groupmates (< shortlist
+    //    depth 10, so ADC ordering cannot drop anyone); the exact
+    //    rerank orders by float cosine sim(q,c) = 2·2 + 4·jq·jc,
+    //    strictly increasing in c's jitter ⇒ rank order is groupmates
+    //    by DESCENDING vec_id — for q=0: (3,2,1); for q=5: (7,6,4).
+    // The expected table below is constructed from that argument and
+    // plain Scala double arithmetic over the same float literals the
+    // fixture is built from — no Spark expression, no SQL replay.
+    val dir = java.nio.file.Files.createTempDirectory("graft-indep-pq")
+    def jit(i: Int): Float = 0.001f * (i + 1)
+    val rows = (0 until 16).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a((i / 4) * 16) = 2.0f
+      (0 until 4).foreach(s => a(s * 16 + 15) = jit(i))
+      Row(i.toLong, a.toSeq, 0)
+    }
+    writeFixture(rows, embSchema, dir, "embeddings")
+    val got = SparkEntry.queries("sim_ivfpq_rerank")(spark, dir.toString)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("vec_id")),
+        r.getDouble(r.fieldIndex("sim"))))
+      .sortBy(t => (t._1, t._2))
+    val expected = for {
+      q <- 0 until 8
+      (c, rank) <- (q / 4 * 4 until q / 4 * 4 + 4)
+        .filter(_ != q).sortBy(-_).zipWithIndex
+    } yield (q.toLong, rank + 1, c.toLong,
+      4.0 + 4.0 * jit(q).toDouble * jit(c).toDouble)
+    assert(got.length == expected.length,
+      s"expected ${expected.length} rows, got ${got.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"row mismatch: got $g expected $e")
+      assert(math.abs(g._4 - e._4) < 1e-9,
+        s"sim mismatch for $g: expected ${e._4}")
+    }
+  }
+
+  test("corpus_quality_classifier on hand-computed documents: " +
+      "features, weights, and keep decisions match paper arithmetic") {
+    // Expected values computed BY HAND from the published algorithm
+    // (31-fold char hash mod P=1048573, bigram combine h1·131+h2 mod P,
+    // LCG weight ((h·1103515245+12345) mod 2^31) mod 2001 − 1000):
+    //   "ab cd":  uh = [3105, 3169]  (97·31+98, 99·31+100)
+    //             bigram = 3105·131+3169 = 409924
+    //             weights = [-410, -182, 803] → w_sum 211, n 3,
+    //             score 70.333333, keep TRUE
+    //   "a":      uh = [97] → weight 666 → (1, 666, 666.0, TRUE)
+    //   "zz top zz": uh = [3904, 115029, 3904], bigrams = [626453,
+    //             392681], weights = [340, 890, 340, 871, 813]
+    //             → (5, 3254, 650.8, TRUE)
+    //   "go go":  uh = [3304, 3304] (103·31+111), bigram = 436128,
+    //             weights = [-713, -713, -456]
+    //             → (3, -1882, -627.333333, FALSE)
+    //   "" and "   ": no tokens → excluded from the result entirely.
+    val dir = java.nio.file.Files.createTempDirectory("graft-indep-qc")
+    val rows = Seq(
+      Row(1L, "ab cd", "en", "t", 5L),
+      Row(2L, "a", "en", "t", 1L),
+      Row(3L, "zz top zz", "en", "t", 9L),
+      Row(4L, "go go", "en", "t", 5L),
+      Row(5L, "", "en", "t", 0L),
+      Row(6L, "   ", "en", "t", 3L))
+    writeFixture(rows, docSchema, dir, "documents")
+    val got = SparkEntry.queries("corpus_quality_classifier")(
+      spark, dir.toString).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("n_features")),
+        r.getLong(r.fieldIndex("w_sum")),
+        r.getDouble(r.fieldIndex("score_avg")),
+        r.getBoolean(r.fieldIndex("keep"))))
+      .sortBy(_._1)
+    val expected = Seq(
+      (1L, 3, 211L, 70.333333, true),
+      (2L, 1, 666L, 666.0, true),
+      (3L, 5, 3254L, 650.8, true),
+      (4L, 3, -1882L, -627.333333, false))
+    assert(got.length == 4, s"docs 5 and 6 must be excluded: $got")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 &&
+        g._5 == e._5, s"got $g expected $e")
+      assert(math.abs(g._4 - e._4) < 1e-9,
+        s"score mismatch for doc ${g._1}: got ${g._4} expected ${e._4}")
+    }
+  }
+}
