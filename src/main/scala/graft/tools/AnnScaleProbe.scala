@@ -108,6 +108,29 @@ object AnnScaleProbe {
       }
       spark.conf.unset("spark.graft.semdedup.cellPairCap")
 
+      // Capped-form QUALITY (VERDICT r15 #5): what fraction of the
+      // would-be-dropped duplicates does a C-capped run still drop?
+      // dup_recall = |dropped_capped| / |dropped_exact| — valid as a
+      // recall because the capped pair set is a provable SUBSET of the
+      // exact one (spec-pinned), so every capped drop is an exact drop
+      // (the subset flag double-checks that here anyway).
+      val simBase = graft.operators.Similarity.ivfIndex(spark, dir)
+        .select(col("vec_id"), col("embedding"), col("cent_id"))
+      def droppedSet(cap: Option[Int]): Set[Long] =
+        graft.operators.Similarity.semdedupPairs(simBase, cap)
+          .filter(col("cos_sim") >= 0.3)
+          .select(col("dup_id")).distinct()
+          .collect().map(_.getAs[Number](0).longValue).toSet
+      val exactDrop = droppedSet(None)
+      for (c <- Seq(16, 64, 256)) {
+        val capDrop = droppedSet(Some(c))
+        val rec = if (exactDrop.isEmpty) 1.0
+          else capDrop.intersect(exactDrop).size.toDouble / exactDrop.size
+        println(f"[ann] $tag semdedup_cap_recall: C=$c " +
+          s"dropped=${capDrop.size} exact=${exactDrop.size} " +
+          f"recall=$rec%.4f subset=${capDrop.subsetOf(exactDrop)}")
+      }
+
       // --- recall + candidates-scanned per ANN method ------------------
       val emb = graft.core.Par.fanout(graft.sources.Tables.embeddings(spark, dir))
       val qIds = emb.filter(col("vec_id") < 8)

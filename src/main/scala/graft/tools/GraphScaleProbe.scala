@@ -27,20 +27,17 @@ import org.apache.spark.sql.functions._
   * [copies]
   */
 object GraphScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+  /** Build (or reuse) the ${copies}x both-keys-shifted lineitem amp —
+    * factored out of main so other rungs (the 100x extrapolation
+    * probe) reuse the identical key-correct amplification. */
+  def ensureAmp(spark: org.apache.spark.sql.SparkSession, base: String,
+      copies: Int): String = {
     // per-user 0700 root, not fixed /tmp: this cache TRUSTS its
     // freshness marker across runs (same ADVICE-r14 poisoning vector
     // the shared ScaleProbe amp had)
     val amp = new java.io.File(
       graft.core.ArtifactCache.userScopedRoot("amp_graph"),
       s"${copies}x_" + new java.io.File(base).getName).getPath
-    val spark = graft.functions.GraftExtensions
-      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") +
-        "]", "32").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
     val srcFile = new java.io.File(s"$base/lineitem.parquet")
     val fingerprint = s"v1;base=${srcFile.getAbsolutePath};" +
       s"copies=$copies;${srcFile.length}:${srcFile.lastModified}"
@@ -62,6 +59,17 @@ object GraphScaleProbe {
         s"amplified $na rows != $copies x $nb — rm -rf $amp")
       java.nio.file.Files.writeString(marker, fingerprint)
     }
+    amp
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.functions.GraftExtensions
+      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") +
+        "]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val amp = ensureAmp(spark, base, copies)
 
     val li = spark.read.parquet(s"$amp/lineitem.parquet")
     def time(body: => Unit): Double = {

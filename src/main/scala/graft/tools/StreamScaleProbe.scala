@@ -27,16 +27,12 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.StreamScaleProbe [baseSfDir] [copies]
   */
 object StreamScaleProbe {
-  private val Files = 64 // replay granularity: 64 files, 4 per trigger
+  private[tools] val Files = 64 // replay granularity: 64 files, 4 per trigger
 
-  def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).map(_.toInt).getOrElse(10)
-    val spark = graft.functions.GraftExtensions
-      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") +
-        "]", "32").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
+  /** Build (or reuse) the ${copies}x events amp (fresh event/user ids
+    * per copy, ts-range-partitioned files) — factored out of main so
+    * the spike probe replays the identical fixture. */
+  def ensureAmp(spark: SparkSession, base: String, copies: Int): String = {
     val amp = new java.io.File(
       graft.core.ArtifactCache.userScopedRoot("amp_stream"),
       s"${copies}x_" + new java.io.File(base).getName).getPath
@@ -66,6 +62,17 @@ object StreamScaleProbe {
       }
       java.nio.file.Files.writeString(marker, fingerprint)
     }
+    amp
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = graft.functions.GraftExtensions
+      .builder("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") +
+        "]", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val amp = ensureAmp(spark, base, copies)
 
     import graft.streaming.EventWindows
     val streams = Seq[(String, (SparkSession, String) => DataFrame)](
