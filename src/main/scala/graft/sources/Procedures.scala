@@ -64,9 +64,16 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = params.toArray
     override def isDeterministic: Boolean = false
     protected def run(args: InternalRow): Array[Any]
-    override def call(args: InternalRow): java.util.Iterator[Scan] =
+    override def call(args: InternalRow): java.util.Iterator[Scan] = {
+      // an explicit NULL argument would reach args.getString/getLong
+      // and NPE — none of the maintenance procedures has a meaningful
+      // NULL input, so reject with the parameter's name instead
+      params.indices.foreach(i => require(!args.isNullAt(i),
+        s"procedure $procName: argument '${params(i).name}' is NULL " +
+          "(every parameter requires a concrete value)"))
       java.util.List.of[Scan](
         ResultScan(resultSchema, run(args))).iterator()
+    }
   }
 
   /** `table => 'ns.t'` resolved STRICTLY under the catalog's warehouse

@@ -98,6 +98,18 @@ class GraftCatalogSpec extends SparkSpec {
     if (t == null) Nil
     else Option(t.getMessage).toSeq ++ chainOf(t.getCause)
 
+  test("CALL with an explicit NULL argument fails with the parameter " +
+      "name, not an NPE") {
+    withCatalog {
+      val e = intercept[Exception](spark.sql(
+        "CALL graftcat.system.compact(`table` => CAST(NULL AS STRING))")
+        .collect())
+      assert(chainOf(e).exists(m => m.contains("argument 'table'") &&
+          m.contains("NULL")),
+        chainOf(e).toString)
+    }
+  }
+
   test("full SQL lifecycle: create, insert, select, rename, drop") {
     withCatalog {
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.db")
