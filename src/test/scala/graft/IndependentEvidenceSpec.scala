@@ -78,6 +78,33 @@ class IndependentEvidenceSpec extends SparkSpec {
       s"expected three (3,2,1) cells, got $out")
   }
 
+  /** The shared 16-vector paper-derivable fixture (see the rerank
+    * test's construction argument): four orthogonal groups of four,
+    * per-vector jitter 0.001·(i+1) on the last dim of every subspace.
+    * Built once; four ANN queries assert against it. */
+  private def jit(i: Int): Float = 0.001f * (i + 1)
+  private lazy val pqFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-indep-pq")
+    val rows = (0 until 16).map { i =>
+      val a = Array.fill(64)(0.0f)
+      a((i / 4) * 16) = 2.0f
+      (0 until 4).foreach(s => a(s * 16 + 15) = jit(i))
+      Row(i.toLong, a.toSeq, 0)
+    }
+    writeFixture(rows, embSchema, dir, "embeddings")
+    dir.toString
+  }
+
+  /** Expected (query, rank, vec, sim) rows for the cosine-ranked
+    * queries on [[pqFixture]]: groupmates by DESCENDING vec_id with
+    * sim = 4 + 4·j_q·j_c — plain double arithmetic, no Spark. */
+  private def cosineTop3: Seq[(Long, Int, Long, Double)] = for {
+    q <- 0 until 8
+    (c, rank) <- (q / 4 * 4 until q / 4 * 4 + 4)
+      .filter(_ != q).sortBy(-_).zipWithIndex
+  } yield (q.toLong, rank + 1, c.toLong,
+    4.0 + 4.0 * jit(q).toDouble * jit(c).toDouble)
+
   test("sim_ivfpq_rerank on a paper-derivable fixture: lossless PQ + " +
       "group cells make the exact top-3 predictable by hand") {
     // 16 vectors, dim 64, four groups of four. Vector i (group
@@ -100,16 +127,76 @@ class IndependentEvidenceSpec extends SparkSpec {
     // The expected table below is constructed from that argument and
     // plain Scala double arithmetic over the same float literals the
     // fixture is built from — no Spark expression, no SQL replay.
-    val dir = java.nio.file.Files.createTempDirectory("graft-indep-pq")
-    def jit(i: Int): Float = 0.001f * (i + 1)
-    val rows = (0 until 16).map { i =>
-      val a = Array.fill(64)(0.0f)
-      a((i / 4) * 16) = 2.0f
-      (0 until 4).foreach(s => a(s * 16 + 15) = jit(i))
-      Row(i.toLong, a.toSeq, 0)
+    val got = SparkEntry.queries("sim_ivfpq_rerank")(spark, pqFixture)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("vec_id")),
+        r.getDouble(r.fieldIndex("sim"))))
+      .sortBy(t => (t._1, t._2))
+    val expected = cosineTop3
+    assert(got.length == expected.length,
+      s"expected ${expected.length} rows, got ${got.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"row mismatch: got $g expected $e")
+      assert(math.abs(g._4 - e._4) < 1e-9,
+        s"sim mismatch for $g: expected ${e._4}")
     }
-    writeFixture(rows, embSchema, dir, "embeddings")
-    val got = SparkEntry.queries("sim_ivfpq_rerank")(spark, dir.toString)
+  }
+
+  test("sim_ivf_ann on the same fixture: cell-restricted exact-cosine " +
+      "top-3 equals the construction's prediction") {
+    // Same argument as the rerank test minus the PQ stage: candidates
+    // are the query's cell (= its group), ranked by exact float
+    // cosine — so the expected rows are IDENTICAL to the rerank's.
+    val got = SparkEntry.queries("sim_ivf_ann")(spark, pqFixture)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("vec_id")),
+        r.getDouble(r.fieldIndex("sim"))))
+      .sortBy(t => (t._1, t._2))
+    val expected = cosineTop3
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
+        s"row mismatch: got $g expected $e")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"sim mismatch: $g vs $e")
+    }
+  }
+
+  test("sim_pq_adc on the same fixture: lossless codes make flat ADC " +
+      "the exact integer squared-L2 — distances predictable by hand") {
+    // Flat ADC scans ALL vectors. Same-group distance = 4·(q−c)²
+    // (only the four jitter dims differ); cross-group adds two
+    // 2000²-sized group-dim terms = 8,000,000 + 4·(q−c)² — so the
+    // top-3 are always the three groupmates, ordered by |q−c|
+    // ascending with vec_id breaking the tie, and the adc_dist VALUES
+    // are exact integers.
+    val got = SparkEntry.queries("sim_pq_adc")(spark, pqFixture)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("vec_id")),
+        r.getLong(r.fieldIndex("adc_dist"))))
+      .sortBy(t => (t._1, t._2))
+    val expected = for {
+      q <- 0 until 8
+      (c, rank) <- (q / 4 * 4 until q / 4 * 4 + 4).filter(_ != q)
+        .sortBy(c => (4L * (q - c) * (q - c), c.toLong)).zipWithIndex
+    } yield (q.toLong, rank + 1, c.toLong, 4L * (q - c) * (q - c))
+    assert(got.toSeq == expected.toSeq,
+      s"adc mismatch:\ngot      ${got.toSeq}\nexpected $expected")
+  }
+
+  test("sim_cosine_topk on the same fixture: brute-force top-5 is the " +
+      "three groupmates then vectors 15 and 14") {
+    // Cross-group cosine is jitter-only: 4·j_q·j_c ≤ 5.2e-4 ≪ 4, so
+    // ranks 1-3 are the groupmates (descending id) and ranks 4-5 are
+    // the two largest-jitter NON-group vectors — 15 then 14 for every
+    // query (queries are ids 0-7; 14 and 15 are never groupmates).
+    val got = SparkEntry.queries("sim_cosine_topk")(spark, pqFixture)
       .collect()
       .map(r => (r.getLong(r.fieldIndex("query_id")),
         r.getInt(r.fieldIndex("rank")),
@@ -118,17 +205,19 @@ class IndependentEvidenceSpec extends SparkSpec {
       .sortBy(t => (t._1, t._2))
     val expected = for {
       q <- 0 until 8
-      (c, rank) <- (q / 4 * 4 until q / 4 * 4 + 4)
-        .filter(_ != q).sortBy(-_).zipWithIndex
-    } yield (q.toLong, rank + 1, c.toLong,
-      4.0 + 4.0 * jit(q).toDouble * jit(c).toDouble)
+      (c, rank) <- ((q / 4 * 4 until q / 4 * 4 + 4)
+        .filter(_ != q).sortBy(-_) ++ Seq(15, 14)).zipWithIndex
+    } yield {
+      val sim = if (c / 4 == q / 4) 4.0 + 4.0 * jit(q).toDouble * jit(c).toDouble
+        else 4.0 * jit(q).toDouble * jit(c).toDouble
+      (q.toLong, rank + 1, c.toLong, sim)
+    }
     assert(got.length == expected.length,
       s"expected ${expected.length} rows, got ${got.length}")
     got.zip(expected).foreach { case (g, e) =>
       assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3,
         s"row mismatch: got $g expected $e")
-      assert(math.abs(g._4 - e._4) < 1e-9,
-        s"sim mismatch for $g: expected ${e._4}")
+      assert(math.abs(g._4 - e._4) < 1e-9, s"sim mismatch: $g vs $e")
     }
   }
 
