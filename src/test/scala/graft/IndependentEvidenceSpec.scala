@@ -221,6 +221,70 @@ class IndependentEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("text-analysis family on hand-computed documents: token " +
+      "counts, quality features, langid, and fingerprints match paper " +
+      "arithmetic") {
+    // Three documents small enough to work every number by hand:
+    //   doc 1 "the cat and the dog. it ran!"
+    //     ws tokens 7; bpe tokens 9 (7 words + '.' + '!'); chars 28;
+    //     stopword hits: ' the ' x1 + ' and ' x1 = 2 (the LEADING
+    //     'the' has no left space — the marker is space-delimited);
+    //     punct 2; chars/token 28/7 = 4.0; stop density 200/7;
+    //     langid: en=2, de=0, es=0 -> 'en'
+    //   doc 2 "der hund und der ball"
+    //     ws 5, bpe 5, chars 21, stop 0, punct 0; de=2 -> 'de'
+    //   doc 3 "xy"
+    //     ws 1, bpe 1, chars 2; all marker hits 0 -> tie -> 'en';
+    //     fingerprint BY HAND: 0*31 + ascii('x')*256 + len("xy")
+    //       = 120*256 + 2 = 30722 (one token, no modulus wrap).
+    // Fingerprints for docs 1-2 computed externally with the published
+    // Rabin-Karp fold (base 31, token contribution ascii(first)*256 +
+    // len, mod 2^31-1): 1942194900 and 845468334 — doc 1 step one:
+    // 0*31 + 116*256 + 3 = 29699, then fold the remaining 6 tokens.
+    val dir = java.nio.file.Files.createTempDirectory("graft-indep-tx")
+    val rows = Seq(
+      Row(1L, "the cat and the dog. it ran!", "en", "t", 28L),
+      Row(2L, "der hund und der ball", "de", "t", 21L),
+      Row(3L, "xy", "en", "t", 2L))
+    writeFixture(rows, docSchema, dir, "documents")
+    val d = dir.toString
+
+    val tok = SparkEntry.queries("text_token_count")(spark, d).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("ws_tokens")),
+        r.getInt(r.fieldIndex("bpe_tokens")))).sortBy(_._1)
+    assert(tok.toSeq == Seq((1L, 7, 9), (2L, 5, 5), (3L, 1, 1)),
+      s"token counts: ${tok.toSeq}")
+
+    val q = SparkEntry.queries("text_quality_score")(spark, d).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("n_tokens")),
+        r.getInt(r.fieldIndex("n_stopwords")),
+        r.getInt(r.fieldIndex("n_punct")),
+        r.getDouble(r.fieldIndex("chars_per_token")),
+        r.getDouble(r.fieldIndex("stop_density")))).sortBy(_._1)
+    val qe = Seq((1L, 7, 2, 2, 4.0, 200.0 / 7.0),
+      (2L, 5, 0, 0, 4.2, 0.0), (3L, 1, 0, 0, 2.0, 0.0))
+    q.zip(qe).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4,
+        s"quality ints: got $g expected $e")
+      assert(math.abs(g._5 - e._5) < 1e-9 && math.abs(g._6 - e._6) < 1e-9,
+        s"quality doubles: got $g expected $e")
+    }
+
+    val lid = SparkEntry.queries("text_langid")(spark, d).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("pred_lang")))).sortBy(_._1)
+    assert(lid.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "en")),
+      s"langid: ${lid.toSeq}")
+
+    val fp = SparkEntry.queries("text_fingerprint")(spark, d).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("fingerprint")))).sortBy(_._1)
+    assert(fp.toSeq == Seq((1L, 1942194900L), (2L, 845468334L),
+      (3L, 30722L)), s"fingerprints: ${fp.toSeq}")
+  }
+
   test("corpus_quality_classifier on hand-computed documents: " +
       "features, weights, and keep decisions match paper arithmetic") {
     // Expected values computed BY HAND from the published algorithm

@@ -193,6 +193,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("srpSignature refuses widths past 31: an Int shift would wrap " +
+      "and silently corrupt the blocking key") {
+    val e = intercept[IllegalArgumentException](
+      Similarity.srpSignature(col("embedding"), bits = 32))
+    assert(e.getMessage.contains("31"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Similarity.srpSignature(col("embedding"), bits = 0))
+  }
+
   test("servingConfs applies exactly the documented production triple") {
     // the README serving-profile table promises (nprobe=4,
     // shortlist=40, srpBlockBits=12) — this pin keeps the one-call
