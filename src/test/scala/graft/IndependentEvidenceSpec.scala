@@ -285,6 +285,44 @@ class IndependentEvidenceSpec extends SparkSpec {
       (3L, 30722L)), s"fingerprints: ${fp.toSeq}")
   }
 
+  test("dedup family on hand documents: identical texts MUST pair at " +
+      "jaccard 1.0; disjoint vocabulary must not pair") {
+    // Construction argument, no hash arithmetic needed: docs 1 and 2
+    // share EVERY word-3-shingle (identical text), so their minhash
+    // signatures are identical slot for slot -> identical band keys in
+    // every band -> the pair is a candidate with certainty, est = 1.0,
+    // and exact shingle-set jaccard = 1.0. Doc 3 shares NO token with
+    // them, so no shingle, so exact jaccard with either would be 0 and
+    // the 0.3-class verification cut drops it even in the
+    // astronomically unlikely event of a full band-key hash collision.
+    // dedup_exact on the same fixture is pure set arithmetic: the
+    // identical pair groups to (keep_id 1, 2 copies), doc 3 stays a
+    // singleton.
+    val dir = java.nio.file.Files.createTempDirectory("graft-indep-mh")
+    val t12 = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = Seq(
+      Row(1L, t12, "en", "t", t12.length.toLong),
+      Row(2L, t12, "en", "t", t12.length.toLong),
+      Row(3L, "one two three four five six seven eight", "en", "t", 39L))
+    writeFixture(rows, docSchema, dir, "documents")
+    val d = dir.toString
+
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")),
+        r.getLong(r.fieldIndex("doc_b")),
+        r.getDouble(r.fieldIndex("exact_jaccard")),
+        r.getBoolean(r.fieldIndex("est_ok"))))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0, true)),
+      s"expected exactly the identical pair at 1.0: ${pairs.toSeq}")
+
+    val exact = SparkEntry.queries("dedup_exact")(spark, d).collect()
+      .map(r => (r.getLong(r.fieldIndex("keep_id")),
+        r.getLong(r.fieldIndex("n_copies")))).sortBy(_._1)
+    assert(exact.toSeq == Seq((1L, 2L), (3L, 1L)),
+      s"exact dedup groups: ${exact.toSeq}")
+  }
+
   test("corpus_quality_classifier on hand-computed documents: " +
       "features, weights, and keep decisions match paper arithmetic") {
     // Expected values computed BY HAND from the published algorithm
