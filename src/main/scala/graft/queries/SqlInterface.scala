@@ -59,22 +59,38 @@ object SqlInterface {
     // scale). The shuffle join also co-locates the o_orderkey GROUP BY:
     // HashPartitioning(o_orderkey) satisfies the aggregate's clustered
     // distribution, so no further exchange follows the join.
+    // Pre-aggregated form (r16, guide §2.3 "aggregate before you
+    // shuffle"): the joined-then-grouped form shuffled RAW filtered
+    // lineitem rows (l_orderkey, extendedprice, discount) into the
+    // orderkey SortMergeJoin and re-aggregated the joined stream.
+    // The GROUP BY keys are functionally dependent on o_orderkey and
+    // customer⋈orders is 1:1 per order, so the per-order revenue can
+    // aggregate BEFORE the join: the orderkey exchange now carries
+    // map-side-combined (orderkey, decimal partial) rows — ~4× fewer
+    // rows, narrower — the aggregate's output partitioning feeds the
+    // SortMergeJoin directly (no extra exchange on the lrev side), and
+    // the post-join HashAggregate disappears entirely. Orders dropped
+    // by the inner join (no line in the shipdate window) produce no
+    // aggregate group in either form, so results are identical; the
+    // oracle keeps the canonical join-then-group form, proving it.
     "sql_tpch_q3" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
-        SELECT /*+ BROADCAST(customer), SHUFFLE_MERGE(lineitem) */
-               o_orderkey,
-               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                 AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
-               o_orderdate, o_orderpriority
-        FROM customer JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
+        SELECT /*+ BROADCAST(customer), SHUFFLE_MERGE(lrev) */
+               o_orderkey, revenue, o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN (SELECT l_orderkey,
+                     CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,10))) AS DOUBLE) AS revenue
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY l_orderkey) lrev
+          ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY o_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderkey
         LIMIT 20""")
     }),
@@ -172,21 +188,42 @@ object SqlInterface {
     // the rollup, the semi join, the fact join, AND the final GROUP BY
     // (o_orderkey is in the grouping key) — a single shuffle of
     // lineitem end to end.
+    // One-pass form (r16): the canonical IN-subquery shape scanned
+    // lineitem TWICE (once for the HAVING aggregate, once joined into
+    // the outer block) and shuffled orders on custkey plus customer
+    // fully — 5 exchanges, 2 SortMergeJoins (plans/r16/
+    // sql_tpch_q18_before.txt). But the outer GROUP BY keys are all
+    // functionally dependent on o_orderkey, and the outer
+    // SUM(l_quantity) over the joined rows of one order is exactly the
+    // subquery's own per-order aggregate — so compute the per-order
+    // sum ONCE (both the HAVING probe and total_qty come from the same
+    // aggregate rows) and join the >300 survivors to orders and
+    // customer. The survivor set is tiny at every scale (TPC-H Q18
+    // selects ~1e-5 of orders), so both joins broadcast the aggregated
+    // side: lineitem is scanned once, and orders/customer are scanned
+    // but never shuffled. 1 exchange (the map-side-combined per-order
+    // aggregate) instead of 5; 0 sorts below the top-k. The oracle
+    // keeps the canonical IN form, proving the rewrite.
     "sql_tpch_q18" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
-        SELECT /*+ SHUFFLE_MERGE(lineitem, orders) */
+        SELECT /*+ BROADCAST(bo) */
                c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                 AS total_qty
-        FROM customer JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                             GROUP BY l_orderkey
-                             HAVING SUM(l_quantity) > 300)
-        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+               total_qty
+        FROM customer
+        JOIN (SELECT /*+ BROADCAST(big) */
+                     o_orderkey, o_custkey, o_orderdate, o_totalprice,
+                     total_qty
+              FROM (SELECT l_orderkey,
+                           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                             AS DOUBLE) AS total_qty
+                    FROM lineitem
+                    GROUP BY l_orderkey
+                    HAVING SUM(l_quantity) > 300) big
+              JOIN orders ON o_orderkey = l_orderkey) bo
+          ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100""")
     }),
@@ -288,23 +325,43 @@ object SqlInterface {
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.nation(s, d).createOrReplaceTempView("nation")
+      // r16: the OR-of-nation-pairs predicate could only evaluate
+      // after the LAST join (n2 sat above the custkey SortMergeJoin),
+      // so CUSTOMER shuffled in full — the disjunction implies
+      // n_name IN (N1, N2) on each side, but Catalyst cannot infer a
+      // disjunct's projection across joins. Joining each nation dim
+      // inside its own side's subquery with the implied IN filter
+      // spelled out lets the broadcast n1/n2 joins prefilter supplier
+      // AND customer to the two nations (2/25 of rows) BEFORE any
+      // exchange; the OR then references only the two carried name
+      // columns. Identical results — the IN predicates are logically
+      // implied by the OR the oracle keeps.
       s.sql("""
         SELECT supp_nation, cust_nation, l_year,
                CAST(SUM(volume_dec) AS DOUBLE) AS revenue
-        FROM (SELECT /*+ BROADCAST(supplier, n1, n2),
-                         SHUFFLE_MERGE(lineitem, orders) */
-                     n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        FROM (SELECT /*+ BROADCAST(sup), SHUFFLE_MERGE(lineitem, orders) */
+                     sup.supp_nation, cust.cust_nation,
                      CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT)
                        AS l_year,
                      CAST(l_extendedprice * (1.0 - l_discount)
                        AS DECIMAL(18,10)) AS volume_dec
-              FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+              FROM (SELECT /*+ BROADCAST(n1) */
+                           s_suppkey, n1.n_name AS supp_nation
+                    FROM supplier JOIN nation n1
+                      ON s_nationkey = n1.n_nationkey
+                    WHERE n1.n_name IN ('NATION_1', 'NATION_2')) sup
+              JOIN lineitem ON s_suppkey = l_suppkey
               JOIN orders ON o_orderkey = l_orderkey
-              JOIN customer ON c_custkey = o_custkey
-              JOIN nation n1 ON s_nationkey = n1.n_nationkey
-              JOIN nation n2 ON c_nationkey = n2.n_nationkey
-              WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              JOIN (SELECT /*+ BROADCAST(n2) */
+                           c_custkey, n2.n_name AS cust_nation
+                    FROM customer JOIN nation n2
+                      ON c_nationkey = n2.n_nationkey
+                    WHERE n2.n_name IN ('NATION_1', 'NATION_2')) cust
+                ON c_custkey = o_custkey
+              WHERE ((supp_nation = 'NATION_1'
+                      AND cust_nation = 'NATION_2')
+                  OR (supp_nation = 'NATION_2'
+                      AND cust_nation = 'NATION_1'))
                 AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
                 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
              ) shipping
@@ -325,6 +382,14 @@ object SqlInterface {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.nation(s, d).createOrReplaceTempView("nation")
       Tables.region(s, d).createOrReplaceTempView("region")
+      // r16: as written (left-deep, customer joined before n1/region),
+      // the ASIA restriction could only apply ABOVE the custkey
+      // SortMergeJoin, so customer shuffled in full. Reassociating the
+      // inner joins so customer⋈n1⋈region sits in its own subquery
+      // lets the two broadcast dims prefilter customer to the ASIA
+      // rows (1/5) before its exchange; the supplier⋈n2 pair likewise
+      // rides one broadcast build. Pure join reassociation of inner
+      // equi-joins — identical results, oracle unchanged.
       s.sql("""
         SELECT o_year,
                CAST(CAST(SUM(CASE WHEN nation = 'NATION_3'
@@ -332,22 +397,27 @@ object SqlInterface {
                        ELSE CAST(0.0 AS DECIMAL(18,10)) END) AS DOUBLE)
                  / CAST(SUM(volume_dec) AS DOUBLE) AS DOUBLE)
                  AS mkt_share
-        FROM (SELECT /*+ BROADCAST(part, supplier, n1, n2, region),
-                         SHUFFLE_MERGE(lineitem, orders, customer) */
+        FROM (SELECT /*+ BROADCAST(part, sup),
+                         SHUFFLE_MERGE(lineitem, orders, asiacust) */
                      CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
                        AS o_year,
                      CAST(l_extendedprice * (1.0 - l_discount)
                        AS DECIMAL(18,10)) AS volume_dec,
-                     n2.n_name AS nation
+                     sup.nation
               FROM part JOIN lineitem ON p_partkey = l_partkey
-              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN (SELECT /*+ BROADCAST(n2) */
+                           s_suppkey, n2.n_name AS nation
+                    FROM supplier JOIN nation n2
+                      ON s_nationkey = n2.n_nationkey) sup
+                ON s_suppkey = l_suppkey
               JOIN orders ON o_orderkey = l_orderkey
-              JOIN customer ON c_custkey = o_custkey
-              JOIN nation n1 ON c_nationkey = n1.n_nationkey
-              JOIN region ON n1.n_regionkey = r_regionkey
-              JOIN nation n2 ON s_nationkey = n2.n_nationkey
-              WHERE r_name = 'ASIA'
-                AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              JOIN (SELECT /*+ BROADCAST(n1, region) */ c_custkey
+                    FROM customer JOIN nation n1
+                      ON c_nationkey = n1.n_nationkey
+                    JOIN region ON n1.n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA') asiacust
+                ON c_custkey = o_custkey
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
                 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
                 AND p_type = 'PROMO'
              ) all_nations
