@@ -147,8 +147,15 @@ object Corpus {
     }
 
   private def lmScoredBuild(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (r16): tk feeds the vocab aggregate AND the
+    // bigram explode, and `bigrams` is consumed three times (cb, cu,
+    // join probe) — without a materialization the corpus re-tokenized
+    // once per consumer (the exchanges don't canonicalize equal once
+    // per-branch pruning differs). Checkpoint the token arrays once;
+    // the downstream explodes are cheap array scans over it.
     val tk = graft.core.Par.fanout(Tables.documents(s, d)
       .select(col("doc_id"), toksOf(col("text")).as("tk")))
+      .localCheckpoint()
     val vocab = tk.select(explode(col("tk")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val bigrams = bigramsOf(tk, Seq("doc_id"))
@@ -189,8 +196,11 @@ object Corpus {
     }
 
   private def dsirScoredBuild(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (r16): same rationale as lmScoredBuild — tk
+    // feeds four count models plus the join probe; tokenize once.
     val tk = graft.core.Par.fanout(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), toksOf(col("text")).as("tk")))
+      .localCheckpoint()
     val bigrams = bigramsOf(tk, Seq("doc_id", "lang"))
     val tgt = bigrams.filter(col("lang") === "en")
     val cbR = bigrams.groupBy(col("t1"), col("t2"))
@@ -503,10 +513,22 @@ object Corpus {
         .select(col("doc_id"), col("split"), col("n_tokens"), col("text"))
       // materialize tokens behind an exchange (same rationale as
       // corpus_decontaminate: keep the split+filter out of the gram
-      // lambda so it runs once per row, not once per gram)
+      // lambda so it runs once per row, not once per gram).
+      // localCheckpoint (r16): the exchange alone did NOT make the
+      // subtree shared — the three consumers (test grams, train grams,
+      // the final anti-join count) prune different columns and Catalyst
+      // pushes inferred explode guards below the repartition, so the
+      // canonicalized exchanges differ and the WHOLE upstream
+      // (percentile scalar + the full-text dedup shuffle + two
+      // document scans) executed twice (plans/r16/
+      // corpus_pipeline_e2e_before.txt: 18 exchanges, 2 text-dedup
+      // shuffles, 3 corpus scans). Materializing the deduped token
+      // frame once truncates the plan (guide §3.3): everything above
+      // reads the checkpoint, and the pipeline's expensive stages run
+      // exactly once at any scale.
       val tk = graft.core.Par.fanout(
         split.select(col("doc_id"), col("split"), col("n_tokens"),
-          toksOf(col("text")).as("tk")))
+          toksOf(col("text")).as("tk"))).localCheckpoint()
       val grams = tk.select(col("doc_id"), col("split"),
         explode(array_distinct(wordGrams(col("tk"), 5))).as("gram"))
       val testGrams = grams.filter(col("split") === "test")
@@ -640,8 +662,17 @@ object Corpus {
     // downstream is dictionary-sized per doc. All metrics are ratios of
     // integers (one IEEE division each) so both engines agree bitwise.
     "corpus_gopher_quality" -> ((s, d) => {
+      // localCheckpoint (r16): the unigram and bigram branches both
+      // read this frame, but the bigram branch's size>=2 filter and
+      // the explode's inferred non-empty guard push BELOW the fanout
+      // exchange, so the two subtrees no longer canonicalize equal and
+      // the corpus was scanned AND tokenized twice (plans/r16/
+      // corpus_gopher_quality_before.txt: 2 FileScans, 0 reuse).
+      // Checkpointing the tokenized frame runs the scan+tokenize once;
+      // both branches read the materialization.
       val tk = graft.core.Par.fanout(Tables.documents(s, d)
         .select(col("doc_id"), toksOf(col("text")).as("tk")))
+        .localCheckpoint()
       val tf = tk.select(col("doc_id"), explode(col("tk")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
