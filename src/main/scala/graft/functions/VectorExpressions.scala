@@ -486,4 +486,17 @@ object GraftExtensions {
       // individual queries, so no query runs under an
       // order-dependent planner conf
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // AQE sort-merge → shuffled-hash rewrite (r16, guide §3.1): let
+      // AQE replace an unhinted SortMergeJoin with a shuffled hash
+      // join when EVERY post-shuffle partition of the build side is
+      // under this many bytes at runtime (default 0 = never). The
+      // decision is made from measured partition sizes, not estimates,
+      // so it is scale-adaptive by construction: at 100 TB a fact-fact
+      // join's partitions exceed the bound and stay sort-merge (spill-
+      // safe); only joins whose per-partition build side is genuinely
+      // small lose their two sorts. Bounded by the advisory partition
+      // size so a "small" build side is one AQE itself would coalesce.
+      .config(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.props.getOrElse("spark.graft.shjLocalMapThreshold", "64m"))
 }

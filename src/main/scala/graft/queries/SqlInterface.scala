@@ -107,20 +107,36 @@ object SqlInterface {
       Tables.supplier(s, d).createOrReplaceTempView("supplier")
       Tables.nation(s, d).createOrReplaceTempView("nation")
       Tables.region(s, d).createOrReplaceTempView("region")
+      // r16: the region/nation dims joined ABOVE supplier, so the ASIA
+      // restriction (1/5 of rows) reached customer and supplier only
+      // after the fact joins — both shuffled in full. The query's own
+      // equalities (s_nationkey = n_nationkey ∈ ASIA via region, and
+      // c_nationkey = s_nationkey) imply BOTH dims are ASIA-only, so
+      // each side's subquery joins its nation/region dims with the
+      // filter inside: supplier and customer prefilter to ASIA before
+      // any exchange, and the group key n_name rides the supplier
+      // side. Pure join reassociation — identical results, oracle
+      // unchanged.
       s.sql("""
-        SELECT /*+ BROADCAST(region, nation, supplier),
-                   SHUFFLE_MERGE(lineitem, orders, customer) */
+        SELECT /*+ BROADCAST(sup),
+                   SHUFFLE_MERGE(lineitem, orders, asiacust) */
                n_name,
                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
                  AS DECIMAL(18,10))) AS DOUBLE) AS revenue
-        FROM customer JOIN orders ON c_custkey = o_custkey
+        FROM (SELECT /*+ BROADCAST(nation, region) */
+                     c_custkey, c_nationkey
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA') asiacust
+        JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey
-          AND c_nationkey = s_nationkey
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        JOIN (SELECT /*+ BROADCAST(nation, region) */
+                     s_suppkey, s_nationkey, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA') sup
+          ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name""")
