@@ -209,21 +209,37 @@ object Aggregates {
     }),
 
     // Join + aggregate: revenue per nation (multi-join star query).
-    // nation/region are broadcast (tiny dims); only customer⋈orders⋈lineitem
-    // shuffle on their keys.
+    // nation is broadcast (tiny dim). Staged pre-aggregation (r16,
+    // guide §2.3): the flat join-then-group form shuffles RAW lineitem
+    // rows into the orderkey join and the full joined stream onward —
+    // fine at this SF where orders/customer broadcast, but at 100 TB
+    // every fact shuffles whole. Decimal sums are exactly associative,
+    // so revenue rolls up in stages instead: per-order partials (~4×
+    // fewer rows than lineitem), per-customer partials (~10× fewer
+    // again), then the 25-row nation rollup. Each stage's exchange
+    // carries combined partials, never raw fact rows; inner-join drop
+    // semantics are unchanged (an order with no lines produces no
+    // group at any stage). The oracle keeps the flat form.
     "agg_join_revenue_per_nation" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 10))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(sum(rev).as("rev_dec"), count(lit(1)).as("n_items"))
+      val perCust = perOrder
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_dec")).as("rev_dec"),
+          sum(col("n_items")).as("n_items"))
+      perCust
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
-            .as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+          sum(col("n_items")).as("n_items"))
     }),
 
     // Incremental aggregation merge — the lambda-architecture update:
