@@ -37,13 +37,41 @@ class SqlPlanSpec extends SparkSpec {
     assert(df.count() == 1)
   }
 
-  test("q18 plans the IN-subquery as a left semi join") {
+  test("q18 one-pass form: lineitem scanned once, no sort-merge join") {
+    // r16 rewrite: the per-order quantity aggregates ONCE (it is both
+    // the HAVING probe and total_qty); the tiny >300 survivor set
+    // broadcasts through the orders and customer joins. The contract:
+    // one lineitem scan (the IN form scanned it twice), zero
+    // SortMergeJoins (the IN form had four), and no nested loop.
     val df = run("sql_tpch_q18")
-    val phys = df.queryExecution.executedPlan.toString
-    assert(phys.contains("LeftSemi"), phys.take(800))
-    assert(!phys.contains("BroadcastNestedLoopJoin"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val lineitemScans = formatted.linesIterator
+      .count(_.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"expected 1 lineitem scan, saw $lineitemScans")
+    assert(!formatted.contains("SortMergeJoin"), formatted.take(1200))
+    assert(formatted.contains("BroadcastHashJoin"), formatted.take(1200))
+    assert(!formatted.contains("BroadcastNestedLoopJoin"))
     val n = df.count()
     assert(n > 0 && n <= 100, s"expected (0,100] rows, got $n")
+  }
+
+  test("q3 pre-aggregates lineitem below the orderkey join") {
+    // r16 rewrite: the orderkey exchange carries per-order decimal
+    // partials, not raw lineitem rows, and no aggregate remains above
+    // the join. Pinned: one lineitem scan, the revenue aggregate keyed
+    // on l_orderkey, and the shipdate filter still reaching the scan.
+    val df = run("sql_tpch_q3")
+    val phys = df.queryExecution.executedPlan.toString
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.linesIterator
+      .count(_.contains("lineitem.parquet")) == 1)
+    assert(phys.contains("HashAggregate(keys=[l_orderkey"),
+      phys.take(1200))
+    assert(formatted.matches("(?s).*PushedFilters:.*l_shipdate.*"))
+    assert(df.count() > 0)
   }
 
   test("q6 pushes all predicates into the parquet scan, no join") {
