@@ -662,17 +662,18 @@ object Corpus {
     // downstream is dictionary-sized per doc. All metrics are ratios of
     // integers (one IEEE division each) so both engines agree bitwise.
     "corpus_gopher_quality" -> ((s, d) => {
-      // localCheckpoint (r16): the unigram and bigram branches both
-      // read this frame, but the bigram branch's size>=2 filter and
-      // the explode's inferred non-empty guard push BELOW the fanout
-      // exchange, so the two subtrees no longer canonicalize equal and
-      // the corpus was scanned AND tokenized twice (plans/r16/
-      // corpus_gopher_quality_before.txt: 2 FileScans, 0 reuse).
-      // Checkpointing the tokenized frame runs the scan+tokenize once;
-      // both branches read the materialization.
+      // r16 note: the unigram and bigram branches each tokenize the
+      // corpus (the bigram branch's size>=2 filter pushes below the
+      // fanout exchange, so the subtrees don't canonicalize equal —
+      // 2 FileScans, 0 reuse in plans/r16/corpus_gopher_quality_
+      // before.txt). A localCheckpoint of the token frame was built,
+      // verified, and MEASURED WORSE under the bench action (0.50 s
+      // vs 0.32 s): serializing every token array to the block store
+      // costs more than the second scan+tokenize, unlike the e2e
+      // pipeline whose duplicated upstream includes a full-text
+      // dedup SHUFFLE. Kept the recompute; see OPTIMIZATION_r16.md.
       val tk = graft.core.Par.fanout(Tables.documents(s, d)
         .select(col("doc_id"), toksOf(col("text")).as("tk")))
-        .localCheckpoint()
       val tf = tk.select(col("doc_id"), explode(col("tk")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))

@@ -59,38 +59,30 @@ object SqlInterface {
     // scale). The shuffle join also co-locates the o_orderkey GROUP BY:
     // HashPartitioning(o_orderkey) satisfies the aggregate's clustered
     // distribution, so no further exchange follows the join.
-    // Pre-aggregated form (r16, guide §2.3 "aggregate before you
-    // shuffle"): the joined-then-grouped form shuffled RAW filtered
-    // lineitem rows (l_orderkey, extendedprice, discount) into the
-    // orderkey SortMergeJoin and re-aggregated the joined stream.
-    // The GROUP BY keys are functionally dependent on o_orderkey and
-    // customer⋈orders is 1:1 per order, so the per-order revenue can
-    // aggregate BEFORE the join: the orderkey exchange now carries
-    // map-side-combined (orderkey, decimal partial) rows — ~4× fewer
-    // rows, narrower — the aggregate's output partitioning feeds the
-    // SortMergeJoin directly (no extra exchange on the lrev side), and
-    // the post-join HashAggregate disappears entirely. Orders dropped
-    // by the inner join (no line in the shipdate window) produce no
-    // aggregate group in either form, so results are identical; the
-    // oracle keeps the canonical join-then-group form, proving it.
+    // r16 note: a pre-aggregated form (revenue summed per orderkey
+    // BELOW the join, guide §2.3) was built, oracle-verified, and
+    // MEASURED WORSE here — 0.96 s vs 0.70 s bench, 1.15 vs 0.93
+    // QRepeat — because the per-order decimal hash aggregate combines
+    // only ~2:1 in the shipdate window, so two extra aggregate passes
+    // cost more than the ~35% shuffle-byte saving; the canonical form
+    // also needs no exchange beyond the join (the GROUP BY rides the
+    // orderkey partitioning). Kept canonical; see OPTIMIZATION_r16.md.
     "sql_tpch_q3" -> ((s, d) => {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql("""
-        SELECT /*+ BROADCAST(customer), SHUFFLE_MERGE(lrev) */
-               o_orderkey, revenue, o_orderdate, o_orderpriority
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN (SELECT l_orderkey,
-                     CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-                       AS DECIMAL(18,10))) AS DOUBLE) AS revenue
-              FROM lineitem
-              WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-              GROUP BY l_orderkey) lrev
-          ON l_orderkey = o_orderkey
+        SELECT /*+ BROADCAST(customer), SHUFFLE_MERGE(lineitem) */
+               o_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(18,10))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
         WHERE c_mktsegment = 'BUILDING'
           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderkey
         LIMIT 20""")
     }),

@@ -102,20 +102,19 @@ class CorpusSpec extends SparkSpec {
     assert(kept > 0 && kept < n, s"keep flag must discriminate: $kept/$n")
   }
 
-  test("e2e pipeline and gopher tokenize the corpus exactly once") {
-    // r16: both queries localCheckpoint their shared token frame, so
+  test("e2e pipeline dedups and tokenizes the corpus exactly once") {
+    // r16: the pipeline localCheckpoints its shared token frame, so
     // the executed plan reads the materialized RDD and the corpus
     // parquet appears in NO live scan (the one scan runs inside the
-    // checkpoint job) — previously the dedup/tokenize subtree executed
-    // once per consumer (2-3 corpus scans per query).
-    for (q <- Seq("corpus_pipeline_e2e", "corpus_gopher_quality")) {
-      val df = Corpus.queries(q)(spark, sf001)
-      val phys = df.queryExecution.executedPlan.toString
-      assert(!phys.contains("documents.parquet"),
-        s"$q re-scans the corpus: ${phys.take(600)}")
-      assert(phys.contains("ExistingRDD"), s"$q: ${phys.take(600)}")
-      assert(df.count() > 0, q)
-    }
+    // checkpoint job) — previously the percentile + full-text dedup
+    // shuffle + tokenize subtree executed once per consumer (18
+    // exchanges, 3 corpus scans per query).
+    val df = Corpus.queries("corpus_pipeline_e2e")(spark, sf001)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("documents.parquet"),
+      s"pipeline re-scans the corpus: ${phys.take(600)}")
+    assert(phys.contains("ExistingRDD"), phys.take(600))
+    assert(df.count() > 0)
   }
 
   test("stratified sample takes ceil(10%) of every language") {
