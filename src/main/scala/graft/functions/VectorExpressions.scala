@@ -499,4 +499,16 @@ object GraftExtensions {
       .config(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.props.getOrElse("spark.graft.shjLocalMapThreshold", "64m"))
+      // AQE partition coalescing sized by bytes, not core count (r16,
+      // guide §2.2 "fewer, larger reduce partitions" — and Spark's own
+      // tuning doc recommends false here): with parallelismFirst the
+      // coalescer keeps ~one partition per core even when the whole
+      // shuffle is a few KB, so every small exchange schedules a full
+      // wave of near-empty tasks. Respecting the advisory size instead
+      // scales task counts with DATA at every scale factor — fewer,
+      // fuller tasks locally; unchanged behavior for exchanges whose
+      // partitions already meet the advisory size.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.props.getOrElse("spark.graft.coalesceParallelismFirst",
+          "false"))
 }
