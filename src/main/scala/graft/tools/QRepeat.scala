@@ -36,6 +36,11 @@ object QRepeat {
   private def SparkEntry_run(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, name: String): Unit = {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.write.mode("overwrite").format("noop").save()
+    // The bench grades `.count()`; QRepeat defaults to the noop sink
+    // (guide §1.4) but `-Dgraft.qrepeat.action=count` switches to the
+    // bench's own action for adjudicating bench movers (the two can
+    // disagree — r16's gopher experiment).
+    if (sys.props.get("graft.qrepeat.action").contains("count")) { df.count(); () }
+    else df.write.mode("overwrite").format("noop").save()
   }
 }
