@@ -153,6 +153,13 @@ object Corpus {
     // once per consumer (the exchanges don't canonicalize equal once
     // per-branch pruning differs). Checkpoint the token arrays once;
     // the downstream explodes are cheap array scans over it.
+    // Cluster caveat (ADVICE r16), once for every localCheckpoint in
+    // this file: checkpointed blocks are non-replicated executor-local
+    // state, so on a real cluster an executor loss (or dynamic-
+    // allocation decommission) invalidates the truncated lineage and
+    // fails the job — a deployment that cannot re-run the build swaps
+    // these for reliable checkpoint() or a persisted table. Local-mode
+    // benching and the per-fixture artifact wrapper are unaffected.
     val tk = graft.core.Par.fanout(Tables.documents(s, d)
       .select(col("doc_id"), toksOf(col("text")).as("tk")))
       .localCheckpoint()

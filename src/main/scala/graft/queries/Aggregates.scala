@@ -220,6 +220,15 @@ object Aggregates {
     // carries combined partials, never raw fact rows; inner-join drop
     // semantics are unchanged (an order with no lines produces no
     // group at any stage). The oracle keeps the flat form.
+    // Precision note (ADVICE r16): the staged sums grow 18,10 → 28,10
+    // → 38,10 and Spark caps intermediate precision at DECIMAL(38,10);
+    // with ANSI off an overflow past 38,10 would return NULL silently.
+    // "Exactly associative" therefore holds up to ~1e28 of headroom
+    // (values here are ≤1e10) — a deployment summing past that must
+    // widen the terminal stage or enable ANSI to fail loudly.
+    // r17 A/B under the bench action (post-coalesce-conf-fix): staged
+    // 0.69–0.75 s vs flat 0.68–0.82 — the driver's r16 "regression" on
+    // this query was the coalesce conf, not this rollup; staged kept.
     "agg_join_revenue_per_nation" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)

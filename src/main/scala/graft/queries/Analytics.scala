@@ -290,7 +290,7 @@ object Analytics {
           .as("within_pairs"))
       val hi = e.select(col("event_type"), (col("bk") - 1).as("bk"),
         col("event_id").as("r_id"), col("value").as("r_value"))
-      val adjacent = e.join(hi, Seq("event_type", "bk"))
+      val adjacent = e.join(hi.hint("shuffle_hash"), Seq("event_type", "bk"))
         .filter(when(col("r_id") > col("event_id"),
           col("r_value") >= col("value") - 0.5 &&
             col("r_value") <= col("value") + 0.5)

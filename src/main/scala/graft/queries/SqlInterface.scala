@@ -109,6 +109,15 @@ object SqlInterface {
       // any exchange, and the group key n_name rides the supplier
       // side. Pure join reassociation — identical results, oracle
       // unchanged.
+      // Fixture caveat (ADVICE r16): the fixture's o_orderdate range
+      // starts 1995-01-01, so q5's canonical [1994,1995) window selects
+      // ZERO orders at every SF — the oracle match is real but vacuous
+      // (0 rows = 0 rows) and the bench times a short-circuited
+      // pipeline. The r16 advisor independently confirmed the rewrite's
+      // equivalence in DuckDB on a shifted 1995–1997 window. The window
+      // itself stays: this round's contract forbids changing what a
+      // declared query computes, and shifting the dates would change
+      // the declared result set.
       s.sql("""
         SELECT /*+ BROADCAST(sup),
                    SHUFFLE_MERGE(lineitem, orders, asiacust) */
@@ -755,6 +764,17 @@ object SqlInterface {
     // Join on (key, salt) then aggregate — answer identical to the plain
     // join, which the oracle proves. (AQE skew-join does this adaptively
     // in Spark 4; the explicit form is for pre-committed partitionings.)
+    // The shuffle_hash hint (r17): unhinted, Catalyst's size estimate
+    // put the projected LINEITEM fact under the broadcast threshold and
+    // built it as a driver-side hashed relation (plans/r17/
+    // join_skew_salted_before.txt) — the exact shape salting exists to
+    // avoid, and the single-threaded build dominated the wall. Hinted,
+    // both sides shuffle on (key, salt) and the replicated orders side
+    // hash-builds per partition: 0.80–0.88 s vs 1.09 (BHJ) vs 0.84–0.94
+    // (shuffle_merge), min-of-5 under the bench action. Per-partition
+    // build memory is (|orders|×Salts)/shuffle-partitions — bounded at
+    // any scale by the same partition sizing that bounds the salt
+    // pattern itself.
     "join_skew_salted" -> ((s, d) => {
       val salts = s.range(Salts).select(col("id").cast("int").as("o_salt"))
       val o = Tables.orders(s, d)
@@ -763,7 +783,8 @@ object SqlInterface {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .withColumn("l_salt", pmod(col("l_linenumber"), lit(Salts)).cast("int"))
-      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+      li.join(o.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey") &&
           col("l_salt") === col("o_salt"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),

@@ -35,9 +35,44 @@ object PlanAudit {
             .exists(m => m.group(1).contains(" ASC NULLS") ||
               m.group(1).contains(" DESC NULLS"))
         }
+        // Fact-table broadcast (r17): Catalyst's compile-time size
+        // estimate can put a narrow PROJECTION of a fact table under
+        // the broadcast threshold, producing a driver-built hashed
+        // relation of the whole fact — slow locally (single-threaded
+        // build) and an OOM at any real scale. Flag a BroadcastExchange
+        // whose subtree scans a fact fixture with NO aggregate or join
+        // between the scan and the broadcast (a reduced/joined subset,
+        // e.g. q18's >300-qty survivors, is legitimately tiny).
+        val factBroadcast = {
+          val facts = Seq("lineitem", "events.parquet", "documents")
+          def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] =
+            p +: p.children.flatMap(nodes)
+          nodes(df.queryExecution.sparkPlan).exists {
+            case b: org.apache.spark.sql.execution.exchange
+                .BroadcastExchangeExec =>
+              val sub = nodes(b.child)
+              val scansFact = sub.exists {
+                case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                  facts.exists(t => f.relation.location.rootPaths
+                    .exists(_.toString.contains(t)))
+                case _ => false
+              }
+              val reduced = sub.exists {
+                case _: org.apache.spark.sql.execution.aggregate
+                    .BaseAggregateExec => true
+                case _: org.apache.spark.sql.execution.joins
+                    .BaseJoinExec => true
+                case _ => false
+              }
+              scansFact && !reduced
+            case _ => false
+          }
+        }
         val flags = Seq(
           if (cartesian > 0) Some("CARTESIAN") else None,
           if (globalWindow) Some("GLOBAL_WINDOW") else None,
+          if (factBroadcast) Some("FACT_BROADCAST") else None,
           // full-width scan: ReadSchema listing every column of lineitem
           if (phys.contains("ReadSchema: struct<l_orderkey") &&
             phys.contains("l_comment")) Some("WIDE_SCAN") else None

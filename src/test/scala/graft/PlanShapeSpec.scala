@@ -35,6 +35,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("salted skew join: shuffled-hash on (key, salt), fact never broadcast") {
+    // r17: unhinted, Catalyst's size estimate put the projected
+    // lineitem under the broadcast threshold and built the FACT as a
+    // driver-side hashed relation — the exact shape salting exists to
+    // avoid. The pattern's contract is a shuffle join on (key, salt).
+    val p = phys("join_skew_salted")
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("banded range join: adjacent-band pairs via shuffled-hash, not a fact broadcast") {
+    // r17: same estimate-undershoot class — the full events projection
+    // was the broadcast build side of the adjacent-band self-join.
+    // Hinted, both sides hash-partition by (type, band): per-reducer
+    // load is per-band, bounded at any scale.
+    val p = phys("join_range_banded")
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("kcore peel: every cut restricts via broadcast, never a shuffle join") {
     val p = phys("graph_kcore_peel")
     assert(p.contains("BroadcastHashJoin"), p.take(600))
