@@ -340,6 +340,81 @@ case class SortedIntersectValues(left: Expression, right: Expression)
   * (set by every session builder in this library — Verify, Bench, Probe,
   * tests). Registers `graft_dot` in the session function registry so it
   * is callable from both the Column API (`call_function`) and SQL. */
+/** All overlapping word n-grams of a token array, as the single fused
+  * loop `transform(sequence(1, greatest(size(tk)-(n-1), 1)),
+  * i => concat_ws(" ", slice(tk, i, n)))` evaluates to — but inside
+  * whole-stage codegen instead of four nested interpreted
+  * higher-order-function closures (sequence materialization, one boxed
+  * lambda call, one slice allocation and one concat per gram). The
+  * gram EXPLOSION is the per-task hot loop of every corpus/dedup gram
+  * pipeline (decontamination, substring spans, the e2e pipeline), and
+  * interpreted HOF lambdas measured ~6× slower than tight loops on the
+  * text_entropy experiment (OPTIMIZATION_r16.md).
+  *
+  * Bit-exact contract with the composed form, including the clamps:
+  * `max(len-(n-1), 1)` grams always (a shorter-than-n document yields
+  * exactly one gram of all its tokens; an empty array yields [""]
+  * because slice past the end is empty and concat_ws of nothing is
+  * ""), and null ELEMENTS are skipped by the join exactly as concat_ws
+  * skips them. A null ARRAY yields null (the composed form's sequence
+  * over null size is null). GramsEquivalenceSpec pins the identity
+  * property against the composed form. */
+case class WordGrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"graft_word_grams needs n >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_grams requires array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_word_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordGrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordGrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordGrams = copy(child = newChild)
+}
+
+object WordGrams {
+  private val Sep =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** One pass over the token array; each gram is one concatWs over a
+    * reused parts buffer — no per-gram boxing, no slice copies. */
+  def compute(toks: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = toks.numElements()
+    val cnt = math.max(len - (n - 1), 1)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](cnt)
+    var i = 0
+    while (i < cnt) {
+      val end = math.min(i + n, len)
+      val parts =
+        new Array[org.apache.spark.unsafe.types.UTF8String](math.max(end - i, 0))
+      var j = i
+      while (j < end) {
+        parts(j - i) =
+          if (toks.isNullAt(j)) null else toks.getUTF8String(j)
+        j += 1
+      }
+      out(i) =
+        org.apache.spark.unsafe.types.UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -362,6 +437,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_sorted_isect_vals"),
       (children: Seq[Expression]) =>
         SortedIntersectValues(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getCanonicalName,
+        "graft_word_grams"),
+      (children: Seq[Expression]) => WordGrams(children(0),
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            "graft_word_grams(tokens, n): n must be an int literal, " +
+              s"got $other")
+        })))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSignature].getCanonicalName,

@@ -61,8 +61,18 @@ object Corpus {
     * (< n tokens) yield one truncated gram — same clamping as DuckDB
     * list slicing, so the oracle twin matches. */
   def wordGrams(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    // r17: the codegen kernel replacing the interpreted HOF chain
+    // transform(sequence(1, greatest(size-n+1, 1)),
+    //   i => concat_ws(" ", slice(toks, i, n))) — bit-identical output
+    // (GramsEquivalenceSpec pins the property), one fused loop per doc
+    // instead of four nested closures per gram. The gram explosion is
+    // the per-task hot loop of every gram pipeline (guide §1.2 step 2).
+    // coalesce: the composed form yields [""] for a NULL token array
+    // (greatest() drops the null size, the lambda's concat_ws of a
+    // null slice is "") — same as for an empty array. The kernel is
+    // null-intolerant, so feed it the empty array instead.
+    call_function("graft_word_grams",
+      coalesce(toks, array().cast("array<string>")), lit(n))
 
   private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
   private val phonePat = "[0-9]{3}-[0-9]{4}"
