@@ -150,7 +150,8 @@ object ScaleProbe {
       "dedup_resolve_clusters", "dedup_exact", "corpus_decontaminate",
       "corpus_pipeline_e2e", "corpus_lm_score", "corpus_gopher_quality",
       "sim_lsh_ann", "sim_ivf_ann", "agg_heavy_hitters",
-      "ts_resample_ffill", "join_range_banded", "agg_incremental_merge",
+      "ts_resample_ffill", "join_range_banded", "join_skew_salted",
+      "agg_incremental_merge",
       "ts_downsample_ohlc", "ts_time_weighted_avg",
       "dedup_incremental_update", "graph_kcore_peel",
       "dedup_substring_spans", "corpus_ccnet_buckets",
