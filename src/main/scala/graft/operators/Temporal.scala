@@ -143,7 +143,13 @@ object Temporal {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
           col("value").as("purchase_value"))
-      clicks.join(purchases,
+      // shuffle_merge (r17 session 2): unhinted, Catalyst's size
+      // estimate put the purchase-side events PROJECTION under the
+      // broadcast threshold and built it as a driver-side hashed
+      // relation — both sides of this join are event-stream facts, so
+      // at scale the only safe plan is the user_id shuffle the
+      // streaming twin also implies (PlanAudit FACT_BROADCAST).
+      clicks.join(purchases.hint("shuffle_merge"),
           col("user_id") === col("p_user") &&
             col("p_ts") <= col("ts") &&
             col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"))
@@ -217,7 +223,11 @@ object Temporal {
       val df = unix_micros(col("f_ts")) - unix_micros(col("ts"))
       val pickB = col("b_ts").isNotNull &&
         (col("f_ts").isNull || db <= df)
-      b.join(f, Seq("event_id"))
+      // shuffle_merge (r17 session 2): both directional as-of outputs
+      // are click-cardinality fact frames; unhinted, the size estimate
+      // broadcast one of them (PlanAudit FACT_BROADCAST). The compose
+      // join shuffles on event_id instead — scale-safe either way.
+      b.join(f.hint("shuffle_merge"), Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("ts"),
           when(pickB, col("b_ts")).otherwise(col("f_ts"))
             .as("purchase_ts"),
@@ -240,16 +250,35 @@ object Temporal {
       val e = Tables.events(s, d).select(col("user_id"),
         date_trunc("DAY", col("ts")).as("day"), col("ts"),
         col("event_id"), col("value"))
+      // One aggregate for the whole day rollup (r17 session 2): the
+      // old form computed `daily` (groupBy agg), `closing` (a SECOND
+      // events scan through a row_number window) and `grid` (a THIRD
+      // scan for per-user min/max day), then joined all three — and
+      // Catalyst broadcast the window-built `closing` side, a
+      // fact-cardinality build the (fixed) PlanAudit FACT_BROADCAST
+      // detector flags. The day's closing value is an aggregate fact:
+      // max(struct(ts, event_id, value)) picks the same row as the
+      // (ts DESC, event_id DESC) row_number — (ts, event_id) is a
+      // total order, event_id unique — so ONE map-side-combined
+      // aggregate yields n_events, day_value AND close_value. The
+      // per-user grid bounds derive from the aggregated frame (min/
+      // max day per user are the same over day groups as over raw
+      // events), so the fact is scanned ONCE. `daily` is consumed
+      // twice (grid bounds + the join) with NO materialization:
+      // both consumers sit above the identical aggregate exchange, so
+      // exchange reuse runs the scan+shuffle once — a localCheckpoint
+      // variant was measured 2x SLOWER (0.57–0.85 s vs 0.25–0.36
+      // same-JVM interleaved; the serialization job costs more than
+      // the duplicated final-aggregate pass it saves, the same
+      // trade spans' checkpoint won and this one loses).
       val daily = e.groupBy(col("user_id"), col("day"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double")
-            .as("day_value"))
-      val rn = Window.partitionBy(col("user_id"), col("day"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val closing = e.withColumn("rn", row_number().over(rn))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("day"), col("value").as("close_value"))
-      val grid = e.groupBy(col("user_id"))
+            .as("day_value"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("day_value"), col("m.value").as("close_value"))
+      val grid = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
           explode(sequence(col("d0"), col("d1"),
@@ -257,7 +286,6 @@ object Temporal {
       val ffill = Window.partitionBy(col("user_id")).orderBy(col("day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(daily, Seq("user_id", "day"), "left")
-        .join(closing, Seq("user_id", "day"), "left")
         .select(col("user_id"), col("day"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           coalesce(col("day_value"), lit(0.0)).as("day_value"),

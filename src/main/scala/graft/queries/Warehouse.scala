@@ -22,14 +22,26 @@ object Warehouse {
     // change batch is usually small enough to broadcast — either plan
     // keeps a single pass over the dimension.
     "warehouse_scd2_upsert" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      // Change-batch derivation (r17 session 2): "each customer's
+      // latest order" was a row_number window over ALL orders — a
+      // sort-based pass that shuffles every order row. The latest
+      // order is an aggregate fact: max(struct(o_orderdate,
+      // o_orderkey, o_totalprice)) picks the same row (struct
+      // ordering is lexicographic and (o_orderdate, o_orderkey) is
+      // the window's total order — o_orderkey is unique, so the
+      // o_totalprice tail never breaks a tie), but as a hash
+      // aggregate it partial-combines map-side: the exchange carries
+      // at most one row per (custkey, map partition) instead of every
+      // order (guide §2.3 "aggregate before you shuffle"). The
+      // aggregate's custkey partitioning then feeds the dimension
+      // join unchanged.
       val changes = Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey").as("custkey"),
-          to_date(col("o_orderdate")).as("change_date"),
-          col("o_totalprice").as("new_bal"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))).as("m"))
+        .select(col("custkey"),
+          to_date(col("m.o_orderdate")).as("change_date"),
+          col("m.o_totalprice").as("new_bal"))
       Tables.customer(s, d)
         .select(col("c_custkey").as("custkey"), col("c_acctbal"))
         .join(changes, Seq("custkey"), "left")

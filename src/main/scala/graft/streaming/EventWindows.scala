@@ -149,9 +149,15 @@ object EventWindows {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
 
   /** Batch form of the attribution rollup (the driver-gated twin):
-    * attributed pairs per purchase hour. */
+    * attributed pairs per purchase hour. The purchase side carries a
+    * shuffle_merge hint (r17 session 2): unhinted, Catalyst's size
+    * estimate broadcast the purchase-side fact projection (PlanAudit
+    * FACT_BROADCAST) — both sides are event streams, so the scale
+    * plan is the user_id shuffle the watermarked streaming twin
+    * already implies. Batch-only: the hint rides this composition,
+    * not the shared [[attribution]] join the stream plans through. */
   def attributionAgg(events: DataFrame): DataFrame =
-    attribution(viewSide(events), purchaseSide(events))
+    attribution(viewSide(events), purchaseSide(events).hint("shuffle_merge"))
       .groupBy(window(col("p_ts"), "1 hour"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("view_event")).as("n_views"),
@@ -225,20 +231,27 @@ object EventWindows {
     // distinct counts: the sketch estimate must land within the p=9
     // bound in EVERY window (the exact twin is test-scale
     // scaffolding a production stream drops for the 512-byte state).
+    // One-pass form (r17 session 2): the approx and exact sides used
+    // to be two separate aggregations over the same groups, joined
+    // back — two event scans, two exchanges, one join. All three
+    // measures (count, HLL sketch, exact distinct) are aggregates of
+    // the SAME (window, event_type) groups, so one groupBy computes
+    // them together: one scan, one aggregation tree (Spark plans the
+    // mixed distinct/non-distinct set via Expand), no join. The
+    // sketch's register state is a set-max — order-independent — so
+    // its estimate is bit-identical to the joined form's.
     "stream_window_distinct_approx" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val approx = windowDistinctApprox(ev)
-      val exact = ev
-        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
-        .agg(countDistinct(col("user_id")).as("n_users_exact"))
-        .select(col("window.start").as("w_start"), col("event_type"),
-          col("n_users_exact"))
       // bound: 15% relative OR ±2 absolute — at tiny per-window
       // counts (2-6 users) a single register collision is a 1-unit
       // absolute error but a huge relative one
-      approx.join(exact, Seq("w_start", "event_type"))
-        .select(col("w_start"), col("event_type"), col("n_events"),
-          col("n_users_exact"),
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.HllSketchStr
+            .toColumn(col("user_id").cast("string")).as("sk"),
+          countDistinct(col("user_id")).as("n_users_exact"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n_events"), col("n_users_exact"),
           (abs(graft.functions.HllSketchStr.estimate(col("sk")) -
               col("n_users_exact")) <=
             greatest(lit(2.0), col("n_users_exact") * 0.15))

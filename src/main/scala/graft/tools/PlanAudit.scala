@@ -39,33 +39,60 @@ object PlanAudit {
         // estimate can put a narrow PROJECTION of a fact table under
         // the broadcast threshold, producing a driver-built hashed
         // relation of the whole fact — slow locally (single-threaded
-        // build) and an OOM at any real scale. Flag a BroadcastExchange
-        // whose subtree scans a fact fixture with NO aggregate or join
-        // between the scan and the broadcast (a reduced/joined subset,
-        // e.g. q18's >300-qty survivors, is legitimately tiny).
+        // build) and an OOM at any real scale. Flag a broadcast join
+        // whose BUILD SIDE scans a fact fixture with NO aggregate or
+        // join between the scan and the broadcast (a reduced/joined
+        // subset, e.g. q18's >300-qty survivors, is legitimately tiny).
+        //
+        // r17 session 2 fix: the first version of this detector matched
+        // BroadcastExchangeExec in `queryExecution.sparkPlan` — but
+        // exchanges are inserted by EnsureRequirements, a PREPARATION
+        // rule that only runs for executedPlan (where AQE then hides
+        // the tree behind a childless AdaptiveSparkPlanExec). The
+        // detector therefore never fired on anything and its "0
+        // flagged" was vacuous — sql_tpch_q4's LeftSemi broadcast of
+        // the full projected lineitem sailed through. Walk the
+        // broadcast JOIN's declared build side instead: join nodes DO
+        // exist in sparkPlan, and buildSide names the subtree that
+        // EnsureRequirements will wrap in a BroadcastExchange.
         val factBroadcast = {
           val facts = Seq("lineitem", "events.parquet", "documents")
           def nodes(p: org.apache.spark.sql.execution.SparkPlan)
               : Seq[org.apache.spark.sql.execution.SparkPlan] =
             p +: p.children.flatMap(nodes)
+          def flaggedBuild(
+              build: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+            val sub = nodes(build)
+            val scansFact = sub.exists {
+              case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+                facts.exists(t => f.relation.location.rootPaths
+                  .exists(_.toString.contains(t)))
+              case _ => false
+            }
+            val reduced = sub.exists {
+              case _: org.apache.spark.sql.execution.aggregate
+                  .BaseAggregateExec => true
+              case _: org.apache.spark.sql.execution.joins
+                  .BaseJoinExec => true
+              case _ => false
+            }
+            scansFact && !reduced
+          }
           nodes(df.queryExecution.sparkPlan).exists {
-            case b: org.apache.spark.sql.execution.exchange
-                .BroadcastExchangeExec =>
-              val sub = nodes(b.child)
-              val scansFact = sub.exists {
-                case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-                  facts.exists(t => f.relation.location.rootPaths
-                    .exists(_.toString.contains(t)))
-                case _ => false
-              }
-              val reduced = sub.exists {
-                case _: org.apache.spark.sql.execution.aggregate
-                    .BaseAggregateExec => true
-                case _: org.apache.spark.sql.execution.joins
-                    .BaseJoinExec => true
-                case _ => false
-              }
-              scansFact && !reduced
+            case b: org.apache.spark.sql.execution.joins
+                .BroadcastHashJoinExec =>
+              flaggedBuild(b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                  b.left
+                case _ => b.right
+              })
+            case b: org.apache.spark.sql.execution.joins
+                .BroadcastNestedLoopJoinExec =>
+              flaggedBuild(b.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                  b.left
+                case _ => b.right
+              })
             case _ => false
           }
         }
