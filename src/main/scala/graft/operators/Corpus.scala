@@ -365,6 +365,12 @@ object Corpus {
           .head.getAs[Array[Byte]](0))
       val train = grams.filter(col("split") === "train")
         .select(col("gram")).distinct()
+      // Join strategy left to Catalyst (r17 session 2 A/B): a
+      // shuffle_merge hint on the exact-verification join measured
+      // neutral-to-worse same-JVM interleaved (SMJ 0.72–1.71 s vs the
+      // planned broadcast 0.77–0.87); the broadcast side here is the
+      // bloom-SURVIVOR gram set — bounded by the true contamination
+      // plus the sketch's ~1% fp of test grams, not by corpus size.
       grams.filter(col("split") === "test")
         .filter(call_function("graft_might_contain",
           lit(bf), xxhash64(col("gram"))))

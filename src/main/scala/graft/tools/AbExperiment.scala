@@ -255,7 +255,45 @@ object AbExperiment {
           col("n_views"), col("purchase_value"))
     }
 
+    // q10 variant: pre-aggregate revenue per custkey BELOW the customer
+    // join (the windowed orders ⋈ R-lineitem join keeps its orderkey
+    // shuffle; the customer join then carries one decimal partial per
+    // buying customer instead of every joined line, and the final
+    // GROUP BY rides the custkey partitioning with no wide exchange).
+    def q10Preagg(s: SparkSession, d: String): DataFrame = {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql("""
+        SELECT /*+ BROADCAST(nation), SHUFFLE_MERGE(rc) */
+               c_custkey, c_name,
+               CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN (SELECT /*+ SHUFFLE_MERGE(lineitem, orders) */
+                     o_custkey,
+                     SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,10))) AS rev_dec
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                AND l_returnflag = 'R'
+              GROUP BY o_custkey) rc
+          ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }
+
+    // (corpus_decontaminate_bloom's shuffle-vs-broadcast verification
+    // join was A/B'd through a since-removed -Dgraft.decontBloomJoin
+    // toggle: SMJ 0.72–1.71 s vs planned broadcast 0.77–0.87 — kept
+    // the broadcast; see the comment at the query site.)
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      ("sql_tpch_q10_preagg", q10Preagg _),
       ("ts_resample_ffill_nockpt", resampleNoCkpt _),
       ("join_interval_shj", intervalShj _),
       ("stream_stream_join_shj", sstreamShj _),
@@ -273,6 +311,8 @@ object AbExperiment {
       val newName = if (name.endsWith("_semi")) name.stripSuffix("_semi")
         else if (name.endsWith("_nockpt")) name.stripSuffix("_nockpt")
         else if (name.endsWith("_shj")) name.stripSuffix("_shj")
+        else if (name.endsWith("_preagg")) name.stripSuffix("_preagg")
+        else if (name.endsWith("_smj")) name.stripSuffix("_smj")
         else name
       val newFn = graft.SparkEntry.queries(newName)
       var oT = 0.0; var nT = 0.0; var oC = 0L; var nC = 0L
