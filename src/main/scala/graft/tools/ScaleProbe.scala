@@ -158,7 +158,11 @@ object ScaleProbe {
       "corpus_dsir_weights", "corpus_hard_negatives",
       "join_asof_nearest", "sim_pq_adc", "corpus_unimax_alloc",
       "dedup_semdedup", "sim_ivfpq_ann", "corpus_quality_classifier",
-      "corpus_bpe_pair_counts", "corpus_train_order")
+      "corpus_bpe_pair_counts", "corpus_train_order",
+      // r17 session-2 rewrites (fact-broadcast removals + fusions)
+      "sql_tpch_q4", "sql_tpch_q22", "warehouse_scd2_upsert",
+      "stream_window_distinct_approx", "join_interval",
+      "stream_stream_join")
     // Optional focus list (comma-separated query names) for probing a
     // specific family without paying the full heavy sweep.
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
