@@ -292,7 +292,45 @@ object AbExperiment {
     // toggle: SMJ 0.72–1.71 s vs planned broadcast 0.77–0.87 — kept
     // the broadcast; see the comment at the query site.)
 
+    // bm25 variant: tokenize ONCE — the shipped form's `stats` and
+    // `nAvg` each re-tokenize every document (duplicated CPU-heavy
+    // subtree with no exchange for reuse, the spans-checkpoint class);
+    // here the narrow per-doc (dl, matched-terms) frame materializes
+    // via localCheckpoint and feeds both consumers.
+    def bm25OneScan(s: SparkSession, d: String): DataFrame = {
+      import graft.operators.Corpus.toksOf
+      val qterms = Seq("spark", "join", "window")
+      val tk = toksOf(col("text"))
+      val perDoc = Tables.documents(s, d)
+        .select(col("doc_id"), size(tk).cast("long").as("dl"),
+          filter(tk, t => t.isin(qterms: _*)).as("qtk"))
+        .localCheckpoint()
+      val stats = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("qtk")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val nAvg = perDoc.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val dfreq = stats.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      stats.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nAvg))
+        .withColumn("idf", log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+        .withColumn("tscore", col("idf") *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            col("dl").cast("double") / col("avgdl"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tscore").cast("decimal(18,10)")).cast("double")
+          .as("score"),
+          count(lit(1)).as("n_matched"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }
+
     val pairs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      ("corpus_bm25_retrieval_1scan", bm25OneScan _),
       ("sql_tpch_q10_preagg", q10Preagg _),
       ("ts_resample_ffill_nockpt", resampleNoCkpt _),
       ("join_interval_shj", intervalShj _),
@@ -313,6 +351,7 @@ object AbExperiment {
         else if (name.endsWith("_shj")) name.stripSuffix("_shj")
         else if (name.endsWith("_preagg")) name.stripSuffix("_preagg")
         else if (name.endsWith("_smj")) name.stripSuffix("_smj")
+        else if (name.endsWith("_1scan")) name.stripSuffix("_1scan")
         else name
       val newFn = graft.SparkEntry.queries(newName)
       var oT = 0.0; var nT = 0.0; var oC = 0L; var nC = 0L
